@@ -1,0 +1,351 @@
+"""Batch metric kernels (the reference's scalar-function surface, re-done in numpy).
+
+The reference selects metrics dynamically via an enum and wraps them in a
+``MetricWrapper`` (see /root/reference/n-api/metric_search_js.hpp:8-178); here a
+metric is a small class with two entry points:
+
+- ``one(a, b) -> float``                 scalar distance between two records
+- ``batch(A, b) -> np.ndarray``          vectorized distances from many records to one
+- ``pairwise(A, B) -> np.ndarray``       row-wise distances between two record batches
+
+``batch`` is the cover-tree kernel hot path (one probe vs. all children of a
+node); ``pairwise`` is the join hot path (Arrow batch vs. Arrow batch). All
+numeric kernels are pure numpy (no per-row Python in the Spark path; the
+python-level ``one`` exists for the unit-test oracle).
+
+Semantics parity notes (each cites the reference implementation it mirrors):
+
+- ``Euclidean``      sqrt(sum((a-b)^2))       — Standards.cpp:28-40
+- ``EuclideanThresholded`` min(thres, factor*L2), defaults thres=1000 factor=3000
+                                               — Standards.cpp:42-54, Standards.hpp:65-66
+- ``Manhattan``      sum|a-b|                  — Standards.cpp:56-68
+- ``PNorm``          (sum|a-b|^p)^(1/p), p=1   — Standards.cpp:70-82, Standards.hpp:49
+- ``Cosine``         dot/(|a||b|) — returns SIMILARITY, not a distance (reference
+                     quirk preserved)          — Standards.cpp:84-96
+- ``TWED``           time-warp edit distance DP over (value, index-as-time) with
+                     stiffness ``elastic`` (default 1) and ``penalty`` (default 0)
+                                               — TWED.cpp:10-76, TWED.hpp:30-33
+- ``Edit``           Levenshtein 2-row DP      — Edit.cpp:11-64 (Spark path uses the
+                     built-in ``F.levenshtein``)
+- ``SSIM``           11x11-window structural-similarity distance with
+                     C1=(0.01*L)^2, C2=(0.03*L)^2, L=255, masking=2.0
+                                               — SSIM.cpp:57-169, SSIM.hpp:16-17.
+                     The reference computes its gaussian window with size_t
+                     subtraction (SSIM.cpp:27: ``(x - d) * (x - d)`` underflows for
+                     x < d), which zeroes all weights above/left of center. We
+                     reproduce that behavior under ``quirk_parity=True`` (default,
+                     for row-for-row parity) and offer the mathematically intended
+                     window with ``quirk_parity=False``.
+- ``AbsDiff``        |a-b| on scalars — the custom metric used by the reference's
+                     own unit tests (tests/test_api.cpp:18-23)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "Metric",
+    "AbsDiff",
+    "Euclidean",
+    "EuclideanThresholded",
+    "Manhattan",
+    "PNorm",
+    "Cosine",
+    "TWED",
+    "Edit",
+    "SSIM",
+    "get_metric",
+    "METRICS",
+]
+
+
+def _as_matrix(A) -> np.ndarray:
+    """Stack a batch of equal-length numeric records into an (n, d) float array."""
+    if isinstance(A, np.ndarray) and A.ndim == 2:
+        return A.astype(np.float64, copy=False)
+    return np.asarray([np.asarray(a, dtype=np.float64).ravel() for a in A], dtype=np.float64)
+
+
+class Metric:
+    """Base: subclasses implement ``one``; ``batch``/``pairwise`` default to loops
+    (numeric subclasses override with vectorized numpy)."""
+
+    name = "metric"
+
+    def one(self, a, b) -> float:
+        raise NotImplementedError
+
+    def __call__(self, a, b) -> float:
+        return self.one(a, b)
+
+    def batch(self, A, b) -> np.ndarray:
+        return np.asarray([self.one(a, b) for a in A], dtype=np.float64)
+
+    def pairwise(self, A, B) -> np.ndarray:
+        return np.asarray([self.one(a, b) for a, b in zip(A, B)], dtype=np.float64)
+
+
+class AbsDiff(Metric):
+    name = "absdiff"
+
+    def one(self, a, b) -> float:
+        a = np.asarray(a, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        return float(np.abs(a - b).sum())
+
+    def batch(self, A, b) -> np.ndarray:
+        M = _as_matrix(A)
+        bv = np.asarray(b, dtype=np.float64).ravel()
+        return np.abs(M - bv).sum(axis=1)
+
+    def pairwise(self, A, B) -> np.ndarray:
+        return np.abs(_as_matrix(A) - _as_matrix(B)).sum(axis=1)
+
+
+class Euclidean(Metric):
+    name = "euclidean"
+
+    def one(self, a, b) -> float:
+        a = np.asarray(a, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        d = a - b
+        return float(np.sqrt(np.dot(d, d)))
+
+    def batch(self, A, b) -> np.ndarray:
+        M = _as_matrix(A)
+        bv = np.asarray(b, dtype=np.float64).ravel()
+        d = M - bv
+        return np.sqrt(np.einsum("ij,ij->i", d, d))
+
+    def pairwise(self, A, B) -> np.ndarray:
+        d = _as_matrix(A) - _as_matrix(B)
+        return np.sqrt(np.einsum("ij,ij->i", d, d))
+
+
+class EuclideanThresholded(Metric):
+    name = "euclidean_thresholded"
+
+    def __init__(self, thres: float = 1000.0, factor: float = 3000.0):
+        self.thres = thres
+        self.factor = factor
+        self._l2 = Euclidean()
+
+    def one(self, a, b) -> float:
+        return min(self.thres, self.factor * self._l2.one(a, b))
+
+    def batch(self, A, b) -> np.ndarray:
+        return np.minimum(self.thres, self.factor * self._l2.batch(A, b))
+
+    def pairwise(self, A, B) -> np.ndarray:
+        return np.minimum(self.thres, self.factor * self._l2.pairwise(A, B))
+
+
+class Manhattan(Metric):
+    name = "manhattan"
+
+    def one(self, a, b) -> float:
+        a = np.asarray(a, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        return float(np.abs(a - b).sum())
+
+    def batch(self, A, b) -> np.ndarray:
+        return np.abs(_as_matrix(A) - np.asarray(b, dtype=np.float64).ravel()).sum(axis=1)
+
+    def pairwise(self, A, B) -> np.ndarray:
+        return np.abs(_as_matrix(A) - _as_matrix(B)).sum(axis=1)
+
+
+class PNorm(Metric):
+    name = "p_norm"
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+
+    def one(self, a, b) -> float:
+        a = np.asarray(a, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        return float(np.power(np.power(np.abs(a - b), self.p).sum(), 1.0 / self.p))
+
+    def batch(self, A, b) -> np.ndarray:
+        M = _as_matrix(A)
+        bv = np.asarray(b, dtype=np.float64).ravel()
+        return np.power(np.power(np.abs(M - bv), self.p).sum(axis=1), 1.0 / self.p)
+
+    def pairwise(self, A, B) -> np.ndarray:
+        return np.power(
+            np.power(np.abs(_as_matrix(A) - _as_matrix(B)), self.p).sum(axis=1), 1.0 / self.p
+        )
+
+
+class Cosine(Metric):
+    """Reference quirk preserved: returns cosine SIMILARITY (Standards.cpp:84-96)."""
+
+    name = "cosine"
+
+    def one(self, a, b) -> float:
+        a = np.asarray(a, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def batch(self, A, b) -> np.ndarray:
+        M = _as_matrix(A)
+        bv = np.asarray(b, dtype=np.float64).ravel()
+        num = M @ bv
+        den = np.linalg.norm(M, axis=1) * np.linalg.norm(bv)
+        return num / den
+
+    def pairwise(self, A, B) -> np.ndarray:
+        MA, MB = _as_matrix(A), _as_matrix(B)
+        num = np.einsum("ij,ij->i", MA, MB)
+        den = np.linalg.norm(MA, axis=1) * np.linalg.norm(MB, axis=1)
+        return num / den
+
+
+class TWED(Metric):
+    """Time-Warp Edit Distance over 1-D sequences; time stamps = element indices
+    (TWED.cpp:10-76). O(n*m) DP, vectorized across the inner dimension per row."""
+
+    name = "twed"
+
+    def __init__(self, elastic: float = 1.0, penalty: float = 0.0):
+        self.elastic = elastic
+        self.penalty = penalty
+
+    def one(self, a, b) -> float:
+        A = np.asarray(a, dtype=np.float64).ravel()
+        B = np.asarray(b, dtype=np.float64).ravel()
+        nu, lam = self.elastic, self.penalty
+        nA, nB = len(A), len(B)
+        # timeA/timeB are just 0..n-1 in the reference's dense path
+        D0 = np.empty(nB)
+        D0[0] = abs(A[0] - B[0])  # + nu*|timeA[0]-0| == 0
+        if nB > 1:
+            # first row: D0[j] = D0[j-1] + |B[j-1]-B[j]| + nu + lam  (time delta = 1)
+            steps = np.abs(np.diff(B)) + nu + lam
+            D0[1:] = D0[0] + np.cumsum(steps)
+        i_idx = np.arange(nB)
+        for i in range(1, nA):
+            Di = np.empty(nB)
+            c1_add = abs(A[i - 1] - A[i]) + nu + lam
+            Di0 = D0[0] + c1_add
+            C1 = D0 + c1_add
+            C3 = np.empty(nB)
+            C3[0] = np.inf
+            C3[1:] = (
+                D0[:-1]
+                + np.abs(A[i] - B[1:])
+                + np.abs(A[i - 1] - B[:-1])
+                + nu * (np.abs(i - i_idx[1:]) + np.abs(i - 1 - i_idx[:-1]))
+            )
+            c2_step = np.empty(nB)
+            c2_step[0] = 0.0
+            c2_step[1:] = np.abs(np.diff(B)) + nu + lam
+            # C2 depends on Di[j-1]: sequential min-scan (numpy loop over j)
+            Di[0] = Di0
+            m13 = np.minimum(C1, C3)
+            for j in range(1, nB):
+                Di[j] = min(Di[j - 1] + c2_step[j], m13[j])
+            D0 = Di
+        return float(D0[nB - 1])
+
+
+class Edit(Metric):
+    """Levenshtein (Edit.cpp:11-64). The Spark path uses built-in F.levenshtein;
+    this python twin is the oracle for unit tests."""
+
+    name = "edit"
+
+    def one(self, a, b) -> float:
+        sa = a if isinstance(a, str) else "".join(map(chr, np.asarray(a, dtype=np.int64)))
+        sb = b if isinstance(b, str) else "".join(map(chr, np.asarray(b, dtype=np.int64)))
+        if len(sa) < len(sb):
+            sa, sb = sb, sa
+        prev = np.arange(len(sb) + 1)
+        for i, ca in enumerate(sa, 1):
+            cur = np.empty(len(sb) + 1, dtype=np.int64)
+            cur[0] = i
+            sub = prev[:-1] + (np.frombuffer(sb.encode("utf-32-le"), dtype=np.uint32) != ord(ca))
+            for j in range(1, len(sb) + 1):
+                cur[j] = min(cur[j - 1] + 1, prev[j] + 1, sub[j - 1])
+            prev = cur
+        return float(prev[-1])
+
+
+def _ssim_gauss(n: int = 11, quirk_parity: bool = True) -> np.ndarray:
+    x = np.arange(n, dtype=np.uint64)
+    d = np.uint64(n // 2)
+    if quirk_parity:
+        # size_t underflow: (x-d) wraps to huge unsigned for x<d -> exp(-huge)=0
+        dx = (x - d).astype(np.float64)  # wrapped values become ~1.8e19
+        sq = dx * dx
+    else:
+        dx = x.astype(np.float64) - float(d)
+        sq = dx * dx
+    g = np.exp(-(sq[:, None] + sq[None, :]) / 2.25)
+    return g / g.sum()
+
+
+class SSIM(Metric):
+    name = "ssim"
+
+    def __init__(
+        self, dynamic_range: float = 255.0, masking: float = 2.0, quirk_parity: bool = True
+    ):
+        self.dynamic_range = dynamic_range
+        self.masking = masking
+        self.window = 11
+        self.gauss = _ssim_gauss(self.window, quirk_parity)
+
+    def one(self, a, b) -> float:
+        img1 = np.asarray(a, dtype=np.float64)
+        img2 = np.asarray(b, dtype=np.float64)
+        n = self.window
+        C1 = (0.01 * self.dynamic_range) ** 2
+        C2 = (0.03 * self.dynamic_range) ** 2
+        H = img1.shape[0] - n + 1
+        W = img1.shape[1] - n + 1
+        if H <= 0 or W <= 0:
+            raise ValueError(f"image smaller than SSIM window {n}")
+        # sliding windows via stride tricks; weighted moments via tensordot
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        w1 = sliding_window_view(img1, (n, n))
+        w2 = sliding_window_view(img2, (n, n))
+        g = self.gauss
+        mu1 = np.tensordot(w1, g, axes=([2, 3], [0, 1]))
+        mu2 = np.tensordot(w2, g, axes=([2, 3], [0, 1]))
+        s1 = np.tensordot(w1 * w1, g, axes=([2, 3], [0, 1])) - mu1 * mu1
+        s2 = np.tensordot(w2 * w2, g, axes=([2, 3], [0, 1])) - mu2 * mu2
+        corr = np.tensordot(w1 * w2, g, axes=([2, 3], [0, 1])) - mu1 * mu2
+        np.maximum(s1, 0.0, out=s1)
+        np.maximum(s2, 0.0, out=s2)
+        s12 = np.sqrt(s1 * s2)
+        S1 = (2.0 * mu1 * mu2 + C1) / (mu1 * mu1 + mu2 * mu2 + C1)
+        S2 = (2.0 * s12 + C2) / (s1 + s2 + C2)
+        return float(np.sqrt(np.maximum(2.0 - S1 - S2, 0.0)).sum() / (H * W))
+
+
+METRICS: dict[str, type[Metric]] = {
+    m.name: m
+    for m in (
+        AbsDiff,
+        Euclidean,
+        EuclideanThresholded,
+        Manhattan,
+        PNorm,
+        Cosine,
+        TWED,
+        Edit,
+        SSIM,
+    )
+}
+_ALIASES = {"l2": "euclidean", "l1": "manhattan", "levenshtein": "edit"}
+
+
+def get_metric(name: str, **kwargs) -> Metric:
+    """Metric factory (mirrors metric_factory.hpp:20-23 + the JS enum dispatch)."""
+    key = _ALIASES.get(name.lower(), name.lower())
+    if key not in METRICS:
+        raise KeyError(f"unknown metric {name!r}; known: {sorted(METRICS) + sorted(_ALIASES)}")
+    return METRICS[key](**kwargs)
