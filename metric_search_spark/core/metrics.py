@@ -85,6 +85,13 @@ class Metric:
     def pairwise(self, A, B) -> np.ndarray:
         return np.asarray([self.one(a, b) for a, b in zip(A, B)], dtype=np.float64)
 
+    def cross(self, A, B) -> np.ndarray:
+        """(n, m) all-pairs distances — the flat join-kernel hot path.
+        Numeric subclasses override with a blocked vectorized version."""
+        return np.asarray(
+            [[self.one(a, b) for b in B] for a in A], dtype=np.float64
+        ).reshape(len(A), len(B))
+
 
 class AbsDiff(Metric):
     name = "absdiff"
@@ -101,6 +108,9 @@ class AbsDiff(Metric):
 
     def pairwise(self, A, B) -> np.ndarray:
         return np.abs(_as_matrix(A) - _as_matrix(B)).sum(axis=1)
+
+    def cross(self, A, B) -> np.ndarray:
+        return np.abs(_as_matrix(A)[:, None, :] - _as_matrix(B)[None, :, :]).sum(axis=2)
 
 
 class Euclidean(Metric):
@@ -122,6 +132,16 @@ class Euclidean(Metric):
         d = _as_matrix(A) - _as_matrix(B)
         return np.sqrt(np.einsum("ij,ij->i", d, d))
 
+    def cross(self, A, B) -> np.ndarray:
+        MA, MB = _as_matrix(A), _as_matrix(B)
+        # |a-b|^2 = |a|^2 + |b|^2 - 2ab, clamped for fp safety
+        sq = (
+            (MA * MA).sum(axis=1)[:, None]
+            + (MB * MB).sum(axis=1)[None, :]
+            - 2.0 * (MA @ MB.T)
+        )
+        return np.sqrt(np.maximum(sq, 0.0))
+
 
 class EuclideanThresholded(Metric):
     name = "euclidean_thresholded"
@@ -140,6 +160,9 @@ class EuclideanThresholded(Metric):
     def pairwise(self, A, B) -> np.ndarray:
         return np.minimum(self.thres, self.factor * self._l2.pairwise(A, B))
 
+    def cross(self, A, B) -> np.ndarray:
+        return np.minimum(self.thres, self.factor * self._l2.cross(A, B))
+
 
 class Manhattan(Metric):
     name = "manhattan"
@@ -154,6 +177,9 @@ class Manhattan(Metric):
 
     def pairwise(self, A, B) -> np.ndarray:
         return np.abs(_as_matrix(A) - _as_matrix(B)).sum(axis=1)
+
+    def cross(self, A, B) -> np.ndarray:
+        return np.abs(_as_matrix(A)[:, None, :] - _as_matrix(B)[None, :, :]).sum(axis=2)
 
 
 class PNorm(Metric):
@@ -199,6 +225,12 @@ class Cosine(Metric):
         MA, MB = _as_matrix(A), _as_matrix(B)
         num = np.einsum("ij,ij->i", MA, MB)
         den = np.linalg.norm(MA, axis=1) * np.linalg.norm(MB, axis=1)
+        return num / den
+
+    def cross(self, A, B) -> np.ndarray:
+        MA, MB = _as_matrix(A), _as_matrix(B)
+        num = MA @ MB.T
+        den = np.linalg.norm(MA, axis=1)[:, None] * np.linalg.norm(MB, axis=1)[None, :]
         return num / den
 
 

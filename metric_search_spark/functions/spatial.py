@@ -1,0 +1,171 @@
+"""Spatial cell math as pure Spark Column expressions.
+
+Everything here compiles to JVM-side expressions inside whole-stage codegen —
+no Python UDFs — mirroring the numpy kernels in
+:mod:`metric_search_spark.cells` bit-for-bit (tested against them). This keeps
+the cell-derivation hot path (run once per row over the full table) on the
+fast path; the numpy twins serve the Arrow-UDF kernels and the unit-test
+oracle.
+
+The Morton layout is documented in ``cells.py``: coordinates are (x, y)
+doubles in [0,1)², quantized to 31 bits, interleaved into a 62-bit code
+(x even bits, y odd bits); a cell at resolution r is the top 2r bits plus the
+resolution packed at bit 56.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_COORD_BITS = 31
+
+# mask constants (all < 2^63, so they are valid positive BIGINT literals)
+_M16 = 0x0000FFFF0000FFFF
+_M8 = 0x00FF00FF00FF00FF
+_M4 = 0x0F0F0F0F0F0F0F0F
+_M2 = 0x3333333333333333
+_M1 = 0x5555555555555555
+_M32 = 0x00000000FFFFFFFF
+
+__all__ = [
+    "quantize_col",
+    "dequantize_col",
+    "spread_bits_col",
+    "compact_bits_col",
+    "phash_col",
+    "xq_col",
+    "yq_col",
+    "coord_cols",
+    "cell_col",
+    "cell_from_xy_col",
+    "cell_xy_cols",
+    "kring_cells_col",
+    "cell_sql",
+    "coord_sql",
+]
+
+
+def quantize_col(u: Column) -> Column:
+    """[0,1) double -> 31-bit grid index (cells.quantize)."""
+    q = F.floor(u * F.lit(float(1 << _COORD_BITS))).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit((1 << _COORD_BITS) - 1), q))
+
+
+def dequantize_col(q: Column) -> Column:
+    """31-bit grid index -> cell-center double (cells.dequantize)."""
+    return (q.cast("double") + F.lit(0.5)) / F.lit(float(1 << _COORD_BITS))
+
+
+def spread_bits_col(v: Column) -> Column:
+    """Low 31 bits of v spread to even bit positions (cells._spread_bits).
+
+    Valid because inputs stay < 2^31, so every intermediate is non-negative
+    and arithmetic shifts equal logical shifts.
+    """
+    x = v
+    x = x.bitwiseOR(F.shiftleft(x, 16)).bitwiseAND(F.lit(_M16))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(_M8))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(_M4))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(_M2))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(_M1))
+    return x
+
+
+def compact_bits_col(v: Column) -> Column:
+    """Gather even-position bits into the low 31 (cells._compact_bits)."""
+    x = v.bitwiseAND(F.lit(_M1))
+    x = x.bitwiseOR(F.shiftright(x, 1)).bitwiseAND(F.lit(_M2))
+    x = x.bitwiseOR(F.shiftright(x, 2)).bitwiseAND(F.lit(_M4))
+    x = x.bitwiseOR(F.shiftright(x, 4)).bitwiseAND(F.lit(_M8))
+    x = x.bitwiseOR(F.shiftright(x, 8)).bitwiseAND(F.lit(_M16))
+    x = x.bitwiseOR(F.shiftright(x, 16)).bitwiseAND(F.lit(_M32))
+    return x
+
+
+def phash_col(x: Column, y: Column) -> Column:
+    """Normalized (x, y) -> 62-bit Morton phash (cells.phash_from_xy)."""
+    return spread_bits_col(quantize_col(x)).bitwiseOR(
+        F.shiftleft(spread_bits_col(quantize_col(y)), 1)
+    )
+
+
+def xq_col(phash: Column) -> Column:
+    return compact_bits_col(phash)
+
+
+def yq_col(phash: Column) -> Column:
+    return compact_bits_col(F.shiftright(phash, 1))
+
+
+def coord_cols(phash: Column) -> tuple[Column, Column]:
+    """phash -> normalized (x, y) doubles (cells.coords_from_phash)."""
+    return dequantize_col(xq_col(phash)), dequantize_col(yq_col(phash))
+
+
+def cell_col(phash: Column, res: int) -> Column:
+    """phash -> cell id at resolution res (cells.cell_from_phash).
+
+    phash >= 0 by construction so arithmetic shift == logical shift.
+    """
+    if not 0 <= res <= 27:
+        raise ValueError(f"resolution {res} out of [0, 27]")
+    return (F.lit(res << 56) + F.shiftright(phash, 62 - 2 * res)).cast("long")
+
+
+def cell_from_xy_col(x: Column, y: Column, res: int) -> Column:
+    """Normalized (x, y) -> cell id (cells.cell_encode)."""
+    return cell_col(phash_col(x, y), res)
+
+
+def cell_xy_cols(cell: Column) -> tuple[Column, Column]:
+    """cell id -> (cx, cy) grid indices at the cell's own resolution."""
+    prefix = cell.bitwiseAND(F.lit((1 << 56) - 1))
+    return compact_bits_col(prefix), compact_bits_col(F.shiftright(prefix, 1))
+
+
+def kring_cells_col(cell: Column, res: int, k: int) -> Column:
+    """array<long> of all cells within Chebyshev distance k (cells.kring),
+    grid-clipped, as a pure Column expression ready to ``explode``.
+
+    Enumerates the (2k+1)² offset square with ``sequence`` + ``transform``
+    (JVM-side), computes neighbor grid coords, drops out-of-grid entries,
+    and re-interleaves. No UDF.
+    """
+    n = 1 << res
+    w = 2 * k + 1
+    cx, cy = cell_xy_cols(cell)
+    offs = F.sequence(F.lit(0), F.lit(w * w - 1))
+
+    def neighbor(o: Column) -> Column:
+        dx = (o / F.lit(w)).cast("long") - F.lit(k)
+        dy = (o % F.lit(w)) - F.lit(k)
+        nx = cx + dx
+        ny = cy + dy
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        prefix = spread_bits_col(nx).bitwiseOR(F.shiftleft(spread_bits_col(ny), 1))
+        return F.when(ok, F.lit(res << 56) + prefix).otherwise(F.lit(None))
+
+    return F.filter(F.transform(offs, neighbor), lambda c: c.isNotNull())
+
+
+# --------------------------------------------------------------- SQL (oracle)
+
+
+def cell_sql(phash_expr: str, res: int) -> str:
+    """Cell derivation as ANSI/DuckDB SQL (for the DuckDB oracle side)."""
+    shift = 62 - 2 * res
+    return f"(({res} * 72057594037927936) + ({phash_expr} // {2 ** shift}))"
+
+
+def coord_sql(phash_expr: str, axis: str) -> str:
+    """Normalized coordinate decode as DuckDB SQL. axis in {'x','y'}.
+
+    Mirrors compact_bits via 5 mask/shift rounds; DuckDB's ``&``/``|``/``>>``
+    on BIGINT behave like the JVM's for non-negative inputs.
+    """
+    v = phash_expr if axis == "x" else f"(({phash_expr}) // 2)"
+    x = f"(({v}) & {_M1})"
+    for shift, mask in ((1, _M2), (2, _M4), (4, _M8), (8, _M16), (16, _M32)):
+        x = f"((({x}) | (({x}) // {2 ** shift})) & {mask})"
+    return f"((({x}) + 0.5) / {float(1 << _COORD_BITS)})"

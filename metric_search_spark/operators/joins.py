@@ -1,0 +1,442 @@
+"""Exact metric joins: set-oriented kNN join and range (rnn) join.
+
+The reference answers nn/knn/rnn one probe at a time against a single global
+cover tree (/root/reference/details/tree.cpp:591-735). This module lifts those
+searches to **set-oriented two-stage joins** (SURVEY.md §2.3/§3.2):
+
+stage 1 (coarse prune, relational): both sides are encoded to Morton quadkey
+    cells over their normalized 2-D coordinates (pure Column expressions —
+    whole-stage codegen); the probe side expands its cell to the k-ring of
+    candidate cells; candidates meet in a cell-keyed cogroup shuffle. Hot
+    build cells are **explicitly salted** (north rule) — the build rows of a
+    hot cell are split across ⌈n/threshold⌉ salt buckets and probes fan out to
+    every bucket — with AQE skew-join as the safety net behind it.
+
+stage 2 (fine refinement, Arrow kernel): per (cell, salt) group an
+    ``applyInPandas`` kernel computes the per-group top-k — either a
+    vectorized all-pairs numpy kernel ("flat") or a per-cell cover tree with
+    the reference's triangle-inequality pruning ("covertree",
+    core/covertree.py). Partial top-k rows then merge through one global
+    window ``row_number() <= k`` per probe (the reference's bounded sorted
+    kNN list, tree.cpp:664-677, as a window).
+
+Exactness across cell boundaries (the correctness crux the single-tree
+reference never faced): a probe's result is provably exact when its kth
+distance is ≤ the distance from the probe to the edge of the explored ring
+square (``ring_guarantee_radius``). Probes that fail the guarantee escalate
+to a doubled ring radius — only the unresolved probes re-run — until the
+ring covers the grid. For full-dimensional metrics indexed by a contractive
+2-D projection (e.g. 64-d L2 indexed by two coordinates), the same guarantee
+holds scaled by ``coord_scale`` = the minimum axis scale, because
+d_full ≥ coord_scale · d_projected.
+
+Scale notes (100 TB framing): one shuffle per round (the cell cogroup) + one
+window; ring-1 resolves ~all probes when resolution targets ~256 rows/cell;
+candidate fan-out is 9× probe rows, never |build| × |probe|; per-group memory
+is bounded by the salt threshold; no driver-side collect of data rows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metric_search_spark.cells import cell_size
+from metric_search_spark.core.covertree import CoverTree
+from metric_search_spark.core.metrics import Metric, get_metric
+from metric_search_spark.functions.spatial import cell_from_xy_col, kring_cells_col
+
+__all__ = ["knn_join", "range_join", "KnnJoinStats"]
+
+
+@dataclass
+class KnnJoinStats:
+    """Per-call execution metrics (the engine's observability surface)."""
+
+    n_build: int = 0
+    resolution: int = 0
+    rounds: list[dict] = field(default_factory=list)
+
+
+def _pick_resolution(n_build: int, target_per_cell: int) -> int:
+    """Resolution so that E[rows/cell] ≈ target under uniform spread."""
+    if n_build <= target_per_cell:
+        return 0
+    return max(0, min(20, round(math.log(n_build / target_per_cell, 4.0))))
+
+
+def _as_matrix_col(series) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in series], dtype=np.float64)
+
+
+def _flat_topk(
+    metric: Metric, P: np.ndarray, B: np.ndarray, k: int, chunk: int = 1024
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-group top-k: returns (idx (n,k'), dist (n,k')) with
+    k' = min(k, |B|), ties broken by build position (ascending)."""
+    kk = min(k, B.shape[0])
+    all_idx = np.empty((P.shape[0], kk), dtype=np.int64)
+    all_d = np.empty((P.shape[0], kk), dtype=np.float64)
+    for s in range(0, P.shape[0], chunk):
+        D = metric.cross(P[s : s + chunk], B)
+        if kk < B.shape[0]:
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(kk), (D.shape[0], kk))
+        pd_ = np.take_along_axis(D, part, axis=1)
+        order = np.lexsort((part, pd_), axis=1)
+        all_idx[s : s + chunk] = np.take_along_axis(part, order, axis=1)
+        all_d[s : s + chunk] = np.take_along_axis(pd_, order, axis=1)
+    return all_idx, all_d
+
+
+def _covertree_topk(
+    metric: Metric, P: np.ndarray, B: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-group top-k via a local cover tree with the reference's pruning
+    (exact 'safe' bound — core/covertree.py)."""
+    tree = CoverTree(metric)
+    tree.insert_batch(list(B))
+    kk = min(k, B.shape[0])
+    idx = np.empty((P.shape[0], kk), dtype=np.int64)
+    d = np.empty((P.shape[0], kk), dtype=np.float64)
+    for i in range(P.shape[0]):
+        res = tree.knn(P[i], k=kk, prune="safe")
+        # node handle == insertion position == build row position
+        idx[i] = [n for n, _ in res]
+        d[i] = [dd for _, dd in res]
+    return idx, d
+
+
+def _prepare(
+    df: DataFrame, id_col: str, vec_col: str, x_col: str, y_col: str, res: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        cell_from_xy_col(F.col(x_col).cast("double"), F.col(y_col).cast("double"), res).alias(
+            "_cell"
+        ),
+    )
+
+
+def _salts_df(build_c: DataFrame, salt_threshold: int) -> DataFrame:
+    """Hot-cell table (cell, n_salt) — broadcast to both sides."""
+    return (
+        build_c.groupBy("_cell")
+        .count()
+        .where(F.col("count") > salt_threshold)
+        .select(
+            "_cell",
+            F.ceil(F.col("count") / salt_threshold).cast("int").alias("n_salt"),
+        )
+    )
+
+
+def _guarantee_col(res: int, ring_k: Column | int) -> Column:
+    """Column twin of cells.ring_guarantee_radius: distance from the probe to
+    the nearest edge of its explored ring square (grid borders = covered)."""
+    s = F.lit(cell_size(res))
+    k = ring_k if isinstance(ring_k, Column) else F.lit(float(ring_k))
+    cx = F.floor(F.col("_x") / s)
+    cy = F.floor(F.col("_y") / s)
+    lo_x = (cx - k) * s
+    hi_x = (cx + k + 1.0) * s
+    lo_y = (cy - k) * s
+    hi_y = (cy + k + 1.0) * s
+    inf = F.lit(float("inf"))
+    mx_lo = F.when(lo_x <= 0.0, inf).otherwise(F.col("_x") - lo_x)
+    mx_hi = F.when(hi_x >= 1.0, inf).otherwise(hi_x - F.col("_x"))
+    my_lo = F.when(lo_y <= 0.0, inf).otherwise(F.col("_y") - lo_y)
+    my_hi = F.when(hi_y >= 1.0, inf).otherwise(hi_y - F.col("_y"))
+    return F.least(mx_lo, mx_hi, my_lo, my_hi)
+
+
+def _expand_probes(
+    probes_c: DataFrame,
+    salts: DataFrame,
+    res: int,
+    ring_k: int,
+    build_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Probe side of the cogroup: explode candidate cells (k-ring) and salt
+    buckets for hot cells. When the ring covers the whole grid, cross-join
+    against the build side's distinct occupied cells instead of enumerating
+    the (2k+1)² offset square (which would be O(grid²) per probe)."""
+    if build_cells is not None and ring_k >= (1 << res):
+        cand = probes_c.select("_id", "_vec").crossJoin(F.broadcast(build_cells))
+    else:
+        cand = probes_c.select(
+            "_id",
+            "_vec",
+            F.explode(kring_cells_col(F.col("_cell"), res, ring_k)).alias("_cell"),
+        )
+    cand = cand.join(F.broadcast(salts), "_cell", "left")
+    return cand.select(
+        "_id",
+        "_vec",
+        "_cell",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
+        ).alias("_salt"),
+    )
+
+
+def _salted_build(build_c: DataFrame, salts: DataFrame) -> DataFrame:
+    return build_c.join(F.broadcast(salts), "_cell", "left").select(
+        "_id",
+        "_vec",
+        "_cell",
+        F.when(
+            F.col("n_salt").isNotNull(),
+            F.pmod(F.xxhash64(F.col("_id").cast("string")), F.col("n_salt")).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_salt"),
+    )
+
+
+def _partial_topk(
+    probe_cand: DataFrame,
+    build_salted: DataFrame,
+    metric: Metric,
+    k: int,
+    kernel: str,
+    qid_type: str,
+    bid_type: str,
+) -> DataFrame:
+    """The per-(cell, salt) Arrow kernel: cogroup → applyInPandas → partial
+    (query_id, neighbor_id, dist) rows (≤ k per probe per group)."""
+    import pandas as pd
+
+    out_schema = f"query_id {qid_type}, neighbor_id {bid_type}, dist double"
+
+    def fn(key, probe_pdf: "pd.DataFrame", build_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(probe_pdf) == 0 or len(build_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []})
+        P = _as_matrix_col(probe_pdf["_vec"])
+        B = _as_matrix_col(build_pdf["_vec"])
+        if kernel == "covertree":
+            idx, d = _covertree_topk(metric, P, B, k)
+        else:
+            idx, d = _flat_topk(metric, P, B, k)
+        kk = idx.shape[1]
+        return pd.DataFrame(
+            {
+                "query_id": probe_pdf["_id"].to_numpy().repeat(kk),
+                "neighbor_id": build_pdf["_id"].to_numpy()[idx.ravel()],
+                "dist": d.ravel(),
+            }
+        )
+
+    return (
+        probe_cand.groupBy("_cell", "_salt")
+        .cogroup(build_salted.groupBy("_cell", "_salt"))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
+def knn_join(
+    probes: DataFrame,
+    build: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    x_col: str = "x",
+    y_col: str = "y",
+    probe_id_col: str | None = None,
+    metric: str | Metric = "euclidean",
+    res: int | None = None,
+    target_per_cell: int = 256,
+    salt_threshold: int | None = None,
+    kernel: str = "flat",
+    coord_scale: float = 1.0,
+    max_rounds: int = 12,
+    stats: KnnJoinStats | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbor join (reference knn, tree.cpp:635-690, lifted
+    to a set-oriented join per SURVEY.md §2.3).
+
+    Returns (query_id, neighbor_id, dist, rank) with rank 1..k ascending by
+    (dist, neighbor_id). Both inputs need ``id_col``, ``vec_col``
+    (array<numeric>, the metric's input) and normalized ``x_col``/``y_col``
+    in [0,1)² (the 2-D index projection). Exact for any metric satisfying
+    d(a,b) ≥ coord_scale · L2((ax,ay),(bx,by)).
+
+    This call is eager: it runs the escalation loop (one Spark job per round)
+    and returns the materialized union of per-round results.
+    """
+    if isinstance(metric, str):
+        metric = get_metric(metric)
+    n_build = build.count()
+    if res is None:
+        res = _pick_resolution(n_build, target_per_cell)
+    if salt_threshold is None:
+        salt_threshold = max(4 * target_per_cell, 64)
+    if stats is None:
+        stats = KnnJoinStats()
+    stats.n_build = n_build
+    stats.resolution = res
+
+    qid_type = probes.schema[probe_id_col or id_col].dataType.simpleString()
+    bid_type = build.schema[id_col].dataType.simpleString()
+
+    build_c = _prepare(build, id_col, vec_col, x_col, y_col, res)
+    probes_c = _prepare(probes, probe_id_col or id_col, vec_col, x_col, y_col, res)
+    salts = _salts_df(build_c, salt_threshold)
+    build_salted = _salted_build(build_c, salts).persist()
+    try:
+        grid_n = 1 << res
+        ring_k = 1
+        unresolved = probes_c
+        done_parts: list[DataFrame] = []
+        to_unpersist: list[DataFrame] = []
+        build_cells = build_salted.select("_cell").distinct()
+        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+        for rnd in range(max_rounds):
+            exhaustive = ring_k >= grid_n or rnd == max_rounds - 1
+            cand = _expand_probes(
+                unresolved, salts, res, grid_n if exhaustive else ring_k, build_cells
+            )
+            partial = _partial_topk(
+                cand, build_salted, metric, k, kernel, qid_type, bid_type
+            )
+            topk = (
+                partial.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .persist()
+            )
+            to_unpersist.append(topk)
+            if exhaustive:
+                done_parts.append(topk)
+                stats.rounds.append({"ring_k": ring_k, "exhaustive": True})
+                break
+            # per-probe resolution check: k results found AND kth dist inside
+            # the guaranteed-covered radius of the explored square. One job:
+            # topk is persisted, the probe side is tiny relational glue.
+            per_probe = topk.groupBy("query_id").agg(
+                F.count("*").alias("cnt"), F.max("dist").alias("kth")
+            )
+            probe_geo = unresolved.select(
+                F.col("_id").alias("query_id"), "_x", "_y"
+            ).withColumn("guar", _guarantee_col(res, ring_k) * F.lit(coord_scale))
+            verdict = probe_geo.join(per_probe, "query_id", "left").select(
+                "query_id",
+                (
+                    (F.coalesce(F.col("cnt"), F.lit(0)) >= F.lit(min(k, max(n_build, 1))))
+                    & (F.col("kth") <= F.col("guar"))
+                ).alias("ok"),
+            )
+            unresolved_ids = (
+                verdict.where(~F.coalesce(F.col("ok"), F.lit(False)))
+                .select(F.col("query_id").alias("_id"))
+                .persist()
+            )
+            to_unpersist.append(unresolved_ids)
+            n_unres = unresolved_ids.count()
+            stats.rounds.append({"ring_k": ring_k, "unresolved": n_unres})
+            if n_unres == 0:
+                done_parts.append(topk)
+                break
+            done_parts.append(
+                topk.join(
+                    unresolved_ids.select(F.col("_id").alias("query_id")),
+                    "query_id",
+                    "left_anti",
+                )
+            )
+            unresolved = unresolved.join(unresolved_ids, "_id", "left_semi")
+            ring_k *= 2
+
+        out = done_parts[0]
+        for p in done_parts[1:]:
+            out = out.unionByName(p)
+        # materialize (reads the persisted per-round topk) before unpersisting
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        build_salted.unpersist()
+        for df in to_unpersist:
+            df.unpersist()
+
+
+def range_join(
+    probes: DataFrame,
+    build: DataFrame,
+    radius: float,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    x_col: str = "x",
+    y_col: str = "y",
+    probe_id_col: str | None = None,
+    metric: str | Metric = "euclidean",
+    res: int | None = None,
+    target_per_cell: int = 256,
+    salt_threshold: int | None = None,
+    coord_scale: float = 1.0,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Range (radius) join — the reference's rnn (tree.cpp:698-735) as a
+    distance join. Membership is STRICT d < radius by default (the
+    reference's quirk, tree.cpp:718); pass inclusive=True for d ≤ radius.
+
+    Single round: the ring radius that provably covers the query ball is
+    ⌈(radius / coord_scale) / cell_size⌉, so no escalation loop is needed.
+    Returns (query_id, neighbor_id, dist).
+    """
+    if isinstance(metric, str):
+        metric = get_metric(metric)
+    n_build = build.count()
+    if res is None:
+        res = _pick_resolution(n_build, target_per_cell)
+    if salt_threshold is None:
+        salt_threshold = max(4 * target_per_cell, 64)
+    # ring that covers the full query ball in normalized projection units
+    norm_r = radius / coord_scale
+    ring_k = min(1 << res, int(math.ceil(norm_r / cell_size(res))))
+
+    qid_type = probes.schema[probe_id_col or id_col].dataType.simpleString()
+    bid_type = build.schema[id_col].dataType.simpleString()
+
+    build_c = _prepare(build, id_col, vec_col, x_col, y_col, res)
+    probes_c = _prepare(probes, probe_id_col or id_col, vec_col, x_col, y_col, res)
+    salts = _salts_df(build_c, salt_threshold)
+    build_salted = _salted_build(build_c, salts)
+    cand = _expand_probes(
+        probes_c, salts, res, ring_k, build_salted.select("_cell").distinct()
+    )
+
+    import pandas as pd
+
+    out_schema = f"query_id {qid_type}, neighbor_id {bid_type}, dist double"
+
+    def fn(key, probe_pdf, build_pdf):
+        if len(probe_pdf) == 0 or len(build_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []})
+        P = _as_matrix_col(probe_pdf["_vec"])
+        B = _as_matrix_col(build_pdf["_vec"])
+        D = metric.cross(P, B)
+        mask = (D <= radius) if inclusive else (D < radius)
+        pi, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "query_id": probe_pdf["_id"].to_numpy()[pi],
+                "neighbor_id": build_pdf["_id"].to_numpy()[bi],
+                "dist": D[pi, bi],
+            }
+        )
+
+    return (
+        cand.groupBy("_cell", "_salt")
+        .cogroup(build_salted.groupBy("_cell", "_salt"))
+        .applyInPandas(fn, schema=out_schema)
+    )

@@ -162,12 +162,9 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 def _hash_u01(ids: np.ndarray, salt: int, seed: int) -> np.ndarray:
     """Deterministic per-id uniform [0,1) doubles (chunking-independent)."""
+    seed_mix = np.uint64((seed * 0x517CC1B727220A95) & 0xFFFFFFFFFFFFFFFF)
     h = _splitmix64(
-        _splitmix64(
-            np.asarray(ids, dtype=np.uint64)
-            ^ (np.uint64(seed) * np.uint64(0x517CC1B727220A95))
-        )
-        + np.uint64(salt)
+        _splitmix64(np.asarray(ids, dtype=np.uint64) ^ seed_mix) + np.uint64(salt)
     )
     return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
