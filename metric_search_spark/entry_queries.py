@@ -1,0 +1,429 @@
+"""Driver-contract queries: one entry per implemented operator (SURVEY.md §2),
+each as (spark_fn, oracle_sql) where the oracle is ANSI SQL DuckDB runs on the
+same parquet tables. Non-SQL-expressible ops (per-cell cover-tree state,
+image-table flagship) omit the oracle → rows-only driver check.
+
+Column-name contract: every computed column is aliased identically in the
+Spark query and the oracle SQL (driver hashes values after sorting columns by
+name).
+
+Float discipline: outputs avoid raw engine-computed floats where the two
+engines could differ in summation order; ranking columns order by
+(value, id) so near-ties cannot flip rows; thresholds are chosen with a wide
+margin to the nearest achievable value (documented inline per query).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metric_search_spark.functions.spatial import cell_from_xy_col, cell_from_xy_sql
+from metric_search_spark.functions.vector import (
+    cosine_sim_sql,
+    l2_dist_col,
+    l2_dist_sql,
+)
+from metric_search_spark.operators.ann import cosine_topk
+from metric_search_spark.operators.joins import knn_join, range_join
+from metric_search_spark.operators.matrix import pairwise_matrix
+from metric_search_spark.operators.tiling import cluster_quota, tile_assign
+
+# ---------------------------------------------------------------- helpers
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def images_n_for_sf(sf_dir: str) -> int:
+    """Deterministic image-table size per scale factor (FIXTURES.md F1):
+    sf0.001 → 2,000 rows; sf0.01 → 20,000; sf0.1 → 200,000."""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    return max(200, int(2_000_000 * sf))
+
+
+def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic image+caption table (BASELINE.json input_hint schema),
+    generated distributed + deterministically (sources/synth.py)."""
+    from metric_search_spark.sources.synth import spark_images
+
+    return spark_images(spark, images_n_for_sf(sf_dir), seed=42)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with id/vec/x/y columns: 64-d vector + contractive 2-D
+    projection of the first two coordinates into [0,1) (bounds ±1 cover the
+    data's (−0.53, 0.46) range at every sf)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+        ((F.element_at("embedding", 1) + 1.0) / 2.0).cast("double").alias("x"),
+        ((F.element_at("embedding", 2) + 1.0) / 2.0).cast("double").alias("y"),
+        F.col("label"),
+    )
+
+
+_EMB_DIST = l2_dist_sql("a.embedding", "b.embedding")
+# the same contractive projection, SQL side
+_EMB_X = "((CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0)"
+_EMB_Y = "((CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0)"
+
+# events range-join radius: distances are sqrt(Δvalue² + Δuser²) with Δvalue
+# on a 0.01 grid and Δuser integral, so d² lies on a 1e-4 grid; r² = 25.00005
+# sits mid-gap — no pair can fall within 5e-5 of the boundary, far beyond any
+# cross-engine fp noise.
+_EVENTS_R2 = 25.00005
+
+# ----------------------------------------------------------------- queries
+
+
+def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # 64-d distances defeat 2-D-projection pruning on this data (kth dist
+    # ≫ cell size), so the escalation loop would always end exhaustive; res=0
+    # goes straight to one exhaustive vectorized group — the right plan at
+    # this cardinality. The image-table flagship exercises the cell path.
+    out = knn_join(emb, emb, k=10, coord_scale=2.0, res=0)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+O_KNN_EMB = f"""
+SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_EMB_DIST}, b.vec_id) AS r
+  FROM embeddings a, embeddings b
+) WHERE r <= 10
+"""
+
+
+def q_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    out = knn_join(emb, emb, k=2, coord_scale=2.0, res=0)
+    # nn excluding the record itself (rank 1 of a self-join is the point):
+    # the reference's nn() on a tree containing the probe returns the probe,
+    # so rank 1 == identity; rank 2 is the meaningful neighbor.
+    return out.where(F.col("rank") == 2).select("query_id", "neighbor_id")
+
+
+O_NN_EMB = f"""
+SELECT query_id, neighbor_id FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_EMB_DIST}, b.vec_id) AS r
+  FROM embeddings a, embeddings b
+) WHERE r = 2
+"""
+
+
+def q_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.array(F.col("value"), F.col("user_id").cast("double")).alias("vec"),
+        (F.col("value") / 512.0).alias("x"),
+        (F.col("user_id").cast("double") / 150.0).alias("y"),
+    )
+    probes = ev.where(F.col("id") % 20 == 0)
+    out = range_join(
+        probes, ev, radius=_EVENTS_R2**0.5, coord_scale=150.0, target_per_cell=256
+    )
+    return out.select("query_id", "neighbor_id")
+
+
+O_RANGE_EVENTS = f"""
+SELECT a.event_id AS query_id, b.event_id AS neighbor_id
+FROM events a, events b
+WHERE a.event_id % 20 = 0
+  AND (a.value - b.value) * (a.value - b.value)
+      + (a.user_id - b.user_id) * (a.user_id - b.user_id) < {_EVENTS_R2}
+"""
+
+
+def q_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    out = cosine_topk(emb, emb, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+O_COSINE_EMB = f"""
+SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {cosine_sim_sql("a.embedding", "b.embedding")} DESC,
+                                     b.vec_id) AS r
+  FROM embeddings a, embeddings b
+) WHERE r <= 10
+"""
+
+
+def q_pairwise_label0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).where(F.col("label") == 0)
+    out = pairwise_matrix(emb)
+    return out.select("i", "j", F.round("dist", 6).alias("dist"))
+
+
+O_PAIRWISE = f"""
+SELECT a.vec_id AS i, b.vec_id AS j, round({_EMB_DIST}, 6) AS dist
+FROM embeddings a, embeddings b
+WHERE a.label = 0 AND b.label = 0 AND a.vec_id < b.vec_id
+"""
+
+
+_CLUSTER_DIST = (0.1, 0.25, 0.5, 0.9)
+
+
+def q_cluster_quota_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    center_row = emb.orderBy("id").select("vec").first()
+    out = cluster_quota(emb, _CLUSTER_DIST, center_row["vec"])
+    return out.select("id", "bucket")
+
+
+def _o_cluster_sql() -> str:
+    center = "(SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)"
+    dist = l2_dist_sql("embedding", center)
+    cases = " ".join(
+        f"WHEN rn <= floor(n * {d}) THEN {i}" for i, d in enumerate(_CLUSTER_DIST)
+    )
+    return f"""
+SELECT id, CAST(CASE {cases} END AS BIGINT) AS bucket FROM (
+  SELECT vec_id AS id, row_number() OVER (ORDER BY {dist}, vec_id) AS rn,
+         count(*) OVER () AS n
+  FROM embeddings
+) WHERE rn <= floor(n * {_CLUSTER_DIST[-1]})
+"""
+
+
+O_CLUSTER = _o_cluster_sql()
+
+
+def q_tile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return tile_assign(emb, res=4).select("id", "tile")
+
+
+O_TILE = f"""
+SELECT vec_id AS id, {cell_from_xy_sql(_EMB_X, _EMB_Y, 4)} AS tile FROM embeddings
+"""
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("cnt")
+    ).select("keeper_id", "cnt")
+
+
+O_DEDUP_EXACT = """
+SELECT min(doc_id) AS keeper_id, count(*) AS cnt FROM documents GROUP BY text
+"""
+
+
+def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars_m"),
+    )
+
+
+O_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars_m
+FROM documents
+"""
+
+
+def q_edit_join_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("pre")
+    )
+    a = docs.toDF("id_a", "pre_a")
+    b = docs.toDF("id_b", "pre_b")
+    lev = F.levenshtein(F.col("pre_a"), F.col("pre_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(lev <= 12)
+        .select("id_a", "id_b", lev.cast("long").alias("lev"))
+    )
+
+
+O_EDIT_JOIN = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) AS BIGINT) AS lev
+FROM documents a, documents b
+WHERE a.doc_id < b.doc_id
+  AND levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) <= 12
+"""
+
+
+# dedupe threshold: anchor-distance filter (the set-oriented reading of the
+# reference's insert_if ROOT-distance check, tree.cpp:358-377). Threshold 1.4
+# sits near the median of the anchor-distance distribution (splits ~50/50);
+# distances are continuous so the nearest value is ≫ fp noise of the boundary.
+def q_dedupe_threshold_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    anchor_row = emb.orderBy("id").select("vec", "id").first()
+    anchor = F.array(*[F.lit(float(v)) for v in anchor_row["vec"]])
+    d = l2_dist_col(F.col("vec"), anchor)
+    return emb.where((d > 1.4) | (F.col("id") == anchor_row["id"])).select(
+        F.col("id").alias("kept_id")
+    )
+
+
+O_DEDUPE_THRESHOLD = f"""
+SELECT vec_id AS kept_id FROM embeddings
+WHERE {l2_dist_sql("embedding", "(SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)")} > 1.4
+   OR vec_id = (SELECT min(vec_id) FROM embeddings)
+"""
+
+
+# --------------------------------------------------------------- graph ops
+
+
+def _grid4_edges(spark: SparkSession, side: int) -> DataFrame:
+    """Grid4 lattice edge list (reference details/graph.cpp:317-373): node
+    r*side+c, 4-neighborhood, both directions."""
+    nodes = spark.range(side * side).select(F.col("id").alias("src"))
+    r = (F.col("src") / side).cast("long")
+    c = F.col("src") % side
+    right = nodes.where(c < side - 1).select("src", (F.col("src") + 1).alias("dst"))
+    down = nodes.where(r < side - 1).select("src", (F.col("src") + side).alias("dst"))
+    fwd = right.unionByName(down)
+    return fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def q_bfs_grid4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS neighborhood to depth 4 from node 0 on an 8×8 Grid4 lattice
+    (reference getNeighbours, details/graph.cpp:175-242): hop-layered
+    frontier expansion as iterative joins."""
+    from metric_search_spark.operators.graph import bfs_neighborhood
+
+    edges = _grid4_edges(spark, 8)
+    return bfs_neighborhood(edges, start=0, max_deep=4)
+
+
+O_BFS_GRID4 = """
+WITH RECURSIVE walk(node, hop) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT e.dst, w.hop + 1
+  FROM walk w
+  JOIN (
+    SELECT src, dst FROM (
+      SELECT i AS src, i + 1 AS dst FROM range(64) t(i) WHERE i % 8 < 7
+      UNION ALL
+      SELECT i AS src, i + 8 AS dst FROM range(64) t(i) WHERE i < 56
+      UNION ALL
+      SELECT i + 1 AS src, i AS dst FROM range(64) t(i) WHERE i % 8 < 7
+      UNION ALL
+      SELECT i + 8 AS src, i AS dst FROM range(64) t(i) WHERE i < 56
+    )
+  ) e ON e.src = w.node
+  WHERE w.hop < 4
+)
+SELECT node, min(hop) AS hop FROM walk GROUP BY node
+"""
+
+
+def q_connected_components_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (reference 'Cracker' driver,
+    details/graph/connected_components.hpp:203-242) over a star graph built
+    from events: each event linked to its user's first event. The generic
+    min-label-propagation loop runs on the edge list; the oracle exploits the
+    known structure (component = user's min event_id)."""
+    from metric_search_spark.operators.graph import connected_components
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    edges = ev.select(
+        F.col("event_id").alias("src"),
+        F.min("event_id").over(w).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    nodes = ev.select(F.col("event_id").alias("node"))
+    return connected_components(edges, nodes=nodes)
+
+
+O_CC_EVENTS = """
+SELECT event_id AS node, min(event_id) OVER (PARTITION BY user_id) AS component
+FROM events
+"""
+
+
+# -------------------------------------------------- image table (rows-only)
+
+
+def q_flagship_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline query (BASELINE.json metric): cell-partitioned kNN join
+    (k=10) + tile assignment over the synthetic image+caption table, indexed
+    by phash-decoded centroids. No SQL oracle (images are engine-generated);
+    driver records rows-only."""
+    from metric_search_spark.functions.spatial import coord_cols
+
+    imgs = images_df(spark, sf_dir)
+    xc, yc = coord_cols(F.col("phash"))
+    tbl = imgs.select(
+        F.col("image_id").alias("id"),
+        F.array(xc, yc).alias("vec"),
+        xc.alias("x"),
+        yc.alias("y"),
+    )
+    out = knn_join(tbl, tbl, k=10)
+    tiles = tile_assign(tbl, res=6).select(
+        F.col("id").alias("query_id"), "tile"
+    )
+    return out.join(tiles, "query_id").select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk"), "tile"
+    )
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_embeddings": q_knn_embeddings,
+    "nn_embeddings": q_nn_embeddings,
+    "range_events": q_range_events,
+    "cosine_topk_embeddings": q_cosine_topk_embeddings,
+    "pairwise_label0": q_pairwise_label0,
+    "cluster_quota_embeddings": q_cluster_quota_embeddings,
+    "tile_embeddings": q_tile_embeddings,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "token_stats_documents": q_token_stats_documents,
+    "edit_join_documents": q_edit_join_documents,
+    "dedupe_threshold_embeddings": q_dedupe_threshold_embeddings,
+    "bfs_grid4": q_bfs_grid4,
+    "connected_components_events": q_connected_components_events,
+    "flagship_images_knn": q_flagship_images_knn,
+}
+
+ORACLES: dict[str, str] = {
+    "knn_embeddings": O_KNN_EMB,
+    "nn_embeddings": O_NN_EMB,
+    "range_events": O_RANGE_EVENTS,
+    "cosine_topk_embeddings": O_COSINE_EMB,
+    "pairwise_label0": O_PAIRWISE,
+    "cluster_quota_embeddings": O_CLUSTER,
+    "tile_embeddings": O_TILE,
+    "dedup_exact_documents": O_DEDUP_EXACT,
+    "token_stats_documents": O_TOKEN_STATS,
+    "edit_join_documents": O_EDIT_JOIN,
+    "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
+    "bfs_grid4": O_BFS_GRID4,
+    "connected_components_events": O_CC_EVENTS,
+    # flagship_images_knn: rows-only (engine-generated input table)
+}

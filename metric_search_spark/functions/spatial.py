@@ -43,6 +43,10 @@ __all__ = [
     "kring_cells_col",
     "cell_sql",
     "coord_sql",
+    "spread_sql",
+    "quantize_sql",
+    "phash_sql",
+    "cell_from_xy_sql",
 ]
 
 
@@ -150,6 +154,31 @@ def kring_cells_col(cell: Column, res: int, k: int) -> Column:
 
 
 # --------------------------------------------------------------- SQL (oracle)
+
+
+def spread_sql(v_expr: str) -> str:
+    """spread_bits as DuckDB SQL (multiplication = left shift; non-negative)."""
+    x = f"({v_expr})"
+    for shift, mask in ((16, _M16), (8, _M8), (4, _M4), (2, _M2), (1, _M1)):
+        x = f"((({x}) | (({x}) * {2 ** shift})) & {mask})"
+    return x
+
+
+def quantize_sql(u_expr: str) -> str:
+    max_q = (1 << _COORD_BITS) - 1
+    return (
+        f"least(greatest(CAST(floor(({u_expr}) * {float(1 << _COORD_BITS)}) AS BIGINT), 0), "
+        f"{max_q})"
+    )
+
+
+def phash_sql(x_expr: str, y_expr: str) -> str:
+    """phash_from_xy as DuckDB SQL."""
+    return f"({spread_sql(quantize_sql(x_expr))} | ({spread_sql(quantize_sql(y_expr))} * 2))"
+
+
+def cell_from_xy_sql(x_expr: str, y_expr: str, res: int) -> str:
+    return cell_sql(phash_sql(x_expr, y_expr), res)
 
 
 def cell_sql(phash_expr: str, res: int) -> str:

