@@ -1,0 +1,124 @@
+"""Headline benchmark (driver contract): runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ..., "images_per_sec": ...}
+
+The headline metric is the BASELINE.json one: images/sec for the
+cell-partitioned kNN join (k=10) + tile assignment over the synthetic
+image+caption table. Two-parallelism scaling evidence (local[8] vs local[32])
+is produced by tools/scaling_bench.py, which shells out to this script.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(
+        os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "0")
+    ) or None
+
+    from pyspark.sql import functions as F
+
+    from metric_search_spark.entry_queries import images_n_for_sf
+    from metric_search_spark.functions.spatial import coord_cols
+    from metric_search_spark.operators.joins import KnnJoinStats, knn_join, range_join
+    from metric_search_spark.operators.tiling import tile_assign
+    from metric_search_spark.session import build_session
+    from metric_search_spark.sources.synth import spark_images
+
+    n = n_images or images_n_for_sf(sf_dir)
+    spark = build_session(cpus=cpus, app_name=f"bench-{cpus}")
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    imgs = spark_images(spark, n, seed=42)
+    xc, yc = coord_cols(F.col("phash"))
+    tbl = imgs.select(
+        F.col("image_id").alias("id"),
+        F.array(xc, yc).alias("vec"),
+        xc.alias("x"),
+        yc.alias("y"),
+    ).persist()
+    assert tbl.count() == n
+    timings["generate"] = round(time.time() - t0, 3)
+
+    # warm-up: spin up the Python worker pool + compile the codegen paths on
+    # a 2k-row slice (a real cluster amortizes this once per executor
+    # lifetime; steady-state throughput is what the baseline metric states)
+    t0 = time.time()
+    warm = tbl.limit(2000).persist()
+    warm.count()
+    knn_join(warm, warm, k=10).count()
+    warm.unpersist()
+    timings["warmup"] = round(time.time() - t0, 3)
+
+    # headline: kNN join (k=10) + tile assignment, end-to-end; two timed runs,
+    # steady-state = best (local-mode GC/compilation jitter is significant)
+    import gc
+
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        stats = KnnJoinStats()
+        knn = knn_join(tbl, tbl, k=10, stats=stats)
+        tiles = tile_assign(tbl, res=6).select(F.col("id").alias("query_id"), "tile")
+        flag = knn.join(tiles, "query_id")
+        n_flag = flag.count()
+        runs.append(round(time.time() - t0, 3))
+        assert n_flag == n * 10, (n_flag, n)
+        # release the checkpointed result between runs (ContextCleaner frees
+        # the backing RDD once the python reference is gone)
+        del knn, flag
+        gc.collect()
+    t_head = min(runs)
+    timings["knn10_tile"] = t_head
+    timings["knn10_tile_runs"] = runs
+
+    # range join at a radius that returns a small multiple of n
+    t0 = time.time()
+    rj = range_join(tbl, tbl, radius=0.002)
+    n_rj = rj.count()
+    timings["range_join"] = round(time.time() - t0, 3)
+
+    # tile-assignment-only scan (pure projection throughput)
+    t0 = time.time()
+    n_tiles = tile_assign(tbl, res=8).groupBy("tile").count().count()
+    timings["tile_scan"] = round(time.time() - t0, 3)
+
+    total = round(
+        sum(v for v in timings.values() if isinstance(v, (int, float))), 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "n_images": n,
+                "images_per_sec": round(n / t_head, 1),
+                "knn_rounds": stats.rounds,
+                "knn_resolution": stats.resolution,
+                "range_rows": n_rj,
+                "tiles": n_tiles,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -128,29 +128,74 @@ def cell_xy_cols(cell: Column) -> tuple[Column, Column]:
     return compact_bits_col(prefix), compact_bits_col(F.shiftright(prefix, 1))
 
 
+def _spread_int(v: int) -> int:
+    """Python-side spread_bits for literal precomputation."""
+    x = v & 0x7FFFFFFF
+    x = (x | (x << 16)) & _M16
+    x = (x | (x << 8)) & _M8
+    x = (x | (x << 4)) & _M4
+    x = (x | (x << 2)) & _M2
+    x = (x | (x << 1)) & _M1
+    return x
+
+
 def kring_cells_col(cell: Column, res: int, k: int) -> Column:
     """array<long> of all cells within Chebyshev distance k (cells.kring),
     grid-clipped, as a pure Column expression ready to ``explode``.
 
-    Enumerates the (2k+1)² offset square with ``sequence`` + ``transform``
-    (JVM-side), computes neighbor grid coords, drops out-of-grid entries,
-    and re-interleaves. No UDF.
+    Implementation note: higher-order-function lambdas are NOT part of
+    whole-stage codegen, so anything per-element must be tiny. This uses
+    **Morton arithmetic**: for each literal offset (dx, dy), the neighbor's
+    interleaved prefix is computed directly from the cell's prefix with
+    precomputed literal masks —
+
+    - x-part increment:  ((xpart | YMASK) + spread(dx)) & XMASK
+      (the y-slots filled with 1s make carries ripple across the gaps)
+    - x-part decrement:  (xpart − spread(|dx|)) & XMASK
+      (borrows ripple through the zeroed y-slots)
+    - grid-bounds check by monotonicity of spread:
+      cx + dx ≤ n−1  ⟺  xpart ≤ spread(n−1−dx)
+
+    so each of the (2k+1)² elements is ~10 bit-ops on the prefix; no
+    spread/compact chain is ever evaluated per element.
     """
     n = 1 << res
-    w = 2 * k + 1
-    cx, cy = cell_xy_cols(cell)
-    offs = F.sequence(F.lit(0), F.lit(w * w - 1))
+    xmask = _spread_int((1 << res) - 1)  # even positions within the 2r prefix bits
+    ymask = xmask << 1
+    prefix = cell.bitwiseAND(F.lit((1 << 56) - 1))
+    xpart = prefix.bitwiseAND(F.lit(xmask)) if res > 0 else F.lit(0)
+    ypart = prefix.bitwiseAND(F.lit(ymask)) if res > 0 else F.lit(0)
 
-    def neighbor(o: Column) -> Column:
-        dx = (o / F.lit(w)).cast("long") - F.lit(k)
-        dy = (o % F.lit(w)) - F.lit(k)
-        nx = cx + dx
-        ny = cy + dy
-        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
-        prefix = spread_bits_col(nx).bitwiseOR(F.shiftleft(spread_bits_col(ny), 1))
-        return F.when(ok, F.lit(res << 56) + prefix).otherwise(F.lit(None))
+    def part_shift(part: Column, d: int, mask: int, filler: int, unit_spread) -> tuple:
+        """(shifted part Column, bounds-ok Column) for one axis offset d."""
+        if d == 0:
+            return part, F.lit(True)
+        if abs(d) > n - 1:
+            return F.lit(0), F.lit(False)
+        s = unit_spread(abs(d))
+        if d > 0:
+            shifted = (part.bitwiseOR(F.lit(filler)) + F.lit(s)).bitwiseAND(F.lit(mask))
+            ok = part <= F.lit(unit_spread(n - 1 - d))
+        else:
+            shifted = (part - F.lit(s)).bitwiseAND(F.lit(mask))
+            ok = part >= F.lit(s)
+        return shifted, ok
 
-    return F.filter(F.transform(offs, neighbor), lambda c: c.isNotNull())
+    elems = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            if res == 0:
+                elems.append(F.lit(0) if dx == 0 and dy == 0 else F.lit(None).cast("long"))
+                continue
+            nxp, okx = part_shift(xpart, dx, xmask, ymask, _spread_int)
+            nyp, oky = part_shift(
+                ypart, dy, ymask, xmask, lambda v: _spread_int(v) << 1
+            )
+            cell_expr = F.lit(res << 56) + nxp.bitwiseOR(nyp)
+            elems.append(
+                F.when(okx & oky, cell_expr).otherwise(F.lit(None).cast("long"))
+            )
+    return F.filter(F.array(*elems), lambda c: c.isNotNull())
 
 
 # --------------------------------------------------------------- SQL (oracle)

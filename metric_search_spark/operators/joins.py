@@ -6,41 +6,47 @@ searches to **set-oriented two-stage joins** (SURVEY.md §2.3/§3.2):
 
 stage 1 (coarse prune, relational): both sides are encoded to Morton quadkey
     cells over their normalized 2-D coordinates (pure Column expressions —
-    whole-stage codegen); the probe side expands its cell to the k-ring of
-    candidate cells; candidates meet in a cell-keyed cogroup shuffle. Hot
-    build cells are **explicitly salted** (north rule) — the build rows of a
-    hot cell are split across ⌈n/threshold⌉ salt buckets and probes fan out to
-    every bucket — with AQE skew-join as the safety net behind it.
+    whole-stage codegen); **build rows replicate to the k-ring halo of their
+    cell** while probes stay uniquely in their own cell group, so the two
+    sides meet in one cell-keyed cogroup shuffle and every probe's full
+    candidate set is in a single group. Hot probe cells are **explicitly
+    salted** (north rule): their probes split across ⌈n/threshold⌉ salt
+    buckets and the halo fans out to each bucket; AQE is the safety net.
 
 stage 2 (fine refinement, Arrow kernel): per (cell, salt) group an
-    ``applyInPandas`` kernel computes the per-group top-k — either a
+    ``applyInPandas`` kernel computes each probe's exact top-k — either a
     vectorized all-pairs numpy kernel ("flat") or a per-cell cover tree with
     the reference's triangle-inequality pruning ("covertree",
-    core/covertree.py). Partial top-k rows then merge through one global
-    window ``row_number() <= k`` per probe (the reference's bounded sorted
-    kNN list, tree.cpp:664-677, as a window).
+    core/covertree.py). Because a probe lives in exactly one group, the
+    kernel's ranked output IS the final answer — no global window shuffle on
+    this path (the reference's bounded sorted kNN list, tree.cpp:664-677,
+    lives inside the kernel).
 
 Exactness across cell boundaries (the correctness crux the single-tree
 reference never faced): a probe's result is provably exact when its kth
 distance is ≤ the distance from the probe to the edge of the explored ring
-square (``ring_guarantee_radius``). Probes that fail the guarantee escalate
-to a doubled ring radius — only the unresolved probes re-run — until the
-ring covers the grid. For full-dimensional metrics indexed by a contractive
-2-D projection (e.g. 64-d L2 indexed by two coordinates), the same guarantee
-holds scaled by ``coord_scale`` = the minimum axis scale, because
-d_full ≥ coord_scale · d_projected.
+square (``ring_guarantee_radius``). Probes that fail the guarantee escalate:
+for those (typically <1%) the join flips to a probe-expansion scheme — the
+unresolved probes explode to a doubled ring of candidate cells, meet the
+build side (salted by build-cell counts), and merge through a window top-k —
+doubling the ring until it covers the grid. Work in escalation rounds is
+proportional to the unresolved probes, not the build table. For
+full-dimensional metrics indexed by a contractive 2-D projection (e.g. 64-d
+L2 indexed by two coordinates), the same guarantee holds scaled by
+``coord_scale`` = the minimum axis scale, since d_full ≥ coord_scale · d_2d.
 
-Scale notes (100 TB framing): one shuffle per round (the cell cogroup) + one
-window; ring-1 resolves ~all probes when resolution targets ~256 rows/cell;
-candidate fan-out is 9× probe rows, never |build| × |probe|; per-group memory
-is bounded by the salt threshold; no driver-side collect of data rows.
+Scale notes (100 TB framing): one shuffle (the cogroup) + tiny verdict aggs
+on the fast path; shuffle volume is |build|·ring² + |probes| + k·|probes|,
+never |build|×|probes|; per-group memory is bounded by the resolution's
+rows-per-cell target (and probe salting); no driver-side collect of data
+rows. The flagship plan at ring 1 resolves ~all probes when resolution
+targets ~256 rows/cell.
 """
 
 from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Iterable
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
@@ -71,14 +77,20 @@ def _pick_resolution(n_build: int, target_per_cell: int) -> int:
 
 
 def _as_matrix_col(series) -> np.ndarray:
-    return np.asarray([np.asarray(v, dtype=np.float64) for v in series], dtype=np.float64)
+    vals = series.to_numpy()
+    if len(vals) and isinstance(vals[0], np.ndarray):
+        return np.vstack(vals).astype(np.float64, copy=False)
+    return np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in vals], dtype=np.float64
+    )
 
 
 def _flat_topk(
-    metric: Metric, P: np.ndarray, B: np.ndarray, k: int, chunk: int = 1024
+    metric: Metric, P: np.ndarray, B: np.ndarray, k: int, chunk: int = 2048
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized per-group top-k: returns (idx (n,k'), dist (n,k')) with
-    k' = min(k, |B|), ties broken by build position (ascending)."""
+    k' = min(k, |B|), ties broken by build position (callers pre-sort build
+    rows by id so position order == id order)."""
     kk = min(k, B.shape[0])
     all_idx = np.empty((P.shape[0], kk), dtype=np.int64)
     all_d = np.empty((P.shape[0], kk), dtype=np.float64)
@@ -121,7 +133,9 @@ def _prepare(
     # only consistent when the coordinate used for the guarantee is the
     # clamped one.
     def clamped(c: str) -> Column:
-        return F.least(F.greatest(F.col(c).cast("double"), F.lit(0.0)), F.lit(1.0 - 2.0**-31))
+        return F.least(
+            F.greatest(F.col(c).cast("double"), F.lit(0.0)), F.lit(1.0 - 2.0**-31)
+        )
 
     return df.select(
         F.col(id_col).alias("_id"),
@@ -132,16 +146,54 @@ def _prepare(
     )
 
 
-def _salts_df(build_c: DataFrame, salt_threshold: int) -> DataFrame:
-    """Hot-cell table (cell, n_salt) — broadcast to both sides."""
+def _salts_for(side_c: DataFrame, salt_threshold: int) -> DataFrame:
+    """Hot-cell table (cell, n_salt) from one side's per-cell counts."""
     return (
-        build_c.groupBy("_cell")
+        side_c.groupBy("_cell")
         .count()
         .where(F.col("count") > salt_threshold)
         .select(
             "_cell",
             F.ceil(F.col("count") / salt_threshold).cast("int").alias("n_salt"),
         )
+    )
+
+
+def _with_salt(side_c: DataFrame, salts: DataFrame) -> DataFrame:
+    """Deterministically scatter a hot cell's rows across its salt buckets."""
+    return side_c.join(F.broadcast(salts), "_cell", "left").select(
+        "_id",
+        "_vec",
+        "_cell",
+        F.when(
+            F.col("n_salt").isNotNull(),
+            F.pmod(F.xxhash64(F.col("_id").cast("string")), F.col("n_salt")).cast(
+                "int"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("_salt"),
+    )
+
+
+def _halo_build(
+    build_c: DataFrame, salts: DataFrame, res: int, ring_k: int
+) -> DataFrame:
+    """Build side of the fast path: each build row replicated to every group
+    (= probe cell) within its k-ring, fanned out across that group's probe
+    salt buckets."""
+    exploded = build_c.select(
+        "_id",
+        "_vec",
+        F.explode(kring_cells_col(F.col("_cell"), res, ring_k)).alias("_cell"),
+    )
+    return exploded.join(F.broadcast(salts), "_cell", "left").select(
+        "_id",
+        "_vec",
+        "_cell",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
+        ).alias("_salt"),
     )
 
 
@@ -164,6 +216,50 @@ def _guarantee_col(res: int, ring_k: Column | int) -> Column:
     return F.least(mx_lo, mx_hi, my_lo, my_hi)
 
 
+def _ranked_group_topk(
+    probes_s: DataFrame,
+    build_halo: DataFrame,
+    metric: Metric,
+    k: int,
+    kernel: str,
+    qid_type: str,
+    bid_type: str,
+) -> DataFrame:
+    """Fast-path kernel: cogroup by (cell, salt); each probe's candidates are
+    complete within its group, so the kernel emits final ranked rows."""
+    import pandas as pd
+
+    out_schema = f"query_id {qid_type}, neighbor_id {bid_type}, dist double, rank int"
+    empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": [], "rank": []})
+
+    def fn(key, probe_pdf, build_pdf):
+        if len(probe_pdf) == 0 or len(build_pdf) == 0:
+            return empty
+        order = build_pdf["_id"].to_numpy().argsort(kind="stable")
+        bids = build_pdf["_id"].to_numpy()[order]
+        B = _as_matrix_col(build_pdf["_vec"])[order]
+        P = _as_matrix_col(probe_pdf["_vec"])
+        if kernel == "covertree":
+            idx, d = _covertree_topk(metric, P, B, k)
+        else:
+            idx, d = _flat_topk(metric, P, B, k)
+        kk = idx.shape[1]
+        return pd.DataFrame(
+            {
+                "query_id": probe_pdf["_id"].to_numpy().repeat(kk),
+                "neighbor_id": bids[idx.ravel()],
+                "dist": d.ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(P)),
+            }
+        )
+
+    return (
+        probes_s.groupBy("_cell", "_salt")
+        .cogroup(build_halo.groupBy("_cell", "_salt"))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
 def _expand_probes(
     probes_c: DataFrame,
     salts: DataFrame,
@@ -171,10 +267,10 @@ def _expand_probes(
     ring_k: int,
     build_cells: DataFrame | None = None,
 ) -> DataFrame:
-    """Probe side of the cogroup: explode candidate cells (k-ring) and salt
-    buckets for hot cells. When the ring covers the whole grid, cross-join
-    against the build side's distinct occupied cells instead of enumerating
-    the (2k+1)² offset square (which would be O(grid²) per probe)."""
+    """Escalation-path probe side: explode unresolved probes to their k-ring
+    of candidate cells (and the build side's salt buckets). When the ring
+    covers the whole grid, cross-join against the build side's distinct
+    occupied cells instead of enumerating the (2k+1)² offset square."""
     if build_cells is not None and ring_k >= (1 << res):
         cand = probes_c.select("_id", "_vec").crossJoin(F.broadcast(build_cells))
     else:
@@ -194,20 +290,6 @@ def _expand_probes(
     )
 
 
-def _salted_build(build_c: DataFrame, salts: DataFrame) -> DataFrame:
-    return build_c.join(F.broadcast(salts), "_cell", "left").select(
-        "_id",
-        "_vec",
-        "_cell",
-        F.when(
-            F.col("n_salt").isNotNull(),
-            F.pmod(F.xxhash64(F.col("_id").cast("string")), F.col("n_salt")).cast("int"),
-        )
-        .otherwise(F.lit(0))
-        .alias("_salt"),
-    )
-
-
 def _partial_topk(
     probe_cand: DataFrame,
     build_salted: DataFrame,
@@ -217,17 +299,20 @@ def _partial_topk(
     qid_type: str,
     bid_type: str,
 ) -> DataFrame:
-    """The per-(cell, salt) Arrow kernel: cogroup → applyInPandas → partial
-    (query_id, neighbor_id, dist) rows (≤ k per probe per group)."""
+    """Escalation-path kernel: per-(cell, salt) partial top-k rows
+    (≤ k per probe per group); merged by the caller's window."""
     import pandas as pd
 
     out_schema = f"query_id {qid_type}, neighbor_id {bid_type}, dist double"
+    empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []})
 
-    def fn(key, probe_pdf: "pd.DataFrame", build_pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def fn(key, probe_pdf, build_pdf):
         if len(probe_pdf) == 0 or len(build_pdf) == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []})
+            return empty
+        order = build_pdf["_id"].to_numpy().argsort(kind="stable")
+        bids = build_pdf["_id"].to_numpy()[order]
+        B = _as_matrix_col(build_pdf["_vec"])[order]
         P = _as_matrix_col(probe_pdf["_vec"])
-        B = _as_matrix_col(build_pdf["_vec"])
         if kernel == "covertree":
             idx, d = _covertree_topk(metric, P, B, k)
         else:
@@ -236,7 +321,7 @@ def _partial_topk(
         return pd.DataFrame(
             {
                 "query_id": probe_pdf["_id"].to_numpy().repeat(kk),
-                "neighbor_id": build_pdf["_id"].to_numpy()[idx.ravel()],
+                "neighbor_id": bids[idx.ravel()],
                 "dist": d.ravel(),
             }
         )
@@ -294,51 +379,41 @@ def knn_join(
     qid_type = probes.schema[probe_id_col or id_col].dataType.simpleString()
     bid_type = build.schema[id_col].dataType.simpleString()
 
-    build_c = _prepare(build, id_col, vec_col, x_col, y_col, res)
-    probes_c = _prepare(probes, probe_id_col or id_col, vec_col, x_col, y_col, res)
-    salts = _salts_df(build_c, salt_threshold)
-    build_salted = _salted_build(build_c, salts).persist()
+    build_c = _prepare(build, id_col, vec_col, x_col, y_col, res).persist()
+    probes_c = _prepare(
+        probes, probe_id_col or id_col, vec_col, x_col, y_col, res
+    ).persist()
+    to_unpersist: list[DataFrame] = [build_c, probes_c]
+    done_parts: list[DataFrame] = []
+    grid_n = 1 << res
     try:
-        grid_n = 1 << res
-        ring_k = 1
-        unresolved = probes_c
-        done_parts: list[DataFrame] = []
-        to_unpersist: list[DataFrame] = []
-        # fresh alias => fresh exprId, so the later join against `salts`
-        # (same build lineage) is not flagged as an ambiguous self-join
-        build_cells = build_salted.select(F.col("_cell").alias("_cell")).distinct()
-        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-        for rnd in range(max_rounds):
-            exhaustive = ring_k >= grid_n or rnd == max_rounds - 1
-            cand = _expand_probes(
-                unresolved, salts, res, grid_n if exhaustive else ring_k, build_cells
-            )
-            partial = _partial_topk(
-                cand, build_salted, metric, k, kernel, qid_type, bid_type
-            )
-            topk = (
-                partial.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .persist()
-            )
-            to_unpersist.append(topk)
-            if exhaustive:
-                done_parts.append(topk)
-                stats.rounds.append({"ring_k": ring_k, "exhaustive": True})
-                break
-            # per-probe resolution check: k results found AND kth dist inside
-            # the guaranteed-covered radius of the explored square. One job:
-            # topk is persisted, the probe side is tiny relational glue.
-            per_probe = topk.groupBy("query_id").agg(
+        # ---- round 1: halo fast path over the full probe set -------------
+        salts_p = _salts_for(probes_c, salt_threshold)
+        probes_s = _with_salt(probes_c, salts_p)
+        halo = _halo_build(build_c, salts_p, res, min(1, grid_n - 1) or 0)
+        ranked = _ranked_group_topk(
+            probes_s, halo, metric, k, kernel, qid_type, bid_type
+        ).persist()
+        to_unpersist.append(ranked)
+
+        if grid_n == 1:
+            stats.rounds.append({"ring_k": 0, "exhaustive": True})
+            done_parts.append(ranked)
+            unresolved = None
+        else:
+            per_probe = ranked.groupBy("query_id").agg(
                 F.count("*").alias("cnt"), F.max("dist").alias("kth")
             )
-            probe_geo = unresolved.select(
+            probe_geo = probes_c.select(
                 F.col("_id").alias("query_id"), "_x", "_y"
-            ).withColumn("guar", _guarantee_col(res, ring_k) * F.lit(coord_scale))
+            ).withColumn("guar", _guarantee_col(res, 1) * F.lit(coord_scale))
             verdict = probe_geo.join(per_probe, "query_id", "left").select(
                 "query_id",
                 (
-                    (F.coalesce(F.col("cnt"), F.lit(0)) >= F.lit(min(k, max(n_build, 1))))
+                    (
+                        F.coalesce(F.col("cnt"), F.lit(0))
+                        >= F.lit(min(k, max(n_build, 1)))
+                    )
                     & (F.col("kth") <= F.col("guar"))
                 ).alias("ok"),
             )
@@ -349,28 +424,96 @@ def knn_join(
             )
             to_unpersist.append(unresolved_ids)
             n_unres = unresolved_ids.count()
-            stats.rounds.append({"ring_k": ring_k, "unresolved": n_unres})
+            stats.rounds.append({"ring_k": 1, "unresolved": n_unres})
             if n_unres == 0:
-                done_parts.append(topk)
-                break
-            done_parts.append(
-                topk.join(
-                    unresolved_ids.select(F.col("_id").alias("query_id")),
-                    "query_id",
-                    "left_anti",
+                done_parts.append(ranked)
+                unresolved = None
+            else:
+                done_parts.append(
+                    ranked.join(
+                        unresolved_ids.select(F.col("_id").alias("query_id")),
+                        "query_id",
+                        "left_anti",
+                    )
                 )
-            )
-            unresolved = unresolved.join(unresolved_ids, "_id", "left_semi")
-            ring_k *= 2
+                unresolved = probes_c.join(unresolved_ids, "_id", "left_semi")
+
+        # ---- escalation rounds: probe-expansion scheme, work ∝ unresolved
+        if unresolved is not None:
+            salts_b = _salts_for(build_c, salt_threshold)
+            build_salted = _with_salt(build_c, salts_b).persist()
+            to_unpersist.append(build_salted)
+            build_cells = build_salted.select(
+                F.col("_cell").alias("_cell")
+            ).distinct()
+            w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+            ring_k = 2
+            for rnd in range(max_rounds):
+                exhaustive = ring_k >= grid_n or rnd == max_rounds - 1
+                cand = _expand_probes(
+                    unresolved,
+                    salts_b,
+                    res,
+                    grid_n if exhaustive else ring_k,
+                    build_cells,
+                )
+                partial = _partial_topk(
+                    cand, build_salted, metric, k, kernel, qid_type, bid_type
+                )
+                topk = (
+                    partial.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= k)
+                    .persist()
+                )
+                to_unpersist.append(topk)
+                if exhaustive:
+                    done_parts.append(topk)
+                    stats.rounds.append({"ring_k": ring_k, "exhaustive": True})
+                    break
+                per_probe = topk.groupBy("query_id").agg(
+                    F.count("*").alias("cnt"), F.max("dist").alias("kth")
+                )
+                probe_geo = unresolved.select(
+                    F.col("_id").alias("query_id"), "_x", "_y"
+                ).withColumn("guar", _guarantee_col(res, ring_k) * F.lit(coord_scale))
+                verdict = probe_geo.join(per_probe, "query_id", "left").select(
+                    "query_id",
+                    (
+                        (
+                            F.coalesce(F.col("cnt"), F.lit(0))
+                            >= F.lit(min(k, max(n_build, 1)))
+                        )
+                        & (F.col("kth") <= F.col("guar"))
+                    ).alias("ok"),
+                )
+                unresolved_ids = (
+                    verdict.where(~F.coalesce(F.col("ok"), F.lit(False)))
+                    .select(F.col("query_id").alias("_id"))
+                    .persist()
+                )
+                to_unpersist.append(unresolved_ids)
+                n_unres = unresolved_ids.count()
+                stats.rounds.append({"ring_k": ring_k, "unresolved": n_unres})
+                if n_unres == 0:
+                    done_parts.append(topk)
+                    break
+                done_parts.append(
+                    topk.join(
+                        unresolved_ids.select(F.col("_id").alias("query_id")),
+                        "query_id",
+                        "left_anti",
+                    )
+                )
+                unresolved = unresolved.join(unresolved_ids, "_id", "left_semi")
+                ring_k *= 2
 
         out = done_parts[0]
         for p in done_parts[1:]:
             out = out.unionByName(p)
-        # materialize (reads the persisted per-round topk) before unpersisting
+        # materialize (reads the persisted per-round results) before unpersist
         out = out.localCheckpoint(eager=True)
         return out
     finally:
-        build_salted.unpersist()
         for df in to_unpersist:
             df.unpersist()
 
@@ -396,8 +539,9 @@ def range_join(
     distance join. Membership is STRICT d < radius by default (the
     reference's quirk, tree.cpp:718); pass inclusive=True for d ≤ radius.
 
-    Single round: the ring radius that provably covers the query ball is
-    ⌈(radius / coord_scale) / cell_size⌉, so no escalation loop is needed.
+    Single round of the halo scheme: the build-side ring radius that provably
+    covers every probe ball is ⌈(radius / coord_scale) / cell_size⌉. Probes
+    stay in their own cell group (salted when hot); no window needed.
     Returns (query_id, neighbor_id, dist).
     """
     if isinstance(metric, str):
@@ -407,7 +551,6 @@ def range_join(
         res = _pick_resolution(n_build, target_per_cell)
     if salt_threshold is None:
         salt_threshold = max(4 * target_per_cell, 64)
-    # ring that covers the full query ball in normalized projection units
     norm_r = radius / coord_scale
     ring_k = min(1 << res, int(math.ceil(norm_r / cell_size(res))))
 
@@ -415,24 +558,21 @@ def range_join(
     bid_type = build.schema[id_col].dataType.simpleString()
 
     build_c = _prepare(build, id_col, vec_col, x_col, y_col, res)
-    probes_c = _prepare(probes, probe_id_col or id_col, vec_col, x_col, y_col, res)
-    salts = _salts_df(build_c, salt_threshold)
-    build_salted = _salted_build(build_c, salts)
-    cand = _expand_probes(
-        probes_c,
-        salts,
-        res,
-        ring_k,
-        build_salted.select(F.col("_cell").alias("_cell")).distinct(),
-    )
+    probes_c = _prepare(
+        probes, probe_id_col or id_col, vec_col, x_col, y_col, res
+    ).persist()
+    salts_p = _salts_for(probes_c, salt_threshold)
+    probes_s = _with_salt(probes_c, salts_p)
+    halo = _halo_build(build_c, salts_p, res, ring_k)
 
     import pandas as pd
 
     out_schema = f"query_id {qid_type}, neighbor_id {bid_type}, dist double"
+    empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []})
 
     def fn(key, probe_pdf, build_pdf):
         if len(probe_pdf) == 0 or len(build_pdf) == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []})
+            return empty
         P = _as_matrix_col(probe_pdf["_vec"])
         B = _as_matrix_col(build_pdf["_vec"])
         D = metric.cross(P, B)
@@ -447,7 +587,7 @@ def range_join(
         )
 
     return (
-        cand.groupBy("_cell", "_salt")
-        .cogroup(build_salted.groupBy("_cell", "_salt"))
+        probes_s.groupBy("_cell", "_salt")
+        .cogroup(halo.groupBy("_cell", "_salt"))
         .applyInPandas(fn, schema=out_schema)
     )
