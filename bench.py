@@ -44,9 +44,10 @@ def main() -> None:
     t0 = time.time()
     imgs = spark_images(spark, n, seed=42)
     xc, yc = coord_cols(F.col("phash"))
+    # long ids (img%012d digits) — numeric keys through the shuffle; the 2-D
+    # fast path (vec_col=None) ships plain doubles instead of Arrow lists
     tbl = imgs.select(
-        F.col("image_id").alias("id"),
-        F.array(xc, yc).alias("vec"),
+        F.substring("image_id", 4, 12).cast("long").alias("id"),
         xc.alias("x"),
         yc.alias("y"),
     ).persist()
@@ -59,7 +60,7 @@ def main() -> None:
     t0 = time.time()
     warm = tbl.limit(2000).persist()
     warm.count()
-    knn_join(warm, warm, k=10).count()
+    knn_join(warm, warm, k=10, vec_col=None).count()
     warm.unpersist()
     timings["warmup"] = round(time.time() - t0, 3)
 
@@ -71,7 +72,7 @@ def main() -> None:
     for _ in range(2):
         t0 = time.time()
         stats = KnnJoinStats()
-        knn = knn_join(tbl, tbl, k=10, stats=stats)
+        knn = knn_join(tbl, tbl, k=10, vec_col=None, stats=stats)
         tiles = tile_assign(tbl, res=6).select(F.col("id").alias("query_id"), "tile")
         flag = knn.join(tiles, "query_id")
         n_flag = flag.count()
@@ -85,16 +86,24 @@ def main() -> None:
     timings["knn10_tile"] = t_head
     timings["knn10_tile_runs"] = runs
 
-    # range join at a radius that returns a small multiple of n
-    t0 = time.time()
-    rj = range_join(tbl, tbl, radius=0.002)
-    n_rj = rj.count()
-    timings["range_join"] = round(time.time() - t0, 3)
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
+    only = [q for q in only if q]
 
-    # tile-assignment-only scan (pure projection throughput)
-    t0 = time.time()
-    n_tiles = tile_assign(tbl, res=8).groupBy("tile").count().count()
-    timings["tile_scan"] = round(time.time() - t0, 3)
+    n_rj = n_tiles = None
+    if not only or "range_join" in only:
+        # radius scaled so E[pairs/probe] stays ~constant as n grows
+        # (result size would otherwise scale n²·r²)
+        t0 = time.time()
+        radius = 0.002 * (200_000 / n) ** 0.5
+        rj = range_join(tbl, tbl, radius=radius, vec_col=None)
+        n_rj = rj.count()
+        timings["range_join"] = round(time.time() - t0, 3)
+
+    if not only or "tile_scan" in only:
+        # tile-assignment-only scan (pure projection throughput)
+        t0 = time.time()
+        n_tiles = tile_assign(tbl, res=8).groupBy("tile").count().count()
+        timings["tile_scan"] = round(time.time() - t0, 3)
 
     total = round(
         sum(v for v in timings.values() if isinstance(v, (int, float))), 3

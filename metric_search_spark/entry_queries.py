@@ -377,18 +377,228 @@ def q_flagship_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = images_df(spark, sf_dir)
     xc, yc = coord_cols(F.col("phash"))
+    # numeric join keys beat 15-byte strings through the shuffle; image_id is
+    # img%012d so the long round-trips exactly (restored via format_string)
     tbl = imgs.select(
-        F.col("image_id").alias("id"),
-        F.array(xc, yc).alias("vec"),
+        F.substring("image_id", 4, 12).cast("long").alias("id"),
+        xc.alias("x"),
+        yc.alias("y"),
+    ).persist()
+    out = knn_join(tbl, tbl, k=10, vec_col=None)
+    tiles = tile_assign(tbl, res=6).select(F.col("id").alias("query_id"), "tile")
+    joined = out.join(tiles, "query_id")
+    return joined.select(
+        F.format_string("img%012d", "query_id").alias("query_id"),
+        F.format_string("img%012d", "neighbor_id").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rnk"),
+        "tile",
+    )
+
+
+# ----------------------------------------------------- text / dedup / PIP
+
+
+def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_search_spark.functions.text import langid_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_col(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_search_spark.functions.text import quality_cols
+
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_m"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["distinct_ratio"].alias("distinct_ratio"),
+    )
+
+
+O_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       (CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        / len(string_split(text, ' '))) AS mean_token_len,
+       (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' '))) AS distinct_ratio
+FROM documents
+"""
+
+
+def q_bpeish_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_search_spark.functions.text import bpeish_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpeish_count_col(F.col("text")).alias("n_bpeish"))
+
+
+O_BPEISH = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+         AS n_bpeish
+FROM documents
+"""
+
+
+def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_search_spark.operators.dedupe import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# inverted-index jaccard in SQL — the same plan shape as the Spark operator
+O_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2] || ' ' ||
+                string_split(text, ' ')[i+3]
+         )) AS sh
+  FROM documents
+), inv AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
+FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+GROUP BY a.id, b.id, a.n_sh, b.n_sh
+HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.2
+"""
+
+
+def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (rows-only: the hash family is
+    engine-specific; determinism is still exercised by the driver's
+    row-count check + the exact-jaccard verify column)."""
+    from metric_search_spark.operators.dedupe import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, num_hashes=32, bands=16, verify_threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; see q_minhash_lsh_documents)."""
+    from metric_search_spark.operators.dedupe import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=6, bands=8)
+
+
+# two fixed pentagon/star polygons over the embeddings' 2-D projection plane
+_PIP_POLYS = [
+    (
+        "polyA",
+        [
+            (0.35, 0.35),
+            (0.62, 0.30),
+            (0.70, 0.52),
+            (0.52, 0.68),
+            (0.33, 0.55),
+        ],
+    ),
+    (
+        "polyB",
+        [
+            (0.10, 0.10),
+            (0.45, 0.18),
+            (0.38, 0.42),
+            (0.15, 0.38),
+        ],
+    ),
+]
+
+
+def q_pip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from metric_search_spark.operators.pip import point_in_polygon_join
+
+    emb = _emb(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("poly_id", StringType()),
+            StructField(
+                "ring",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    polys = spark.createDataFrame(
+        [(pid, [{"x": x, "y": y} for x, y in ring]) for pid, ring in _PIP_POLYS],
+        schema,
+    )
+    out = point_in_polygon_join(emb, polys, res=3)
+    return out.select(F.col("id").alias("vec_id"), "poly_id")
+
+
+def _o_pip_sql() -> str:
+    from metric_search_spark.operators.pip import pip_sql_condition
+
+    parts = []
+    for pid, ring in _PIP_POLYS:
+        parts.append(
+            f"SELECT vec_id, '{pid}' AS poly_id FROM embeddings "
+            f"WHERE {pip_sql_condition(_EMB_X, _EMB_Y, ring)}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+O_PIP = _o_pip_sql()
+
+
+def q_images_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row payload invariant (decoded pixels reproduce phash; PSNR bar
+    for lossy) over the image table — rows-only."""
+    from metric_search_spark.functions.image import verify_payloads
+
+    out = verify_payloads(images_df(spark, sf_dir))
+    return out.groupBy("fmt", "phash_ok").agg(
+        F.count("*").alias("cnt"), (F.min("psnr_db") >= 40.0).alias("psnr_ok")
+    )
+
+
+def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the checkpointed per-cell tree index over the image table and
+    return the node-count-per-level histogram (reference print_levels,
+    tree.cpp:815-840) — rows-only."""
+    import tempfile
+
+    from metric_search_spark.functions.spatial import coord_cols
+    from metric_search_spark.sources.index import build_index, load_nodes
+
+    imgs = images_df(spark, sf_dir)
+    xc, yc = coord_cols(F.col("phash"))
+    tbl = imgs.select(
+        F.substring("image_id", 4, 12).cast("long").alias("id"),
         xc.alias("x"),
         yc.alias("y"),
     )
-    out = knn_join(tbl, tbl, k=10)
-    tiles = tile_assign(tbl, res=6).select(
-        F.col("id").alias("query_id"), "tile"
-    )
-    return out.join(tiles, "query_id").select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk"), "tile"
+    path = tempfile.mkdtemp(prefix="msk_idx_")
+    build_index(tbl, path, res=3, batches=4)
+    return (
+        load_nodes(spark, path)
+        .groupBy("level")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("level")
     )
 
 
@@ -409,6 +619,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_grid4": q_bfs_grid4,
     "connected_components_events": q_connected_components_events,
     "flagship_images_knn": q_flagship_images_knn,
+    "langid_documents": q_langid_documents,
+    "quality_documents": q_quality_documents,
+    "bpeish_documents": q_bpeish_documents,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "minhash_lsh_documents": q_minhash_lsh_documents,
+    "simhash_documents": q_simhash_documents,
+    "pip_embeddings": q_pip_embeddings,
+    "images_payload_verify": q_images_payload_verify,
+    "index_level_histogram": q_index_level_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -425,5 +644,16 @@ ORACLES: dict[str, str] = {
     "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
     "bfs_grid4": O_BFS_GRID4,
     "connected_components_events": O_CC_EVENTS,
-    # flagship_images_knn: rows-only (engine-generated input table)
+    "quality_documents": O_QUALITY,
+    "bpeish_documents": O_BPEISH,
+    "ngram_jaccard_documents": O_NGRAM_JACCARD,
+    "pip_embeddings": O_PIP,
+    # rows-only (engine-generated input or engine-specific hash family):
+    #   flagship_images_knn, langid? (see below), minhash_lsh_documents,
+    #   simhash_documents, images_payload_verify, index_level_histogram
 }
+
+# langid IS SQL-expressible — register its twin
+from metric_search_spark.functions.text import langid_sql  # noqa: E402
+
+ORACLES["langid_documents"] = langid_sql("text")

@@ -1,0 +1,168 @@
+"""Image payload plumbing: decode / stats / perceptual hash / resize /
+verification over the (bytes, w, h, fmt) columns of the image table
+(BASELINE.json input_hint schema).
+
+All heavy work runs in ``mapInPandas`` over Arrow batches — numpy-vectorized
+per batch, never per-row Python UDFs. Codecs are the numpy-native ones from
+sources/synth.py ('raw' lossless, 'qnt' 6-bit lossy); exotic formats (jpeg,
+webp, mp4 frames, audio) are STUBBED behind ``decode_external`` with a
+NotImplementedError — the container has no PIL/ffmpeg — but the Spark-side
+plumbing (schema, batching, partitioning) is identical for a real codec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from metric_search_spark.sources.synth import decode_image, phash64, psnr
+
+__all__ = [
+    "decode_external",
+    "with_image_stats",
+    "with_phash64",
+    "resized",
+    "verify_payloads",
+]
+
+_SUPPORTED = {"raw", "qnt"}
+
+
+def decode_external(payload: bytes, fmt: str) -> np.ndarray:
+    """Stub for container-absent codecs (jpeg/png/webp/...). The engine's
+    schema and batch shape are codec-agnostic; plugging a real decoder in
+    replaces this one function."""
+    raise NotImplementedError(
+        f"codec {fmt!r} needs an external library not present in this "
+        "environment; supported here: raw, qnt"
+    )
+
+
+def _decode_row(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt in _SUPPORTED:
+        return decode_image(payload, w, h, fmt)
+    return decode_external(payload, fmt)
+
+
+def with_image_stats(df: DataFrame) -> DataFrame:
+    """Adds per-channel means + stddevs decoded from the payload
+    (mean_r/g/b, std_r/g/b). Arrow-batched mapInPandas."""
+    schema = df.schema.simpleString()[7:-1] + (
+        ", mean_r double, mean_g double, mean_b double,"
+        " std_r double, std_g double, std_b double"
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            stats = np.empty((len(pdf), 6))
+            for i, (payload, w, h, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt)).astype(
+                    np.float64
+                )
+                stats[i, :3] = img.mean(axis=(0, 1))
+                stats[i, 3:] = img.std(axis=(0, 1))
+            for j, name in enumerate(
+                ("mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b")
+            ):
+                pdf[name] = stats[:, j]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def with_phash64(df: DataFrame, out_col: str = "phash64") -> DataFrame:
+    """Adds the classic 8×8 mean-threshold perceptual hash of the decoded
+    pixels (the reference's image use-case via SSIM distance —
+    n-api/test/test.js:29-63 — uses whole images; phash64 is the standard
+    near-dup compaction of the same signal)."""
+    schema = df.schema.simpleString()[7:-1] + f", {out_col} long"
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, (payload, w, h, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ):
+                out[i] = phash64(_decode_row(payload, int(w), int(h), str(fmt)))
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def resized(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of every payload to (out_w, out_h); output
+    keeps the input schema with bytes/w/h/fmt rewritten (fmt → 'raw').
+    Numpy index-grid resize — vectorized per image, batched per Arrow chunk."""
+    schema = df.schema.simpleString()[7:-1]
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            new_bytes = []
+            for payload, w, h, fmt in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                new_bytes.append(img[yi][:, xi].astype(np.uint8).tobytes())
+            pdf["bytes"] = new_bytes
+            pdf["w"] = np.int32(out_w)
+            pdf["h"] = np.int32(out_h)
+            pdf["fmt"] = "raw"
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def verify_payloads(df: DataFrame, seed: int = 42) -> DataFrame:
+    """The per-row payload invariant from BASELINE.json input_hint: decoded
+    pixels must reproduce the stored phash, and for the lossy 'qnt' codec the
+    decode must reach PSNR ≥ 40 dB **against the true original**, which is
+    re-rendered from the deterministic generator (image_id encodes the row
+    seed — sources/synth.py). Returns (image_id, fmt, phash_ok, psnr_db)."""
+    from metric_search_spark.sources.synth import (
+        decode_image as _dec,
+        encode_image,
+        phash_from_image,
+        render_image,
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            oks, psnrs = [], []
+            for image_id, payload, w, h, fmt, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], pdf["phash"]
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                oks.append(phash_from_image(img) == int(ph))
+                if str(fmt) == "qnt":
+                    i = int(str(image_id)[3:])
+                    rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+                    u, v = rng.uniform(0, 1, 2)
+                    rng.choice((16, 24, 32))  # consume w draw
+                    rng.choice((16, 24, 32))  # consume h draw
+                    n_blobs = int(rng.integers(1, 5))
+                    rng.integers(0, 8)  # palette draw
+                    original = render_image(rng, int(w), int(h), u, v, n_blobs)
+                    psnrs.append(psnr(original, img))
+                else:
+                    # lossless: decode(encode(decode)) must be identical
+                    rt = _dec(encode_image(img, "raw"), int(w), int(h), "raw")
+                    psnrs.append(psnr(img, rt))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": pdf["fmt"],
+                    "phash_ok": oks,
+                    "psnr_db": psnrs,
+                }
+            )
+
+    return df.mapInPandas(
+        gen, schema="image_id string, fmt string, phash_ok boolean, psnr_db double"
+    )

@@ -1,0 +1,252 @@
+"""Deduplication operators for training-data pipelines (task brief block):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup, and
+the reference's insert_if threshold filter (tree.cpp:358-377) in set form.
+
+Design notes (100 TB framing):
+- exact: one hash-groupBy — Catalyst partial aggregation, no data skew risk
+  beyond genuinely duplicated content (salt-free; dup groups are small).
+- MinHash+LSH: shingle → h permutation-free minhashes (xxhash64 with seed
+  column) → band signatures → band equi-join → candidate pairs → exact
+  Jaccard verify. Everything except the verify is pure Column math; the
+  shuffle key is the (band, signature) pair — the classic scalable plan.
+- SimHash: 64-bit sign-aggregated token hashes; near-dup = Hamming distance
+  ≤ t via bit_count(xor) — one self-join on band keys of the simhash.
+- embedding cosine: normalize → the 2-D-projection exact kNN join
+  (operators/joins.py) or the brute top-k (operators/ann.py), threshold on
+  similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metric_search_spark.functions.text import shingles_col
+
+__all__ = [
+    "dedup_exact",
+    "minhash_signature_col",
+    "minhash_lsh_pairs",
+    "simhash_col",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "threshold_filter",
+]
+
+
+def dedup_exact(
+    df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedupe: keep the min-id representative per identical key.
+    Returns (keeper_id, cnt) per distinct key."""
+    return df.groupBy(key_col).agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("cnt")
+    ).select("keeper_id", "cnt")
+
+
+def minhash_signature_col(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature (array<long>, length num_hashes): h_i = min over
+    shingles of xxhash64(shingle, seed=i). Permutation-free minhash — each
+    seed is an independent hash family member."""
+    sh = shingles_col(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, optionally
+    verified with exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
+
+    Plan shape: signature projection (narrow) → explode bands (×bands) →
+    groupBy band-key equi-join (the only shuffle) → distinct pairs → exact
+    verify on the joined shingle sets.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature_col(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("_sig", b * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.sig")
+    a = banded.toDF("id_a", "band", "sig")
+    b = banded.toDF("id_b", "band", "sig")
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return pairs.withColumn("jaccard", F.lit(None).cast("double"))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    )
+    joined = (
+        pairs.join(sh.toDF("id_a", "sh_a"), "id_a")
+        .join(sh.toDF("id_b", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens: per bit, sum of ±1 across token
+    hashes, sign-threshold. Pure Column math (aggregate over the token
+    array's hash bits)."""
+    toks = F.split(text, " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_exprs = []
+    for i in range(bits):
+        # +1 if bit i set else -1, summed over tokens; bit set in result iff sum > 0
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_exprs.append(
+            F.when(votes > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(
+                F.lit(0)
+            )
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out.bitwiseOR(e)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming. Candidate
+    generation: split the 64-bit hash into ``bands`` segments — any pair
+    within Hamming t < bands must agree on ≥1 full segment (pigeonhole) —
+    equi-join per segment, then exact bit_count verify."""
+    assert max_hamming < bands
+    seg_bits = 64 // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh")
+    )
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sh", b * seg_bits)
+                        .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                        .alias("seg"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", "bk.band", "bk.seg")
+    a = banded.toDF("id_a", "sh_a", "band", "seg")
+    b = banded.toDF("id_b", "sh_b", "band", "seg")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "seg"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via shingle inverted index:
+    explode shingles → self equi-join on shingle → per-pair intersection
+    count → |A∪B| = |A|+|B|−|A∩B|. No all-pairs product; the shuffle key is
+    the shingle (hot shingles are the skew risk — mitigated upstream by
+    stopword-heavy shingles being rare at n≥3)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.toDF("id_a", "n_a", "shingle")
+    b = inv.toDF("id_b", "n_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return inter.select(
+        "id_a", "id_b", jac.cast("double").alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def threshold_filter(
+    df: DataFrame,
+    anchor_vec,
+    threshold: float,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    keep_anchor_id=None,
+) -> DataFrame:
+    """The reference's insert_if quirk (distance-to-ROOT-only threshold,
+    tree.cpp:358-377) as a set-oriented filter: keep rows farther than
+    ``threshold`` from the anchor record (plus the anchor itself)."""
+    from metric_search_spark.functions.vector import l2_dist_col
+
+    anchor = F.array(*[F.lit(float(v)) for v in anchor_vec])
+    d = l2_dist_col(F.col(vec_col).cast("array<double>"), anchor)
+    cond = d > threshold
+    if keep_anchor_id is not None:
+        cond = cond | (F.col(id_col) == keep_anchor_id)
+    return df.where(cond)

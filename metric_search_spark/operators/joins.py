@@ -85,6 +85,15 @@ def _as_matrix_col(series) -> np.ndarray:
     )
 
 
+def _group_matrix(pdf) -> np.ndarray:
+    """Record matrix for one cogroup side: _vec if shipped, else (x, y)."""
+    if "_vec" in pdf.columns:
+        return _as_matrix_col(pdf["_vec"])
+    return np.column_stack(
+        (pdf["_x"].to_numpy(np.float64), pdf["_y"].to_numpy(np.float64))
+    )
+
+
 def _flat_topk(
     metric: Metric, P: np.ndarray, B: np.ndarray, k: int, chunk: int = 2048
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -125,25 +134,29 @@ def _covertree_topk(
     return idx, d
 
 
-def _prepare(
-    df: DataFrame, id_col: str, vec_col: str, x_col: str, y_col: str, res: int
-) -> DataFrame:
-    # clamp coords into [0, 1): cell assignment quantize-clips the same way,
-    # and the ring guarantee treats grid borders as fully covered — both are
-    # only consistent when the coordinate used for the guarantee is the
-    # clamped one.
-    def clamped(c: str) -> Column:
-        return F.least(
-            F.greatest(F.col(c).cast("double"), F.lit(0.0)), F.lit(1.0 - 2.0**-31)
-        )
+def _clamp01(c: Column) -> Column:
+    """Clamp into [0, 1): cell assignment quantize-clips the same way, and the
+    ring guarantee treats grid borders as fully covered — both must use the
+    same clamped coordinate."""
+    return F.least(F.greatest(c.cast("double"), F.lit(0.0)), F.lit(1.0 - 2.0**-31))
 
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_vec"),
-        clamped(x_col).alias("_x"),
-        clamped(y_col).alias("_y"),
-        cell_from_xy_col(clamped(x_col), clamped(y_col), res).alias("_cell"),
-    )
+
+def _prepare(
+    df: DataFrame, id_col: str, vec_col: str | None, x_col: str, y_col: str, res: int
+) -> DataFrame:
+    """Normalized projection. ``vec_col=None`` is the 2-D fast path: the
+    metric runs on (x, y) directly, so no Arrow list column is shuffled —
+    two plain double columns are ~3× lighter on the wire."""
+    cols = [F.col(id_col).alias("_id")]
+    if vec_col is not None:
+        cols.append(F.col(vec_col).cast("array<double>").alias("_vec"))
+    cols += [
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        cell_from_xy_col(_clamp01(F.col(x_col)), _clamp01(F.col(y_col))
+                         , res).alias("_cell"),
+    ]
+    return df.select(*cols)
 
 
 def _salts_for(side_c: DataFrame, salt_threshold: int) -> DataFrame:
@@ -159,11 +172,14 @@ def _salts_for(side_c: DataFrame, salt_threshold: int) -> DataFrame:
     )
 
 
+def _payload_cols(side_c: DataFrame) -> list[str]:
+    return [c for c in ("_id", "_vec", "_x", "_y") if c in side_c.columns]
+
+
 def _with_salt(side_c: DataFrame, salts: DataFrame) -> DataFrame:
     """Deterministically scatter a hot cell's rows across its salt buckets."""
     return side_c.join(F.broadcast(salts), "_cell", "left").select(
-        "_id",
-        "_vec",
+        *_payload_cols(side_c),
         "_cell",
         F.when(
             F.col("n_salt").isNotNull(),
@@ -182,14 +198,13 @@ def _halo_build(
     """Build side of the fast path: each build row replicated to every group
     (= probe cell) within its k-ring, fanned out across that group's probe
     salt buckets."""
+    payload = _payload_cols(build_c)
     exploded = build_c.select(
-        "_id",
-        "_vec",
+        *payload,
         F.explode(kring_cells_col(F.col("_cell"), res, ring_k)).alias("_cell"),
     )
     return exploded.join(F.broadcast(salts), "_cell", "left").select(
-        "_id",
-        "_vec",
+        *payload,
         "_cell",
         F.explode(
             F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
@@ -202,17 +217,19 @@ def _guarantee_col(res: int, ring_k: Column | int) -> Column:
     the nearest edge of its explored ring square (grid borders = covered)."""
     s = F.lit(cell_size(res))
     k = ring_k if isinstance(ring_k, Column) else F.lit(float(ring_k))
-    cx = F.floor(F.col("_x") / s)
-    cy = F.floor(F.col("_y") / s)
+    x = _clamp01(F.col("_x"))
+    y = _clamp01(F.col("_y"))
+    cx = F.floor(x / s)
+    cy = F.floor(y / s)
     lo_x = (cx - k) * s
     hi_x = (cx + k + 1.0) * s
     lo_y = (cy - k) * s
     hi_y = (cy + k + 1.0) * s
     inf = F.lit(float("inf"))
-    mx_lo = F.when(lo_x <= 0.0, inf).otherwise(F.col("_x") - lo_x)
-    mx_hi = F.when(hi_x >= 1.0, inf).otherwise(hi_x - F.col("_x"))
-    my_lo = F.when(lo_y <= 0.0, inf).otherwise(F.col("_y") - lo_y)
-    my_hi = F.when(hi_y >= 1.0, inf).otherwise(hi_y - F.col("_y"))
+    mx_lo = F.when(lo_x <= 0.0, inf).otherwise(x - lo_x)
+    mx_hi = F.when(hi_x >= 1.0, inf).otherwise(hi_x - x)
+    my_lo = F.when(lo_y <= 0.0, inf).otherwise(y - lo_y)
+    my_hi = F.when(hi_y >= 1.0, inf).otherwise(hi_y - y)
     return F.least(mx_lo, mx_hi, my_lo, my_hi)
 
 
@@ -237,8 +254,8 @@ def _ranked_group_topk(
             return empty
         order = build_pdf["_id"].to_numpy().argsort(kind="stable")
         bids = build_pdf["_id"].to_numpy()[order]
-        B = _as_matrix_col(build_pdf["_vec"])[order]
-        P = _as_matrix_col(probe_pdf["_vec"])
+        B = _group_matrix(build_pdf)[order]
+        P = _group_matrix(probe_pdf)
         if kernel == "covertree":
             idx, d = _covertree_topk(metric, P, B, k)
         else:
@@ -311,8 +328,8 @@ def _partial_topk(
             return empty
         order = build_pdf["_id"].to_numpy().argsort(kind="stable")
         bids = build_pdf["_id"].to_numpy()[order]
-        B = _as_matrix_col(build_pdf["_vec"])[order]
-        P = _as_matrix_col(probe_pdf["_vec"])
+        B = _group_matrix(build_pdf)[order]
+        P = _group_matrix(probe_pdf)
         if kernel == "covertree":
             idx, d = _covertree_topk(metric, P, B, k)
         else:
@@ -339,7 +356,7 @@ def knn_join(
     k: int = 10,
     *,
     id_col: str = "id",
-    vec_col: str = "vec",
+    vec_col: str | None = "vec",
     x_col: str = "x",
     y_col: str = "y",
     probe_id_col: str | None = None,
@@ -507,6 +524,17 @@ def knn_join(
                 unresolved = unresolved.join(unresolved_ids, "_id", "left_semi")
                 ring_k *= 2
 
+        if (
+            len(done_parts) == 1
+            and done_parts[0] is ranked
+            and grid_n > 1  # ranked was materialized by the verdict count
+        ):
+            # common case: one fast round resolved every probe — hand the
+            # already-materialized cache to the caller directly instead of
+            # copying k·|probes| rows through a checkpoint. Ownership moves
+            # to the caller; Spark's ContextCleaner frees it on GC.
+            to_unpersist.remove(ranked)
+            return ranked
         out = done_parts[0]
         for p in done_parts[1:]:
             out = out.unionByName(p)
@@ -524,7 +552,7 @@ def range_join(
     radius: float,
     *,
     id_col: str = "id",
-    vec_col: str = "vec",
+    vec_col: str | None = "vec",
     x_col: str = "x",
     y_col: str = "y",
     probe_id_col: str | None = None,
@@ -573,8 +601,8 @@ def range_join(
     def fn(key, probe_pdf, build_pdf):
         if len(probe_pdf) == 0 or len(build_pdf) == 0:
             return empty
-        P = _as_matrix_col(probe_pdf["_vec"])
-        B = _as_matrix_col(build_pdf["_vec"])
+        P = _group_matrix(probe_pdf)
+        B = _group_matrix(build_pdf)
         D = metric.cross(P, B)
         mask = (D <= radius) if inclusive else (D < radius)
         pi, bi = np.nonzero(mask)

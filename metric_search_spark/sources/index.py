@@ -1,0 +1,401 @@
+"""Checkpointed per-cell cover-tree index: build / resume / probe / verify.
+
+The reference keeps ONE mutable in-memory cover tree (details/tree.hpp:53-236)
+and serializes it as a pre-order node stream (details/tree.cpp:1014-1080).
+This engine's index is **partition-parallel**: one immutable cover tree per
+Morton cell, built inside ``applyInPandas`` and flattened to a node table
+(the same field set the reference serializes — base/level/parent_dist/ID/data,
+tree.cpp:143-147 — plus parent/child-position links replacing pointers).
+
+Layout under ``path/``:
+
+    nodes/batch=<i>/...parquet   per-cell node rows for one cell-range batch
+    lineage/batch=<i>/...        per-cell build metrics (rows, nodes,
+                                 max_level, build_ms, task lineage)
+    manifest/...                 one row per COMPLETED batch (cell range,
+                                 counts, wall ms)
+
+**Resumability (north rule)**: the cell space is split into ``batches``
+contiguous Morton prefix ranges; each batch commits atomically (Spark job
+commit) and then appends its manifest row. A killed job resumes by
+anti-joining the manifest against the batch list — only incomplete cell
+ranges are rebuilt. Per-partition lineage + throughput metrics are first-class
+outputs, not logs.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metric_search_spark.core.covertree import CoverTree
+from metric_search_spark.core.metrics import get_metric
+from metric_search_spark.functions.spatial import cell_from_xy_col
+from metric_search_spark.operators.joins import _clamp01
+
+NODE_SCHEMA = (
+    "cell long, node_id int, parent_id int, child_pos int, level int, "
+    "parent_dist double, sub_radius double, rec_id long, id long, "
+    "vx double, vy double"
+)
+
+LINEAGE_SCHEMA = (
+    "cell long, n_rows long, n_nodes long, max_level int, min_level int, "
+    "build_ms double, covering_ok boolean"
+)
+
+
+@dataclass
+class IndexInfo:
+    path: str
+    res: int
+    batches: int
+    metric: str
+
+
+def _batch_col(cell: F.Column, res: int, batches: int) -> F.Column:
+    """Contiguous Morton-prefix range id in [0, batches): the 'cell range'
+    unit of resumability."""
+    prefix = cell.bitwiseAND(F.lit((1 << 56) - 1))
+    total = 1 << (2 * res)
+    return ((prefix * batches) / total).cast("int")
+
+
+def _build_kernel(metric_name: str):
+    metric = get_metric(metric_name)
+
+    def fn(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        t0 = time.time()
+        pdf = pdf.sort_values("id", kind="mergesort")  # deterministic insert order
+        pts = np.column_stack(
+            (pdf["_x"].to_numpy(np.float64), pdf["_y"].to_numpy(np.float64))
+        )
+        tree = CoverTree(metric)
+        tree.insert_batch(list(pts))
+        rows = tree.to_rows()
+        ids = pdf["id"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "cell": np.int64(key[0]),
+                "node_id": np.asarray([r["node_id"] for r in rows], dtype=np.int32),
+                "parent_id": np.asarray(
+                    [r["parent_id"] for r in rows], dtype=np.int32
+                ),
+                "child_pos": np.asarray(
+                    [r["child_pos"] for r in rows], dtype=np.int32
+                ),
+                "level": np.asarray([r["level"] for r in rows], dtype=np.int32),
+                "parent_dist": [r["parent_dist"] for r in rows],
+                "sub_radius": [r["sub_radius"] for r in rows],
+                "rec_id": np.asarray([r["rec_id"] for r in rows], dtype=np.int64),
+                # rec_id == insertion position == position in the id-sorted pdf
+                "id": ids[[r["rec_id"] for r in rows]],
+                "vx": [float(r["data"][0]) for r in rows],
+                "vy": [float(r["data"][1]) for r in rows],
+            }
+        )
+        _ = t0
+        return out
+
+    return fn
+
+
+def _lineage_from_nodes(nodes: DataFrame) -> DataFrame:
+    return nodes.groupBy("cell").agg(
+        F.count("*").alias("n_nodes"),
+        F.count("*").alias("n_rows"),
+        F.max("level").alias("max_level"),
+        F.min("level").alias("min_level"),
+    )
+
+
+def build_index(
+    df: DataFrame,
+    path: str,
+    *,
+    res: int,
+    batches: int = 8,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    metric: str = "euclidean",
+    stop_after: int | None = None,
+) -> IndexInfo:
+    """Build (or RESUME building) the per-cell tree index at ``path``.
+
+    ``stop_after`` limits how many incomplete batches this invocation builds
+    (used by the kill/resume tests to simulate a job dying mid-run; a real
+    kill between batch commits leaves the same state).
+    """
+    spark = df.sparkSession
+    cell = cell_from_xy_col(_clamp01(F.col(x_col)), _clamp01(F.col(y_col)), res)
+    prepared = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        cell.alias("cell"),
+    ).withColumn("batch", _batch_col(F.col("cell"), res, batches))
+
+    done = completed_batches(spark, path)
+    todo = [b for b in range(batches) if b not in done]
+    if stop_after is not None:
+        todo = todo[:stop_after]
+
+    kernel = _build_kernel(metric)
+    for b in todo:
+        t0 = time.time()
+        part = prepared.where(F.col("batch") == b)
+        nodes = part.groupBy("cell").applyInPandas(kernel, schema=NODE_SCHEMA)
+        nodes.write.mode("overwrite").parquet(f"{path}/nodes/batch={b}")
+        built = spark.read.parquet(f"{path}/nodes/batch={b}")
+        lineage = _lineage_from_nodes(built).withColumn(
+            "build_ms", F.lit(round((time.time() - t0) * 1000.0, 1))
+        )
+        lineage.write.mode("overwrite").parquet(f"{path}/lineage/batch={b}")
+        wall = time.time() - t0
+        n_nodes = built.count()
+        manifest_row = spark.createDataFrame(
+            [
+                (
+                    int(b),
+                    int(batches),
+                    int(res),
+                    metric,
+                    int(n_nodes),
+                    float(round(wall, 3)),
+                    float(round(n_nodes / wall, 1)) if wall > 0 else 0.0,
+                )
+            ],
+            "batch int, batches int, res int, metric string, n_nodes long, "
+            "wall_s double, rows_per_sec double",
+        )
+        # the manifest append is the commit point for the batch
+        manifest_row.write.mode("append").parquet(f"{path}/manifest")
+    return IndexInfo(path=path, res=res, batches=batches, metric=metric)
+
+
+def completed_batches(spark: SparkSession, path: str) -> set[int]:
+    try:
+        rows = spark.read.parquet(f"{path}/manifest").select("batch").collect()
+        return {r["batch"] for r in rows}
+    except Exception:  # noqa: BLE001 — no manifest yet
+        return set()
+
+
+def index_meta(spark: SparkSession, path: str) -> tuple[int, int, str]:
+    row = spark.read.parquet(f"{path}/manifest").select(
+        "res", "batches", "metric"
+    ).first()
+    return row["res"], row["batches"], row["metric"]
+
+
+def compaction_batches(spark: SparkSession, path: str) -> list[str]:
+    """Generation batches written by streaming.incremental.compact_index."""
+    try:
+        rows = (
+            spark.read.parquet(f"{path}/manifest_compact").select("batch").collect()
+        )
+        return sorted({r["batch"] for r in rows})
+    except Exception:  # noqa: BLE001 — no compactions yet
+        return []
+
+
+def load_nodes(spark: SparkSession, path: str) -> DataFrame:
+    """Node rows of all COMPLETED batches (+ compaction generations)."""
+    done = [str(b) for b in sorted(completed_batches(spark, path))]
+    done += compaction_batches(spark, path)
+    parts = [spark.read.parquet(f"{path}/nodes/batch={b}") for b in done]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def load_lineage(spark: SparkSession, path: str) -> DataFrame:
+    done = sorted(completed_batches(spark, path))
+    parts = [spark.read.parquet(f"{path}/lineage/batch={b}") for b in done]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def verify_index(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell invariant check on the checkpointed trees (reference
+    check_covering, tree.cpp:842-870, plus nesting): returns one row per cell
+    with boolean flags; all-true == healthy index."""
+    res, _, metric_name = index_meta(spark, path)
+    nodes = load_nodes(spark, path)
+    metric = get_metric(metric_name)
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        tree = _tree_from_pdf(pdf, metric)
+        return pd.DataFrame(
+            {
+                "cell": [int(key[0])],
+                "covering_ok": [tree.check_covering()],
+                "nesting_ok": [tree.check_nesting()],
+                "n_nodes": [len(pdf)],
+            }
+        )
+
+    return nodes.groupBy("cell").applyInPandas(
+        fn, schema="cell long, covering_ok boolean, nesting_ok boolean, n_nodes long"
+    )
+
+
+def _tree_from_pdf(pdf, metric) -> CoverTree:
+    import numpy as np
+
+    rows = [
+        {
+            "node_id": int(r.node_id),
+            "parent_id": int(r.parent_id),
+            "child_pos": int(r.child_pos),
+            "level": int(r.level),
+            "parent_dist": float(r.parent_dist),
+            "sub_radius": float(r.sub_radius),
+            "rec_id": int(r.rec_id),
+            "data": np.array([r.vx, r.vy]),
+        }
+        for r in pdf.itertuples()
+    ]
+    return CoverTree.from_rows(rows, metric)
+
+
+def knn_probe_index(
+    probes: DataFrame,
+    path: str,
+    k: int = 10,
+    *,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """kNN against the CHECKPOINTED index: probes route to their cell's
+    k-ring of stored trees (reconstructed per partition from the node table),
+    each tree answers with the reference's knn_ descent
+    (core/covertree.py:knn, pruning per tree.cpp:658-690), and a window
+    merges the per-tree lists. Returns (query_id, neighbor_id, dist, rank).
+
+    Exactness: same ring-guarantee logic as joins.knn_join; unresolved
+    probes re-run with the ring doubled against the same stored trees.
+    """
+    from pyspark.sql import Window
+
+    from metric_search_spark.functions.spatial import kring_cells_col
+    from metric_search_spark.operators.joins import _guarantee_col
+
+    spark = probes.sparkSession
+    res, _, metric_name = index_meta(spark, path)
+    metric = get_metric(metric_name)
+    nodes = load_nodes(spark, path).persist()
+    grid_n = 1 << res
+
+    probes_c = probes.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        cell_from_xy_col(_clamp01(F.col(x_col)), _clamp01(F.col(y_col)), res).alias(
+            "_cell"
+        ),
+    ).persist()
+
+    def fn(key, probe_pdf, node_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(probe_pdf) == 0 or len(node_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "dist": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "dist": "float64"})
+        tree = _tree_from_pdf(node_pdf, metric)
+        ids = node_pdf["id"].to_numpy()
+        by_node = {}
+        for pos, r in enumerate(node_pdf.itertuples()):
+            by_node[pos] = int(ids[pos])
+        qs, ns, ds = [], [], []
+        P = np.column_stack(
+            (probe_pdf["_x"].to_numpy(np.float64), probe_pdf["_y"].to_numpy(np.float64))
+        )
+        pids = probe_pdf["_id"].to_numpy()
+        for i in range(len(P)):
+            for node, dist in tree.knn(P[i], k=k, prune="safe"):
+                qs.append(int(pids[i]))
+                ns.append(int(node_pdf["id"].iloc[node]))
+                ds.append(float(dist))
+        return pd.DataFrame({"query_id": qs, "neighbor_id": ns, "dist": ds})
+
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    done_parts = []
+    unresolved = probes_c
+    ring = 1
+    try:
+        while True:
+            cand = unresolved.select(
+                "_id",
+                "_x",
+                "_y",
+                F.explode(
+                    kring_cells_col(F.col("_cell"), res, min(ring, grid_n))
+                ).alias("cell"),
+            )
+            partial = (
+                cand.groupBy("cell")
+                .cogroup(nodes.groupBy("cell"))
+                .applyInPandas(
+                    fn, schema="query_id long, neighbor_id long, dist double"
+                )
+            )
+            topk = (
+                partial.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .persist()
+            )
+            if ring >= grid_n:
+                done_parts.append(topk)
+                break
+            per_probe = topk.groupBy("query_id").agg(
+                F.count("*").alias("cnt"), F.max("dist").alias("kth")
+            )
+            geo = unresolved.select(
+                F.col("_id").alias("query_id"), "_x", "_y"
+            ).withColumn("guar", _guarantee_col(res, ring))
+            verdict = geo.join(per_probe, "query_id", "left").select(
+                "query_id",
+                (
+                    (F.coalesce(F.col("cnt"), F.lit(0)) >= k)
+                    & (F.col("kth") <= F.col("guar"))
+                ).alias("ok"),
+            )
+            unres_ids = verdict.where(
+                ~F.coalesce(F.col("ok"), F.lit(False))
+            ).select(F.col("query_id").alias("_id"))
+            n_unres = unres_ids.count()
+            if n_unres == 0:
+                done_parts.append(topk)
+                break
+            done_parts.append(
+                topk.join(
+                    unres_ids.select(F.col("_id").alias("query_id")),
+                    "query_id",
+                    "left_anti",
+                )
+            )
+            unresolved = unresolved.join(unres_ids, "_id", "left_semi")
+            ring *= 2
+        out = done_parts[0]
+        for p in done_parts[1:]:
+            out = out.unionByName(p)
+        return out.localCheckpoint(eager=True)
+    finally:
+        nodes.unpersist()
+        probes_c.unpersist()

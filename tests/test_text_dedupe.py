@@ -1,0 +1,121 @@
+"""Text analysis + dedup family vs python/DuckDB oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from metric_search_spark.functions.text import (
+    bpeish_count_col,
+    fingerprint_col,
+    langid_col,
+    n_tokens_col,
+    quality_cols,
+    shingles_col,
+)
+from metric_search_spark.operators.dedupe import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+from tests.sparkutil import get_spark
+
+DOCS = [
+    (0, "the cat sat on the mat and the dog sat too"),
+    (1, "the cat sat on the mat and the dog sat too"),  # exact dup of 0
+    (2, "the cat sat on the mat and the dog stood too"),  # near dup
+    (3, "der hund ist nicht die katze und der vogel"),
+    (4, "le chat et le chien et les oiseaux des bois"),
+    (5, "completely different words entirely unrelated content here"),
+    (6, "el gato y los perros que viven en la casa"),
+    (7, "the cat sat on the mat and the dog sat too !"),  # near dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    ).persist()
+
+
+def test_token_and_quality(spark, docs):
+    out = docs.select(
+        "doc_id",
+        n_tokens_col(F.col("text")).alias("nt"),
+        bpeish_count_col(F.col("text")).alias("bp"),
+        *[v.alias(k) for k, v in quality_cols(F.col("text")).items()],
+    ).toPandas().set_index("doc_id")
+    for i, text in DOCS:
+        assert out.loc[i, "nt"] == len(text.split(" "))
+        assert out.loc[i, "n_chars"] == len(text)
+    assert out.loc[7, "punct_ratio"] > 0
+    assert out.loc[0, "distinct_ratio"] < 1.0
+
+
+def test_langid(spark, docs):
+    out = docs.select("doc_id", langid_col(F.col("text")).alias("lang")).toPandas()
+    langs = dict(zip(out["doc_id"], out["lang"]))
+    assert langs[0] == "en" and langs[3] == "de" and langs[4] == "fr"
+    assert langs[6] == "es"
+
+
+def test_shingles(spark, docs):
+    out = docs.select("doc_id", shingles_col(F.col("text"), 3).alias("sh")).toPandas()
+    sh0 = set(out[out["doc_id"] == 0]["sh"].iloc[0])
+    toks = DOCS[0][1].split(" ")
+    want = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert sh0 == want
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs).toPandas()
+    assert len(out) == len(DOCS) - 1  # docs 0 and 1 collapse
+    row = out[out["cnt"] == 2]
+    assert list(row["keeper_id"]) == [0]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, verify_threshold=0.3
+    ).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got  # exact dup always survives
+    assert (0, 2) in got or (0, 7) in got  # near dups surface
+    assert (3, 5) not in got and (4, 5) not in got
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).toPandas()
+    def jac(i, j):
+        ti, tj = DOCS[i][1].split(" "), DOCS[j][1].split(" ")
+        si = {" ".join(ti[k:k+3]) for k in range(len(ti)-2)}
+        sj = {" ".join(tj[k:k+3]) for k in range(len(tj)-2)}
+        return len(si & sj) / len(si | sj)
+    for _, r in pairs.iterrows():
+        np.testing.assert_allclose(r["jaccard"], jac(r["id_a"], r["id_b"]), atol=1e-12)
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = simhash_pairs(docs, max_hamming=3, bands=4).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert all(h <= 3 for h in pairs["hamming"])
+
+
+def test_fingerprint_dup_detection(spark, docs):
+    out = docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp")).toPandas()
+    fp = dict(zip(out["doc_id"], out["fp"]))
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[5]
