@@ -54,11 +54,11 @@ def main() -> None:
     assert tbl.count() == n
     timings["generate"] = round(time.time() - t0, 3)
 
-    # warm-up: spin up the Python worker pool + compile the codegen paths on
-    # a 2k-row slice (a real cluster amortizes this once per executor
-    # lifetime; steady-state throughput is what the baseline metric states)
+    # warm-up: spin up the Python worker pool, compile codegen, and JIT the
+    # numpy/shuffle paths at a realistic shape (a real cluster amortizes this
+    # once per executor lifetime; the baseline metric is steady-state)
     t0 = time.time()
-    warm = tbl.limit(2000).persist()
+    warm = tbl.limit(min(n, 100_000)).persist()
     warm.count()
     knn_join(warm, warm, k=10, vec_col=None).count()
     warm.unpersist()

@@ -602,6 +602,91 @@ def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- metric showcases (rows-only)
+
+
+def q_twed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWED (time-warp edit distance, reference TWED.cpp:10-76) between each
+    user's event-value series and user 0's series. Series assembly is
+    relational (sort_array over collect_list); the O(n·m) DP runs vectorized
+    per row pair in applyInPandas."""
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("event_id", "value"))),
+                    lambda s: s["value"],
+                ),
+                1,
+                32,
+            ).alias("series")
+        )
+    )
+    anchor = series.orderBy("user_id").first()["series"]
+
+    def fn(batches):
+        import pandas as pd
+
+        from metric_search_spark.core.metrics import TWED
+
+        twed = TWED()
+        for pdf in batches:
+            pdf["twed"] = [
+                round(twed.one(s, anchor), 6) for s in pdf["series"]
+            ]
+            yield pdf[["user_id", "twed"]]
+
+    return series.mapInPandas(fn, schema="user_id long, twed double").orderBy(
+        "user_id"
+    )
+
+
+def q_ssim_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSIM distance (reference SSIM.cpp:57-169, incl. the size_t-underflow
+    gaussian-window quirk) between same-size image pairs of the full
+    procedural table; decode + windowed SSIM run in the Arrow kernel."""
+    import pandas as pd
+
+    from metric_search_spark.sources.synth import generate_rows
+
+    rows = generate_rows(48, seed=42)
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    df = spark.createDataFrame(pdf)
+    a = df.toDF("id_a", "bytes_a", "w", "h", "fmt_a")
+    b = df.toDF("id_b", "bytes_b", "w", "h", "fmt_b")
+    pairs = a.join(b, ["w", "h"]).where(F.col("id_a") < F.col("id_b"))
+
+    def fn(batches):
+        from metric_search_spark.core.metrics import SSIM
+        from metric_search_spark.sources.synth import decode_image
+
+        ssim = SSIM()
+        for p in batches:
+            vals = []
+            for ba, bb, w, h, fa, fb in zip(
+                p["bytes_a"], p["bytes_b"], p["w"], p["h"], p["fmt_a"], p["fmt_b"]
+            ):
+                ia = decode_image(ba, int(w), int(h), str(fa)).mean(axis=2)
+                ib = decode_image(bb, int(w), int(h), str(fb)).mean(axis=2)
+                vals.append(round(ssim.one(ia, ib), 6))
+            p["ssim"] = vals
+            yield p[["id_a", "id_b", "ssim"]]
+
+    return pairs.mapInPandas(fn, schema="id_a string, id_b string, ssim double")
+
+
+def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH cosine ANN (scale path; approximate by design →
+    rows-only; recall vs the exact top-k is asserted in tests)."""
+    from metric_search_spark.operators.ann import cosine_topk_lsh
+
+    emb = _emb(spark, sf_dir)
+    out = cosine_topk_lsh(emb, emb, k=5, n_bits=16, bands=8)
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -628,6 +713,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_embeddings": q_pip_embeddings,
     "images_payload_verify": q_images_payload_verify,
     "index_level_histogram": q_index_level_histogram,
+    "twed_events": q_twed_events,
+    "ssim_images": q_ssim_images,
+    "ann_lsh_embeddings": q_ann_lsh_embeddings,
 }
 
 ORACLES: dict[str, str] = {

@@ -95,12 +95,19 @@ def _group_matrix(pdf) -> np.ndarray:
 
 
 def _flat_topk(
-    metric: Metric, P: np.ndarray, B: np.ndarray, k: int, chunk: int = 2048
+    metric: Metric, P: np.ndarray, B: np.ndarray, k: int, chunk: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized per-group top-k: returns (idx (n,k'), dist (n,k')) with
     k' = min(k, |B|), ties broken by build position (callers pre-sort build
-    rows by id so position order == id order)."""
+    rows by id so position order == id order).
+
+    The probe chunk is sized so the distance block (chunk × |B| doubles)
+    stays ~2 MB — cache-resident — because the kernel is memory-bound on the
+    D matrix, and cache-resident blocks are what lets many concurrent
+    workers scale instead of fighting for DRAM bandwidth."""
     kk = min(k, B.shape[0])
+    if chunk is None:
+        chunk = max(16, min(4096, (1 << 15) // max(1, B.shape[0] // 8)))
     all_idx = np.empty((P.shape[0], kk), dtype=np.int64)
     all_d = np.empty((P.shape[0], kk), dtype=np.float64)
     for s in range(0, P.shape[0], chunk):

@@ -1,0 +1,9 @@
+"""Physical-plan inspection helpers (pushdown / codegen / shuffle assertions)."""
+
+from metric_search_spark.plans.inspect import (  # noqa: F401
+    count_exchanges,
+    explain_text,
+    has_whole_stage_codegen,
+    pushed_filters,
+    read_schema_columns,
+)

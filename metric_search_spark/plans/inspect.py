@@ -1,0 +1,52 @@
+"""Physical-plan introspection: the engine's "is this the plan I'd want at
+100 TB" checks, used by tests to pin plan properties (filter pushdown reaches
+the parquet scan, projections prune columns, narrow ops add no Exchange,
+relational glue stays inside WholeStageCodegen).
+
+These parse ``df.explain('formatted')`` output — the same text a human reads —
+so the assertions match exactly what an operator of the engine would check by
+hand.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_text(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan (broadcast
+    exchanges excluded — they are the cheap kind)."""
+    txt = explain_text(df)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", txt))
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    return "WholeStageCodegen" in explain_text(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists from every parquet scan in the plan."""
+    txt = explain_text(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", txt):
+        if m.group(1).strip():
+            out.extend(p.strip() for p in m.group(1).split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """ReadSchema column lists of every parquet scan (column-pruning check)."""
+    txt = explain_text(df)
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", txt):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out

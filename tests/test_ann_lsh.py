@@ -1,0 +1,36 @@
+"""LSH cosine ANN: recall vs the exact brute-force top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metric_search_spark.operators.ann import cosine_topk, cosine_topk_lsh
+
+from tests.sparkutil import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def test_lsh_recall_against_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
+    ).persist()
+    exact = cosine_topk(emb, emb, k=5).toPandas()
+    approx = cosine_topk_lsh(emb, emb, k=5, n_bits=16, bands=8).toPandas()
+    want = {
+        (q, n) for q, n in zip(exact["query_id"], exact["neighbor_id"])
+    }
+    got = {(q, n) for q, n in zip(approx["query_id"], approx["neighbor_id"])}
+    recall = len(want & got) / len(want)
+    # 8 bands of 2 bits give high collision probability for near neighbors
+    assert recall >= 0.8, recall
+    # every reported similarity must be exact (re-ranking is exact cosine)
+    merged = approx.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e")
+    )
+    np.testing.assert_allclose(merged["score_a"], merged["score_e"], atol=1e-12)

@@ -1,0 +1,58 @@
+"""Plan-property pins: pushdown reaches the parquet scan, projections prune
+columns, narrow ops add no shuffle — the 100-TB checks from the task brief."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metric_search_spark.functions.spatial import coord_cols
+from metric_search_spark.operators.tiling import tile_assign
+from metric_search_spark.plans import (
+    count_exchanges,
+    has_whole_stage_codegen,
+    pushed_filters,
+    read_schema_columns,
+)
+
+from tests.sparkutil import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").where(F.col("label") == 3)
+    pf = pushed_filters(df)
+    assert any("label" in f for f in pf), pf
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    schemas = read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"doc_id", "lang"}, schemas
+
+
+def test_tile_assign_is_narrow(spark):
+    """Tile assignment must add NO shuffle: a pure projection."""
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        ((F.element_at("embedding", 1) + 1.0) / 2.0).alias("x"),
+        ((F.element_at("embedding", 2) + 1.0) / 2.0).alias("y"),
+    )
+    out = tile_assign(df, res=5)
+    assert count_exchanges(out) == 0
+    assert has_whole_stage_codegen(out)
+
+
+def test_cell_derivation_codegen(spark):
+    """phash→coords decode stays inside whole-stage codegen (no UDF)."""
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    xc, yc = coord_cols(F.col("o_orderkey") * 1000)
+    out = df.select(xc.alias("x"), yc.alias("y"))
+    assert has_whole_stage_codegen(out)
+    assert count_exchanges(out) == 0
