@@ -185,7 +185,13 @@ def kring_cells_col(cell: Column, res: int, k: int) -> Column:
     for dx in range(-k, k + 1):
         for dy in range(-k, k + 1):
             if res == 0:
-                elems.append(F.lit(0) if dx == 0 and dy == 0 else F.lit(None).cast("long"))
+                # cast matters: the cogroup key must be LONG on both sides —
+                # an int 0 here silently fails to group with long cells
+                elems.append(
+                    F.lit(0).cast("long")
+                    if dx == 0 and dy == 0
+                    else F.lit(None).cast("long")
+                )
                 continue
             nxp, okx = part_shift(xpart, dx, xmask, ymask, _spread_int)
             nyp, oky = part_shift(

@@ -133,15 +133,21 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     array's hash bits)."""
     toks = F.split(text, " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def votes_for(i: int):
+        # +1 if bit i set else -1, summed over tokens; bit set in result iff
+        # sum > 0. (The fold lambda must take exactly two params — PySpark
+        # inspects arity — so the bit index binds via this closure.)
+        def step(acc, h):
+            return acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), step)
+
     bit_exprs = []
     for i in range(bits):
-        # +1 if bit i set else -1, summed over tokens; bit set in result iff sum > 0
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        votes = votes_for(i)
         bit_exprs.append(
             F.when(votes > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(
                 F.lit(0)

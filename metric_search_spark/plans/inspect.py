@@ -29,7 +29,10 @@ def count_exchanges(df: DataFrame) -> int:
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in explain_text(df)
+    txt = explain_text(df)
+    # 'formatted' mode marks codegen stages with '[codegen id : N]';
+    # 'simple' mode uses the WholeStageCodegen wrapper name
+    return "codegen id" in txt or "WholeStageCodegen" in txt
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

@@ -44,6 +44,9 @@ def build_session(
         # 1g default dominates wall-clock otherwise)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.driver.maxResultSize", "8g")
+        # private scratch dir (shuffle/spill/blockmgr): /tmp proved unreliable
+        # on this host (temp_shuffle files vanished mid-job)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/root/spark-scratch"))
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")

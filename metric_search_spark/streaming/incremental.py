@@ -116,11 +116,19 @@ def knn_probe_live(
     from metric_search_spark.sources.index import knn_probe_index
 
     spark = probes.sparkSession
-    base = knn_probe_index(probes, path, k=k, id_col=id_col, x_col=x_col, y_col=y_col)
     delta = read_delta(spark, path)
     if delta is None:
-        return base
+        return knn_probe_index(
+            probes, path, k=k, id_col=id_col, x_col=x_col, y_col=y_col
+        )
     live, dead = _effective_delta(delta)
+    # tombstones are filtered AFTER the base trees' top-k, so over-fetch by
+    # the tombstone count — exact, and bounded because compaction clears the
+    # delta log (the base can hide at most n_dead true neighbors)
+    n_dead = dead.count()
+    base = knn_probe_index(
+        probes, path, k=k + n_dead, id_col=id_col, x_col=x_col, y_col=y_col
+    )
     base = base.join(dead.select(F.col("id").alias("neighbor_id")), "neighbor_id", "left_anti")
     parts = [base.select("query_id", "neighbor_id", "dist")]
     if not live.isEmpty():
@@ -189,6 +197,9 @@ def compact_index(spark: SparkSession, path: str) -> int:
     gen = int(time.time() * 1000)
     b = f"compact{gen}"
     rebuilt.write.mode("overwrite").parquet(f"{path}/nodes/batch={b}")
+    # count from the WRITTEN generation (recomputing `rebuilt` later would
+    # re-read base dirs that are about to be replaced)
+    n_new = spark.read.parquet(f"{path}/nodes/batch={b}").count()
     # rewrite every existing generation without the touched cells
     from metric_search_spark.sources.index import compaction_batches
 
@@ -200,8 +211,12 @@ def compact_index(spark: SparkSession, path: str) -> int:
         kept.write.mode("overwrite").parquet(f"{path}/nodes/batch={old}__tmp")
     for old in olds:
         _replace_dir(spark, f"{path}/nodes/batch={old}__tmp", f"{path}/nodes/batch={old}")
+    # drop any cached file listings for the replaced directories
+    spark.catalog.refreshByPath(f"{path}/nodes")
+    for old in olds:
+        spark.catalog.refreshByPath(f"{path}/nodes/batch={old}")
     row = spark.createDataFrame(
-        [(b, batches, res, metric_name, rebuilt.count(), 0.0, 0.0)],
+        [(b, batches, res, metric_name, n_new, 0.0, 0.0)],
         "batch string, batches int, res int, metric string, n_nodes long, "
         "wall_s double, rows_per_sec double",
     )

@@ -1,0 +1,112 @@
+"""Metric library parity vs independent python oracles (reference semantics
+cited in core/metrics.py docstrings)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from metric_search_spark.core.metrics import (
+    SSIM,
+    TWED,
+    Cosine,
+    Edit,
+    Euclidean,
+    EuclideanThresholded,
+    Manhattan,
+    PNorm,
+    get_metric,
+)
+
+
+def _twed_oracle(a, b, nu=1.0, lam=0.0):
+    """Direct O(n·m) DP, textbook form (Marteau 2009; time stamps = index)."""
+    a, b = list(a), list(b)
+    n, m = len(a), len(b)
+    D = np.full((n, m), np.inf)
+    D[0][0] = abs(a[0] - b[0])
+    for j in range(1, m):
+        D[0][j] = D[0][j - 1] + abs(b[j - 1] - b[j]) + nu + lam
+    for i in range(1, n):
+        D[i][0] = D[i - 1][0] + abs(a[i - 1] - a[i]) + nu + lam
+        for j in range(1, m):
+            c1 = D[i - 1][j] + abs(a[i - 1] - a[i]) + nu + lam
+            c2 = D[i][j - 1] + abs(b[j - 1] - b[j]) + nu + lam
+            c3 = (
+                D[i - 1][j - 1]
+                + abs(a[i] - b[j])
+                + abs(a[i - 1] - b[j - 1])
+                + nu * (abs(i - j) + abs(i - 1 - (j - 1)))
+            )
+            D[i][j] = min(c1, c2, c3)
+    return D[n - 1][m - 1]
+
+
+def test_twed_matches_direct_dp():
+    rng = np.random.default_rng(4)
+    twed = TWED()
+    for _ in range(10):
+        a = rng.uniform(-5, 5, rng.integers(2, 20))
+        b = rng.uniform(-5, 5, rng.integers(2, 20))
+        np.testing.assert_allclose(twed.one(a, b), _twed_oracle(a, b), atol=1e-10)
+
+
+def test_twed_params():
+    a, b = [0.0, 1.0, 2.0], [0.0, 1.5, 2.0]
+    t2 = TWED(elastic=0.5, penalty=0.25)
+    np.testing.assert_allclose(
+        t2.one(a, b), _twed_oracle(a, b, nu=0.5, lam=0.25), atol=1e-12
+    )
+
+
+def test_edit_levenshtein():
+    e = Edit()
+    assert e.one("kitten", "sitting") == 3
+    assert e.one("", "abc") == 3
+    assert e.one("abc", "abc") == 0
+    assert e.one("flaw", "lawn") == 2
+
+
+def test_standard_metrics_cross_consistency():
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(20, 6))
+    B = rng.normal(size=(15, 6))
+    for m in (Euclidean(), Manhattan(), PNorm(p=3), Cosine(), EuclideanThresholded()):
+        C = m.cross(A, B)
+        for i in (0, 7, 19):
+            for j in (0, 5, 14):
+                np.testing.assert_allclose(C[i, j], m.one(A[i], B[j]), atol=1e-9)
+        np.testing.assert_allclose(m.batch(A, B[0]), C[:, 0], atol=1e-9)
+
+
+def test_cosine_is_similarity_quirk():
+    c = Cosine()
+    assert np.isclose(c.one([1, 0], [1, 0]), 1.0)  # identical → 1, NOT 0
+
+
+def test_ssim_identical_images_zero():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(16, 16)).astype(float)
+    s = SSIM()
+    assert s.one(img, img) < 1e-9
+    other = np.clip(img + rng.normal(0, 30, img.shape), 0, 255)
+    assert s.one(img, other) > s.one(img, np.clip(img + 1, 0, 255))
+
+
+def test_ssim_quirk_parity_window():
+    """The reference's size_t-underflow gaussian zeroes weights above/left of
+    center; quirk and corrected modes must differ."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, size=(14, 14)).astype(float)
+    b = rng.integers(0, 256, size=(14, 14)).astype(float)
+    quirk = SSIM(quirk_parity=True).one(a, b)
+    fixed = SSIM(quirk_parity=False).one(a, b)
+    assert not np.isclose(quirk, fixed)
+
+
+def test_metric_factory():
+    assert isinstance(get_metric("l2"), Euclidean)
+    assert isinstance(get_metric("levenshtein"), Edit)
+    assert get_metric("p_norm", p=2.0).p == 2.0
+    with pytest.raises(KeyError):
+        get_metric("nope")

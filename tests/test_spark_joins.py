@@ -118,6 +118,28 @@ def test_knn_join_highdim_projection(spark):
         assert list(grp["neighbor_id"]) == [w[0] for w in oracle[qid]], qid
 
 
+def test_knn_join_res0_single_cell(spark):
+    """Regression: res=0 (single-cell grid) must still produce results —
+    the k-ring literal's type must group with long cell ids in the cogroup."""
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    b = pd.DataFrame({"id": np.arange(50), "x": rng.random(50), "y": rng.random(50)})
+    p = pd.DataFrame({"id": np.arange(100, 110), "x": rng.random(10), "y": rng.random(10)})
+    out = knn_join(
+        spark.createDataFrame(p), spark.createDataFrame(b), k=5, vec_col=None, res=0
+    ).toPandas()
+    assert len(out) == 50
+    B = b[["x", "y"]].to_numpy()
+    for _, q in p.iterrows():
+        d = np.sqrt(((B - [q.x, q.y]) ** 2).sum(axis=1))
+        want = sorted(range(50), key=lambda j: (d[j], j))[:5]
+        got = list(
+            out[out["query_id"] == q.id].sort_values("rank")["neighbor_id"]
+        )
+        assert got == want
+
+
 def test_range_join_matches_bruteforce(spark):
     tbl, build, probes = _image_probe_frames(spark, n=300, n_probes=40)
     r = 0.05

@@ -102,7 +102,9 @@ def test_ngram_jaccard_exact_values(spark, docs):
         sj = {" ".join(tj[k:k+3]) for k in range(len(tj)-2)}
         return len(si & sj) / len(si | sj)
     for _, r in pairs.iterrows():
-        np.testing.assert_allclose(r["jaccard"], jac(r["id_a"], r["id_b"]), atol=1e-12)
+        np.testing.assert_allclose(
+            r["jaccard"], jac(int(r["id_a"]), int(r["id_b"])), atol=1e-12
+        )
     got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 1) in got
 
