@@ -110,3 +110,27 @@ def test_metric_factory():
     assert get_metric("p_norm", p=2.0).p == 2.0
     with pytest.raises(KeyError):
         get_metric("nope")
+
+
+def test_emd_cdf_identity_and_grid():
+    """EMD (reference EMD.cpp) vs the exact 1-D identity: for equal-mass
+    histograms with |i−j| ground cost, EMD == L1 distance of the CDFs."""
+    from metric_search_spark.core.metrics import EMD, ground_distance_matrix_of_2dgrid
+
+    e = EMD()
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        n = int(rng.integers(2, 24))
+        a = rng.random(n)
+        b = rng.random(n)
+        b *= a.sum() / b.sum()
+        want = np.abs(np.cumsum(a) - np.cumsum(b)).sum()
+        np.testing.assert_allclose(e.one(a, b), want, atol=1e-8)
+    assert np.isclose(e.one([1, 0, 0], [0, 0, 1]), 2.0)
+    assert e.one([1, 2, 3], [1, 2, 3]) < 1e-12
+    g = ground_distance_matrix_of_2dgrid(3, 3)
+    a9 = np.zeros(9); a9[0] = 1.0
+    b9 = np.zeros(9); b9[8] = 1.0
+    np.testing.assert_allclose(EMD(ground=g).one(a9, b9), np.sqrt(8), atol=1e-10)
+    # unequal masses: b is rescaled to a's mass (normalized EMD)
+    np.testing.assert_allclose(e.one([2, 0], [0, 1]), 2.0, atol=1e-10)
