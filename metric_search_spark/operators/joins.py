@@ -69,6 +69,21 @@ class KnnJoinStats:
     rounds: list[dict] = field(default_factory=list)
 
 
+def _require_distance(metric: Metric) -> None:
+    """The reference's Cosine returns SIMILARITY (Standards.cpp:84-96 quirk);
+    ranking it ascending would return the k LEAST similar rows and the L2
+    ring guarantee would be meaningless — reject instead of silently lying.
+    Cosine callers: operators.ann.cosine_topk / cosine_topk_lsh, or
+    normalize-then-L2 through this join (ann.py module docstring)."""
+    if getattr(metric, "name", "") == "cosine":
+        raise ValueError(
+            "cosine is a similarity, not a distance; use operators.ann."
+            "cosine_topk / cosine_topk_lsh, or normalize vectors and join "
+            "with the euclidean metric (top-k by cosine == top-k by L2 on "
+            "the unit sphere)"
+        )
+
+
 def _pick_resolution(n_build: int, target_per_cell: int) -> int:
     """Resolution so that E[rows/cell] ≈ target under uniform spread."""
     if n_build <= target_per_cell:
@@ -114,6 +129,15 @@ def _flat_topk(
         D = metric.cross(P[s : s + chunk], B)
         if kk < B.shape[0]:
             part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            # argpartition breaks VALUE ties arbitrarily: when the kth
+            # boundary falls inside a tie group, re-select those rows with
+            # the (dist, position) order the join contract promises
+            kth = np.take_along_axis(D, part, axis=1).max(axis=1)
+            bad = np.nonzero((D <= kth[:, None]).sum(axis=1) > kk)[0]
+            for r in bad:
+                cand = np.nonzero(D[r] <= kth[r])[0]  # position-ascending
+                o = np.lexsort((cand, D[r, cand]))[:kk]
+                part[r] = cand[o]
         else:
             part = np.broadcast_to(np.arange(kk), (D.shape[0], kk))
         pd_ = np.take_along_axis(D, part, axis=1)
@@ -295,18 +319,20 @@ def _expand_probes(
     of candidate cells (and the build side's salt buckets). When the ring
     covers the whole grid, cross-join against the build side's distinct
     occupied cells instead of enumerating the (2k+1)² offset square."""
+    # payload = whatever _prepare shipped (_vec for full-dim metrics, _x/_y
+    # for the 2-D fast path) — the kernel's _group_matrix falls back to
+    # (_x, _y) when _vec is absent, so the escalation path must keep them
+    payload = _payload_cols(probes_c)
     if build_cells is not None and ring_k >= (1 << res):
-        cand = probes_c.select("_id", "_vec").crossJoin(F.broadcast(build_cells))
+        cand = probes_c.select(*payload).crossJoin(F.broadcast(build_cells))
     else:
         cand = probes_c.select(
-            "_id",
-            "_vec",
+            *payload,
             F.explode(kring_cells_col(F.col("_cell"), res, ring_k)).alias("_cell"),
         )
     cand = cand.join(F.broadcast(salts), "_cell", "left")
     return cand.select(
-        "_id",
-        "_vec",
+        *payload,
         "_cell",
         F.explode(
             F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
@@ -357,6 +383,70 @@ def _partial_topk(
     )
 
 
+def _grid_knn(
+    probes_c: DataFrame,
+    build_c: DataFrame,
+    n_build: int,
+    metric: Metric,
+    k: int,
+    kernel: str,
+    qid_type: str,
+    bid_type: str,
+    chunk_rows: int,
+    stats: KnnJoinStats,
+) -> DataFrame:
+    """Exact brute-force kNN as a bounded-memory block grid (the res=0 tier:
+    high-dim metrics the 2-D projection cannot prune, or tiny builds).
+
+    Probes hash into P row-chunks, build into B; each side replicates to the
+    other's chunk axis so every (probe-chunk, build-chunk) pair meets in one
+    cogroup of ≤ chunk_rows rows per side — per-task memory is bounded and
+    parallelism is P×B regardless of data skew (hash chunking is uniform by
+    construction, no salting needed). Partial per-chunk top-k rows then merge
+    through one window. Shuffle volume is |probes|·B + |build|·P ≈
+    2·|probes|·|build|/chunk_rows: exact kNN is inherently quadratic in
+    distance evaluations — this bounds memory and spreads the work evenly; at
+    real scale route to the cell-partitioned path (res>0 with a contractive
+    projection) or operators.ann.cosine_topk_lsh for the approximate tier.
+    Never |build| rows in one task, unlike a replicated single-cell plan."""
+    n_probes = probes_c.count()
+    bparts = max(1, math.ceil(n_build / chunk_rows))
+    pparts = max(1, math.ceil(n_probes / chunk_rows))
+    # independent cogroup key space (int, not Morton cells): reuse the
+    # (_cell, _salt) kernel plumbing with _cell := build-chunk, _salt :=
+    # probe-chunk
+    build_g = build_c.select(
+        *_payload_cols(build_c),
+        F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(bparts))
+        .cast("int")
+        .alias("_cell"),
+        F.explode(F.sequence(F.lit(0), F.lit(pparts - 1))).alias("_salt"),
+    )
+    probes_g = probes_c.select(
+        *_payload_cols(probes_c),
+        F.explode(F.sequence(F.lit(0), F.lit(bparts - 1))).alias("_cell"),
+        F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(pparts))
+        .cast("int")
+        .alias("_salt"),
+    )
+    stats.rounds.append(
+        {"plan": "grid", "bparts": bparts, "pparts": pparts, "exhaustive": True}
+    )
+    if bparts == 1:
+        # every probe sees the whole build side in its single group — the
+        # kernel's ranked output is final, no window
+        return _ranked_group_topk(
+            probes_g, build_g, metric, k, kernel, qid_type, bid_type
+        )
+    partial = _partial_topk(
+        probes_g, build_g, metric, k, kernel, qid_type, bid_type
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return partial.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def knn_join(
     probes: DataFrame,
     build: DataFrame,
@@ -374,6 +464,7 @@ def knn_join(
     kernel: str = "flat",
     coord_scale: float = 1.0,
     max_rounds: int = 12,
+    grid_chunk_rows: int = 8192,
     stats: KnnJoinStats | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbor join (reference knn, tree.cpp:635-690, lifted
@@ -390,6 +481,7 @@ def knn_join(
     """
     if isinstance(metric, str):
         metric = get_metric(metric)
+    _require_distance(metric)
     n_build = build.count()
     if res is None:
         res = _pick_resolution(n_build, target_per_cell)
@@ -411,56 +503,69 @@ def knn_join(
     done_parts: list[DataFrame] = []
     grid_n = 1 << res
     try:
+        if grid_n == 1:
+            # res 0: the 2-D index cannot prune — bounded block-grid brute
+            # force (see _grid_knn), one shot, provably exhaustive
+            out = _grid_knn(
+                probes_c,
+                build_c,
+                n_build,
+                metric,
+                k,
+                kernel,
+                qid_type,
+                bid_type,
+                grid_chunk_rows,
+                stats,
+            )
+            return out.localCheckpoint(eager=True)
+
         # ---- round 1: halo fast path over the full probe set -------------
         salts_p = _salts_for(probes_c, salt_threshold)
         probes_s = _with_salt(probes_c, salts_p)
-        halo = _halo_build(build_c, salts_p, res, min(1, grid_n - 1) or 0)
+        halo = _halo_build(build_c, salts_p, res, 1)
         ranked = _ranked_group_topk(
             probes_s, halo, metric, k, kernel, qid_type, bid_type
         ).persist()
         to_unpersist.append(ranked)
 
-        if grid_n == 1:
-            stats.rounds.append({"ring_k": 0, "exhaustive": True})
+        per_probe = ranked.groupBy("query_id").agg(
+            F.count("*").alias("cnt"), F.max("dist").alias("kth")
+        )
+        probe_geo = probes_c.select(
+            F.col("_id").alias("query_id"), "_x", "_y"
+        ).withColumn("guar", _guarantee_col(res, 1) * F.lit(coord_scale))
+        verdict = probe_geo.join(per_probe, "query_id", "left").select(
+            "query_id",
+            (
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    >= F.lit(min(k, max(n_build, 1)))
+                )
+                & (F.col("kth") <= F.col("guar"))
+            ).alias("ok"),
+        )
+        unresolved_ids = (
+            verdict.where(~F.coalesce(F.col("ok"), F.lit(False)))
+            .select(F.col("query_id").alias("_id"))
+            .persist()
+        )
+        to_unpersist.append(unresolved_ids)
+        n_unres = unresolved_ids.count()
+        stats.rounds.append({"ring_k": 1, "unresolved": n_unres})
+        if n_unres == 0:
             done_parts.append(ranked)
             unresolved = None
         else:
-            per_probe = ranked.groupBy("query_id").agg(
-                F.count("*").alias("cnt"), F.max("dist").alias("kth")
-            )
-            probe_geo = probes_c.select(
-                F.col("_id").alias("query_id"), "_x", "_y"
-            ).withColumn("guar", _guarantee_col(res, 1) * F.lit(coord_scale))
-            verdict = probe_geo.join(per_probe, "query_id", "left").select(
-                "query_id",
-                (
-                    (
-                        F.coalesce(F.col("cnt"), F.lit(0))
-                        >= F.lit(min(k, max(n_build, 1)))
-                    )
-                    & (F.col("kth") <= F.col("guar"))
-                ).alias("ok"),
-            )
-            unresolved_ids = (
-                verdict.where(~F.coalesce(F.col("ok"), F.lit(False)))
-                .select(F.col("query_id").alias("_id"))
-                .persist()
-            )
-            to_unpersist.append(unresolved_ids)
-            n_unres = unresolved_ids.count()
-            stats.rounds.append({"ring_k": 1, "unresolved": n_unres})
-            if n_unres == 0:
-                done_parts.append(ranked)
-                unresolved = None
-            else:
-                done_parts.append(
-                    ranked.join(
-                        unresolved_ids.select(F.col("_id").alias("query_id")),
-                        "query_id",
-                        "left_anti",
-                    )
+            done_parts.append(
+                ranked.join(
+                    unresolved_ids.select(F.col("_id").alias("query_id")),
+                    "query_id",
+                    "left_anti",
                 )
-                unresolved = probes_c.join(unresolved_ids, "_id", "left_semi")
+            )
+            unresolved = probes_c.join(unresolved_ids, "_id", "left_semi")
+
 
         # ---- escalation rounds: probe-expansion scheme, work ∝ unresolved
         if unresolved is not None:
@@ -581,6 +686,7 @@ def range_join(
     """
     if isinstance(metric, str):
         metric = get_metric(metric)
+    _require_distance(metric)
     n_build = build.count()
     if res is None:
         res = _pick_resolution(n_build, target_per_cell)

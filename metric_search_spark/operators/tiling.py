@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metric_search_spark.core.covertree import check_distribution
@@ -82,7 +82,16 @@ def cluster_quota(
     returning only quota'd IDs (tree.cpp:1383-1430).
 
     Returns (id, dist, bucket) with bucket ∈ [0, len(distribution)).
-    One window sort — the only shuffle.
+
+    Scale path: the global rank is computed WITHOUT a single-partition window
+    sort. Rows range-partition on (dist, id) — disjoint ordered key ranges
+    across ascending partition ids — then each partition sorts locally and
+    emits a partition-local rank (one mapInPandas, no further exchange); the
+    global rank is local rank + the partition's offset (prefix sum of the
+    per-partition counts, a numPartitions-row driver aggregate). Output is
+    identical to ``row_number() OVER (ORDER BY dist, id)`` because the range
+    partitioner preserves the total order across partitions, but the sort
+    runs fully parallel — the plan this operator needs at 10⁹ rows.
     """
     n = df.count()
     bounds = quota_boundaries(n, distribution)
@@ -91,10 +100,48 @@ def cluster_quota(
             F.col(vec_col).cast("array<double>"),
             F.array(*[F.lit(float(c)) for c in center]),
         )
-    w = Window.orderBy("dist", id_col)
+    spark = df.sparkSession
+    n_parts = max(
+        1, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), max(1, n))
+    )
+    scored = df.select(F.col(id_col).alias("id"), dist_col.alias("dist"))
+    parted = (
+        scored.repartitionByRange(n_parts, "dist", "id")
+        .sortWithinPartitions("dist", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # per-partition counts → rank offsets (numPartitions rows on the driver)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+
+    def local_rank(batches):
+        import pandas as pd  # noqa: F401
+
+        seen = 0  # rows are already sorted within the partition
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_lrn"] = range(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    id_type = parted.schema["id"].dataType.simpleString()
     ranked = (
-        df.select(F.col(id_col).alias("id"), dist_col.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
+        parted.mapInPandas(
+            local_rank, schema=f"id {id_type}, dist double, _pid int, _lrn long"
+        )
+        .join(F.broadcast(off_df), "_pid")
+        .select("id", "dist", (F.col("_off") + F.col("_lrn")).alias("rn"))
         .where(F.col("rn") <= (bounds[-1] if bounds else 0))
     )
     bucket = F.lit(None).cast("long")

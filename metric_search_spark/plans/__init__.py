@@ -3,6 +3,8 @@
 from metric_search_spark.plans.inspect import (  # noqa: F401
     count_exchanges,
     explain_text,
+    has_nested_loop_join,
+    has_single_partition_exchange,
     has_whole_stage_codegen,
     pushed_filters,
     read_schema_columns,

@@ -35,6 +35,19 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
     return "codegen id" in txt or "WholeStageCodegen" in txt
 
 
+def has_single_partition_exchange(df: DataFrame) -> bool:
+    """True if the plan funnels data through Exchange SinglePartition — the
+    global-sort anti-pattern that serializes at scale."""
+    return "Exchange SinglePartition" in explain_text(df)
+
+
+def has_nested_loop_join(df: DataFrame) -> bool:
+    """True if the plan contains a BroadcastNestedLoopJoin or
+    CartesianProduct — the O(n²)-pairs join shapes."""
+    txt = explain_text(df)
+    return "BroadcastNestedLoopJoin" in txt or "CartesianProduct" in txt
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters lists from every parquet scan in the plan."""
     txt = explain_text(df)

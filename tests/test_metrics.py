@@ -112,6 +112,47 @@ def test_metric_factory():
         get_metric("nope")
 
 
+def test_twed_sparse_and_timestamped():
+    """Sparse TWED variant (reference TWED.cpp:84-236): zero-padding quirks
+    preserved, timestamped DP == dense DP when times are 0..n−1."""
+    twed = TWED()
+    rng = np.random.default_rng(3)
+    # dense equivalence: explicit times 0..n−1 reproduce the dense kernel
+    for _ in range(5):
+        a = rng.random(int(rng.integers(2, 12)))
+        b = rng.random(int(rng.integers(2, 12)))
+        np.testing.assert_allclose(
+            twed.one_t(a, np.arange(len(a)), b, np.arange(len(b))),
+            twed.one(a, b),
+            atol=1e-12,
+        )
+    # padding golden (hand-traced through TWED.cpp:100-137 branch logic):
+    # size 6, single non-zero at index 2 → back-pad 0, front-pad 1, tail 3, 5
+    t, v = TWED.add_zero_padding([2], [5.0], 6)
+    assert list(t) == [0, 1, 2, 3, 5] and list(v) == [0, 0, 5.0, 0, 0]
+    # fully dense input: padding is the identity
+    t, v = TWED.add_zero_padding([0, 1, 2], [1.0, 2.0, 3.0], 3)
+    assert list(t) == [0, 1, 2] and list(v) == [1.0, 2.0, 3.0]
+    # empty input: index-0 and size−1 sentinels
+    t, v = TWED.add_zero_padding([], [], 4)
+    assert list(t) == [0, 3] and list(v) == [0.0, 0.0]
+    # one_sparse == one_t over the padded pairs
+    got = twed.one_sparse([2], [5.0], 6, [0, 4], [1.0, 2.0], 6)
+    ta, va = TWED.add_zero_padding([2], [5.0], 6)
+    tb, vb = TWED.add_zero_padding([0, 4], [1.0, 2.0], 6)
+    np.testing.assert_allclose(got, twed.one_t(va, ta, vb, tb), atol=1e-12)
+
+
+def test_twed_many_batched_matches_one():
+    twed = TWED(elastic=0.7, penalty=0.1)
+    rng = np.random.default_rng(5)
+    S = rng.random((17, 9))
+    b = rng.random(13)
+    got = twed.many(S, b)
+    want = [twed.one(row, b) for row in S]
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
 def test_emd_cdf_identity_and_grid():
     """EMD (reference EMD.cpp) vs the exact 1-D identity: for equal-mass
     histograms with |i−j| ground cost, EMD == L1 distance of the CDFs."""
@@ -132,5 +173,29 @@ def test_emd_cdf_identity_and_grid():
     a9 = np.zeros(9); a9[0] = 1.0
     b9 = np.zeros(9); b9[8] = 1.0
     np.testing.assert_allclose(EMD(ground=g).one(a9, b9), np.sqrt(8), atol=1e-10)
-    # unequal masses: b is rescaled to a's mass (normalized EMD)
+
+
+def test_emd_extra_mass_reference_semantics():
+    """Unbalanced histograms follow the reference's emd-hat contract
+    (EMD.cpp:699-726 supplier swap; :762-763 default penalty = maxC;
+    :967-973 dist = transport + |Σp − Σq|·penalty) — hand-computed cases."""
+    from metric_search_spark.core.metrics import EMD
+
+    e = EMD()
+    # transport 1 unit bin0→bin1 (cost 1) + extra mass 1 × maxC 1 = 2
     np.testing.assert_allclose(e.one([2, 0], [0, 1]), 2.0, atol=1e-10)
+    # supplier swap: same by symmetry of the semantics
+    np.testing.assert_allclose(e.one([0, 1], [2, 0]), 2.0, atol=1e-10)
+    # transport 1 unit cost 2 + extra 2 × maxC 2 = 6
+    np.testing.assert_allclose(e.one([3, 0, 0], [0, 0, 1]), 6.0, atol=1e-10)
+    # all mass unmatched: pure extra-mass charge
+    np.testing.assert_allclose(e.one([1, 1], [0, 0]), 2.0, atol=1e-10)
+    np.testing.assert_allclose(e.one([0, 0], [0, 0]), 0.0, atol=1e-10)
+    # explicit penalty overrides the maxC default
+    e0 = EMD(extra_mass_penalty=0.0)
+    np.testing.assert_allclose(e0.one([2, 0], [0, 1]), 1.0, atol=1e-10)
+    e5 = EMD(extra_mass_penalty=5.0)
+    np.testing.assert_allclose(e5.one([2, 0], [0, 1]), 6.0, atol=1e-10)
+    # free disposal picks the CHEAP mass to keep: supplier [1,1] → sink [1]
+    # at |i−j| cost: serve bin0 from bin0 (cost 0), dispose bin1 (+1·maxC 1)
+    np.testing.assert_allclose(e.one([1, 1], [1, 0]), 1.0, atol=1e-10)

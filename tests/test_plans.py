@@ -49,6 +49,32 @@ def test_tile_assign_is_narrow(spark):
     assert has_whole_stage_codegen(out)
 
 
+def test_cluster_quota_no_single_partition_sort(spark):
+    """The quota-clustering global rank must not funnel the table through a
+    single-partition window sort (VERDICT r1 item 3): range partition +
+    per-partition rank + offsets instead."""
+    from metric_search_spark.operators.tiling import cluster_quota
+    from metric_search_spark.plans import has_single_partition_exchange
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    center = df.orderBy("id").first()["vec"]
+    out = cluster_quota(df, (0.2, 0.6), center)
+    assert not has_single_partition_exchange(out)
+
+
+def test_edit_join_no_nested_loop(spark):
+    """The edit-distance join must plan as a band equi-join, never a
+    BroadcastNestedLoopJoin / cartesian product (VERDICT r1 item 4)."""
+    from metric_search_spark.entry_queries import q_edit_join_documents
+    from metric_search_spark.plans import has_nested_loop_join
+
+    out = q_edit_join_documents(spark, SF)
+    assert not has_nested_loop_join(out)
+
+
 def test_cell_derivation_codegen(spark):
     """phash→coords decode stays inside whole-stage codegen (no UDF)."""
     df = spark.read.parquet(f"{SF}/orders.parquet")

@@ -140,6 +140,66 @@ def test_knn_join_res0_single_cell(spark):
         assert got == want
 
 
+def test_knn_join_escalation_2d_fast_path(spark):
+    """Regression (ADVICE r1, high): a probe left unresolved after ring 1 on
+    the 2-D fast path (vec_col=None, no _vec column) must survive the
+    escalation rounds — including the exhaustive cross-join round — instead
+    of dying on a missing-column AnalysisException."""
+    import pandas as pd
+
+    # one lone point in the (0,0) corner cell, a 30-point cluster in the
+    # opposite corner: at res=2 (4×4 grid) the loner's ring-1 (and ring-2)
+    # candidate set is just itself, forcing the exhaustive escalation round
+    xs = np.concatenate(([0.05], 0.87 + 0.1 * np.linspace(0, 1, 30)))
+    ys = np.concatenate(([0.05], 0.93 - 0.09 * np.linspace(0, 1, 30)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(31), "x": xs, "y": ys})
+    )
+    stats = KnnJoinStats()
+    out = knn_join(
+        df, df, k=5, vec_col=None, res=2, salt_threshold=8, stats=stats
+    ).toPandas()
+    assert len(out) == 31 * 5
+    assert any(r.get("unresolved", 0) > 0 for r in stats.rounds), stats.rounds
+    P = np.column_stack((xs, ys))
+    for qid in range(31):
+        d = np.sqrt(((P - P[qid]) ** 2).sum(axis=1))
+        want = sorted(range(31), key=lambda j: (d[j], j))[:5]
+        got = list(out[out["query_id"] == qid].sort_values("rank")["neighbor_id"])
+        assert got == want, qid
+
+
+def test_knn_join_res0_grid_plan_multichunk(spark):
+    """The res=0 brute-force tier must stay exact when it splits into
+    multiple probe × build chunks (bounded-memory block grid + window
+    merge), including with a high-dim vec column."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 120
+    V = rng.normal(size=(n, 8))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": np.arange(n),
+                "vec": [list(v) for v in V],
+                "x": rng.random(n),
+                "y": rng.random(n),
+            }
+        )
+    )
+    stats = KnnJoinStats()
+    out = knn_join(df, df, k=4, res=0, grid_chunk_rows=32, stats=stats).toPandas()
+    assert stats.rounds[0]["plan"] == "grid"
+    assert stats.rounds[0]["bparts"] == 4 and stats.rounds[0]["pparts"] == 4
+    assert len(out) == n * 4
+    for qid in range(n):
+        d = np.sqrt(((V - V[qid]) ** 2).sum(axis=1))
+        want = sorted(range(n), key=lambda j: (round(d[j], 12), j))[:4]
+        got = list(out[out["query_id"] == qid].sort_values("rank")["neighbor_id"])
+        assert got == want, qid
+
+
 def test_range_join_matches_bruteforce(spark):
     tbl, build, probes = _image_probe_frames(spark, n=300, n_probes=40)
     r = 0.05

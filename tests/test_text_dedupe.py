@@ -116,6 +116,59 @@ def test_simhash_pairs(spark, docs):
     assert all(h <= 3 for h in pairs["hamming"])
 
 
+def test_simhash_kernel_matches_expression(spark, docs):
+    """The Arrow-kernel simhash (one numpy bit-plane pass) must be
+    bit-identical to the 64-fold pure-Column formulation it replaced."""
+    from metric_search_spark.operators.dedupe import simhash_col, simhash_col_expr
+
+    out = docs.select(
+        "doc_id",
+        simhash_col(F.col("text")).alias("k"),
+        simhash_col_expr(F.col("text")).alias("e"),
+    ).toPandas()
+    assert (out["k"] == out["e"]).all(), out
+
+
+def test_minhash_banding_completeness(spark):
+    """LSH banding guarantee (VERDICT r1 item 7): with bands == num_hashes
+    (one row per band) a candidate pair is generated whenever ANY single
+    minhash agrees — in particular every pair with a shared shingle has
+    P(miss per hash) = 1 − J, so identical docs (J = 1) MUST meet, and the
+    verify stage must then recover exactly the brute-force Jaccard set above
+    the threshold."""
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        base = rng.choice(vocab, size=12)
+        rows.append((i, " ".join(base)))
+        if i % 4 == 0:  # planted near-dup: one token swapped
+            mut = base.copy()
+            mut[rng.integers(len(mut))] = str(rng.choice(vocab))
+            rows.append((100 + i, " ".join(mut)))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    thr = 0.5
+    got = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=32, shingle_n=3, verify_threshold=thr
+    ).toPandas()
+    got_pairs = {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+
+    def sh(t):
+        tok = t.split(" ")
+        return {" ".join(tok[k : k + 3]) for k in range(len(tok) - 2)}
+
+    want = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            sa, sb = sh(ta), sh(tb)
+            if len(sa & sb) / len(sa | sb) >= thr:
+                want.add((min(ia, ib), max(ia, ib)))
+    # banding with 1-row bands catches any pair sharing ≥1 minhash; every
+    # pair at J ≥ 0.5 has P(all 32 hashes disagree) ≤ 2^-32 — require exact
+    # recovery of the brute-force set
+    assert got_pairs == want, (got_pairs ^ want)
+
+
 def test_fingerprint_dup_detection(spark, docs):
     out = docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp")).toPandas()
     fp = dict(zip(out["doc_id"], out["fp"]))
