@@ -445,6 +445,21 @@ class CoverTree:
         for n in self._stack_traverse():
             fn(n)
 
+    def traverse_child(self, fn: Callable[[int], None]) -> None:
+        """Visit every node EXCEPT the root (tree.cpp:963-981). The reference
+        calls back at child-PUSH time — children of each popped node in
+        order, before descending — so the visit order differs from
+        ``traverse`` (which yields at pop); preserved exactly. Table form:
+        ``nodes.where(parent_id != -1)``."""
+        if self.root < 0:
+            return
+        stack = [self.root]
+        while stack:
+            cur = stack.pop()
+            for child in self.children[cur]:
+                stack.append(child)
+                fn(child)
+
     def to_vector(self) -> list[Any]:
         """All records ordered by ID (tree.cpp:755-783)."""
         zipped = sorted(((self.ids[n], self.data[n]) for n in self._stack_traverse()))

@@ -381,6 +381,50 @@ SELECT node, min(hop) AS hop FROM walk GROUP BY node
 """
 
 
+def q_bfs_grid6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS to depth 3 from node 0 on a 6×6 Grid6 hex lattice (reference
+    generator details/graph.cpp:382-465 + getNeighbours); the oracle builds
+    the same brick-wall edge list in SQL and walks it with a recursive CTE."""
+    from metric_search_spark.operators.graph import bfs_neighborhood, grid6_edges
+
+    edges = grid6_edges(spark, 6, 6)
+    return bfs_neighborhood(edges, start=0, max_deep=3)
+
+
+def _o_bfs_grid6_sql(w: int = 6, h: int = 6, depth: int = 3) -> str:
+    n = w * h
+    conds = [
+        (f"i - {w}", f"i // {w} > 0"),
+        (f"i + {w}", f"i // {w} < {h - 1}"),
+        ("i - 1", f"i % {w} > 0"),
+        ("i + 1", f"i % {w} < {w - 1}"),
+        # even rows: diagonals toward column j-1
+        (f"i - {w + 1}", f"(i // {w}) % 2 = 0 AND i % {w} > 0 AND i // {w} > 0"),
+        (f"i + {w - 1}", f"(i // {w}) % 2 = 0 AND i % {w} > 0 AND i // {w} < {h - 1}"),
+        # odd rows: diagonals toward column j+1
+        (f"i - {w - 1}", f"(i // {w}) % 2 = 1 AND i % {w} < {w - 1} AND i // {w} > 0"),
+        (f"i + {w + 1}", f"(i // {w}) % 2 = 1 AND i % {w} < {w - 1} AND i // {w} < {h - 1}"),
+    ]
+    edges = "\nUNION ALL\n".join(
+        f"SELECT i AS src, {d} AS dst FROM range({n}) t(i) WHERE {c}"
+        for d, c in conds
+    )
+    return f"""
+WITH RECURSIVE e AS (
+  {edges}
+), walk(node, hop) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hop < {depth}
+)
+SELECT node, min(hop) AS hop FROM walk GROUP BY node
+"""
+
+
+O_BFS_GRID6 = _o_bfs_grid6_sql()
+
+
 def q_connected_components_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (reference 'Cracker' driver,
     details/graph/connected_components.hpp:203-242) over a star graph built
@@ -843,6 +887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_join_documents": q_edit_join_documents,
     "dedupe_threshold_embeddings": q_dedupe_threshold_embeddings,
     "bfs_grid4": q_bfs_grid4,
+    "bfs_grid6": q_bfs_grid6,
     "connected_components_events": q_connected_components_events,
     "flagship_images_knn": q_flagship_images_knn,
     "langid_documents": q_langid_documents,
@@ -872,6 +917,7 @@ ORACLES: dict[str, str] = {
     "edit_join_documents": O_EDIT_JOIN,
     "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
     "bfs_grid4": O_BFS_GRID4,
+    "bfs_grid6": O_BFS_GRID6,
     "connected_components_events": O_CC_EVENTS,
     "quality_documents": O_QUALITY,
     "bpeish_documents": O_BPEISH,

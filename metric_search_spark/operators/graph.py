@@ -95,33 +95,35 @@ def connected_components(
     und = _undirected(edges)
     if nodes is None:
         nodes = und.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node").withColumn("component", F.col("node")).persist()
-    labels.count()
-    try:
-        for _ in range(max_rounds):
-            msgs = labels.join(und, labels["node"] == und["src"]).select(
-                F.col("dst").alias("node"), "component"
-            )
-            new_labels = (
-                labels.select("node", "component")
-                .unionByName(msgs)
-                .groupBy("node")
-                .agg(F.min("component").alias("component"))
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.localCheckpoint(eager=True)
-    finally:
-        labels.unpersist()
+    # localCheckpoint per round: each round's plan references the previous
+    # labels twice (union + change check), so lineage doubles per round —
+    # eager checkpoints keep the plan constant-size
+    labels = (
+        nodes.select("node")
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        msgs = labels.join(und, labels["node"] == und["src"]).select(
+            F.col("dst").alias("node"), "component"
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def _min_neighbor(und: DataFrame) -> DataFrame:
@@ -157,9 +159,8 @@ def _cc_star(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    cur.count()
     for _ in range(max_rounds):
         und = _undirected(cur)
         mn = _min_neighbor(und)
@@ -180,11 +181,14 @@ def _cc_star(
                 F.least("dst", "m").alias("src"), F.greatest("dst", "m").alias("dst")
             )
         )
+        # localCheckpoint (not persist): truncates the logical plan each
+        # round — 20+ rounds of stacked join/distinct lineage otherwise blow
+        # up analysis/driver memory long before the data does
         nxt = (
             large.unionByName(small)
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .persist()
+            .localCheckpoint(eager=True)
         )
         # converged when every node's neighbors already sit on the component
         # minimum: edge set unchanged

@@ -41,6 +41,14 @@ never |build|×|probes|; per-group memory is bounded by the resolution's
 rows-per-cell target (and probe salting); no driver-side collect of data
 rows. The flagship plan at ring 1 resolves ~all probes when resolution
 targets ~256 rows/cell.
+
+res=0 tier (high-dim metrics the projection can't prune, or tiny builds):
+exact brute force as a bounded P×B block grid (``_grid_knn``) — per-task
+memory capped at ``grid_chunk_rows`` rows per side, hash-uniform
+parallelism, partial top-k + one window merge. Distance work is inherently
+quadratic there; the approximate tier for that regime is
+operators.ann.cosine_topk_lsh (or normalize-then-L2 back onto the cell
+path).
 """
 
 from __future__ import annotations

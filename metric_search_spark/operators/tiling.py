@@ -7,9 +7,10 @@ clustering re-expresses the reference's ``clustering(distribution, …)``
 ``floor(N·dᵢ)`` quotas, records are assigned in ascending
 distance-from-center order. Two modes:
 
-- ``cluster_quota`` (window mode, default): a global distance sort via one
-  window — set-equivalent partitioning, scalable (one shuffle), and exactly
-  expressible in SQL for the DuckDB oracle.
+- ``cluster_quota`` (rank mode, default): a global distance rank computed as
+  range-partition → per-partition sort + local rank → offset add (no
+  single-partition window sort; same output as ``row_number() OVER (ORDER BY
+  dist, id)``), exactly expressible in SQL for the DuckDB oracle.
 - ``cluster_quota_dfs`` (parity mode): replays the reference's
   proximity-ordered tree DFS per partition via the CoverTree kernel
   (core/covertree.py:clustering) for row-for-row golden parity; driver-side
@@ -19,7 +20,6 @@ distance-from-center order. Two modes:
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame

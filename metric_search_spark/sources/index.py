@@ -58,10 +58,17 @@ class IndexInfo:
 
 def _batch_col(cell: F.Column, res: int, batches: int) -> F.Column:
     """Contiguous Morton-prefix range id in [0, batches): the 'cell range'
-    unit of resumability."""
+    unit of resumability.
+
+    Pure integer arithmetic — floor(prefix·batches / 2^(2res)) via shift
+    (ADVICE r1: the double form loses precision past 2^53 at res≥27 and
+    could round the top prefixes to an out-of-range batch id, silently
+    dropping rows from the index); clamped defensively to batches−1."""
     prefix = cell.bitwiseAND(F.lit((1 << 56) - 1))
-    total = 1 << (2 * res)
-    return ((prefix * batches) / total).cast("int")
+    if batches > (1 << 62 - 2 * res):
+        raise ValueError(f"batches={batches} overflows prefix math at res={res}")
+    b = F.shiftright(prefix * F.lit(batches), 2 * res).cast("int")
+    return F.least(b, F.lit(batches - 1))
 
 
 def _build_kernel(metric_name: str):
@@ -207,14 +214,38 @@ def compaction_batches(spark: SparkSession, path: str) -> list[str]:
 
 
 def load_nodes(spark: SparkSession, path: str) -> DataFrame:
-    """Node rows of all COMPLETED batches (+ compaction generations)."""
-    done = [str(b) for b in sorted(completed_batches(spark, path))]
-    done += compaction_batches(spark, path)
-    parts = [spark.read.parquet(f"{path}/nodes/batch={b}") for b in done]
+    """Node rows of all COMPLETED batches (+ compaction generations).
+
+    **Generation shadowing**: a cell present in several generations resolves
+    to its NEWEST one (build batches are generation 0; compaction batches
+    order by their manifest id). This is what makes compaction crash-safe:
+    the manifest_compact append is the commit point, and un-GC'd older
+    copies of a rebuilt cell are simply shadowed until the directory rewrite
+    finishes (streaming.incremental.compact_index). The shadowing max() is
+    per-cell and Catalyst keeps it a single hash aggregate + join — at scale
+    the steady state has exactly one generation per cell, so the anti-join
+    side is tiny."""
+    builds = [str(b) for b in sorted(completed_batches(spark, path))]
+    gens = compaction_batches(spark, path)
+    parts = [
+        spark.read.parquet(f"{path}/nodes/batch={b}").withColumn(
+            "_gen", F.lit(0)
+        )
+        for b in builds
+    ]
+    for i, g in enumerate(gens):
+        parts.append(
+            spark.read.parquet(f"{path}/nodes/batch={g}").withColumn(
+                "_gen", F.lit(i + 1)
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    if not gens:
+        return out.drop("_gen")
+    newest = out.groupBy("cell").agg(F.max("_gen").alias("_gen"))
+    return out.join(newest, ["cell", "_gen"]).drop("_gen")
 
 
 def load_lineage(spark: SparkSession, path: str) -> DataFrame:
@@ -296,6 +327,18 @@ def knn_probe_index(
 
     spark = probes.sparkSession
     res, _, metric_name = index_meta(spark, path)
+    # the ring-guarantee verdict compares the kth distance against a raw L2
+    # edge distance on the 2-D coords (_guarantee_col): only metrics that
+    # dominate L2 one-to-one make that sound. Reject anything else instead
+    # of returning silently inexact results (ADVICE r1, low) — notably
+    # cosine, which is a SIMILARITY under the preserved reference quirk.
+    if metric_name not in ("euclidean",):
+        raise ValueError(
+            f"knn_probe_index ring guarantee requires an L2-dominating "
+            f"metric on the stored coords; index at {path!r} was built with "
+            f"{metric_name!r} — rebuild with 'euclidean' or probe via "
+            f"operators.joins.knn_join with an explicit coord_scale"
+        )
     metric = get_metric(metric_name)
     nodes = load_nodes(spark, path).persist()
     grid_n = 1 << res

@@ -124,8 +124,12 @@ def knn_probe_live(
     live, dead = _effective_delta(delta)
     # tombstones are filtered AFTER the base trees' top-k, so over-fetch by
     # the tombstone count — exact, and bounded because compaction clears the
-    # delta log (the base can hide at most n_dead true neighbors)
-    n_dead = dead.count()
+    # delta log. Only tombstones that actually hit a base row can hide a
+    # neighbor, so count those (a delete burst of ids never indexed — or
+    # already compacted away — no longer inflates every probe's fetch).
+    n_dead = (
+        load_nodes(spark, path).select("id").join(dead, "id", "left_semi").count()
+    )
     base = knn_probe_index(
         probes, path, k=k + n_dead, id_col=id_col, x_col=x_col, y_col=y_col
     )
@@ -179,28 +183,50 @@ def compact_index(spark: SparkSession, path: str) -> int:
         touched.unpersist()
         return 0
 
-    # records of touched cells = (base payload − tombstones) ∪ live inserts
+    # records of touched cells = (base payload − tombstones) ∪ NEW live
+    # inserts. The anti-join of inserts against ids already in the base makes
+    # delta re-application idempotent: if a crash lands between the manifest
+    # commit and the delta clear, the next compaction rebuilds the same cells
+    # with identical content instead of duplicating the already-applied rows
+    # (ADVICE r1, medium).
     base_records = (
         nodes.join(touched, "cell", "left_semi")
         .join(dead, "id", "left_anti")
         .select("id", F.col("vx").alias("_x"), F.col("vy").alias("_y"), "cell")
     )
-    new_records = live_c.join(touched, "cell", "left_semi").select(
-        "id", F.col("x").alias("_x"), F.col("y").alias("_y"), "cell"
+    new_records = (
+        live_c.join(touched, "cell", "left_semi")
+        .join(nodes.select("id"), "id", "left_anti")
+        .select("id", F.col("x").alias("_x"), F.col("y").alias("_y"), "cell")
     )
     all_records = base_records.unionByName(new_records)
 
     kernel = _build_kernel(metric_name)
     rebuilt = all_records.groupBy("cell").applyInPandas(kernel, schema=NODE_SCHEMA)
 
-    # write rebuilt cells as a new generation batch; drop their old node rows
+    # crash-ordering (ADVICE r1, medium):
+    #   1. write the new generation's node rows (invisible — nothing lists it)
+    #   2. append the manifest_compact row  ← THE commit point: readers now
+    #      resolve touched cells to this generation (load_nodes shadows any
+    #      older copy per cell, sources/index.py)
+    #   3. clear the delta (re-application before this is idempotent, above)
+    #   4. GC: strip touched cells from older generations — pure space
+    #      reclamation; a crash mid-GC leaves shadowed rows, never data loss
     gen = int(time.time() * 1000)
     b = f"compact{gen}"
     rebuilt.write.mode("overwrite").parquet(f"{path}/nodes/batch={b}")
-    # count from the WRITTEN generation (recomputing `rebuilt` later would
-    # re-read base dirs that are about to be replaced)
     n_new = spark.read.parquet(f"{path}/nodes/batch={b}").count()
-    # rewrite every existing generation without the touched cells
+    row = spark.createDataFrame(
+        [(b, batches, res, metric_name, n_new, 0.0, 0.0)],
+        "batch string, batches int, res int, metric string, n_nodes long, "
+        "wall_s double, rows_per_sec double",
+    )
+    # manifest batch ids are ints for build batches; compactions use a string
+    # id in a sibling manifest so completed_batches stays int-typed
+    row.write.mode("append").parquet(f"{path}/manifest_compact")
+    _clear_delta(spark, path)
+
+    # GC pass: rewrite every OLDER generation without the touched cells
     from metric_search_spark.sources.index import compaction_batches
 
     olds = [str(x) for x in sorted(completed_batches(spark, path))]
@@ -215,15 +241,6 @@ def compact_index(spark: SparkSession, path: str) -> int:
     spark.catalog.refreshByPath(f"{path}/nodes")
     for old in olds:
         spark.catalog.refreshByPath(f"{path}/nodes/batch={old}")
-    row = spark.createDataFrame(
-        [(b, batches, res, metric_name, n_new, 0.0, 0.0)],
-        "batch string, batches int, res int, metric string, n_nodes long, "
-        "wall_s double, rows_per_sec double",
-    )
-    # manifest batch ids are ints for build batches; compactions use a string
-    # id in a sibling manifest so completed_batches stays int-typed
-    row.write.mode("append").parquet(f"{path}/manifest_compact")
-    _clear_delta(spark, path)
     touched.unpersist()
     return n_touched
 

@@ -146,6 +146,18 @@ class TestExports:
         for i, v in enumerate(INTS7):
             assert t[i] == v
 
+    def test_traverse_child_skips_root(self):  # tree.cpp:963-981
+        t = make_tree(INTS7)
+        seen_all, seen_children = [], []
+        t.traverse(seen_all.append)
+        t.traverse_child(seen_children.append)
+        assert len(seen_children) == len(seen_all) - 1
+        assert t.root not in seen_children
+        assert set(seen_children) == set(seen_all) - {t.root}
+        # reference order quirk: children are reported at push time — for
+        # each popped node its children appear in child order, root's first
+        assert seen_children[: len(t.children[t.root])] == t.children[t.root]
+
     def test_print_levels(self):
         t = make_tree(INTS7)
         hist = t.print_levels()

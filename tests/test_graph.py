@@ -1,0 +1,217 @@
+"""Graph generators vs exact python twins of the reference's constructors
+(/root/reference/details/graph.cpp), plus the O(log n)-round connected
+components on a high-diameter graph (VERDICT r1 item 8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from metric_search_spark.operators.graph import (
+    bfs_neighborhood,
+    connected_components,
+    grid4_edges,
+    grid6_edges,
+    grid8_edges,
+    is_prime,
+    lps_edges,
+    margulis_edges,
+    paley_edges,
+    random_uniform_edges,
+)
+
+from tests.sparkutil import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def _edge_set(df) -> set[tuple[int, int]]:
+    return {(int(r["src"]), int(r["dst"])) for r in df.collect()}
+
+
+def _grid6_twin(width: int, height: int) -> set[tuple[int, int]]:
+    """Line-for-line port of the reference loop (graph.cpp:403-461)."""
+    pairs = set()
+    for i in range(height):
+        for j in range(width):
+            odd = i % 2 != 0
+            up, down = i > 0, i < height - 1
+            left, right = j > 0, j < width - 1
+            n = i * width + j
+            if up:
+                pairs.add((n, (i - 1) * width + j))
+            if down:
+                pairs.add((n, (i + 1) * width + j))
+            if left:
+                pairs.add((n, i * width + (j - 1)))
+            if right:
+                pairs.add((n, i * width + (j + 1)))
+            if not odd and left:
+                if up:
+                    pairs.add((n, (i - 1) * width + (j - 1)))
+                if down:
+                    pairs.add((n, (i + 1) * width + (j - 1)))
+            if odd and right:
+                if up:
+                    pairs.add((n, (i - 1) * width + (j + 1)))
+                if down:
+                    pairs.add((n, (i + 1) * width + (j + 1)))
+    return pairs
+
+
+def test_grid6_matches_reference_twin(spark):
+    for w, h in ((5, 4), (4, 4), (3, 6)):
+        got = _edge_set(grid6_edges(spark, w, h))
+        assert got == _grid6_twin(w, h), (w, h)
+    # interior nodes of a big-enough grid have degree 6 (hex lattice)
+    deg = {}
+    for s, d in _edge_set(grid6_edges(spark, 6, 6)):
+        deg[s] = deg.get(s, 0) + 1
+    interior = [r * 6 + c for r in range(1, 5) for c in range(1, 5)]
+    assert all(deg[n] == 6 for n in interior)
+
+
+def test_grid4_grid8_degrees(spark):
+    g4 = _edge_set(grid4_edges(spark, 5))
+    deg4 = {}
+    for s, d in g4:
+        deg4[s] = deg4.get(s, 0) + 1
+    assert deg4[12] == 4 and deg4[0] == 2  # interior / corner
+    g8 = _edge_set(grid8_edges(spark, 5))
+    deg8 = {}
+    for s, d in g8:
+        deg8[s] = deg8.get(s, 0) + 1
+    assert deg8[12] == 8 and deg8[0] == 3
+
+
+def test_paley_structure(spark):
+    q = 13
+    got = _edge_set(paley_edges(spark, q))
+    residues = {(i * i) % q for i in range(1, q)}
+    want = {
+        (i, j)
+        for i in range(q)
+        for j in range(q)
+        if i != j and (i - j) % q in residues
+    }
+    assert got == want
+    deg = {}
+    for s, d in got:
+        deg[s] = deg.get(s, 0) + 1
+    assert all(v == (q - 1) // 2 for v in deg.values())  # Paley is regular
+
+
+def test_lps_matches_reference_twin(spark):
+    p = 17
+    got = _edge_set(lps_edges(spark, p))
+    want = set()
+    want.add((0, p - 1))
+    want.add((0, 1))
+    for i in range(1, p):
+        want.add((i, i - 1))
+        want.add((i, (i + 1) % p))
+        inv = pow(i, p - 2, p)
+        if inv != i:
+            want.add((i, inv))
+    assert got == want
+    with pytest.raises(ValueError):
+        lps_edges(spark, 15)
+    assert is_prime(2) and is_prime(97) and not is_prime(91)
+
+
+def test_margulis_matches_reference_twin(spark):
+    n, s = 25, 5
+    got = _edge_set(margulis_edges(spark, n))
+    want = set()
+    for i in range(s):
+        for j in range(s):
+            u = i * s + j
+            for v in (
+                ((i + 2 * j) % s) * s + j,
+                i * s + (2 * i + j) % s,
+                i * s + (2 * i + j + 1) % s,
+                ((i + 2 * j + 1) % s) * s + j,
+            ):
+                if u != v:
+                    want.add((u, v))
+    assert got == want
+    with pytest.raises(ValueError):
+        margulis_edges(spark, 24)
+
+
+def test_random_uniform_contract(spark):
+    n, k = 200, 5
+    df = random_uniform_edges(spark, n, lower=2.0, upper=3.0, n_connections=k)
+    pdf = df.toPandas()
+    # exact degree per column, distinct sources, weights in range,
+    # deterministic across invocations
+    per_dst = pdf.groupby("dst").agg(cnt=("src", "count"), uniq=("src", "nunique"))
+    assert (per_dst["cnt"] == k).all() and (per_dst["uniq"] == k).all()
+    assert len(per_dst) == n
+    assert (pdf["weight"] >= 2.0).all() and (pdf["weight"] < 3.0).all()
+    pdf2 = random_uniform_edges(
+        spark, n, lower=2.0, upper=3.0, n_connections=k
+    ).toPandas()
+    a = pdf.sort_values(["dst", "src"]).reset_index(drop=True)
+    b = pdf2.sort_values(["dst", "src"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_connected_components_high_diameter_path(spark):
+    """A 1,000-node path has diameter 999: label propagation would need ~999
+    rounds; the large-star/small-star loop must finish in O(log n)."""
+    import pandas as pd
+
+    n = 1000
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": np.arange(n - 1), "dst": np.arange(1, n)})
+    )
+    out = connected_components(edges, max_rounds=25).toPandas()
+    assert len(out) == n
+    assert (out["component"] == 0).all()
+
+
+def test_cc_star_matches_label_on_random_graph(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 300, 400)
+    dst = rng.integers(0, 300, 400)
+    edges = spark.createDataFrame(pd.DataFrame({"src": src, "dst": dst}))
+    nodes = spark.range(300).selectExpr("id as node")
+    star = (
+        connected_components(edges, nodes=nodes, algorithm="star")
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    label = (
+        connected_components(edges, nodes=nodes, algorithm="label")
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert star.equals(label)
+
+
+def test_bfs_grid6(spark):
+    edges = grid6_edges(spark, 6, 6)
+    out = bfs_neighborhood(edges, start=0, max_deep=3).toPandas()
+    # python BFS twin on the same edge set
+    adj = {}
+    for s, d in _grid6_twin(6, 6):
+        adj.setdefault(s, set()).add(d)
+    want, frontier = {0: 0}, [0]
+    for hop in (1, 2, 3):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in want:
+                    want[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    got = dict(zip(out["node"], out["hop"]))
+    assert got == want
