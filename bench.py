@@ -60,7 +60,9 @@ def main() -> None:
     t0 = time.time()
     warm = tbl.limit(min(n, 100_000)).persist()
     warm.count()
-    knn_join(warm, warm, k=10, vec_col=None).count()
+    wres = knn_join(warm, warm, k=10, vec_col=None)
+    wres.count()
+    wres.unpersist()  # see below — no cached plan may survive into a timed run
     warm.unpersist()
     timings["warmup"] = round(time.time() - t0, 3)
 
@@ -68,8 +70,9 @@ def main() -> None:
     # steady-state = best (local-mode GC/compilation jitter is significant)
     import gc
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     runs = []
-    for _ in range(2):
+    for _ in range(n_runs):
         t0 = time.time()
         stats = KnnJoinStats()
         knn = knn_join(tbl, tbl, k=10, vec_col=None, stats=stats)
@@ -78,8 +81,12 @@ def main() -> None:
         n_flag = flag.count()
         runs.append(round(time.time() - t0, 3))
         assert n_flag == n * 10, (n_flag, n)
-        # release the checkpointed result between runs (ContextCleaner frees
-        # the backing RDD once the python reference is gone)
+        # HONESTY-CRITICAL: explicitly unpersist the result. Spark's
+        # CacheManager substitutes any cached plan into later queries by
+        # canonicalized-plan match, so a still-cached previous result would
+        # let the next "run" silently read the cache instead of recomputing
+        # the join (caught via event-log shuffle volumes: 19 MB vs 341 MB).
+        knn.unpersist()
         del knn, flag
         gc.collect()
     t_head = min(runs)

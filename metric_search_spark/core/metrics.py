@@ -49,6 +49,7 @@ __all__ = [
     "EMD",
     "ground_distance_matrix_of_2dgrid",
     "AbsDiff",
+    "Dimension",
     "Euclidean",
     "EuclideanThresholded",
     "Manhattan",
@@ -638,6 +639,31 @@ def _transport_ssp(p: np.ndarray, q: np.ndarray, C: np.ndarray) -> float:
             total += bottleneck * cost[e]
             v = to[e ^ 1]
     return float(total)
+
+
+class Dimension(Metric):
+    """The reference's Dimension accessor (n-api/metric_distance/
+    dimension.hpp:16-64): a list of per-field accessor callables plus an
+    inner metric; ``get_distance(r1, r2)`` extracts the field vector
+    ``[acc(r) for acc in accessors]`` from each record (dimension.hpp:36-44)
+    and applies the metric to the pair (dimension.hpp:46-58). Spark-side the
+    same concept is a ``select()`` projection feeding a metric kernel; this
+    class exists for API parity and for custom-record python kernels."""
+
+    name = "dimension"
+
+    def __init__(self, accessors, metric: Metric):
+        self.accessors = list(accessors)
+        self.metric = metric
+
+    def extract(self, record) -> list:
+        return [acc(record) for acc in self.accessors]
+
+    def one(self, a, b) -> float:
+        return float(self.metric.one(self.extract(a), self.extract(b)))
+
+    # reference method name (dimension.hpp:46)
+    get_distance = one
 
 
 METRICS: dict[str, type[Metric]] = {

@@ -862,6 +862,55 @@ def q_ssim_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(fn, schema="id_a string, id_b string, ssim double")
 
 
+# τ = 0.42 sits in a wide gap of the pairwise-cosine distribution at sf0.01
+# (nearest values 0.4183 / 0.4217 — margin 1.7e-3 vs ~1e-15 fp noise); 34
+# pairs result
+_NEARDUP_TAU = 0.42
+
+
+def q_cosine_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs via normalize-then-L2 through
+    the cell-partitioned range join (operators/ann.cosine_neardup_pairs) —
+    the reduction wired first-class per VERDICT r1."""
+    from metric_search_spark.operators.ann import cosine_neardup_pairs
+
+    emb = _emb(spark, sf_dir)
+    return cosine_neardup_pairs(emb, _NEARDUP_TAU)
+
+
+O_COSINE_NEARDUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {cosine_sim_sql("a.embedding", "b.embedding")} >= {_NEARDUP_TAU}
+"""
+
+
+def q_ivf_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer kNN (operators/ann.ivf_topk). Run with
+    n_probe == n_lists, IVF is provably exact (every posting list is
+    probed), so the window-kNN SQL twin is a true oracle for the whole
+    train→assign→route→join→rerank pipeline; the approximate tier
+    (n_probe < n_lists) is recall-tested in tests/test_ann_lsh.py."""
+    from metric_search_spark.operators.ann import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    out = ivf_topk(emb, emb, k=5, n_lists=16, n_probe=16)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+O_IVF_KNN = f"""
+SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_EMB_DIST}, b.vec_id) AS r
+  FROM embeddings a, embeddings b
+) WHERE r <= 5
+"""
+
+
 def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH cosine ANN (scale path; approximate by design →
     rows-only; recall vs the exact top-k is asserted in tests)."""
@@ -896,6 +945,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
+    "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
+    "ivf_knn_embeddings": q_ivf_knn_embeddings,
     "pip_embeddings": q_pip_embeddings,
     "images_payload_verify": q_images_payload_verify,
     "index_level_histogram": q_index_level_histogram,
@@ -922,6 +973,8 @@ ORACLES: dict[str, str] = {
     "quality_documents": O_QUALITY,
     "bpeish_documents": O_BPEISH,
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
+    "cosine_neardup_embeddings": O_COSINE_NEARDUP,
+    "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,
     # flagship: parquet hand-off of the deterministic synth table + banded
     # window-kNN twin (path pinned to the driver's sf0.01 → n=20000)

@@ -14,12 +14,21 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from metric_search_spark.functions.vector import cosine_sim_col, dot_col, l2_dist_col
+from metric_search_spark.operators.joins import range_join
 
-__all__ = ["cosine_topk", "l2_topk", "cosine_topk_lsh"]
+__all__ = [
+    "cosine_topk",
+    "l2_topk",
+    "cosine_topk_lsh",
+    "cosine_neardup_pairs",
+    "ivf_topk",
+]
 
 
 def _topk_join(
@@ -61,9 +70,27 @@ def cosine_topk(
     id_col: str = "id",
     vec_col: str = "vec",
     probe_id_col: str | None = None,
+    max_build_rows: int | None = 200_000,
 ) -> DataFrame:
     """Top-k most-similar by cosine SIMILARITY (descending — reference quirk).
-    Returns (query_id, neighbor_id, score, rank)."""
+    Returns (query_id, neighbor_id, score, rank).
+
+    This is the BRUTE-FORCE baseline: an all-pairs broadcast join, correct at
+    any size but O(|probes|·|build|) work with the whole build side on every
+    executor. It REFUSES above ``max_build_rows`` (pass None to override)
+    because at scale you want ``cosine_topk_lsh`` (approximate, banded) or
+    ``cosine_neardup_pairs`` / normalize-then-L2 through joins.knn_join
+    (exact, cell-partitioned)."""
+    if max_build_rows is not None:
+        n_build = build.count()
+        if n_build > max_build_rows:
+            raise ValueError(
+                f"cosine_topk is the all-pairs baseline; build side has "
+                f"{n_build} rows > max_build_rows={max_build_rows}. Use "
+                f"cosine_topk_lsh (approximate) or normalize-then-L2 via "
+                f"joins.knn_join (exact), or pass max_build_rows=None to "
+                f"force the brute-force plan."
+            )
     return _topk_join(
         probes, build, k, id_col, vec_col, probe_id_col, cosine_sim_col, ascending=False
     )
@@ -82,6 +109,180 @@ def l2_topk(
     path is operators.joins.knn_join."""
     return _topk_join(
         probes, build, k, id_col, vec_col, probe_id_col, l2_dist_col, ascending=True
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    res: int | None = None,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs via the first-class
+    normalize-then-L2 reduction (the scale wiring the module docstring
+    promises): on the unit sphere cos(a, b) ≥ τ ⇔ ‖â − b̂‖ ≤ √(2 − 2τ), so
+    normalization turns the cosine-threshold join into the cell-partitioned
+    exact range join (operators/joins.range_join) with the first two
+    normalized coordinates as the contractive 2-D index (Δfull ≥ 2·Δ2d after
+    the [−1,1]→[0,1] squeeze ⇒ coord_scale=2).
+
+    Returns (id_a, id_b) with id_a < id_b — every pair at cosine ≥ τ, no
+    candidates missed (this is the exact tier; cosine_topk_lsh is the
+    approximate one). The tighter the threshold, the smaller the halo ring:
+    τ=0.9 → 2-D radius 0.11 of the grid; loose thresholds degrade toward
+    all-pairs, which is inherent to the semantics, not the plan."""
+    import math
+
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col).cast("array<double>"), lambda v: v * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    ndf = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda v: v / n
+        ).alias("vec"),
+    ).select(
+        "id",
+        "vec",
+        ((F.element_at("vec", 1) + 1.0) / 2.0).alias("x"),
+        ((F.element_at("vec", 2) + 1.0) / 2.0).alias("y"),
+    )
+    radius = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    out = range_join(
+        ndf, ndf, radius=radius, coord_scale=2.0, inclusive=True, res=res
+    )
+    return (
+        out.where(F.col("query_id") < F.col("neighbor_id"))
+        .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    )
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, k: int, iters: int, seed: int
+) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-side sample (numpy, deterministic
+    seed). The sample is small (≤ ~64k rows); the expensive part of IVF —
+    assignment of the full table — runs distributed."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(sample, dtype=np.float64)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = X[a == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+    return C
+
+
+def ivf_topk(
+    probes: DataFrame,
+    build: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    probe_id_col: str | None = None,
+    n_lists: int = 64,
+    n_probe: int = 8,
+    sample_rows: int = 16_384,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    metric: str = "euclidean",
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN — the classic coarse-quantizer
+    scale path next to the LSH tier: train ``n_lists`` centroids on a
+    driver-side sample (deterministic Lloyd), assign every build row to its
+    nearest centroid (one vectorized Arrow pass — the posting lists), route
+    each probe to its ``n_probe`` nearest centroids, equi-join probe↔list id
+    (the only shuffle — candidates ≈ |build|·n_probe/n_lists per probe), and
+    exact-rerank with a window. Recall rises with n_probe (n_probe=n_lists →
+    exact). Returns (query_id, neighbor_id, dist, rank) ascending L2.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from metric_search_spark.core.metrics import get_metric
+
+    m = get_metric(metric)
+    pid = probe_id_col or id_col
+    qt = probes.schema[pid].dataType.simpleString()
+    bt = build.schema[id_col].dataType.simpleString()
+    n_build = build.count()
+    frac = min(1.0, sample_rows / max(n_build, 1))
+    sample = np.vstack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in build.select(F.col(vec_col).cast("array<double>"))
+            .sample(frac, seed=seed)
+            .collect()
+        ]
+    )
+    C = _kmeans_centroids(sample, n_lists, kmeans_iters, seed)
+    n_lists_eff = len(C)
+    n_probe_eff = min(n_probe, n_lists_eff)
+    bC = build.sparkSession.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def assign_list(vs: pd.Series) -> pd.Series:
+        CC = bC.value
+        out = np.empty(len(vs), dtype=np.int32)
+        for i, v in enumerate(vs):
+            x = np.asarray(v, dtype=np.float64)
+            out[i] = int(((CC - x) ** 2).sum(axis=1).argmin())
+        return pd.Series(out)
+
+    @pandas_udf("array<int>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        CC = bC.value
+        out = []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64)
+            d = ((CC - x) ** 2).sum(axis=1)
+            out.append(np.argsort(d, kind="stable")[:n_probe_eff].astype("int32"))
+        return pd.Series(out)
+
+    b = build.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    ).withColumn("_list", assign_list("_vb"))
+    p = (
+        probes.select(
+            F.col(pid).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_va"),
+        )
+        .withColumn("_list", F.explode(probe_lists("_va")))
+    )
+    cand = p.join(b, "_list").select("query_id", "_va", "neighbor_id", "_vb")
+
+    out_schema = f"query_id {qt}, neighbor_id {bt}, dist double"
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack([np.asarray(v, np.float64) for v in pdf["_va"]])
+            B = np.vstack([np.asarray(v, np.float64) for v in pdf["_vb"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "dist": m.pairwise(A, B),
+                }
+            )
+
+    scored = cand.mapInPandas(rerank, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
     )
 
 

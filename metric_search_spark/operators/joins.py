@@ -251,6 +251,197 @@ def _halo_build(
     )
 
 
+def _pack_cells(side_c: DataFrame) -> DataFrame:
+    """Collapse a prepared side to ONE row per cell with columnar arrays of
+    its records (ids, coords, optional vectors) — all JVM-side expression
+    work (collect_list + transform).
+
+    Why: the halo replicates the build side to its ring (×9 at ring 1, more
+    for range joins). Replicating *packed cells* instead of raw rows cuts the
+    cogroup's shuffled/sorted row count from |build|·ring² to |cells|·ring²
+    (~500× at the default 256 rows/cell) — the cogroup sort of tens of
+    millions of tiny rows, not the numpy kernel, was the dominant cost of the
+    fast path (r2 event-log profile). Byte volume is unchanged; row-handling
+    and sort comparisons shrink by the pack factor."""
+    has_vec = "_vec" in side_c.columns
+    rec = F.struct(
+        *(["_id", "_vec", "_x", "_y"] if has_vec else ["_id", "_x", "_y"])
+    )
+    packed = side_c.groupBy("_cell").agg(F.collect_list(rec).alias("_recs"))
+    cols = [
+        "_cell",
+        F.transform("_recs", lambda r: r["_id"]).alias("_ids"),
+        F.transform("_recs", lambda r: r["_x"]).alias("_xs"),
+        F.transform("_recs", lambda r: r["_y"]).alias("_ys"),
+    ]
+    if has_vec:
+        # FLATTENED (list<double>), not list<list<double>>: pyarrow 16
+        # segfaults converting nested list-of-list cogroup batches to pandas
+        # (worker crash in arrow_to_pandas); the kernel reshapes by |ids|
+        cols.append(
+            F.flatten(F.transform("_recs", lambda r: r["_vec"])).alias("_vecs")
+        )
+    return packed.select(*cols)
+
+
+def _halo_build_packed(
+    build_c: DataFrame, salts: DataFrame, res: int, ring_k: int
+) -> DataFrame:
+    """Packed-cell halo: pack first, then replicate each cell row to its
+    k-ring and fan out across the target cell's probe salt buckets."""
+    packed = _pack_cells(build_c)
+    payload = [c for c in ("_ids", "_xs", "_ys", "_vecs") if c in packed.columns]
+    exploded = packed.select(
+        *payload,
+        F.explode(kring_cells_col(F.col("_cell"), res, ring_k)).alias("_cell"),
+    )
+    return exploded.join(F.broadcast(salts), "_cell", "left").select(
+        *payload,
+        "_cell",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
+        ).alias("_salt"),
+    )
+
+
+def _pack_probes(probes_s: DataFrame) -> DataFrame:
+    """Collapse the salted probe side to one row per (cell, salt) group with
+    columnar record arrays — same rationale as _pack_cells: the cogroup then
+    sorts thousands of packed rows, not millions of probe rows."""
+    has_vec = "_vec" in probes_s.columns
+    rec = F.struct(
+        *(["_id", "_vec", "_x", "_y"] if has_vec else ["_id", "_x", "_y"])
+    )
+    packed = probes_s.groupBy("_cell", "_salt").agg(F.collect_list(rec).alias("_recs"))
+    cols = [
+        "_cell",
+        "_salt",
+        F.transform("_recs", lambda r: r["_id"]).alias("_pids"),
+        F.transform("_recs", lambda r: r["_x"]).alias("_pxs"),
+        F.transform("_recs", lambda r: r["_y"]).alias("_pys"),
+    ]
+    if has_vec:
+        # flattened for the same pyarrow nested-list reason as _pack_cells
+        cols.append(
+            F.flatten(F.transform("_recs", lambda r: r["_vec"])).alias("_pvecs")
+        )
+    return packed.select(*cols)
+
+
+def _unpack_probes(probe_pdf) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, record matrix) for a kernel group's probe side — packed
+    (_pids/_pxs/_pys[/_pvecs]) or plain rows."""
+    if "_pids" in probe_pdf.columns:
+        ids = np.concatenate([np.asarray(a) for a in probe_pdf["_pids"]])
+        if "_pvecs" in probe_pdf.columns:
+            P = np.vstack(
+                [
+                    np.asarray(flat, np.float64).reshape(len(cell_ids), -1)
+                    for cell_ids, flat in zip(probe_pdf["_pids"], probe_pdf["_pvecs"])
+                ]
+            )
+        else:
+            xs = np.concatenate([np.asarray(a, np.float64) for a in probe_pdf["_pxs"]])
+            ys = np.concatenate([np.asarray(a, np.float64) for a in probe_pdf["_pys"]])
+            P = np.column_stack((xs, ys))
+        return ids, P
+    return probe_pdf["_id"].to_numpy(), _group_matrix(probe_pdf)
+
+
+def _ranked_group_topk_arrays(
+    probes_packed: DataFrame,
+    build_halo: DataFrame,
+    metric: Metric,
+    k: int,
+    kernel: str,
+    qid_type: str,
+    bid_type: str,
+) -> DataFrame:
+    """Fast-path kernel, fully columnar: packed probes × packed halo cells
+    cogrouped by (cell, salt); output is ONE ROW PER PROBE carrying its
+    ranked neighbor/distance ARRAYS. Downstream the ring-guarantee verdict
+    reads size/last-element narrowly (no 20M-row aggregate shuffle) and the
+    row-per-rank form is a JVM-side posexplode — Arrow moves |probes| rows,
+    not k·|probes|."""
+    import pandas as pd
+
+    out_schema = (
+        f"query_id {qid_type}, _nids array<{bid_type}>, _dists array<double>"
+    )
+    # object dtype: an empty float64 ndarray routes pyarrow into the
+    # NumPyConverter, which cannot target list<> types
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=object),
+            "_nids": pd.Series([], dtype=object),
+            "_dists": pd.Series([], dtype=object),
+        }
+    )
+
+    def fn(key, probe_pdf, build_pdf):
+        if len(probe_pdf) == 0 or len(build_pdf) == 0:
+            return empty
+        raw_ids, raw_B = _unpack_build(build_pdf)
+        order = raw_ids.argsort(kind="stable")
+        bids = raw_ids[order]
+        B = raw_B[order]
+        pids, P = _unpack_probes(probe_pdf)
+        if kernel == "covertree":
+            idx, d = _covertree_topk(metric, P, B, k)
+        else:
+            idx, d = _flat_topk(metric, P, B, k)
+        nid_rows = bids[idx]
+        # .tolist(): plain python scalars — Arrow's NumPyConverter refuses
+        # numpy string scalars inside list values
+        return pd.DataFrame(
+            {
+                "query_id": pids,
+                "_nids": [r.tolist() for r in nid_rows],
+                "_dists": [r.tolist() for r in d],
+            }
+        )
+
+    return (
+        probes_packed.groupBy("_cell", "_salt")
+        .cogroup(build_halo.groupBy("_cell", "_salt"))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
+def _explode_ranked(packed: DataFrame) -> DataFrame:
+    """Packed per-probe arrays → (query_id, neighbor_id, dist, rank) rows —
+    a narrow JVM-side posexplode, no shuffle."""
+    z = F.arrays_zip("_nids", "_dists")
+    return packed.select("query_id", F.posexplode(z).alias("_pos", "_z")).select(
+        "query_id",
+        F.col("_z._nids").alias("neighbor_id"),
+        F.col("_z._dists").alias("dist"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def _unpack_build(build_pdf) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, record matrix) for a kernel group's build side — packed
+    (_ids/_xs/_ys[/_vecs] array rows, one per halo cell) or plain rows."""
+    if "_ids" in build_pdf.columns:
+        # ids keep their native dtype (long or string) — tie-break argsort
+        # and the output column both preserve it
+        ids = np.concatenate([np.asarray(a) for a in build_pdf["_ids"]])
+        if "_vecs" in build_pdf.columns:
+            B = np.vstack(
+                [
+                    np.asarray(flat, np.float64).reshape(len(cell_ids), -1)
+                    for cell_ids, flat in zip(build_pdf["_ids"], build_pdf["_vecs"])
+                ]
+            )
+        else:
+            xs = np.concatenate([np.asarray(a, np.float64) for a in build_pdf["_xs"]])
+            ys = np.concatenate([np.asarray(a, np.float64) for a in build_pdf["_ys"]])
+            B = np.column_stack((xs, ys))
+        return ids, B
+    return build_pdf["_id"].to_numpy(), _group_matrix(build_pdf)
+
+
 def _guarantee_col(res: int, ring_k: Column | int) -> Column:
     """Column twin of cells.ring_guarantee_radius: distance from the probe to
     the nearest edge of its explored ring square (grid borders = covered)."""
@@ -291,9 +482,10 @@ def _ranked_group_topk(
     def fn(key, probe_pdf, build_pdf):
         if len(probe_pdf) == 0 or len(build_pdf) == 0:
             return empty
-        order = build_pdf["_id"].to_numpy().argsort(kind="stable")
-        bids = build_pdf["_id"].to_numpy()[order]
-        B = _group_matrix(build_pdf)[order]
+        raw_ids, raw_B = _unpack_build(build_pdf)
+        order = raw_ids.argsort(kind="stable")
+        bids = raw_ids[order]
+        B = raw_B[order]
         P = _group_matrix(probe_pdf)
         if kernel == "covertree":
             idx, d = _covertree_topk(metric, P, B, k)
@@ -367,9 +559,10 @@ def _partial_topk(
     def fn(key, probe_pdf, build_pdf):
         if len(probe_pdf) == 0 or len(build_pdf) == 0:
             return empty
-        order = build_pdf["_id"].to_numpy().argsort(kind="stable")
-        bids = build_pdf["_id"].to_numpy()[order]
-        B = _group_matrix(build_pdf)[order]
+        raw_ids, raw_B = _unpack_build(build_pdf)
+        order = raw_ids.argsort(kind="stable")
+        bids = raw_ids[order]
+        B = raw_B[order]
         P = _group_matrix(probe_pdf)
         if kernel == "covertree":
             idx, d = _covertree_topk(metric, P, B, k)
@@ -529,16 +722,24 @@ def knn_join(
             return out.localCheckpoint(eager=True)
 
         # ---- round 1: halo fast path over the full probe set -------------
+        # fully columnar: both cogroup sides are packed per cell (thousands
+        # of array rows through the shuffle sort, not millions of records),
+        # the kernel returns per-probe ranked ARRAYS, the verdict reads them
+        # narrowly, and rows-per-rank appear only via a JVM-side posexplode
         salts_p = _salts_for(probes_c, salt_threshold)
         probes_s = _with_salt(probes_c, salts_p)
-        halo = _halo_build(build_c, salts_p, res, 1)
-        ranked = _ranked_group_topk(
-            probes_s, halo, metric, k, kernel, qid_type, bid_type
+        probes_p = _pack_probes(probes_s)
+        halo = _halo_build_packed(build_c, salts_p, res, 1)
+        packed = _ranked_group_topk_arrays(
+            probes_p, halo, metric, k, kernel, qid_type, bid_type
         ).persist()
-        to_unpersist.append(ranked)
+        to_unpersist.append(packed)
+        ranked = _explode_ranked(packed)
 
-        per_probe = ranked.groupBy("query_id").agg(
-            F.count("*").alias("cnt"), F.max("dist").alias("kth")
+        per_probe = packed.select(
+            "query_id",
+            F.size("_nids").cast("long").alias("cnt"),
+            F.element_at("_dists", F.size("_dists")).alias("kth"),
         )
         probe_geo = probes_c.select(
             F.col("_id").alias("query_id"), "_x", "_y"
@@ -644,21 +845,15 @@ def knn_join(
                 unresolved = unresolved.join(unresolved_ids, "_id", "left_semi")
                 ring_k *= 2
 
-        if (
-            len(done_parts) == 1
-            and done_parts[0] is ranked
-            and grid_n > 1  # ranked was materialized by the verdict count
-        ):
-            # common case: one fast round resolved every probe — hand the
-            # already-materialized cache to the caller directly instead of
-            # copying k·|probes| rows through a checkpoint. Ownership moves
-            # to the caller; Spark's ContextCleaner frees it on GC.
-            to_unpersist.remove(ranked)
-            return ranked
         out = done_parts[0]
         for p in done_parts[1:]:
             out = out.unionByName(p)
-        # materialize (reads the persisted per-round results) before unpersist
+        # materialize via localCheckpoint (reads the persisted per-round
+        # results once) and release every internal cache. localCheckpoint,
+        # unlike persist, does NOT register in the CacheManager's
+        # canonicalized-plan table — a later identical knn_join call can
+        # never silently read this result instead of recomputing (bench
+        # honesty), and the blocks free on GC without caller cooperation.
         out = out.localCheckpoint(eager=True)
         return out
     finally:
@@ -712,7 +907,9 @@ def range_join(
     ).persist()
     salts_p = _salts_for(probes_c, salt_threshold)
     probes_s = _with_salt(probes_c, salts_p)
-    halo = _halo_build(build_c, salts_p, res, ring_k)
+    # packed halo matters even more here: the ring is ⌈r/cell⌉ wide, so raw
+    # replication would shuffle |build|·(2k+1)² rows
+    halo = _halo_build_packed(build_c, salts_p, res, ring_k)
 
     import pandas as pd
 
@@ -722,15 +919,15 @@ def range_join(
     def fn(key, probe_pdf, build_pdf):
         if len(probe_pdf) == 0 or len(build_pdf) == 0:
             return empty
+        bids, B = _unpack_build(build_pdf)
         P = _group_matrix(probe_pdf)
-        B = _group_matrix(build_pdf)
         D = metric.cross(P, B)
         mask = (D <= radius) if inclusive else (D < radius)
         pi, bi = np.nonzero(mask)
         return pd.DataFrame(
             {
                 "query_id": probe_pdf["_id"].to_numpy()[pi],
-                "neighbor_id": build_pdf["_id"].to_numpy()[bi],
+                "neighbor_id": bids[bi],
                 "dist": D[pi, bi],
             }
         )

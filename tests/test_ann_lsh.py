@@ -34,3 +34,26 @@ def test_lsh_recall_against_exact(spark):
         exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e")
     )
     np.testing.assert_allclose(merged["score_a"], merged["score_e"], atol=1e-12)
+
+
+def test_ivf_recall_and_exactness(spark):
+    from metric_search_spark.operators.ann import ivf_topk, l2_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    ).persist()
+    exact = l2_topk(emb, emb, k=5).toPandas()
+    want = {(q, n) for q, n in zip(exact["query_id"], exact["neighbor_id"])}
+    # full-probe IVF (n_probe == n_lists) must be EXACT
+    full = ivf_topk(emb, emb, k=5, n_lists=8, n_probe=8).toPandas()
+    got_full = {(q, n) for q, n in zip(full["query_id"], full["neighbor_id"])}
+    assert got_full == want
+    # partial-probe IVF is the approximate tier: decent recall, deterministic
+    part = ivf_topk(emb, emb, k=5, n_lists=8, n_probe=3, seed=11).toPandas()
+    got_part = {(q, n) for q, n in zip(part["query_id"], part["neighbor_id"])}
+    recall = len(want & got_part) / len(want)
+    assert recall >= 0.6, recall
+    part2 = ivf_topk(emb, emb, k=5, n_lists=8, n_probe=3, seed=11).toPandas()
+    got_part2 = {(q, n) for q, n in zip(part2["query_id"], part2["neighbor_id"])}
+    assert got_part == got_part2  # deterministic per seed

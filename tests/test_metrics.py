@@ -112,6 +112,18 @@ def test_metric_factory():
         get_metric("nope")
 
 
+def test_dimension_accessor():
+    """Dimension accessor parity (dimension.hpp:16-64): field extraction via
+    accessor callables + inner metric on the extracted vectors."""
+    from metric_search_spark.core.metrics import Dimension, Euclidean
+
+    recs = [{"a": 3.0, "b": 4.0, "label": "x"}, {"a": 0.0, "b": 0.0, "label": "y"}]
+    dim = Dimension([lambda r: r["a"], lambda r: r["b"]], Euclidean())
+    assert dim.extract(recs[0]) == [3.0, 4.0]
+    np.testing.assert_allclose(dim.get_distance(recs[0], recs[1]), 5.0)
+    np.testing.assert_allclose(dim.one(recs[0], recs[1]), 5.0)
+
+
 def test_twed_sparse_and_timestamped():
     """Sparse TWED variant (reference TWED.cpp:84-236): zero-padding quirks
     preserved, timestamped DP == dense DP when times are 0..n−1."""

@@ -25,7 +25,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # the scaling comparison times the headline kNN+tile job only; the
         # image count is overridable so the comparison runs CPU-bound
         SPARK_GRAFT_BENCH_QUERIES="knn10_tile",
-        SPARK_GRAFT_BENCH_IMAGES=os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000"),
+        # 8M rows keeps the job CPU-bound: the r2 kernel is ~5× faster than
+        # r1's, and at 2M the 4-core run already finishes in ~6s — scheduler
+        # overhead would dominate any higher parallelism
+        SPARK_GRAFT_BENCH_IMAGES=os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "8000000"),
+        SPARK_GRAFT_BENCH_RUNS=os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
