@@ -62,7 +62,8 @@ def main() -> None:
     warm.count()
     wres = knn_join(warm, warm, k=10, vec_col=None)
     wres.count()
-    wres.unpersist()  # see below — no cached plan may survive into a timed run
+    # see below — no cached plan may survive into a timed run
+    getattr(wres, "_msk_backing", wres).unpersist()
     warm.unpersist()
     timings["warmup"] = round(time.time() - t0, 3)
 
@@ -81,12 +82,13 @@ def main() -> None:
         n_flag = flag.count()
         runs.append(round(time.time() - t0, 3))
         assert n_flag == n * 10, (n_flag, n)
-        # HONESTY-CRITICAL: explicitly unpersist the result. Spark's
-        # CacheManager substitutes any cached plan into later queries by
-        # canonicalized-plan match, so a still-cached previous result would
-        # let the next "run" silently read the cache instead of recomputing
-        # the join (caught via event-log shuffle volumes: 19 MB vs 341 MB).
-        knn.unpersist()
+        # HONESTY-CRITICAL: explicitly release the result's backing cache.
+        # Spark's CacheManager substitutes any cached plan into later queries
+        # by canonicalized-plan match, so a still-cached previous result
+        # would let the next "run" silently read the cache instead of
+        # recomputing the join (caught via event-log shuffle volumes: 19 MB
+        # vs 341 MB).
+        getattr(knn, "_msk_backing", knn).unpersist()
         del knn, flag
         gc.collect()
     t_head = min(runs)

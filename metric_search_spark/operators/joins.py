@@ -845,15 +845,24 @@ def knn_join(
                 unresolved = unresolved.join(unresolved_ids, "_id", "left_semi")
                 ring_k *= 2
 
+        if len(done_parts) == 1 and unresolved is None:
+            # common case (every probe resolved in the fast round): return
+            # the narrow explode view over the persisted PACKED result —
+            # zero extra materialization (checkpointing k·|probes| exploded
+            # rows costs a full pass + heap it then pays for in GC). The
+            # backing cache rides along on the returned DataFrame so callers
+            # that need run-to-run isolation (bench.py) can release it —
+            # Spark's CacheManager would otherwise hand the cached plan to
+            # the next identical call.
+            to_unpersist.remove(packed)
+            ranked._msk_backing = packed  # type: ignore[attr-defined]
+            return ranked
         out = done_parts[0]
         for p in done_parts[1:]:
             out = out.unionByName(p)
-        # materialize via localCheckpoint (reads the persisted per-round
-        # results once) and release every internal cache. localCheckpoint,
-        # unlike persist, does NOT register in the CacheManager's
-        # canonicalized-plan table — a later identical knn_join call can
-        # never silently read this result instead of recomputing (bench
-        # honesty), and the blocks free on GC without caller cooperation.
+        # escalation happened: materialize the union via localCheckpoint
+        # (reads the persisted per-round results once), then release every
+        # internal cache
         out = out.localCheckpoint(eager=True)
         return out
     finally:
