@@ -35,12 +35,18 @@ full-dimensional metrics indexed by a contractive 2-D projection (e.g. 64-d
 L2 indexed by two coordinates), the same guarantee holds scaled by
 ``coord_scale`` = the minimum axis scale, since d_full ≥ coord_scale · d_2d.
 
-Scale notes (100 TB framing): one shuffle (the cogroup) + tiny verdict aggs
-on the fast path; shuffle volume is |build|·ring² + |probes| + k·|probes|,
-never |build|×|probes|; per-group memory is bounded by the resolution's
-rows-per-cell target (and probe salting); no driver-side collect of data
-rows. The flagship plan at ring 1 resolves ~all probes when resolution
-targets ~256 rows/cell.
+Scale notes (100 TB framing): the fast path is COLUMNAR end-to-end — both
+cogroup sides are packed to one array-row per cell before the shuffle, so
+the cogroup's sort handles |cells|·ring² + |cells| rows (thousands), not
+|build|·ring² + |probes| records (tens of millions); byte volume is
+unchanged but row-handling, sort comparisons, and Arrow per-row overhead
+shrink by the ~rows-per-cell factor (~256×). The kernel returns per-probe
+ranked arrays; the ring-guarantee verdict reads them narrowly and the
+row-per-rank form is a JVM-side posexplode. Shuffle bytes are
+|build|·ring² + |probes| + k·|probes| — never |build|×|probes|; per-group
+memory is bounded by the resolution's rows-per-cell target (and probe
+salting); no driver-side collect of data rows. The flagship plan at ring 1
+resolves ~all probes when resolution targets ~256 rows/cell.
 
 res=0 tier (high-dim metrics the projection can't prune, or tiny builds):
 exact brute force as a bounded P×B block grid (``_grid_knn``) — per-task

@@ -52,6 +52,13 @@ def build_session(
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE on the cell-packing collect_list aggregates: ObjectHashAggregate
+        # falls back to sort-based aggregation after 128 distinct keys, so the
+        # pack sorts its input rows per task. Measured here, that sort-based
+        # pack BEATS a raised fallback threshold (hash-agg holding 10^4
+        # per-task groups of struct buffers as JVM objects GC-thrashes), and
+        # the pack sort of |rows| plain records is still ~ring² cheaper than
+        # cogrouping the unpacked halo — keep the default.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
