@@ -461,7 +461,6 @@ def _flagship_oracle_parquet(n: int, seed: int = 42) -> str:
     input, not a second data source. Atomic write (tmp + rename) so concurrent
     query runs can't observe a partial file."""
     import os
-    import tempfile
 
     import numpy as np
     import pyarrow as pa
@@ -469,7 +468,10 @@ def _flagship_oracle_parquet(n: int, seed: int = 42) -> str:
 
     from metric_search_spark.sources.synth import lite_rows_for_ids
 
-    path = f"{tempfile.gettempdir()}/msk_flagship_oracle_{n}_{seed}.parquet"
+    # literal /tmp, NOT tempfile.gettempdir(): the oracle SQL string embeds
+    # this exact path, and a TMPDIR override in the runner would silently
+    # split the writer and the reader
+    path = f"/tmp/msk_flagship_oracle_{n}_{seed}.parquet"
     if os.path.exists(path):
         return path
     pdf = lite_rows_for_ids(np.arange(n, dtype=np.uint64), seed)[
