@@ -684,7 +684,12 @@ def knn_join(
     d(a,b) ≥ coord_scale · L2((ax,ay),(bx,by)).
 
     This call is eager: it runs the escalation loop (one Spark job per round)
-    and returns the materialized union of per-round results.
+    and returns the materialized union of per-round results. On the common
+    fast path the returned DataFrame is a narrow view over a persisted
+    packed result whose cache handle rides along as ``._msk_backing`` —
+    callers that need run-to-run isolation (benchmarks) should
+    ``getattr(out, "_msk_backing", out).unpersist()`` when done; otherwise
+    Spark's ContextCleaner frees it on GC.
     """
     if isinstance(metric, str):
         metric = get_metric(metric)
