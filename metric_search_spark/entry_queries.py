@@ -449,6 +449,52 @@ FROM events
 """
 
 
+# ------------------------------------------------- oracle hand-off plumbing
+#
+# Pattern (VERDICT r2 item 1): for operators whose hash family / index state
+# DuckDB cannot recompute (the engine's xxhash64 minhash seeds, the LSH
+# hyperplanes, the synth generator), the QUERY writes the minimal
+# deterministic columns to a hand-off parquet and the oracle SQL
+# independently recomputes the downstream pipeline (banding, join, verify,
+# rank) from them. The hand-off is a projection of the engine's own
+# intermediate state — the oracle then hard-checks everything built on top.
+#
+# Path discipline: ONE template for writer and reader (VERDICT r2 item 9 —
+# the flagship's two sites previously coupled through a duplicated formatted
+# string). Literal /tmp, NOT tempfile.gettempdir(): the oracle SQL string
+# embeds the exact path, and a TMPDIR override in the runner would silently
+# split the writer and the reader. Files are keyed by (name, scale key)
+# because same-row-count tables DIFFER across sf dirs; the query ALWAYS
+# rewrites atomically before returning (ADVICE r2: an exists-check would
+# silently trust a stale or foreign file), so the driver's query→oracle
+# sequence reads exactly what the query just wrote.
+
+_HANDOFF_PATH_TMPL = "/tmp/msk_{name}_handoff_{key}.parquet"
+
+
+def _handoff_path(name: str, key) -> str:
+    return _HANDOFF_PATH_TMPL.format(name=name, key=key)
+
+
+def _sf_tag(sf_dir: str) -> str:
+    m = re.search(r"sf[0-9.]+", sf_dir)
+    return m.group(0) if m else "sfX"
+
+
+def _write_handoff(pdf, path: str) -> str:
+    """Atomic overwrite (tmp + rename): concurrent readers see the old or the
+    new complete file, never a partial one."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 # ----------------------------------------------------------- image flagship
 
 
@@ -458,29 +504,15 @@ def _flagship_oracle_parquet(n: int, seed: int = 42) -> str:
     oracle instead of a rows-only check. Content is exactly what
     sources.synth.spark_images generates (same counter-based lite generator,
     chunking-independent), so the hand-off is a projection of the engine's
-    input, not a second data source. Atomic write (tmp + rename) so concurrent
-    query runs can't observe a partial file."""
-    import os
-
+    input, not a second data source."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from metric_search_spark.sources.synth import lite_rows_for_ids
 
-    # literal /tmp, NOT tempfile.gettempdir(): the oracle SQL string embeds
-    # this exact path, and a TMPDIR override in the runner would silently
-    # split the writer and the reader
-    path = f"/tmp/msk_flagship_oracle_{n}_{seed}.parquet"
-    if os.path.exists(path):
-        return path
     pdf = lite_rows_for_ids(np.arange(n, dtype=np.uint64), seed)[
         ["image_id", "phash"]
     ]
-    tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
-    os.replace(tmp, path)
-    return path
+    return _write_handoff(pdf, _handoff_path("flagship_oracle", f"{n}_{seed}"))
 
 
 def q_flagship_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

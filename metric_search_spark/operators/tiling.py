@@ -111,39 +111,48 @@ def cluster_quota(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    # per-partition counts → rank offsets (numPartitions rows on the driver)
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
-        "_pid int, _off long",
-    )
-
-    def local_rank(batches):
-        import pandas as pd  # noqa: F401
-
-        seen = 0  # rows are already sorted within the partition
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_lrn"] = range(seen + 1, seen + 1 + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    id_type = parted.schema["id"].dataType.simpleString()
-    ranked = (
-        parted.mapInPandas(
-            local_rank, schema=f"id {id_type}, dist double, _pid int, _lrn long"
+    try:
+        # per-partition counts → rank offsets (numPartitions rows on driver)
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+            "_pid int, _off long",
         )
-        .join(F.broadcast(off_df), "_pid")
-        .select("id", "dist", (F.col("_off") + F.col("_lrn")).alias("rn"))
-        .where(F.col("rn") <= (bounds[-1] if bounds else 0))
-    )
+
+        def local_rank(batches):
+            import pandas as pd  # noqa: F401
+
+            seen = 0  # rows are already sorted within the partition
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["_lrn"] = range(seen + 1, seen + 1 + len(pdf))
+                seen += len(pdf)
+                yield pdf
+
+        id_type = parted.schema["id"].dataType.simpleString()
+        pre = (
+            parted.mapInPandas(
+                local_rank, schema=f"id {id_type}, dist double, _pid int, _lrn long"
+            )
+            .join(F.broadcast(off_df), "_pid")
+            .select("id", "dist", (F.col("_off") + F.col("_lrn")).alias("rn"))
+            .where(F.col("rn") <= (bounds[-1] if bounds else 0))
+        )
+        # localCheckpoint materializes the ranked rows NOW, so parted can be
+        # released in the finally below instead of leaking a cached DataFrame
+        # per call — which Spark's CacheManager would silently substitute into
+        # any later identical plan, the exact bench-honesty hazard bench.py
+        # guards against (ADVICE r2, medium).
+        ranked = pre.localCheckpoint(eager=True)
+    finally:
+        parted.unpersist()
     bucket = F.lit(None).cast("long")
     # build CASE from the last boundary down so the first match wins
     expr = None
@@ -153,7 +162,12 @@ def cluster_quota(
         expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
         prev = b
     bucket = expr.cast("long") if expr is not None else bucket
-    return ranked.select("id", "dist", bucket.alias(bucket_col))
+    out = ranked.select("id", "dist", bucket.alias(bucket_col))
+    # plan-pin handle: the checkpointed result's plan is just an RDD scan, so
+    # tests inspect the pre-checkpoint ranking plan through this attribute
+    # (same convention as joins.knn_join._msk_backing)
+    out._msk_plan = pre  # type: ignore[attr-defined]
+    return out
 
 
 def cluster_quota_sql(

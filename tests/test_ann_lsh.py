@@ -57,3 +57,25 @@ def test_ivf_recall_and_exactness(spark):
     part2 = ivf_topk(emb, emb, k=5, n_lists=8, n_probe=3, seed=11).toPandas()
     got_part2 = {(q, n) for q, n in zip(part2["query_id"], part2["neighbor_id"])}
     assert got_part == got_part2  # deterministic per seed
+
+
+def test_lsh_candidate_dedup_carries_ids_only(spark):
+    """VERDICT r2 item 4: the candidate-dedup exchange must shuffle
+    (query_id, neighbor_id) pairs only — vectors re-join AFTER the distinct,
+    so no HashAggregate/Exchange group key includes a _v_* column."""
+    import re
+
+    from metric_search_spark.plans.inspect import explain_text
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    out = cosine_topk_lsh(emb, emb, k=5, n_bits=16, bands=8)
+    txt = explain_text(out)
+    # every aggregate key list in the plan (the distinct) must be id-only
+    for m in re.finditer(r"Keys \[\d+\]: \[([^\]]*)\]", txt):
+        assert "_v_" not in m.group(1), m.group(1)
+    # and no hash exchange partitions on a vector column
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
+        assert "_v_" not in m.group(1), m.group(1)

@@ -62,7 +62,16 @@ def test_cluster_quota_no_single_partition_sort(spark):
     )
     center = df.orderBy("id").first()["vec"]
     out = cluster_quota(df, (0.2, 0.6), center)
-    assert not has_single_partition_exchange(out)
+    # the result is checkpointed (so the operator can release its internal
+    # cache — ADVICE r2); the ranking machinery's plan is exposed via
+    # _msk_plan for exactly this pin
+    plan_df = getattr(out, "_msk_plan", out)
+    assert not has_single_partition_exchange(plan_df)
+    # the range partition is real (it sits inside the InMemoryRelation /
+    # checkpoint boundary, so look at the raw plan text)
+    from metric_search_spark.plans.inspect import explain_text
+
+    assert "rangepartitioning" in explain_text(plan_df)
 
 
 def test_edit_join_no_nested_loop(spark):
