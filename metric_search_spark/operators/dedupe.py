@@ -29,9 +29,11 @@ __all__ = [
     "dedup_exact",
     "minhash_signature_col",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_from_sig",
     "simhash_col",
     "simhash_col_expr",
     "simhash_pairs",
+    "simhash_pairs_from_sig",
     "ngram_jaccard_pairs",
     "threshold_filter",
 ]
@@ -89,13 +91,43 @@ def minhash_lsh_pairs(
     groupBy band-key equi-join (the only shuffle) → distinct pairs → exact
     verify on the joined shingle sets.
     """
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes
     sig = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("_text"),
-        minhash_signature_col(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+        minhash_signature_col(F.col(text_col), num_hashes, shingle_n).alias("sig"),
     )
+    return minhash_lsh_pairs_from_sig(
+        sig,
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        verify_threshold=verify_threshold,
+    )
+
+
+def minhash_lsh_pairs_from_sig(
+    sig: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Banding + candidate join + exact-Jaccard verify over PRECOMPUTED
+    minhash signatures ``sig`` = (id, sig array<long>). Split out of
+    minhash_lsh_pairs so a correctness hand-off (signatures written to
+    parquet, read back by both engines) exercises exactly this pipeline —
+    an independent oracle can recompute banding and verification from the
+    signatures even though it cannot reproduce the engine's xxhash64
+    family. Band key: xxhash64 over each band's signature slots (equality
+    ≡ slot-tuple equality modulo a ~2⁻⁶⁴ hash collision)."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
     banded = sig.select(
         "id",
         F.explode(
@@ -105,7 +137,7 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.element_at("_sig", b * rows_per_band + j + 1)
+                                F.element_at("sig", b * rows_per_band + j + 1)
                                 for j in range(rows_per_band)
                             ]
                         ).alias("sig"),
@@ -125,7 +157,7 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return pairs.withColumn("jaccard", F.lit(None).cast("double"))
-    sh = df.select(
+    sh = docs.select(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), shingle_n).alias("sh"),
     )
@@ -230,11 +262,24 @@ def simhash_pairs(
     generation: split the 64-bit hash into ``bands`` segments — any pair
     within Hamming t < bands must agree on ≥1 full segment (pigeonhole) —
     equi-join per segment, then exact bit_count verify."""
-    assert max_hamming < bands
-    seg_bits = 64 // bands
     sh = df.select(
         F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh")
     )
+    return simhash_pairs_from_sig(sh, max_hamming=max_hamming, bands=bands)
+
+
+def simhash_pairs_from_sig(
+    sh: DataFrame, *, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Banding + Hamming verify over PRECOMPUTED 64-bit simhashes
+    ``sh`` = (id, sh long). Split out of simhash_pairs so a correctness
+    hand-off (simhashes written to parquet, read back by both engines)
+    exercises exactly this pipeline: an independent oracle recomputes the
+    band segments ((sh >> 8b) & mask), the segment equi-join, and the
+    bit_count(xor) verify from the signatures, even though it cannot
+    reproduce the engine's token-hash family."""
+    assert max_hamming < bands
+    seg_bits = 64 // bands
     banded = sh.select(
         "id",
         "sh",
@@ -254,7 +299,9 @@ def simhash_pairs(
     ).select("id", "sh", "bk.band", "bk.seg")
     a = banded.toDF("id_a", "sh_a", "band", "seg")
     b = banded.toDF("id_b", "sh_b", "band", "seg")
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # long, not int: the DuckDB oracle's bit_count casts to BIGINT, and the
+    # driver's schema compare is dtype-sensitive
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (
         a.join(b, ["band", "seg"])
         .where(F.col("id_a") < F.col("id_b"))

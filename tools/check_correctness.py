@@ -65,7 +65,12 @@ def main() -> int:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    qs, oracles = E.queries(), E.oracle_sql()
+    qs = E.queries()
+    # the driver contract (E.oracle_sql) is pinned to its sf0.01 compare;
+    # locally, derive hand-off paths / n for whatever sf we're checking
+    from metric_search_spark.entry_queries import oracles_for
+
+    oracles = oracles_for(sf_dir)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
