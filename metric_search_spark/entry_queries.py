@@ -1041,6 +1041,87 @@ SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS rnk FROM (
 """
 
 
+def q_knn_after_delete_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutation-path driver query (VERDICT r2 item 2) — exercises the FULL
+    LSM write path end-to-end, mirroring the reference's hardest erase
+    sequences (tests/test_api.cpp:67-90) at table level:
+
+      build_index → append_delta (inserts) → delete_ids (tombstones)
+        → knn_probe_live  [phase='live': base trees ⊕ delta − tombstones]
+      → compact_index (cell-scoped rebuild + delta clear + GC)
+        → knn_probe_live  [phase='compacted': pure rebuilt base]
+
+    Both phases must produce the SAME exact kNN over the mutated point set;
+    the oracle recomputes it as a window kNN over (embeddings − deleted)
+    ∪ inserted, duplicated per phase. Mutations are deterministic SQL-
+    expressible rules: delete vec_id%10==3; insert (vec_id+1000000,
+    1−x, 1−y) for vec_id%7==2. The 'live' probe is materialized via
+    localCheckpoint BEFORE compaction rewrites the index directories —
+    lazy evaluation would otherwise scan post-compaction files."""
+    import shutil
+
+    from metric_search_spark.sources.index import build_index
+    from metric_search_spark.streaming.incremental import (
+        append_delta,
+        compact_index,
+        delete_ids,
+        knn_probe_live,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pts = emb.select("id", "x", "y")
+    path = f"/tmp/msk_mut_index_{_sf_tag(sf_dir)}"
+    shutil.rmtree(path, ignore_errors=True)
+    build_index(pts, path, res=3, batches=4)
+
+    inserts = pts.where(F.col("id") % 7 == 2).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        (F.lit(1.0) - F.col("x")).alias("x"),
+        (F.lit(1.0) - F.col("y")).alias("y"),
+    )
+    append_delta(inserts, path)
+    delete_ids(pts.where(F.col("id") % 10 == 3).select("id"), path)
+
+    live = knn_probe_live(pts, path, k=5).select(
+        F.lit("live").alias("phase"),
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+    ).localCheckpoint(eager=True)
+
+    compact_index(spark, path)
+    compacted = knn_probe_live(pts, path, k=5).select(
+        F.lit("compacted").alias("phase"),
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+    )
+    return live.unionByName(compacted)
+
+
+O_KNN_AFTER_DELETE = f"""
+WITH pts AS (
+  SELECT vec_id AS id, {_EMB_X} AS x, {_EMB_Y} AS y FROM embeddings
+), eff AS (
+  SELECT id, x, y FROM pts WHERE id % 10 <> 3
+  UNION ALL
+  SELECT id + 1000000 AS id, 1.0 - x AS x, 1.0 - y AS y
+  FROM pts WHERE id % 7 = 2
+), knn AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT q.id AS query_id, e.id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.id
+             ORDER BY sqrt((q.x - e.x) * (q.x - e.x)
+                         + (q.y - e.y) * (q.y - e.y)), e.id) AS rnk
+    FROM pts q CROSS JOIN eff e
+  ) WHERE rnk <= 5
+)
+SELECT ph.phase, k.query_id, k.neighbor_id, CAST(k.rnk AS BIGINT) AS rnk
+FROM knn k CROSS JOIN (VALUES ('live'), ('compacted')) ph(phase)
+"""
+
+
 def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH cosine ANN (scale path; approximate by design →
     rows-only; recall vs the exact top-k is asserted in tests)."""
@@ -1083,6 +1164,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twed_events": q_twed_events,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
+    "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
 }
 
 # oracles whose SQL is scale-independent (they read the driver's
@@ -1108,6 +1190,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "cosine_neardup_embeddings": O_COSINE_NEARDUP,
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,
+    "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     # rows-only BY DESIGN (each has a real pytest oracle instead):
     #   images_payload_verify — engine-generated binary payloads; PSNR/
     #     round-trip bounds asserted in tests/test_pip_image.py

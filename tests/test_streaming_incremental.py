@@ -125,6 +125,56 @@ def test_compaction_commit_point_and_idempotent_reapply(spark, tmp_path):
         assert list(grp["neighbor_id"]) == want[int(qid)], qid
 
 
+def test_hot_cell_delete_burst_local_overfetch(spark, tmp_path):
+    """VERDICT r2 item 6: a delete burst concentrated in one hot cell must
+    not inflate every probe's base fetch — probes whose ring-1 contains no
+    tombstoned cell fetch exactly k (bucket 0), only probes near the burst
+    pay, and answers stay exact vs brute force."""
+    from metric_search_spark.streaming import incremental
+
+    rng = np.random.default_rng(44)
+    n_hot, n_far = 100, 200
+    hot = pd.DataFrame(
+        {
+            "id": np.arange(n_hot),
+            # entirely inside cell (0,0) of the res=2 grid (cells are 0.25)
+            "x": 0.02 + 0.2 * rng.random(n_hot),
+            "y": 0.02 + 0.2 * rng.random(n_hot),
+        }
+    )
+    far = pd.DataFrame(
+        {
+            "id": np.arange(1000, 1000 + n_far),
+            # right half of the unit square, > one full cell away from hot
+            "x": 0.55 + 0.43 * rng.random(n_far),
+            "y": rng.random(n_far),
+        }
+    )
+    pdf = pd.concat([hot, far]).reset_index(drop=True)
+    path = str(tmp_path / "idx_burst")
+    build_index(spark.createDataFrame(pdf), path, res=2, batches=2)
+
+    # the burst: tombstone 80 of the 100 hot-cell rows
+    dead_ids = hot["id"].iloc[:80]
+    delete_ids(spark.createDataFrame(pd.DataFrame({"id": dead_ids})), path)
+
+    effective = pdf[~pdf["id"].isin(set(dead_ids))].reset_index(drop=True)
+    probes = pd.concat(
+        [far.sample(30, random_state=7), hot.iloc[90:]]  # 30 far + 10 hot live
+    ).reset_index(drop=True)
+    want = _brute(effective, probes, 5)
+    got = knn_probe_live(spark.createDataFrame(probes), path, k=5).toPandas()
+    for qid, grp in got.sort_values(["query_id", "rank"]).groupby("query_id"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], qid
+
+    # fetch-pressure pin: every far probe sat in bucket 0 (fetched exactly
+    # k); only the probes whose ring-1 touches the hot cell over-fetched
+    hist0 = incremental.LAST_FETCH_BUCKETS[0]
+    assert hist0.get(0, 0) >= 30, hist0
+    assert sum(hist0.values()) == len(probes)
+    assert all(b <= 80 for b in hist0), hist0  # pow2 bucket capped at n_dead
+
+
 def test_probe_rejects_non_l2_metric_index(spark, tmp_path):
     """ADVICE r1 (low): the stored-index probe must refuse an index whose
     metric can't back the L2 ring guarantee instead of silently returning
