@@ -1123,13 +1123,57 @@ FROM knn k CROSS JOIN (VALUES ('live'), ('compacted')) ph(phase)
 
 
 def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH cosine ANN (scale path; approximate by design →
-    rows-only; recall vs the exact top-k is asserted in tests)."""
-    from metric_search_spark.operators.ann import cosine_topk_lsh
+    """Random-hyperplane LSH cosine ANN with a signature hand-off oracle
+    (see q_minhash_lsh_documents): the hyperplane family is engine-
+    specific, so the query writes the (id, band, sig) band signatures to
+    a hand-off parquet and computes its own result from that file; the
+    oracle independently recomputes the band equi-join, the id-only
+    candidate dedup, and the exact cosine rerank (from the embeddings
+    view) in DuckDB. Approximation error of LSH itself is separately
+    bounded by the recall test in tests/test_ann_lsh.py."""
+    from metric_search_spark.operators.ann import (
+        cosine_topk_lsh_from_sigs,
+        lsh_band_signatures,
+    )
 
     emb = _emb(spark, sf_dir)
-    out = cosine_topk_lsh(emb, emb, k=5, n_bits=16, bands=8)
+    sigs = lsh_band_signatures(emb, n_bits=16, bands=8, seed=7)
+    path = _write_handoff(
+        sigs.toPandas(), _handoff_path("annlsh", _sf_tag(sf_dir))
+    )
+    handed = spark.read.parquet(path)
+    out = cosine_topk_lsh_from_sigs(
+        handed.toDF("query_id", "band", "sig"),
+        handed.toDF("neighbor_id", "band", "sig"),
+        emb,
+        emb,
+        k=5,
+    )
     return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def _o_ann_lsh_sql(sf_tag: str) -> str:
+    path = _handoff_path("annlsh", sf_tag)
+    return f"""
+WITH sig AS (
+  SELECT id, band, sig FROM read_parquet('{path}')
+), cand AS (
+  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {cosine_sim_sql("ea.embedding", "eb.embedding")} AS score
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.query_id
+  JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r
+  FROM scored
+) WHERE r <= 5
+"""
 
 
 # ------------------------------------------------------------------ registry
@@ -1199,8 +1243,6 @@ _STATIC_ORACLES: dict[str, str] = {
     #   twed_events — O(mn) dynamic program; textbook-DP oracle in pytest
     #   ssim_images — windowed image statistic incl. the reference's
     #     size_t-underflow quirk; golden-window pytest oracle
-    #   ann_lsh_embeddings — approximate by design (random-hyperplane
-    #     LSH); recall-vs-exact bound asserted in tests/test_ann_lsh.py
 }
 
 # langid IS SQL-expressible — register its twin
@@ -1223,6 +1265,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["flagship_images_knn"] = _o_flagship_sql(images_n_for_sf(sf_dir))
     oracles["minhash_lsh_documents"] = _o_minhash_sql(tag)
     oracles["simhash_documents"] = _o_simhash_sql(tag)
+    oracles["ann_lsh_embeddings"] = _o_ann_lsh_sql(tag)
     return oracles
 
 

@@ -26,6 +26,8 @@ __all__ = [
     "cosine_topk",
     "l2_topk",
     "cosine_topk_lsh",
+    "cosine_topk_lsh_from_sigs",
+    "lsh_band_signatures",
     "cosine_neardup_pairs",
     "ivf_topk",
 ]
@@ -337,49 +339,100 @@ def cosine_topk_lsh(
     vector is re-joined ONCE after dedup — a duplicated candidate never moves
     its 2×dim doubles through the dedup exchange (pinned in
     tests/test_ann_lsh.py via plans.inspect)."""
-    from pyspark.sql import Window
-
-    planes = _hyperplanes(
-        len(build.select(vec_col).first()[0]), n_bits, seed
+    dim = len(build.select(vec_col).first()[0])
+    a = lsh_band_signatures(
+        probes,
+        id_col=probe_id_col or id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_bits=n_bits,
+        bands=bands,
+        seed=seed,
+    ).toDF("query_id", "band", "sig")
+    b = lsh_band_signatures(
+        build, id_col=id_col, vec_col=vec_col, dim=dim, n_bits=n_bits,
+        bands=bands, seed=seed,
+    ).toDF("neighbor_id", "band", "sig")
+    return cosine_topk_lsh_from_sigs(
+        a, b, probes, build, k=k,
+        id_col=id_col, vec_col=vec_col, probe_id_col=probe_id_col,
     )
+
+
+def lsh_band_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    dim: int | None = None,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, band, sig) rows: the sign-bit band signatures of each vector
+    under the deterministic hyperplane family. Split out of
+    cosine_topk_lsh so a correctness hand-off (signatures written to
+    parquet, read back by both engines) exercises the candidate-join +
+    rerank pipeline: an independent oracle recomputes the band equi-join
+    and the exact cosine top-k from the signatures even though it cannot
+    reproduce the hyperplane family."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits, seed)
     seg = n_bits // bands
     assert seg * bands == n_bits
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        (dot_col(v, F.array(*[F.lit(c) for c in plane])) > 0).cast("int")
+        for plane in planes
+    ]
+    out = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.concat_ws(
+                "", *[b.cast("string") for b in bits[band * seg : (band + 1) * seg]]
+            ).alias(f"_band{band}")
+            for band in range(bands)
+        ],
+    )
+    return out.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.col(f"_band{band}").alias("sig"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.sig")
 
-    def sig_cols(df: DataFrame, ident: str) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
-        bits = [
-            (dot_col(v, F.array(*[F.lit(c) for c in plane])) > 0).cast("int")
-            for plane in planes
-        ]
-        out = df.select(
-            F.col(probe_id_col or id_col if ident == "query_id" else id_col).alias(
-                ident
-            ),
-            *[
-                F.concat_ws(
-                    "", *[b.cast("string") for b in bits[band * seg : (band + 1) * seg]]
-                ).alias(f"_band{band}")
-                for band in range(bands)
-            ],
-        )
-        return out.select(
-            ident,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(band).alias("band"),
-                            F.col(f"_band{band}").alias("sig"),
-                        )
-                        for band in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(ident, "bk.band", "bk.sig")
 
-    a = sig_cols(probes, "query_id")
-    b = sig_cols(build, "neighbor_id")
-    cand = a.join(b, ["band", "sig"]).select("query_id", "neighbor_id").distinct()
+def cosine_topk_lsh_from_sigs(
+    sig_probes: DataFrame,
+    sig_build: DataFrame,
+    probes: DataFrame,
+    build: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    probe_id_col: str | None = None,
+) -> DataFrame:
+    """Candidate join + exact cosine rerank over PRECOMPUTED band
+    signatures: sig_probes = (query_id, band, sig), sig_build =
+    (neighbor_id, band, sig); vectors re-join from probes/build AFTER the
+    id-only candidate dedup."""
+    from pyspark.sql import Window
+
+    cand = (
+        sig_probes.join(sig_build, ["band", "sig"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     va = probes.select(
         F.col(probe_id_col or id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_v_query_id"),
