@@ -57,13 +57,21 @@ def main() -> None:
     # warm-up: spin up the Python worker pool, compile codegen, and JIT the
     # numpy/shuffle paths at the REAL shape (a real cluster amortizes this
     # once per executor lifetime; the baseline metric is steady-state).
-    # Full-size, not a 100k sample: an undersized warm-up leaves the first
-    # timed run paying residual compilation/allocator growth, which showed
-    # up as a monotone 11.6→7.9→6.7s decline across "steady" runs
+    # Default full-size, not a 100k sample: an undersized warm-up leaves the
+    # first timed run paying residual compilation/allocator growth, which
+    # showed up as a monotone 11.6→7.9→6.7s decline across "steady" runs
     # (VERDICT r2 item 7 — the spread must measure jitter, not warm-up).
+    # SPARK_GRAFT_BENCH_WARMUP_IMAGES overrides (tools/executor_scaling.py
+    # pins 100k to keep its protocol identical to the r2 artifacts).
+    warm_n = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_IMAGES", "0")) or n
     t0 = time.time()
-    wres = knn_join(tbl, tbl, k=10, vec_col=None)
+    warm = tbl.limit(min(n, warm_n)).persist() if warm_n < n else tbl
+    if warm is not tbl:
+        warm.count()
+    wres = knn_join(warm, warm, k=10, vec_col=None)
     wres.count()
+    if warm is not tbl:
+        warm.unpersist()
     # see below — no cached plan may survive into a timed run
     getattr(wres, "_msk_backing", wres).unpersist()
     # drain warm-up garbage (both heaps) so the first timed run doesn't pay
