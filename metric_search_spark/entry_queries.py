@@ -958,38 +958,179 @@ def q_twed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of the TWED dynamic program (fully independent — recomputes
+# the whole DP from the raw events view, no hand-off). The engine's
+# sequential inner recurrence Di[j] = min(Di[j-1] + c2step[j], m13[j])
+# unrolls to a prefix form: with P[j] = Σ_{t<=j} c2step[t] (c2step[1] = 0),
+# Di[j] = P[j] + min_{k<=j}(m13[k] − P[k]) where m13[1] := Di[1] — so one
+# list_transform + list_min per DP row replaces the scan, and the recursive
+# CTE carries each user's current DP row as a list column, one iteration
+# per element of the user's series. Timestamps are element indices
+# (TWED.cpp:10-76 dense path), ν = 1, λ = 0, matching core.metrics.TWED
+# defaults; both sides round to 6 (event values have 2 decimals, so exact
+# TWED values are multiples of 0.01 — far from any 1e-6 rounding boundary).
+O_TWED_EVENTS = """
+WITH RECURSIVE
+series AS (
+  SELECT user_id, list_slice(list(value ORDER BY event_id), 1, 32) AS a
+  FROM events GROUP BY user_id
+),
+anchor AS (
+  SELECT b, list_transform(range(1, len(b) + 1), j ->
+           coalesce(list_sum(list_transform(range(2, j + 1),
+                    t -> abs(b[t-1] - b[t]) + 1.0)), 0.0)) AS p
+  FROM (SELECT a AS b FROM series ORDER BY user_id LIMIT 1)
+),
+dp AS (
+  SELECT s.user_id, s.a, 1 AS i,
+         list_transform(range(1, len(an.b) + 1),
+                        j -> abs(s.a[1] - an.b[1]) + an.p[j]) AS d
+  FROM series s, anchor an
+  UNION ALL
+  SELECT user_id, a, i + 1,
+         list_transform(range(1, nb + 1),
+                        j -> p[j] + list_min(list_slice(mm, 1, j))) AS d
+  FROM (
+    SELECT user_id, a, i, p, nb,
+           list_transform(range(1, nb + 1), k -> (CASE WHEN k = 1
+             THEN d[1] + c1
+             ELSE least(d[k] + c1,
+                        d[k-1] + abs(a[i+1] - b[k]) + abs(a[i] - b[k-1])
+                              + 2.0 * abs(CAST(i + 1 - k AS DOUBLE)))
+             END) - p[k]) AS mm
+    FROM (
+      SELECT dp.user_id, dp.a, dp.i, dp.d, an.b, an.p, len(an.b) AS nb,
+             abs(dp.a[dp.i] - dp.a[dp.i+1]) + 1.0 AS c1
+      FROM dp, anchor an
+      WHERE dp.i < len(dp.a)
+    )
+  )
+)
+SELECT user_id, round(d[len(a)], 6) AS twed
+FROM dp WHERE i = len(a)
+"""
+
+
 def q_ssim_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSIM distance (reference SSIM.cpp:57-169, incl. the size_t-underflow
     gaussian-window quirk) between same-size image pairs of the full
-    procedural table; decode + windowed SSIM run in the Arrow kernel."""
+    procedural table, with a decoded-pixels hand-off oracle: decode (the
+    engine-specific part DuckDB can't do) lands in a hand-off parquet of
+    flattened grayscale doubles; the query computes its own result FROM
+    that file, and the oracle (_o_ssim_sql) independently recomputes the
+    quirked gaussian window AND the full windowed SSIM algebra in SQL."""
     import pandas as pd
 
-    from metric_search_spark.sources.synth import generate_rows
+    from metric_search_spark.sources.synth import decode_image, generate_rows
 
-    rows = generate_rows(48, seed=42)
-    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
-    df = spark.createDataFrame(pdf)
-    a = df.toDF("id_a", "bytes_a", "w", "h", "fmt_a")
-    b = df.toDF("id_b", "bytes_b", "w", "h", "fmt_b")
+    rows = generate_rows(_SSIM_N, seed=_SSIM_SEED)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [r["image_id"] for r in rows],
+            "w": [r["w"] for r in rows],
+            "h": [r["h"] for r in rows],
+            "px": [
+                decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                .mean(axis=2)
+                .ravel()
+                .tolist()
+                for r in rows
+            ],
+        }
+    )
+    path = _write_handoff(pdf, _handoff_path("ssim", f"{_SSIM_N}_{_SSIM_SEED}"))
+    df = spark.read.parquet(path)
+    a = df.toDF("id_a", "w", "h", "px_a")
+    b = df.toDF("id_b", "w", "h", "px_b")
     pairs = a.join(b, ["w", "h"]).where(F.col("id_a") < F.col("id_b"))
 
     def fn(batches):
+        import numpy as np
+
         from metric_search_spark.core.metrics import SSIM
-        from metric_search_spark.sources.synth import decode_image
 
         ssim = SSIM()
         for p in batches:
             vals = []
-            for ba, bb, w, h, fa, fb in zip(
-                p["bytes_a"], p["bytes_b"], p["w"], p["h"], p["fmt_a"], p["fmt_b"]
-            ):
-                ia = decode_image(ba, int(w), int(h), str(fa)).mean(axis=2)
-                ib = decode_image(bb, int(w), int(h), str(fb)).mean(axis=2)
+            for pa, pb, w, h in zip(p["px_a"], p["px_b"], p["w"], p["h"]):
+                ia = np.asarray(pa, dtype=np.float64).reshape(int(h), int(w))
+                ib = np.asarray(pb, dtype=np.float64).reshape(int(h), int(w))
                 vals.append(round(ssim.one(ia, ib), 6))
             p["ssim"] = vals
             yield p[["id_a", "id_b", "ssim"]]
 
     return pairs.mapInPandas(fn, schema="id_a string, id_b string, ssim double")
+
+
+_SSIM_N, _SSIM_SEED = 48, 42
+
+
+def _o_ssim_sql() -> str:
+    """DuckDB twin of the windowed SSIM over the decoded-pixels hand-off.
+
+    The gaussian window is recomputed from scratch in SQL, INCLUDING the
+    reference's size_t-underflow quirk (SSIM.cpp:57-72; core/metrics.py
+    _ssim_gauss): for tap offsets u < 5 the unsigned (u − 5) wraps to ~1.8e19,
+    so exp(−huge) = 0 — expressed here as a CASE, then normalized over all
+    121 taps (the zero taps contribute nothing to the sum, so filtering them
+    from the join is exact). Per window center: weighted moments via a
+    tap-join + GROUP BY, then the two-term SSIM map and the reference's
+    sqrt(max(2 − S1 − S2, 0)) distance, averaged over the (h−10)×(w−10)
+    valid centers. Both sides round to 6; cross-engine FP drift is ~1e-13
+    on O(1) values."""
+    path = _handoff_path("ssim", f"{_SSIM_N}_{_SSIM_SEED}")
+    c1 = "6.5025"  # (0.01 * 255)^2
+    c2 = "58.5225"  # (0.03 * 255)^2
+    return f"""
+WITH imgs AS (
+  SELECT image_id, w, h, px FROM read_parquet('{path}')
+), g0 AS (
+  SELECT ux.u AS dx, uy.u AS dy,
+         CASE WHEN ux.u < 5 OR uy.u < 5 THEN 0.0
+              ELSE exp(-(CAST((ux.u-5)*(ux.u-5) + (uy.u-5)*(uy.u-5) AS DOUBLE)
+                         / 2.25)) END AS gw
+  FROM range(0, 11) ux(u), range(0, 11) uy(u)
+), g AS (
+  SELECT dx, dy, gw / (SELECT sum(gw) FROM g0) AS gw FROM g0 WHERE gw > 0
+), px AS (
+  SELECT image_id, w, h,
+         unnest(px) AS v,
+         unnest(range(0, w * h)) AS i
+  FROM imgs
+), pos AS (
+  SELECT image_id, w, h, v, i // w AS y, i % w AS x FROM px
+), pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b, a.w, a.h
+  FROM imgs a JOIN imgs b
+    ON a.w = b.w AND a.h = b.h AND a.image_id < b.image_id
+), pp AS (
+  SELECT pr.id_a, pr.id_b, pr.w, pr.h, pa.y, pa.x, pa.v AS va, pb.v AS vb
+  FROM pairs pr
+  JOIN pos pa ON pa.image_id = pr.id_a
+  JOIN pos pb ON pb.image_id = pr.id_b AND pb.y = pa.y AND pb.x = pa.x
+), win AS (
+  SELECT id_a, id_b, w, h, pp.y - g.dy AS cy, pp.x - g.dx AS cx,
+         sum(gw * va) AS mu1, sum(gw * vb) AS mu2,
+         sum(gw * va * va) AS m11, sum(gw * vb * vb) AS m22,
+         sum(gw * va * vb) AS m12
+  FROM pp JOIN g ON pp.y - g.dy BETWEEN 0 AND pp.h - 11
+              AND pp.x - g.dx BETWEEN 0 AND pp.w - 11
+  GROUP BY id_a, id_b, w, h, cy, cx
+), ssim_map AS (
+  SELECT id_a, id_b, w, h,
+         (2.0 * mu1 * mu2 + {c1}) / (mu1 * mu1 + mu2 * mu2 + {c1}) AS s_l,
+         (2.0 * sqrt(greatest(m11 - mu1 * mu1, 0.0)
+                     * greatest(m22 - mu2 * mu2, 0.0)) + {c2})
+           / (greatest(m11 - mu1 * mu1, 0.0)
+              + greatest(m22 - mu2 * mu2, 0.0) + {c2}) AS s_c
+  FROM win
+)
+SELECT id_a, id_b,
+       round(sum(sqrt(greatest(2.0 - s_l - s_c, 0.0)))
+             / ((h - 10) * (w - 10)), 6) AS ssim
+FROM ssim_map
+GROUP BY id_a, id_b, w, h
+"""
 
 
 # τ = 0.42 sits in a wide gap of the pairwise-cosine distribution at sf0.01
@@ -1235,14 +1376,12 @@ _STATIC_ORACLES: dict[str, str] = {
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
+    "twed_events": O_TWED_EVENTS,
     # rows-only BY DESIGN (each has a real pytest oracle instead):
     #   images_payload_verify — engine-generated binary payloads; PSNR/
     #     round-trip bounds asserted in tests/test_pip_image.py
     #   index_level_histogram — per-cell cover-tree state, not
     #     SQL-expressible; level invariants pinned in pytest
-    #   twed_events — O(mn) dynamic program; textbook-DP oracle in pytest
-    #   ssim_images — windowed image statistic incl. the reference's
-    #     size_t-underflow quirk; golden-window pytest oracle
 }
 
 # langid IS SQL-expressible — register its twin
@@ -1266,6 +1405,10 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["minhash_lsh_documents"] = _o_minhash_sql(tag)
     oracles["simhash_documents"] = _o_simhash_sql(tag)
     oracles["ann_lsh_embeddings"] = _o_ann_lsh_sql(tag)
+    # ssim's hand-off is keyed by its fixed (n, seed) — the procedural
+    # image set is the same at every sf — so its SQL is scale-independent,
+    # but it belongs with the hand-off family (the query must run first)
+    oracles["ssim_images"] = _o_ssim_sql()
     return oracles
 
 
