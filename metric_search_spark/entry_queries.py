@@ -823,7 +823,7 @@ _PIP_POLYS = [
 ]
 
 
-def q_pip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pip_polys_df(spark: SparkSession) -> DataFrame:
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -832,9 +832,6 @@ def q_pip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from metric_search_spark.operators.pip import point_in_polygon_join
-
-    emb = _emb(spark, sf_dir)
     schema = StructType(
         [
             StructField("poly_id", StringType()),
@@ -848,11 +845,17 @@ def q_pip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
-    polys = spark.createDataFrame(
+    return spark.createDataFrame(
         [(pid, [{"x": x, "y": y} for x, y in ring]) for pid, ring in _PIP_POLYS],
         schema,
     )
-    out = point_in_polygon_join(emb, polys, res=3)
+
+
+def q_pip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_search_spark.operators.pip import point_in_polygon_join
+
+    emb = _emb(spark, sf_dir)
+    out = point_in_polygon_join(emb, _pip_polys_df(spark), res=3)
     return out.select(F.col("id").alias("vec_id"), "poly_id")
 
 
@@ -871,15 +874,148 @@ def _o_pip_sql() -> str:
 O_PIP = _o_pip_sql()
 
 
-def q_images_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row payload invariant (decoded pixels reproduce phash; PSNR bar
-    for lossy) over the image table — rows-only."""
-    from metric_search_spark.functions.image import verify_payloads
+_POLYFILL_RES = 5
 
-    out = verify_payloads(images_df(spark, sf_dir))
+
+def q_polyfill_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster polyfill (the other half of the north rule's
+    raster↔vector tile assignment): every res-5 Morton tile whose center
+    lies strictly inside a fixture polygon. Polygon-side only — pure Column
+    math (bbox cell enumeration + even-odd center test), output broadcastable
+    as the raster side of downstream joins."""
+    from metric_search_spark.operators.pip import polygon_tiles
+
+    return polygon_tiles(_pip_polys_df(spark), res=_POLYFILL_RES)
+
+
+def _o_polyfill_sql() -> str:
+    """DuckDB twin: enumerates the FULL 2^res × 2^res grid (no bbox pruning —
+    independently covers the engine's pruned enumeration), applies the same
+    even-odd center test, and Morton-encodes res<<56 | interleave(cx, cy)
+    via an explicit bit-sum."""
+    from metric_search_spark.operators.pip import pip_sql_condition
+
+    res = _POLYFILL_RES
+    n = 1 << res
+    s = 1.0 / n
+    parts = []
+    for pid, ring in _PIP_POLYS:
+        cond = pip_sql_condition(
+            f"((cx + 0.5) * {s!r})", f"((cy + 0.5) * {s!r})", ring
+        )
+        parts.append(
+            f"SELECT '{pid}' AS poly_id,"
+            f" {res * (1 << 56)} + CAST(list_sum(list_transform(range(0, {res}),"
+            f" k -> ((cx >> k) & 1) * (CAST(1 AS BIGINT) << (2*k))"
+            f" + ((cy >> k) & 1) * (CAST(1 AS BIGINT) << (2*k + 1)))) AS BIGINT)"
+            f" AS tile"
+            f" FROM (SELECT gx.i AS cx, gy.i AS cy"
+            f" FROM range(0, {n}) gx(i), range(0, {n}) gy(i))"
+            f" WHERE {cond}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+O_POLYFILL = _o_polyfill_sql()
+
+
+_IPV_N, _IPV_SEED = 2000, 42
+
+
+def q_images_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row payload invariant (decoded pixels reproduce phash; PSNR >= 40dB
+    for lossy) with a decoded-pixels hand-off oracle: the engine's decode +
+    original re-render (the codec-specific parts DuckDB can't do) land in a
+    hand-off parquet of integer pixel lists; Spark runs the REAL
+    verify_payloads kernel over the bytes table, and the oracle (_o_ipv_sql)
+    independently recomputes phash-from-pixels (channel means -> 31-bit
+    quantize -> Morton interleave, cells.py:56-97) and PSNR from the hand-off.
+    Integer pixel sums make the phash recompute bit-exact cross-engine.
+    Fixed (n, seed) like ssim_images: the counter-keyed generator makes rows
+    [0, n) identical at every sf."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import verify_payloads
+    from metric_search_spark.sources.synth import (
+        decode_image,
+        generate_rows,
+        render_original,
+    )
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    recs = []
+    for r in rows:
+        img = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+        orig = (
+            render_original(r["image_id"], r["w"], r["h"], seed=_IPV_SEED)
+            if r["fmt"] == "qnt"
+            else img
+        )
+        recs.append(
+            {
+                "image_id": r["image_id"],
+                "fmt": r["fmt"],
+                "phash": r["phash"],
+                "w": r["w"],
+                "h": r["h"],
+                "px": img.ravel().astype("int32").tolist(),
+                "px_o": orig.ravel().astype("int32").tolist(),
+            }
+        )
+    _write_handoff(
+        pd.DataFrame(recs), _handoff_path("ipv", f"{_IPV_N}_{_IPV_SEED}")
+    )
+
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt", "phash"]]
+    out = verify_payloads(spark.createDataFrame(pdf))
     return out.groupBy("fmt", "phash_ok").agg(
         F.count("*").alias("cnt"), (F.min("psnr_db") >= 40.0).alias("psnr_ok")
     )
+
+
+def _o_ipv_sql() -> str:
+    """DuckDB twin of the payload invariant over the decoded-pixels hand-off:
+    recomputes the stored phash from raw pixels — per-channel integer sums
+    (exact) -> mean/256 -> floor(x*2^31) quantize -> 62-bit Morton interleave
+    (x even bits, y odd; cells.interleave_bits) — and PSNR between decoded
+    and original pixel lists (10*log10(255^2/mse), 'infinity' when lossless
+    round-trip is exact), then the same (fmt, phash_ok) aggregate. Output is
+    counts + booleans, so the value hash carries no cross-engine FP risk."""
+    path = _handoff_path("ipv", f"{_IPV_N}_{_IPV_SEED}")
+    return f"""
+WITH imgs AS (
+  SELECT image_id, fmt, phash, w, h, px, px_o FROM read_parquet('{path}')
+), chan AS (
+  SELECT image_id, fmt, phash, px, px_o, len(px) AS n3,
+    list_sum(list_transform(range(1, w*h + 1), i -> px[3*i - 2]))::DOUBLE
+      / (w*h) / 256.0 AS sx,
+    list_sum(list_transform(range(1, w*h + 1), i -> px[3*i]))::DOUBLE
+      / (w*h) / 256.0 AS sy
+  FROM imgs
+), q AS (
+  SELECT *,
+    least(greatest(CAST(floor(sx * 2147483648.0) AS BIGINT), 0), 2147483647) AS qx,
+    least(greatest(CAST(floor(sy * 2147483648.0) AS BIGINT), 0), 2147483647) AS qy
+  FROM chan
+), ph AS (
+  SELECT fmt, phash, px, px_o, n3,
+    CAST(list_sum(list_transform(range(0, 31), k ->
+      ((qx >> k) & 1) * (CAST(1 AS BIGINT) << (2*k)) +
+      ((qy >> k) & 1) * (CAST(1 AS BIGINT) << (2*k + 1)))) AS BIGINT) AS phash_rec
+  FROM q
+), ps AS (
+  SELECT fmt, (phash_rec = phash) AS phash_ok,
+    list_sum(list_transform(range(1, n3 + 1),
+      i -> CAST(px[i] - px_o[i] AS BIGINT) * (px[i] - px_o[i]))) AS sqerr,
+    n3
+  FROM ph
+)
+SELECT fmt, phash_ok, count(*) AS cnt,
+  (min(CASE WHEN sqerr = 0 THEN 'infinity'::DOUBLE
+            ELSE 10.0 * log10(65025.0 / (sqerr::DOUBLE / n3)) END) >= 40.0
+  ) AS psnr_ok
+FROM ps GROUP BY fmt, phash_ok
+"""
 
 
 def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,6 +1480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
     "pip_embeddings": q_pip_embeddings,
+    "polyfill_tiles": q_polyfill_tiles,
     "images_payload_verify": q_images_payload_verify,
     "index_level_histogram": q_index_level_histogram,
     "twed_events": q_twed_events,
@@ -1375,11 +1512,10 @@ _STATIC_ORACLES: dict[str, str] = {
     "cosine_neardup_embeddings": O_COSINE_NEARDUP,
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,
+    "polyfill_tiles": O_POLYFILL,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "twed_events": O_TWED_EVENTS,
-    # rows-only BY DESIGN (each has a real pytest oracle instead):
-    #   images_payload_verify — engine-generated binary payloads; PSNR/
-    #     round-trip bounds asserted in tests/test_pip_image.py
+    # rows-only BY DESIGN (has a real pytest oracle instead):
     #   index_level_histogram — per-cell cover-tree state, not
     #     SQL-expressible; level invariants pinned in pytest
 }
@@ -1409,6 +1545,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     # image set is the same at every sf — so its SQL is scale-independent,
     # but it belongs with the hand-off family (the query must run first)
     oracles["ssim_images"] = _o_ssim_sql()
+    oracles["images_payload_verify"] = _o_ipv_sql()
     return oracles
 
 

@@ -127,7 +127,7 @@ def verify_payloads(df: DataFrame, seed: int = 42) -> DataFrame:
         decode_image as _dec,
         encode_image,
         phash_from_image,
-        render_image,
+        render_original,
     )
 
     def gen(batches: Iterator) -> Iterator:
@@ -141,14 +141,7 @@ def verify_payloads(df: DataFrame, seed: int = 42) -> DataFrame:
                 img = _decode_row(payload, int(w), int(h), str(fmt))
                 oks.append(phash_from_image(img) == int(ph))
                 if str(fmt) == "qnt":
-                    i = int(str(image_id)[3:])
-                    rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
-                    u, v = rng.uniform(0, 1, 2)
-                    rng.choice((16, 24, 32))  # consume w draw
-                    rng.choice((16, 24, 32))  # consume h draw
-                    n_blobs = int(rng.integers(1, 5))
-                    rng.integers(0, 8)  # palette draw
-                    original = render_image(rng, int(w), int(h), u, v, n_blobs)
+                    original = render_original(image_id, int(w), int(h), seed=seed)
                     psnrs.append(psnr(original, img))
                 else:
                     # lossless: decode(encode(decode)) must be identical

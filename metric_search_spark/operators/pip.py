@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from metric_search_spark.functions.spatial import cell_from_xy_col, spread_bits_col
 
-__all__ = ["point_in_polygon_join", "pip_condition_col", "pip_sql_condition"]
+__all__ = [
+    "point_in_polygon_join",
+    "polygon_tiles",
+    "pip_condition_col",
+    "pip_sql_condition",
+]
 
 
 def pip_condition_col(px: Column, py: Column, ring: Column) -> Column:
@@ -61,20 +66,13 @@ def pip_sql_condition(px: str, py: str, ring: list[tuple[float, float]]) -> str:
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
-def point_in_polygon_join(
-    points: DataFrame,
-    polygons: DataFrame,
-    *,
-    res: int = 4,
-    id_col: str = "id",
-    x_col: str = "x",
-    y_col: str = "y",
-    poly_id_col: str = "poly_id",
-    ring_col: str = "ring",
+def _bbox_cover(
+    polygons: DataFrame, res: int, poly_id_col: str, ring_col: str
 ) -> DataFrame:
-    """Returns (id, poly_id) for every point strictly inside a polygon.
-    Polygons are assumed few enough to broadcast (dims side of a spatial
-    star join); points scale arbitrarily."""
+    """(poly_id, _ring, _cx, _cy, _cell) for every res-cell in each polygon's
+    bounding box — the shared coarse stage of the pip join and the polyfill.
+    Pure Column math over the ring array; cells of different polygons may
+    repeat (the consumers join/filter per polygon)."""
     ring = F.col(ring_col)
     xs = F.transform(ring, lambda v: v["x"])
     ys = F.transform(ring, lambda v: v["y"])
@@ -89,7 +87,7 @@ def point_in_polygon_join(
     cy_min = clampg(F.floor(F.array_min(ys) / s))
     cy_max = clampg(F.floor(F.array_max(ys) / s))
 
-    cover = polygons.select(
+    return polygons.select(
         F.col(poly_id_col).alias("poly_id"),
         ring.alias("_ring"),
         F.explode(
@@ -98,14 +96,64 @@ def point_in_polygon_join(
                     F.sequence(cx_min, cx_max),
                     lambda cx: F.transform(
                         F.sequence(cy_min, cy_max),
-                        lambda cy: F.lit(res << 56)
-                        + spread_bits_col(cx).bitwiseOR(
-                            F.shiftleft(spread_bits_col(cy), 1)
-                        ),
+                        lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
                     ),
                 )
             )
+        ).alias("_g"),
+    ).select(
+        "poly_id",
+        "_ring",
+        F.col("_g.cx").alias("_cx"),
+        F.col("_g.cy").alias("_cy"),
+        (
+            F.lit(res << 56)
+            + spread_bits_col(F.col("_g.cx")).bitwiseOR(
+                F.shiftleft(spread_bits_col(F.col("_g.cy")), 1)
+            )
         ).alias("_cell"),
+    )
+
+
+def polygon_tiles(
+    polygons: DataFrame,
+    *,
+    res: int = 4,
+    poly_id_col: str = "poly_id",
+    ring_col: str = "ring",
+    out_col: str = "tile",
+) -> DataFrame:
+    """Vector→raster polyfill (H3-polyfill semantics over the Morton grid):
+    every tile at ``res`` whose CENTER is strictly inside the polygon.
+    Bbox cell enumeration + the same even-odd center test as the pip join —
+    pure Column math end-to-end, polygons-side only (no point table), so the
+    output is itself broadcastable as the raster side of downstream joins.
+    Tile keys match ``tiling.tile_assign`` / ``cell_from_xy_col`` exactly."""
+    s = 2.0 ** (-res)
+    cover = _bbox_cover(polygons, res, poly_id_col, ring_col)
+    ctr_x = (F.col("_cx") + 0.5) * s
+    ctr_y = (F.col("_cy") + 0.5) * s
+    return cover.where(pip_condition_col(ctr_x, ctr_y, F.col("_ring"))).select(
+        "poly_id", F.col("_cell").alias(out_col)
+    )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    *,
+    res: int = 4,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id_col: str = "poly_id",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Returns (id, poly_id) for every point strictly inside a polygon.
+    Polygons are assumed few enough to broadcast (dims side of a spatial
+    star join); points scale arbitrarily."""
+    cover = _bbox_cover(polygons, res, poly_id_col, ring_col).select(
+        "poly_id", "_ring", "_cell"
     )
 
     pts = points.select(

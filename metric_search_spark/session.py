@@ -24,6 +24,20 @@ def build_session(
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # Container-faithful core budget (opt-in): a real cluster executor runs
+    # in a cgroup, so JVM ergonomics (GC worker threads, JIT compiler
+    # threads, netty pools) size to ITS cores, not the host's. In local mode
+    # every JVM sees all host cores — e.g. ~23 GC threads per 2-core
+    # "executor" — and concurrent executor processes then storm the box with
+    # GC/JIT threads. SPARK_GRAFT_JVM_PROCS=N applies the same bound a
+    # container would (must land in SPARK_SUBMIT_OPTS before the gateway JVM
+    # launches; builder confs are too late for JVM flags).
+    procs = os.environ.get("SPARK_GRAFT_JVM_PROCS")
+    if procs:
+        flag = f"-XX:ActiveProcessorCount={int(procs)}"
+        opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+        if flag not in opts:
+            os.environ["SPARK_SUBMIT_OPTS"] = f"{opts} {flag}".strip()
     # one task = one core: numpy/BLAS inside Arrow workers must not spawn
     # their own thread pools (32 workers × N BLAS threads thrashes the box)
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):

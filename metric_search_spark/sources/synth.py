@@ -93,6 +93,20 @@ def phash64(img: np.ndarray) -> int:
 # ----------------------------------------------------------------- generator
 
 
+def render_original(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
+    """Re-render the true pre-encoding image for a table row (image_id encodes
+    the counter), replaying generate_rows' rng draw order exactly — the
+    ground truth for the lossy-codec PSNR invariant."""
+    i = int(str(image_id)[3:])
+    rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+    u, v = rng.uniform(0, 1, 2)
+    rng.choice((16, 24, 32))  # consume w draw
+    rng.choice((16, 24, 32))  # consume h draw
+    n_blobs = int(rng.integers(1, 5))
+    rng.integers(0, 8)  # consume palette draw
+    return render_image(rng, int(w), int(h), u, v, n_blobs)
+
+
 def render_image(rng: np.random.Generator, w: int, h: int, u: float, v: float,
                  n_blobs: int) -> np.ndarray:
     """One procedural scene: gradient + blobs + noise, uint8 RGB (h, w, 3)."""

@@ -91,6 +91,45 @@ def test_pip_join_matches_oracle(spark):
     assert got == want
 
 
+def test_polyfill_matches_center_oracle(spark):
+    """polygon_tiles = every tile whose center the crossing oracle puts
+    strictly inside; tile keys must equal tile_assign's encoding."""
+    from metric_search_spark.cells import cell_encode
+    from metric_search_spark.operators.pip import polygon_tiles
+
+    polys = _polys()
+    res = 5
+    schema = StructType(
+        [
+            StructField("poly_id", StringType()),
+            StructField(
+                "ring",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    poly_df = spark.createDataFrame(
+        [(pid, [{"x": x, "y": y} for x, y in ring]) for pid, ring in polys], schema
+    )
+    out = polygon_tiles(poly_df, res=res).toPandas()
+    got = {(p, int(t)) for p, t in zip(out["poly_id"], out["tile"])}
+    want = set()
+    n = 1 << res
+    for pid, ring in polys:
+        for cx in range(n):
+            for cy in range(n):
+                x, y = (cx + 0.5) / n, (cy + 0.5) / n
+                if _crossing_oracle(x, y, ring):
+                    want.add(
+                        (pid, int(cell_encode(np.array([x]), np.array([y]), res)[0]))
+                    )
+    assert got == want and len(got) > 0
+
+
 def test_pip_sql_condition_matches_oracle():
     import duckdb
 

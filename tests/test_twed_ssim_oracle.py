@@ -1,4 +1,4 @@
-"""End-to-end parity for the two metric-showcase oracles added in round 3:
+"""End-to-end parity for the metric-showcase oracles added in round 3:
 
 - twed_events: DuckDB recomputes the ENTIRE TWED dynamic program from the
   raw events view (recursive CTE over list-valued DP rows; the engine's
@@ -8,8 +8,12 @@
   computes its own result FROM it; DuckDB recomputes the gaussian window
   (including the reference's size_t-underflow quirk, SSIM.cpp:57-72) and
   the full windowed SSIM algebra from that file.
+- images_payload_verify: decoded + original pixels land in an integer
+  hand-off parquet; Spark runs the real verify_payloads kernel over bytes
+  while DuckDB recomputes phash-from-pixels (integer channel sums ->
+  quantize -> Morton interleave) and PSNR independently.
 
-Both asserted EXACT (the driver's gate is a value hash, not a tolerance).
+All asserted EXACT (the driver's gate is a value hash, not a tolerance).
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ import pytest
 from metric_search_spark.entry_queries import (
     O_TWED_EVENTS,
     QUERIES,
+    _o_ipv_sql,
     _o_ssim_sql,
 )
 from tests.sparkutil import get_spark
@@ -58,3 +63,19 @@ def test_ssim_matches_duckdb_window_oracle():
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
     # distances are symmetric-positive and bounded by sqrt(2) per window
     assert (g["ssim"] >= 0).all() and (g["ssim"] <= 2.0**0.5).all()
+
+
+def test_payload_verify_matches_duckdb_phash_psnr_oracle():
+    duckdb = pytest.importorskip("duckdb")
+    spark = get_spark()
+    got = QUERIES["images_payload_verify"](spark, SF_DIR).toPandas()
+    want = duckdb.sql(_o_ipv_sql()).df()
+    cols = ["fmt", "phash_ok", "cnt", "psnr_ok"]
+    g = got[cols].sort_values(["fmt", "phash_ok"]).reset_index(drop=True)
+    w = want[cols].sort_values(["fmt", "phash_ok"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    # the invariant itself must hold: every payload reproduces its phash
+    # and clears the 40 dB bar, for both codecs
+    assert set(g["fmt"]) == {"raw", "qnt"}
+    assert g["phash_ok"].all() and g["psnr_ok"].all()
+    assert g["cnt"].sum() == 2000

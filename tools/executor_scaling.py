@@ -47,6 +47,12 @@ def bench_env(cpus: int, images: int) -> dict:
         # is warm. Real cluster executors have fixed small heaps; this is
         # the faithful setting, applied to BOTH phases for symmetry.
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "12g"),
+        # container-faithful JVM ergonomics: GC/JIT thread pools sized to the
+        # executor's core budget (what a cgroup gives a real executor), not
+        # the 32-core host — without this, 4 concurrent JVMs spawn ~23 GC
+        # workers EACH and the steady-state 4x phase measures GC-thread
+        # storms, not the engine. Applied to BOTH phases for symmetry.
+        SPARK_GRAFT_JVM_PROCS=os.environ.get("SPARK_GRAFT_JVM_PROCS", str(cpus)),
     )
 
 
