@@ -1021,7 +1021,13 @@ FROM ps GROUP BY fmt, phash_ok
 def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the checkpointed per-cell tree index over the image table and
     return the node-count-per-level histogram (reference print_levels,
-    tree.cpp:815-840) — rows-only."""
+    tree.cpp:815-840), with an invariant-certifying hand-off oracle: the
+    node table (linkage + coordinates) lands in a hand-off parquet, and the
+    DuckDB twin (_o_ilh_sql) counts ONLY nodes that pass the cover-tree
+    invariants — covering d(parent, child) <= 2^parent.level
+    (tree.cpp:842-870), nesting child.level == parent.level - 1 (holds for
+    pure-insert builds), and stored-parent_dist consistency — so a matching
+    histogram certifies every serialized node satisfies them."""
     import tempfile
 
     from metric_search_spark.functions.spatial import coord_cols
@@ -1036,12 +1042,44 @@ def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="msk_idx_")
     build_index(tbl, path, res=3, batches=4)
+    nodes = load_nodes(spark, path)
+    _write_handoff(
+        nodes.select(
+            "cell", "node_id", "parent_id", "level", "parent_dist", "vx", "vy"
+        ).toPandas(),
+        _handoff_path("ilh", _sf_tag(sf_dir)),
+    )
     return (
-        load_nodes(spark, path)
-        .groupBy("level")
+        nodes.groupBy("level")
         .agg(F.count("*").alias("cnt"))
         .orderBy("level")
     )
+
+
+def _o_ilh_sql(sf_tag: str) -> str:
+    """DuckDB twin over the node-table hand-off: recomputes the per-level
+    histogram counting only invariant-passing nodes (covering within the
+    engine's own 1e-12 slack, exact nesting, parent_dist recomputed from
+    coordinates) — any violating node drops out and the row-count/hash
+    comparison goes red."""
+    path = _handoff_path("ilh", sf_tag)
+    return f"""
+WITH nodes AS (
+  SELECT * FROM read_parquet('{path}')
+), ok AS (
+  SELECT c.level
+  FROM nodes c
+  LEFT JOIN nodes p ON p.cell = c.cell AND p.node_id = c.parent_id
+  WHERE c.parent_id < 0
+     OR (sqrt((c.vx - p.vx) * (c.vx - p.vx) + (c.vy - p.vy) * (c.vy - p.vy))
+           <= power(2.0, p.level) + 1e-12
+         AND c.level = p.level - 1
+         AND abs(sqrt((c.vx - p.vx) * (c.vx - p.vx)
+                      + (c.vy - p.vy) * (c.vy - p.vy)) - c.parent_dist)
+           <= 1e-9)
+)
+SELECT level, count(*) AS cnt FROM ok GROUP BY level
+"""
 
 
 # ------------------------------------------- metric showcases (rows-only)
@@ -1515,9 +1553,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "polyfill_tiles": O_POLYFILL,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "twed_events": O_TWED_EVENTS,
-    # rows-only BY DESIGN (has a real pytest oracle instead):
-    #   index_level_histogram — per-cell cover-tree state, not
-    #     SQL-expressible; level invariants pinned in pytest
+    # (no static rows-only entries remain: every query has either a static
+    # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }
 
 # langid IS SQL-expressible — register its twin
@@ -1546,6 +1583,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     # but it belongs with the hand-off family (the query must run first)
     oracles["ssim_images"] = _o_ssim_sql()
     oracles["images_payload_verify"] = _o_ipv_sql()
+    oracles["index_level_histogram"] = _o_ilh_sql(tag)
     return oracles
 
 

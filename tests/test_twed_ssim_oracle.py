@@ -24,6 +24,7 @@ import pytest
 from metric_search_spark.entry_queries import (
     O_TWED_EVENTS,
     QUERIES,
+    _o_ilh_sql,
     _o_ipv_sql,
     _o_ssim_sql,
 )
@@ -79,3 +80,19 @@ def test_payload_verify_matches_duckdb_phash_psnr_oracle():
     assert set(g["fmt"]) == {"raw", "qnt"}
     assert g["phash_ok"].all() and g["psnr_ok"].all()
     assert g["cnt"].sum() == 2000
+
+
+def test_index_histogram_matches_invariant_certifying_oracle():
+    """The ilh oracle counts only nodes passing covering + nesting +
+    parent_dist consistency; equality with the engine's plain histogram
+    certifies every serialized node satisfies the invariants."""
+    duckdb = pytest.importorskip("duckdb")
+    spark = get_spark()
+    got = QUERIES["index_level_histogram"](spark, SF_DIR).toPandas()
+    want = duckdb.sql(_o_ilh_sql("sf0.001")).df()
+    g = got.sort_values("level").reset_index(drop=True)
+    w = want.sort_values("level").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["level", "cnt"]], w[["level", "cnt"]], check_dtype=False
+    )
+    assert g["cnt"].sum() == 2000  # one node per image, all invariant-passing
