@@ -1018,6 +1018,149 @@ FROM ps GROUP BY fmt, phash_ok
 """
 
 
+_AV_AUDIO_N, _AV_VIDEO_N, _AV_K, _AV_SEED = 256, 64, 4, 42
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (multimodal columns beyond images): rms /
+    zero-crossing rate / peak / duration over pcm16 payloads, computed by
+    the flattened-reduceat Arrow kernel (functions/av.with_audio_features).
+    Hand-off oracle: decoded int16 samples land in a hand-off parquet and
+    DuckDB recomputes every feature from exact integer sums. Fixed (n, seed)
+    — the counter-keyed generator is scale-independent."""
+    import pandas as pd
+
+    from metric_search_spark.functions.av import with_audio_features
+    from metric_search_spark.sources.synth_av import decode_audio, generate_audio_rows
+
+    rows = generate_audio_rows(_AV_AUDIO_N, seed=_AV_SEED)
+    _write_handoff(
+        pd.DataFrame(
+            {
+                "audio_id": [r["audio_id"] for r in rows],
+                "sr": [r["sr"] for r in rows],
+                "n": [r["n_samples"] for r in rows],
+                "s": [
+                    decode_audio(r["bytes"], r["n_samples"], r["fmt"])
+                    .astype("int32")
+                    .tolist()
+                    for r in rows
+                ],
+            }
+        ),
+        _handoff_path("audio", f"{_AV_AUDIO_N}_{_AV_SEED}"),
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = with_audio_features(df)
+    return out.select(
+        "audio_id",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        "peak",
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+def _o_audio_sql() -> str:
+    """DuckDB twin over the decoded-samples hand-off: rms / zcr / peak /
+    duration from exact integer sums (sample values and their squares are
+    integers, so both engines divide the identical exact sums and round the
+    identical doubles)."""
+    path = _handoff_path("audio", f"{_AV_AUDIO_N}_{_AV_SEED}")
+    return f"""
+WITH a AS (
+  SELECT audio_id, sr, n, s FROM read_parquet('{path}')
+), f AS (
+  SELECT audio_id, sr, n,
+    list_sum(list_transform(s, v -> CAST(v AS BIGINT) * v)) AS ss,
+    list_max(list_transform(s, v -> abs(v))) AS peak,
+    list_sum(list_transform(range(1, n), i ->
+      CASE WHEN CAST(s[i] AS BIGINT) * s[i+1] < 0 THEN 1 ELSE 0 END)) AS xings
+  FROM a
+)
+SELECT audio_id,
+       round(sqrt(ss::DOUBLE / n), 6) AS rms,
+       round(xings::DOUBLE / (n - 1), 6) AS zcr,
+       CAST(peak AS INT) AS peak,
+       round(n::DOUBLE / sr, 6) AS duration_s
+FROM f
+"""
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling into the image pipeline: uniform 4-frame sample
+    of every rawv payload (functions/av.sample_frames emits IMAGE-schema
+    rows), then the EXISTING image-stats operator over the sampled frames.
+    Hand-off oracle: sampled decoded frames land in a hand-off parquet;
+    DuckDB re-derives the sampling grid floor(j·n_frames/k) from n_frames
+    alone (a stride/offset bug in the engine's sampler breaks the join) and
+    recomputes the channel means from integer pixel sums."""
+    import pandas as pd
+
+    from metric_search_spark.functions.av import sample_frame_indices, sample_frames
+    from metric_search_spark.functions.image import with_image_stats
+    from metric_search_spark.sources.synth_av import decode_frame, generate_video_rows
+
+    rows = generate_video_rows(_AV_VIDEO_N, seed=_AV_SEED)
+    recs = []
+    for r in rows:
+        for fi in sample_frame_indices(r["n_frames"], _AV_K):
+            recs.append(
+                {
+                    "video_id": r["video_id"],
+                    "n_frames": r["n_frames"],
+                    "w": r["w"],
+                    "h": r["h"],
+                    "frame_idx": fi,
+                    "px": decode_frame(r["bytes"], r["w"], r["h"], fi, r["fmt"])
+                    .ravel()
+                    .astype("int32")
+                    .tolist(),
+                }
+            )
+    _write_handoff(
+        pd.DataFrame(recs), _handoff_path("vframes", f"{_AV_VIDEO_N}_{_AV_SEED}")
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    frames = sample_frames(df, _AV_K)
+    stats = with_image_stats(frames)
+    return stats.select(
+        "video_id",
+        "frame_idx",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+def _o_vframes_sql() -> str:
+    """DuckDB twin over the sampled-frames hand-off: the expected sampling
+    grid is re-derived from n_frames (floor(j·n_frames/k), j<k) and joined
+    against the engine's claimed (video_id, frame_idx) rows — a wrong stride
+    drops rows and the count goes red; channel means come from exact integer
+    pixel sums."""
+    path = _handoff_path("vframes", f"{_AV_VIDEO_N}_{_AV_SEED}")
+    return f"""
+WITH hf AS (
+  SELECT * FROM read_parquet('{path}')
+), expect AS (
+  SELECT video_id, (j.i * n_frames) // {_AV_K} AS frame_idx
+  FROM (SELECT DISTINCT video_id, n_frames FROM hf), range(0, {_AV_K}) j(i)
+), joined AS (
+  SELECT hf.video_id, hf.frame_idx, hf.w, hf.h, hf.px
+  FROM hf JOIN expect USING (video_id, frame_idx)
+)
+SELECT video_id, frame_idx,
+  round(list_sum(list_transform(range(1, w*h + 1), i -> px[3*i - 2]))::DOUBLE
+        / (w*h), 6) AS mean_r,
+  round(list_sum(list_transform(range(1, w*h + 1), i -> px[3*i - 1]))::DOUBLE
+        / (w*h), 6) AS mean_g,
+  round(list_sum(list_transform(range(1, w*h + 1), i -> px[3*i]))::DOUBLE
+        / (w*h), 6) AS mean_b
+FROM joined
+"""
+
+
 def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the checkpointed per-cell tree index over the image table and
     return the node-count-per-level histogram (reference print_levels,
@@ -1520,6 +1663,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_embeddings": q_pip_embeddings,
     "polyfill_tiles": q_polyfill_tiles,
     "images_payload_verify": q_images_payload_verify,
+    "audio_stats": q_audio_stats,
+    "video_frame_sample": q_video_frame_sample,
     "index_level_histogram": q_index_level_histogram,
     "twed_events": q_twed_events,
     "ssim_images": q_ssim_images,
@@ -1583,6 +1728,8 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     # but it belongs with the hand-off family (the query must run first)
     oracles["ssim_images"] = _o_ssim_sql()
     oracles["images_payload_verify"] = _o_ipv_sql()
+    oracles["audio_stats"] = _o_audio_sql()
+    oracles["video_frame_sample"] = _o_vframes_sql()
     oracles["index_level_histogram"] = _o_ilh_sql(tag)
     return oracles
 
