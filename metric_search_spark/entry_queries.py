@@ -1161,6 +1161,84 @@ FROM joined
 """
 
 
+_PQ_M, _PQ_KS, _PQ_K = 8, 256, 5
+
+
+def q_pq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate kNN (operators/ann.pq_topk) — the memory-bound ANN
+    tier: 64-d float vectors compress to 8 one-byte codes (64×), probes
+    precompute ADC lookup tables, scoring is a pure table gather. Hand-off
+    oracle: the run's LUT tensor and the distributed encode's codes land in
+    two hand-off parquets; DuckDB independently reproduces scoring
+    (sequential list_sum over the same fixed subspace order) and the
+    (adc, neighbor_id) ranking."""
+    import pandas as pd
+
+    from metric_search_spark.operators.ann import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("id") % 10 == 0)
+    ho: dict = {}
+    out = pq_topk(
+        probes,
+        emb,
+        k=_PQ_K,
+        id_col="id",
+        vec_col="vec",
+        m=_PQ_M,
+        ks=_PQ_KS,
+        seed=13,
+        handoff=ho,
+    )
+    assert ho["books"].shape[1] == _PQ_KS  # oracle SQL hard-codes the stride
+    tag = _sf_tag(sf_dir)
+    _write_handoff(
+        pd.DataFrame(
+            {
+                "query_id": ho["qids"],
+                "lut": [row.ravel().tolist() for row in ho["lut"]],
+            }
+        ),
+        _handoff_path("pqlut", tag),
+    )
+    codes_pdf = ho["codes_df"].toPandas()
+    _write_handoff(
+        pd.DataFrame(
+            {
+                "neighbor_id": codes_pdf["neighbor_id"],
+                "code": [[int(v) for v in c] for c in codes_pdf["code"]],
+            }
+        ),
+        _handoff_path("pqcodes", tag),
+    )
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def _o_pq_sql(sf_tag: str) -> str:
+    """DuckDB twin over the LUT + codes hand-off: ADC score re-gathered per
+    (probe, candidate) with the identical fixed subspace order (sequential
+    list_sum matches the kernel's j-ordered accumulation bit-for-bit), then
+    the same (adc, neighbor_id) window rank."""
+    lp = _handoff_path("pqlut", sf_tag)
+    cp = _handoff_path("pqcodes", sf_tag)
+    return f"""
+WITH l AS (SELECT query_id, lut FROM read_parquet('{lp}')),
+c AS (SELECT neighbor_id, code FROM read_parquet('{cp}')),
+s AS (
+  SELECT l.query_id, c.neighbor_id,
+         list_sum(list_transform(range(0, {_PQ_M}), j ->
+             l.lut[j * {_PQ_KS} + c.code[j + 1] + 1])) AS adc
+  FROM l, c
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, neighbor_id) AS rnk
+  FROM s
+) t WHERE rnk <= {_PQ_K}
+"""
+
+
 def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the checkpointed per-cell tree index over the image table and
     return the node-count-per-level histogram (reference print_levels,
@@ -1665,6 +1743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_payload_verify": q_images_payload_verify,
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
+    "pq_knn_embeddings": q_pq_knn_embeddings,
     "index_level_histogram": q_index_level_histogram,
     "twed_events": q_twed_events,
     "ssim_images": q_ssim_images,
@@ -1731,6 +1810,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["audio_stats"] = _o_audio_sql()
     oracles["video_frame_sample"] = _o_vframes_sql()
     oracles["index_level_histogram"] = _o_ilh_sql(tag)
+    oracles["pq_knn_embeddings"] = _o_pq_sql(tag)
     return oracles
 
 

@@ -30,6 +30,9 @@ __all__ = [
     "lsh_band_signatures",
     "cosine_neardup_pairs",
     "ivf_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -457,5 +460,207 @@ def cosine_topk_lsh_from_sigs(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------------- product quantization
+
+
+def pq_train(
+    sample: np.ndarray, m: int = 8, ks: int = 256, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means codebooks for product
+    quantization: split the dim into ``m`` contiguous subspaces and train
+    ``ks`` centroids in each (ks caps at the sample size). Returns
+    (m, ks, dim//m). Training runs on a driver-side sample — the standard
+    PQ recipe; the expensive passes (encode, score) run distributed."""
+    X = np.asarray(sample, dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ks = min(ks, n)
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, ds))
+    for j in range(m):
+        sub = np.ascontiguousarray(X[:, j * ds : (j + 1) * ds])
+        C = sub[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2.0 * (sub @ C.T)
+            )
+            a = d2.argmin(axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, sub)
+            counts = np.bincount(a, minlength=ks).astype(np.float64)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]  # empty clusters keep centroids
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame, books: np.ndarray, *, vec_col: str = "vec", out_col: str = "code"
+) -> DataFrame:
+    """Distributed PQ encoding: per Arrow batch, one stacked
+    ‖x‖²+‖c‖²−2xCᵀ argmin per subspace (m matrix ops per batch, never
+    per-row Python). Codes are m small ints — a 64-d float64 vector
+    compresses 64× (512 B → 8 B), which is what makes the candidate side of
+    a 10⁹-row ANN index fit executor memory."""
+    from pyspark.sql.functions import pandas_udf
+
+    mm, ks, ds = books.shape
+    bB = df.sparkSession.sparkContext.broadcast(books)
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        B = bB.value
+        codes = np.empty((len(X), mm), dtype=np.int32)
+        for j in range(mm):
+            sub = np.ascontiguousarray(X[:, j * ds : (j + 1) * ds])
+            C = B[j]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2.0 * (sub @ C.T)
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, enc(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(
+    probes: DataFrame,
+    build: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    probe_id_col: str | None = None,
+    m: int = 8,
+    ks: int = 256,
+    sample_rows: int = 16_384,
+    kmeans_iters: int = 10,
+    seed: int = 13,
+    max_probes: int = 4096,
+    handoff=None,
+) -> DataFrame:
+    """PQ-ADC approximate kNN — the memory-bound scale tier next to IVF and
+    LSH: codebooks train on a driver-side build sample, the build side
+    compresses to m-byte codes (distributed encode), each probe precomputes
+    an (m, ks) asymmetric-distance lookup table, and scoring is a pure
+    table-gather ``Σⱼ lut[j, codeⱼ]`` — no vector arithmetic per candidate.
+
+    Plan shape: the probe batch is bounded (``max_probes``; raise or route
+    through IVF lists for more — PQ composes with the IVF posting-list join
+    for 10⁹-probe workloads), its LUT tensor broadcasts to every executor
+    (u·m·ks doubles ≈ 16 KB/probe), and one mapInPandas pass over the CODES
+    table emits per-(batch, probe) top-k partials — the bounded P×B
+    block-grid shape of the res=0 exact kNN — merged by a final window over
+    |batches|·u·k rows. The build side never ships vectors anywhere:
+    after encode, only codes move.
+
+    ``handoff``: optional dict populated with the run's LUTs + codes
+    (the correctness hand-off for the DuckDB twin).
+    Returns (query_id, neighbor_id, adc, rank), ascending ADC distance.
+    """
+    pid = probe_id_col or id_col
+    qt = probes.schema[pid].dataType.simpleString()
+    bt = build.schema[id_col].dataType.simpleString()
+
+    prows = probes.select(
+        F.col(pid).alias("query_id"), F.col(vec_col).cast("array<double>")
+    ).collect()
+    if len(prows) > max_probes:
+        raise ValueError(
+            f"pq_topk probe batch {len(prows)} > max_probes={max_probes}: "
+            "raise max_probes (LUT broadcast is u*m*ks doubles) or route "
+            "probes through ivf_topk posting lists first"
+        )
+    qids = [r[0] for r in prows]
+    Q = np.asarray([r[1] for r in prows], dtype=np.float64)
+
+    n_build = build.count()
+    frac = min(1.0, sample_rows / max(n_build, 1))
+    sample = np.vstack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in build.select(F.col(vec_col).cast("array<double>"))
+            .sample(frac, seed=seed)
+            .collect()
+        ]
+    )
+    books = pq_train(sample, m=m, ks=ks, iters=kmeans_iters, seed=seed)
+    mm, ks_eff, ds = books.shape
+
+    # (u, m, ks) ADC lookup tensor: ‖q_j − c‖² for every probe/subspace/code
+    lut = np.empty((len(Q), mm, ks_eff))
+    for j in range(mm):
+        sub = np.ascontiguousarray(Q[:, j * ds : (j + 1) * ds])
+        C = books[j]
+        lut[:, j, :] = (
+            (sub * sub).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * (sub @ C.T)
+        )
+
+    codes = pq_encode(
+        build.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_vb"),
+        ),
+        books,
+        vec_col="_vb",
+    ).select("neighbor_id", "code")
+
+    if handoff is not None:
+        handoff["qids"] = qids
+        handoff["lut"] = lut
+        handoff["books"] = books
+        handoff["codes_df"] = codes
+
+    sc = build.sparkSession.sparkContext
+    bL = sc.broadcast(lut)
+    bQ = sc.broadcast(qids)
+    out_schema = f"query_id {qt}, neighbor_id {bt}, adc double"
+
+    def score(batches):
+        L = bL.value
+        qid_arr = np.asarray(bQ.value)
+        u = len(qid_arr)
+        for pdf in batches:
+            b = len(pdf)
+            if b == 0:
+                continue
+            Cd = np.asarray(pdf["code"].tolist(), dtype=np.int64)  # (b, m)
+            # Σ_j L[:, j, code_j] — accumulated in fixed subspace order so
+            # the DuckDB twin (sequential list_sum) reproduces the exact
+            # double; gather is (u, b) per subspace, no per-row Python
+            acc = np.zeros((u, b))
+            for j in range(mm):
+                acc += L[:, j, Cd[:, j]]
+            kk = min(k, b)
+            top = np.argpartition(acc, kk - 1, axis=1)[:, :kk]  # (u, kk)
+            rows_q = np.repeat(np.arange(u), kk)
+            rows_n = top.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qid_arr[rows_q],
+                    "neighbor_id": pdf["neighbor_id"].to_numpy()[rows_n],
+                    "adc": acc[rows_q, rows_n],
+                }
+            )
+
+    partial = codes.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )

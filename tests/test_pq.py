@@ -1,0 +1,91 @@
+"""Product-quantization ANN: codebook determinism, encode/score shape,
+recall against exact L2, and DuckDB hand-off oracle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from metric_search_spark.operators.ann import pq_encode, pq_topk, pq_train
+from tests.sparkutil import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb_df(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+
+
+def test_pq_train_is_deterministic():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(400, 16))
+    a = pq_train(X, m=4, ks=32, iters=5, seed=7)
+    b = pq_train(X, m=4, ks=32, iters=5, seed=7)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (4, 32, 4)
+
+
+def test_pq_encode_codes_are_argmin():
+    spark = get_spark()
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(100, 8))
+    books = pq_train(X, m=2, ks=16, iters=5, seed=7)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(100), "vec": [r.tolist() for r in X]})
+    )
+    out = pq_encode(df, books, vec_col="vec").toPandas().sort_values("id")
+    for i, code in zip(out["id"], out["code"]):
+        for j in range(2):
+            sub = X[i, j * 4 : (j + 1) * 4]
+            d2 = ((books[j] - sub) ** 2).sum(axis=1)
+            assert code[j] == d2.argmin()
+
+
+def test_pq_topk_recall_vs_exact():
+    """ADC ranking with 256 centroids/subspace on 500 vectors must recover
+    most of the exact top-5 (and the self-match as rank 1)."""
+    spark = get_spark()
+    emb = _emb_df(spark)
+    probes = emb.where(F.col("id") % 10 == 0)
+    got = pq_topk(probes, emb, k=5, id_col="id", vec_col="vec", seed=13).toPandas()
+    pq_sets = got.groupby("query_id")["neighbor_id"].apply(set)
+
+    from metric_search_spark.operators.ann import l2_topk
+
+    exact = l2_topk(probes, emb, k=5, id_col="id", vec_col="vec").toPandas()
+    ex_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(pq_sets[q] & ex_sets[q]) / 5.0 for q in ex_sets.index
+    ]
+    # measured 0.596 on this fixture (ADC-only, no exact rerank — standard
+    # PQ recall at 64-d/m=8); pin a floor with margin against jitter-free
+    # determinism (the whole pipeline is seeded, so this is exact)
+    assert np.mean(recalls) >= 0.55, np.mean(recalls)
+    # self-match: each probe's own code minimizes its own LUT rows
+    r1 = got[got["rnk" if "rnk" in got else "rank"] == 1]
+    self_frac = (r1["query_id"] == r1["neighbor_id"]).mean()
+    assert self_frac >= 0.9, self_frac
+
+
+def test_pq_query_matches_duckdb_oracle():
+    duckdb = pytest.importorskip("duckdb")
+
+    from metric_search_spark.entry_queries import QUERIES, _o_pq_sql
+
+    spark = get_spark()
+    got = QUERIES["pq_knn_embeddings"](spark, SF_DIR).toPandas()
+    want = duckdb.sql(_o_pq_sql("sf0.001")).df()
+    cols = ["query_id", "neighbor_id", "rnk"]
+    key = ["query_id", "rnk"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(got) == 50 * 5
