@@ -1239,6 +1239,98 @@ SELECT query_id, neighbor_id, rnk FROM (
 """
 
 
+_IVFPQ_LISTS, _IVFPQ_PROBE = 32, 8
+
+
+def q_ivfpq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed serving shape (operators/ann.ivfpq_topk): coarse
+    quantizer routes probes to posting lists (the only shuffle), ADC table
+    gather scores the m-byte codes inside a per-probe cogroup, top-k
+    resolves in-kernel. Hand-off oracle: the run's probe LUTs, probe→list
+    routes and build list/code assignments land in three hand-off parquets;
+    DuckDB independently re-joins the posting lists, re-gathers the ADC
+    scores in the kernel's fixed subspace order, and reproduces the
+    (adc, neighbor_id) ranking."""
+    import pandas as pd
+
+    from metric_search_spark.operators.ann import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("id") % 10 == 0)
+    ho: dict = {}
+    out = ivfpq_topk(
+        probes,
+        emb,
+        k=_PQ_K,
+        id_col="id",
+        vec_col="vec",
+        n_lists=_IVFPQ_LISTS,
+        n_probe=_IVFPQ_PROBE,
+        m=_PQ_M,
+        ks=_PQ_KS,
+        seed=13,
+        handoff=ho,
+    )
+    assert ho["books"].shape[1] == _PQ_KS
+    tag = _sf_tag(sf_dir)
+    luts_pdf = ho["luts_df"].toPandas()
+    _write_handoff(
+        pd.DataFrame(
+            {
+                "query_id": luts_pdf["query_id"],
+                "lut": [[float(v) for v in r] for r in luts_pdf["_lut"]],
+            }
+        ),
+        _handoff_path("ivfpqlut", tag),
+    )
+    pl_pdf = ho["plists_df"].toPandas()
+    _write_handoff(
+        pd.DataFrame(
+            {"query_id": pl_pdf["query_id"], "list": pl_pdf["_list"].astype(int)}
+        ),
+        _handoff_path("ivfpqroutes", tag),
+    )
+    codes_pdf = ho["codes_df"].toPandas()
+    _write_handoff(
+        pd.DataFrame(
+            {
+                "neighbor_id": codes_pdf["neighbor_id"],
+                "list": codes_pdf["_list"].astype(int),
+                "code": [[int(v) for v in c] for c in codes_pdf["code"]],
+            }
+        ),
+        _handoff_path("ivfpqcodes", tag),
+    )
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def _o_ivfpq_sql(sf_tag: str) -> str:
+    """DuckDB twin over the LUT + routes + codes hand-off: posting-list
+    equi-join re-derives each probe's candidate set, ADC re-gathers with
+    sequential list_sum (matching the kernel's j-ordered accumulation), and
+    the same (adc, neighbor_id) window rank."""
+    lp = _handoff_path("ivfpqlut", sf_tag)
+    rp = _handoff_path("ivfpqroutes", sf_tag)
+    cp = _handoff_path("ivfpqcodes", sf_tag)
+    return f"""
+WITH l AS (SELECT query_id, lut FROM read_parquet('{lp}')),
+r AS (SELECT query_id, list FROM read_parquet('{rp}')),
+c AS (SELECT neighbor_id, list, code FROM read_parquet('{cp}')),
+s AS (
+  SELECT r.query_id, c.neighbor_id,
+         list_sum(list_transform(range(0, {_PQ_M}), j ->
+             l.lut[j * {_PQ_KS} + c.code[j + 1] + 1])) AS adc
+  FROM r JOIN c USING (list) JOIN l USING (query_id)
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, neighbor_id) AS rnk
+  FROM s
+) t WHERE rnk <= {_PQ_K}
+"""
+
+
 def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the checkpointed per-cell tree index over the image table and
     return the node-count-per-level histogram (reference print_levels,
@@ -1744,6 +1836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
     "pq_knn_embeddings": q_pq_knn_embeddings,
+    "ivfpq_knn_embeddings": q_ivfpq_knn_embeddings,
     "index_level_histogram": q_index_level_histogram,
     "twed_events": q_twed_events,
     "ssim_images": q_ssim_images,
@@ -1811,6 +1904,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["video_frame_sample"] = _o_vframes_sql()
     oracles["index_level_histogram"] = _o_ilh_sql(tag)
     oracles["pq_knn_embeddings"] = _o_pq_sql(tag)
+    oracles["ivfpq_knn_embeddings"] = _o_ivfpq_sql(tag)
     return oracles
 
 

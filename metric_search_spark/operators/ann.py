@@ -33,6 +33,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -663,4 +664,158 @@ def pq_topk(
     return (
         partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    probes: DataFrame,
+    build: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    probe_id_col: str | None = None,
+    n_lists: int = 64,
+    n_probe: int = 8,
+    m: int = 8,
+    ks: int = 256,
+    sample_rows: int = 16_384,
+    kmeans_iters: int = 10,
+    seed: int = 13,
+    handoff=None,
+) -> DataFrame:
+    """IVF + PQ composed — the 10⁹-row serving shape both docstrings
+    promise: the coarse quantizer routes each probe to ``n_probe`` posting
+    lists (ivf_topk's join shape — the only shuffle, probes × their lists),
+    and within the candidate lists scoring is the PQ ADC table gather
+    (pq_topk's memory shape — candidates are m-byte codes, vectors never
+    move). Unlike pq_topk there is NO bounded-probe broadcast: probes carry
+    their own (m·ks)-double LUT through the posting-list equi-join, so the
+    probe side scales arbitrarily; per-candidate work is still a pure
+    gather. Returns (query_id, neighbor_id, adc, rank) ascending.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    pid = probe_id_col or id_col
+    qt = probes.schema[pid].dataType.simpleString()
+    bt = build.schema[id_col].dataType.simpleString()
+
+    n_build = build.count()
+    frac = min(1.0, sample_rows / max(n_build, 1))
+    sample = np.vstack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in build.select(F.col(vec_col).cast("array<double>"))
+            .sample(frac, seed=seed)
+            .collect()
+        ]
+    )
+    C = _kmeans_centroids(sample, n_lists, kmeans_iters, seed)
+    books = pq_train(sample, m=m, ks=ks, iters=kmeans_iters, seed=seed)
+    mm, ks_eff, ds = books.shape
+    n_probe_eff = min(n_probe, len(C))
+    sc = build.sparkSession.sparkContext
+    bC = sc.broadcast(C)
+    bB = sc.broadcast(books)
+
+    def _centroid_d2(X: np.ndarray, CC: np.ndarray) -> np.ndarray:
+        return (
+            (X * X).sum(axis=1)[:, None]
+            + (CC * CC).sum(axis=1)[None, :]
+            - 2.0 * (X @ CC.T)
+        )
+
+    @pandas_udf("int")
+    def assign_list(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        return pd.Series(_centroid_d2(X, bC.value).argmin(axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        d2 = _centroid_d2(X, bC.value)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe_eff].astype(np.int32)
+        return pd.Series(list(idx))
+
+    @pandas_udf("array<double>")
+    def probe_lut(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        B = bB.value
+        lut = np.empty((len(X), mm, ks_eff))
+        for j in range(mm):
+            sub = np.ascontiguousarray(X[:, j * ds : (j + 1) * ds])
+            lut[:, j, :] = _centroid_d2(sub, B[j])
+        return pd.Series(list(lut.reshape(len(X), mm * ks_eff)))
+
+    b = (
+        pq_encode(
+            build.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("_vb"),
+            ),
+            books,
+            vec_col="_vb",
+        )
+        .withColumn("_list", assign_list("_vb"))
+        .select("neighbor_id", "_list", "code")
+    )
+    # two independent projections of the probe table (fresh attribute ids,
+    # or the analyzer flags the cogroup below as an ambiguous self-join)
+    luts = probes.select(
+        F.col(pid).alias("query_id"),
+        probe_lut(F.col(vec_col).cast("array<double>")).alias("_lut"),
+    )
+    p_l = probes.select(
+        F.col(pid).alias("query_id"),
+        F.explode(
+            probe_lists(F.col(vec_col).cast("array<double>"))
+        ).alias("_list"),
+    )
+
+    if handoff is not None:
+        handoff["books"] = books
+        handoff["centroids"] = C
+        handoff["codes_df"] = b
+        handoff["luts_df"] = luts
+        handoff["plists_df"] = p_l
+
+    # candidates carry ONLY (query_id, neighbor_id, code) — the LUT meets
+    # them again through a cogroup on query_id (one 16 KB lut row per probe,
+    # never replicated per candidate), and top-k resolves in-kernel because
+    # each probe's candidate set is complete within its group. A build row
+    # lives in exactly one posting list, so no pair dedup is needed.
+    cand = p_l.join(b, "_list").select("query_id", "neighbor_id", "code")
+    out_schema = f"query_id {qt}, neighbor_id {bt}, adc double, rank long"
+
+    def score(key, lpdf, cpdf):
+        if len(cpdf) == 0 or len(lpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc": [], "rank": []}
+            )
+        L = np.asarray(lpdf["_lut"].iloc[0], dtype=np.float64).reshape(mm, ks_eff)
+        Cd = np.asarray(cpdf["code"].tolist(), dtype=np.int64)
+        acc = np.zeros(len(cpdf))
+        for j in range(mm):
+            acc += L[j, Cd[:, j]]
+        nb = cpdf["neighbor_id"].to_numpy()
+        order = np.lexsort((nb, acc))[: min(k, len(cpdf))]
+        return pd.DataFrame(
+            {
+                "query_id": [key[0]] * len(order),
+                "neighbor_id": nb[order],
+                "adc": acc[order],
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        luts.groupBy("query_id")
+        .cogroup(cand.groupBy("query_id"))
+        .applyInPandas(score, schema=out_schema)
     )

@@ -73,6 +73,49 @@ def test_pq_topk_recall_vs_exact():
     assert self_frac >= 0.9, self_frac
 
 
+def test_ivfpq_topk_recall_and_shape():
+    """Composed IVF routing + ADC scoring: candidate sets shrink to the
+    probed lists, yet recall against exact L2 stays useful; ranks are
+    contiguous from 1 and self-match holds for most probes."""
+    spark = get_spark()
+    from metric_search_spark.operators.ann import ivfpq_topk, l2_topk
+
+    emb = _emb_df(spark)
+    probes = emb.where(F.col("id") % 10 == 0)
+    got = ivfpq_topk(
+        probes, emb, k=5, id_col="id", vec_col="vec",
+        n_lists=32, n_probe=8, seed=13,
+    ).toPandas()
+    assert (got.groupby("query_id")["rank"].max() == 5).all()
+    ranks = got.groupby("query_id")["rank"].apply(lambda s: sorted(s.tolist()))
+    assert ranks.tolist() == [[1, 2, 3, 4, 5]] * got["query_id"].nunique()
+    sets = got.groupby("query_id")["neighbor_id"].apply(set)
+    exact = l2_topk(probes, emb, k=5, id_col="id", vec_col="vec").toPandas()
+    ex_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(sets[q] & ex_sets[q]) / 5.0 for q in ex_sets.index])
+    # measured 0.604 on this fixture (8/32-list routing prunes candidates
+    # on top of ADC quantization); deterministic, pinned with margin
+    assert recall >= 0.5, recall
+
+
+def test_ivfpq_query_matches_duckdb_oracle():
+    duckdb = pytest.importorskip("duckdb")
+
+    from metric_search_spark.entry_queries import QUERIES, _o_ivfpq_sql
+
+    spark = get_spark()
+    got = QUERIES["ivfpq_knn_embeddings"](spark, SF_DIR).toPandas()
+    want = duckdb.sql(_o_ivfpq_sql("sf0.001")).df()
+    cols = ["query_id", "neighbor_id", "rnk"]
+    key = ["query_id", "rnk"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(got) == 50 * 5
+
+
 def test_pq_query_matches_duckdb_oracle():
     duckdb = pytest.importorskip("duckdb")
 
