@@ -1239,6 +1239,19 @@ SELECT query_id, neighbor_id, rnk FROM (
 """
 
 
+def q_winnow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (task brief "document
+    fingerprinting (rolling hash)"): polynomial k-gram hashes + winnowing
+    selection (rightmost window minimum — MOSS semantics), pure Column math
+    end-to-end (functions/text.kgram_hashes_col + winnow_col). The DuckDB
+    twin (text.winnow_sql) recomputes the whole pipeline from raw text —
+    fully independent, no hand-off; exact BIGINT arithmetic on both sides."""
+    from metric_search_spark.functions.text import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, id_col="doc_id", text_col="text")
+
+
 _IVFPQ_LISTS, _IVFPQ_PROBE = 32, 8
 
 
@@ -1825,6 +1838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_documents": q_langid_documents,
     "quality_documents": q_quality_documents,
     "bpeish_documents": q_bpeish_documents,
+    "winnow_documents": q_winnow_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
@@ -1874,10 +1888,11 @@ _STATIC_ORACLES: dict[str, str] = {
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }
 
-# langid IS SQL-expressible — register its twin
-from metric_search_spark.functions.text import langid_sql  # noqa: E402
+# langid and winnowing ARE SQL-expressible — register their twins
+from metric_search_spark.functions.text import langid_sql, winnow_sql  # noqa: E402
 
 _STATIC_ORACLES["langid_documents"] = langid_sql("text")
+_STATIC_ORACLES["winnow_documents"] = winnow_sql("text")
 
 
 def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:

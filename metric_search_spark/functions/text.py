@@ -142,3 +142,171 @@ def shingles_col(text: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+# ------------------------------------------------- winnowing (rolling hash)
+
+
+WINNOW_B, WINNOW_P = 257, 1_000_000_007
+
+
+def kgram_hashes_col(text: Column, k: int = 8) -> Column:
+    """Rolling k-gram fingerprint hashes (the task brief's "rolling hash"
+    fingerprinting, MOSS/winnowing style): for every position i, the
+    polynomial hash Σⱼ code(sᵢ₊ⱼ)·B^(k−1−j) mod P of the k-gram at i.
+    Pure Column math — nested transform over positions × gram offsets;
+    every intermediate < 2⁴¹ so BIGINT arithmetic is exact and a SQL twin
+    reproduces the values bit-for-bit. Empty array when len(text) < k."""
+    powers = [WINNOW_B ** (k - 1 - j) % WINNOW_P for j in range(k)]
+    n_grams = F.length(text) - k + 1
+
+    def gram(i: Column) -> Column:
+        total = F.lit(0).cast("long")
+        for j, p in enumerate(powers):
+            total = total + F.ascii(F.substring(text, i + j, 1)).cast("long") * p
+        return total % WINNOW_P
+
+    return F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams), gram),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_col(hashes: Column, w: int = 4) -> Column:
+    """Winnowing selection over the k-gram hash sequence: for each window of
+    ``w`` consecutive hashes pick the RIGHTMOST minimal one, and return the
+    distinct selected (pos, fp) pairs sorted by position (1-based pos).
+    This is the canonical robust-winnowing guarantee: any shared substring
+    of length ≥ w + k − 1 yields a shared fingerprint. Pure Column math."""
+    n_win = F.size(hashes) - w + 1
+
+    def pick(s: Column) -> Column:
+        win = F.slice(hashes, s, w)
+        m = F.array_min(win)
+        # rightmost minimal: first position in the REVERSED window
+        rpos = F.array_position(F.reverse(win), m)
+        pos = s + w - rpos.cast("int")
+        return F.struct(
+            pos.cast("long").alias("pos"), m.alias("fp")
+        )
+
+    return F.when(
+        n_win >= 1,
+        F.array_sort(
+            F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), pick))
+        ),
+    ).otherwise(
+        F.when(
+            F.size(hashes) >= 1,
+            # shorter than one window: keep the single global minimum
+            # (rightmost, mirroring the window rule)
+            F.array(
+                F.struct(
+                    (
+                        F.size(hashes)
+                        + 1
+                        - F.array_position(F.reverse(hashes), F.array_min(hashes))
+                    ).cast("long").alias("pos"),
+                    F.array_min(hashes).alias("fp"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:long,fp:bigint>>"))
+    )
+
+
+def winnow_sql(text_expr: str, k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of kgram_hashes_col + winnow_col over ``text_expr``,
+    fully independent (recomputes the rolling hashes from raw text): same
+    polynomial mod-P arithmetic, same rightmost-minimal window rule, same
+    (pos, fp) rows. Window picks explode to rows and dedupe with row-level
+    DISTINCT (DuckDB's list_distinct can't take struct lists)."""
+    powers = [WINNOW_B ** (k - 1 - j) % WINNOW_P for j in range(k)]
+    gram = " + ".join(
+        f"CAST(ord(substr(t, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(powers)
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {k} THEN
+      list_transform(range(1, len(t) - {k} + 2),
+                     i -> CAST(({gram}) % {WINNOW_P} AS BIGINT))
+    ELSE [] END AS h
+  FROM (SELECT doc_id, {text_expr} AS t FROM documents)
+), sized AS (
+  SELECT doc_id, h, len(h) AS n FROM hs
+), picks AS (
+  SELECT doc_id,
+    CAST(s + {w} - list_position(list_reverse(list_slice(h, s, s + {w} - 1)),
+                                 list_min(list_slice(h, s, s + {w} - 1)))
+         AS BIGINT) AS pos,
+    list_min(list_slice(h, s, s + {w} - 1)) AS fp
+  FROM sized, unnest(range(1, n - {w} + 2)) AS t(s)
+  WHERE n >= {w}
+  UNION ALL
+  SELECT doc_id,
+    CAST(n + 1 - list_position(list_reverse(h), list_min(h)) AS BIGINT),
+    list_min(h)
+  FROM sized WHERE n >= 1 AND n < {w}
+)
+SELECT DISTINCT doc_id, pos, fp FROM picks
+"""
+
+
+def winnow_fingerprints(
+    df, *, id_col: str = "doc_id", text_col: str = "text", k: int = 8, w: int = 4
+):
+    """Relational winnowing over a document table → (id, pos, fp) rows.
+
+    The array variant (``winnow_col``) inlines the whole k-gram hash
+    expression into every window slice — Catalyst duplicates the
+    subexpression and evaluation goes quadratic in document length — so the
+    scale path is relational: ``posexplode`` is a generator boundary (the
+    hash array evaluates ONCE per document), every gram row fans out to the
+    ≤ w windows it could win, and each window's rightmost-minimal pick is a
+    single struct-min aggregate ``min(struct(fp, -pos))``. One groupBy
+    shuffle on (id, window), no UDF, no quadratic re-evaluation."""
+    from pyspark.sql import DataFrame  # noqa: F401 — typing only
+
+    h = kgram_hashes_col(F.col(text_col), k)
+    # _n comes from length(text), NOT size(h): putting size(h) beside the
+    # generator makes Catalyst re-evaluate the whole hash array per emitted
+    # row (O(n²) per document — measured as a hang at 500 docs); length()
+    # is cheap even when duplicated. Rows only exist where size(h) >= 1,
+    # where the two definitions agree.
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        (F.length(text_col) - k + 1).alias("_n"),
+        F.posexplode(h).alias("_p0", "fp"),
+    )
+    pos = F.col("_p0") + 1
+    n_win = F.greatest(F.col("_n") - w + 1, F.lit(1))
+    s_lo = F.greatest(F.lit(1), pos - w + 1)
+    s_hi = F.least(pos, n_win)
+    wins = rows.select(
+        "_id",
+        pos.cast("long").alias("_pos"),
+        "fp",
+        F.explode(F.sequence(s_lo, s_hi)).alias("_s"),
+    )
+    picks = wins.groupBy("_id", "_s").agg(
+        F.min(F.struct(F.col("fp"), (-F.col("_pos")).alias("_np"))).alias("m")
+    )
+    return (
+        picks.select(
+            F.col("_id").alias(id_col),
+            (-F.col("m._np")).alias("pos"),
+            F.col("m.fp").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+__all__ += [
+    "kgram_hashes_col",
+    "winnow_col",
+    "winnow_fingerprints",
+    "winnow_sql",
+    "WINNOW_B",
+    "WINNOW_P",
+]

@@ -169,6 +169,45 @@ def test_minhash_banding_completeness(spark):
     assert got_pairs == want, (got_pairs ^ want)
 
 
+def test_winnow_matches_duckdb_and_guarantee(spark):
+    """Winnowing parity vs the fully-independent DuckDB twin at sf0.001,
+    plus the robust-winnowing guarantee: two docs sharing a substring of
+    length >= w + k - 1 share at least one fingerprint value."""
+    import duckdb
+
+    from metric_search_spark.entry_queries import QUERIES
+    from metric_search_spark.functions.text import winnow_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["winnow_documents"](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(winnow_sql("text")).df()
+    cols = ["doc_id", "pos", "fp"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True).astype("int64"),
+        want[cols].sort_values(cols).reset_index(drop=True).astype("int64"),
+    )
+
+    from metric_search_spark.functions.text import kgram_hashes_col, winnow_col
+
+    shared = "zqxjkvwpyg"  # length 10 < 11: no guarantee; pad to 12
+    shared = shared + "mf"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["aaa " + shared + " bbbbb", "cc " + shared + " dddd ee"],
+            }
+        )
+    )
+    out = df.select(
+        "doc_id", F.explode(winnow_col(kgram_hashes_col(F.col("text")))).alias("s")
+    ).select("doc_id", F.col("s.fp").alias("fp")).toPandas()
+    fps = out.groupby("doc_id")["fp"].apply(set)
+    assert len(fps[1] & fps[2]) >= 1
+
+
 def test_fingerprint_dup_detection(spark, docs):
     out = docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp")).toPandas()
     fp = dict(zip(out["doc_id"], out["fp"]))
