@@ -62,3 +62,27 @@ def test_write_parquet(tmp_path):
     assert t.num_rows == 50
     assert t.schema.names == synth.IMAGE_SCHEMA_COLS
     assert np.all(np.asarray(t["phash"]) >= 0)
+
+
+def test_table_io_seam(tmp_path):
+    """Parquet path round-trips; Iceberg catalog idents fail with a clear
+    message when the runtime jar is absent (this container)."""
+    import pytest
+
+    from metric_search_spark.sources.tables import (
+        iceberg_available,
+        read_table,
+        write_table,
+    )
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    df = spark.range(10).withColumnRenamed("id", "x")
+    p = str(tmp_path / "t.parquet")
+    write_table(df, p, mode="overwrite")
+    assert read_table(spark, p).count() == 10
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            read_table(spark, "db.tbl")
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            write_table(df, "db.tbl")
