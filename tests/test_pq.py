@@ -98,6 +98,30 @@ def test_ivfpq_topk_recall_and_shape():
     assert recall >= 0.5, recall
 
 
+def test_ivfpq_candidate_shuffles_carry_no_vectors(spark=None):
+    """The composed tier's contract: after encode, only codes and ids move.
+    No Exchange in the plan partitions on (or materializes through) a raw
+    vector column, and the per-probe LUT never hash-partitions alongside
+    candidates (it meets them once via the cogroup)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from metric_search_spark.operators.ann import ivfpq_topk
+    from metric_search_spark.plans.inspect import explain_text
+
+    spark = get_spark()
+    emb = _emb_df(spark)
+    probes = emb.where(F.col("id") % 10 == 0)
+    out = ivfpq_topk(
+        probes, emb, k=5, id_col="id", vec_col="vec", n_lists=32, n_probe=8,
+        seed=13,
+    )
+    txt = explain_text(out)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
+        assert "_va" not in m.group(1) and "_vb" not in m.group(1), m.group(1)
+
+
 def test_ivfpq_query_matches_duckdb_oracle():
     duckdb = pytest.importorskip("duckdb")
 
