@@ -648,7 +648,13 @@ def pq_topk(
             for j in range(mm):
                 acc += L[:, j, Cd[:, j]]
             kk = min(k, b)
-            top = np.argpartition(acc, kk - 1, axis=1)[:, :kk]  # (u, kk)
+            # per-batch selection must use the SAME total order as the final
+            # window — (adc, neighbor_id) — or a tied-adc candidate the
+            # global rank wants (duplicate vectors ⇒ identical codes ⇒
+            # identical adc) could be dropped here in favor of a larger id
+            nb_ids = pdf["neighbor_id"].to_numpy()
+            order = np.lexsort((np.broadcast_to(nb_ids, (u, b)), acc), axis=1)
+            top = order[:, :kk]  # (u, kk)
             rows_q = np.repeat(np.arange(u), kk)
             rows_n = top.ravel()
             yield pd.DataFrame(

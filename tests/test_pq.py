@@ -98,6 +98,27 @@ def test_ivfpq_topk_recall_and_shape():
     assert recall >= 0.5, recall
 
 
+def test_pq_topk_tie_break_on_duplicate_vectors():
+    """Duplicate vectors encode to identical codes ⇒ identical adc; the
+    per-batch selection must break ties by neighbor_id exactly like the
+    final window (and the DuckDB twin), keeping the SMALLEST ids."""
+    spark = get_spark()
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(9, 8))
+    dup = base[0]
+    vecs = [dup, dup, dup] + [r for r in base[1:]]
+    ids = [7, 2, 5] + list(range(10, 18))
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "vec": [list(map(float, v)) for v in vecs]})
+    )
+    probes = df.where(F.col("id") == 7)
+    got = pq_topk(
+        probes, df, k=3, id_col="id", vec_col="vec", m=2, ks=4, seed=9
+    ).toPandas().sort_values("rank")
+    # the three duplicates tie at the minimal adc; ids ascending
+    assert got["neighbor_id"].tolist() == [2, 5, 7]
+
+
 def test_ivfpq_candidate_shuffles_carry_no_vectors(spark=None):
     """The composed tier's contract: after encode, only codes and ids move.
     No Exchange in the plan partitions on (or materializes through) a raw
