@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metric_search_spark.functions.spatial import (
-    cell_from_xy_col,
     cell_from_xy_sql,
     coord_sql,
 )

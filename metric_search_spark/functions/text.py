@@ -177,7 +177,12 @@ def winnow_col(hashes: Column, w: int = 4) -> Column:
     ``w`` consecutive hashes pick the RIGHTMOST minimal one, and return the
     distinct selected (pos, fp) pairs sorted by position (1-based pos).
     This is the canonical robust-winnowing guarantee: any shared substring
-    of length ≥ w + k − 1 yields a shared fingerprint. Pure Column math."""
+    of length ≥ w + k − 1 yields a shared fingerprint.
+
+    SMALL INPUTS ONLY: Catalyst inlines the ``hashes`` expression into every
+    window slice (no CSE through lambdas), so evaluation is quadratic in
+    document length when composed with kgram_hashes_col — measured as a
+    hang at 500 real docs. The scale path is ``winnow_fingerprints``."""
     n_win = F.size(hashes) - w + 1
 
     def pick(s: Column) -> Column:
