@@ -1244,11 +1244,14 @@ def q_winnow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection (rightmost window minimum — MOSS semantics), pure Column math
     end-to-end (functions/text.kgram_hashes_col + winnow_col). The DuckDB
     twin (text.winnow_sql) recomputes the whole pipeline from raw text —
-    fully independent, no hand-off; exact BIGINT arithmetic on both sides."""
-    from metric_search_spark.functions.text import winnow_fingerprints
+    fully independent, no hand-off; exact BIGINT arithmetic on both sides.
+    Runs the ZERO-SHUFFLE Arrow kernel (winnow_fingerprints_arrow —
+    per-document work is embarrassingly parallel); the relational variant
+    (winnow_fingerprints) is parity-pinned against it in pytest."""
+    from metric_search_spark.functions.text import winnow_fingerprints_arrow
 
     docs = _read(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs, id_col="doc_id", text_col="text")
+    return winnow_fingerprints_arrow(docs, id_col="doc_id", text_col="text")
 
 
 _IVFPQ_LISTS, _IVFPQ_PROBE = 32, 8

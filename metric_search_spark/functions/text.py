@@ -307,10 +307,72 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_arrow(
+    df, *, id_col: str = "doc_id", text_col: str = "text", k: int = 8, w: int = 4
+):
+    """Zero-shuffle winnowing: every document's windows are internal to the
+    document, so the whole computation is embarrassingly parallel — one
+    ``mapInPandas`` pass, no groupBy at all (the relational variant
+    ``winnow_fingerprints`` shuffles ~one row per gram through its
+    (doc, window) aggregate; at 10⁹ documents this kernel is the plan).
+    Per document: k-gram hashes as one windows×powers matrix product mod P,
+    rolling window minima via ``sliding_window_view``, rightmost-argmin via
+    argmax over the reversed equality mask. Bit-identical to the relational
+    and SQL twins (integer arithmetic throughout; parity pinned)."""
+    import numpy as np
+
+    powers = np.array(
+        [WINNOW_B ** (k - 1 - j) % WINNOW_P for j in range(k)], dtype=np.int64
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                s = str(text)
+                n = len(s) - k + 1
+                if n < 1:
+                    continue
+                codes = np.frombuffer(s.encode("latin-1"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                # (n, k) gram windows @ powers — every term < 2^41, exact
+                H = (sliding_window_view(codes, k) @ powers) % WINNOW_P
+                if n >= w:
+                    win = sliding_window_view(H, w)  # (n-w+1, w)
+                    m = win.min(axis=1)
+                    rpos = w - 1 - np.argmax(win[:, ::-1] == m[:, None], axis=1)
+                    pos = np.arange(n - w + 1) + rpos + 1
+                else:
+                    m = np.array([H.min()])
+                    pos = np.array([n - np.argmax(H[::-1] == m[0])])
+                sel = np.unique(np.stack([pos, m], axis=1), axis=0)
+                ids.extend([did] * len(sel))
+                poss.append(sel[:, 0])
+                fps.append(sel[:, 1])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "pos": np.concatenate(poss) if poss else np.array([], np.int64),
+                    "fp": np.concatenate(fps) if fps else np.array([], np.int64),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, pos long, fp long"
+    )
+
+
 __all__ += [
     "kgram_hashes_col",
     "winnow_col",
     "winnow_fingerprints",
+    "winnow_fingerprints_arrow",
     "winnow_sql",
     "WINNOW_B",
     "WINNOW_P",

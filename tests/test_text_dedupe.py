@@ -208,6 +208,28 @@ def test_winnow_matches_duckdb_and_guarantee(spark):
     assert len(fps[1] & fps[2]) >= 1
 
 
+def test_winnow_arrow_matches_relational(spark):
+    """The zero-shuffle Arrow kernel and the relational groupBy variant are
+    bit-identical on the full sf0.001 corpus (both also match the DuckDB
+    twin above, so this pins the engine's two plans to each other)."""
+    from metric_search_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "pos", "fp"]
+    a = (
+        winnow_fingerprints_arrow(docs).toPandas()[cols]
+        .sort_values(cols).reset_index(drop=True).astype("int64")
+    )
+    b = (
+        winnow_fingerprints(docs).toPandas()[cols]
+        .sort_values(cols).reset_index(drop=True).astype("int64")
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_fingerprint_dup_detection(spark, docs):
     out = docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp")).toPandas()
     fp = dict(zip(out["doc_id"], out["fp"]))
