@@ -468,11 +468,31 @@ FROM events
 # silently trust a stale or foreign file), so the driver's query→oracle
 # sequence reads exactly what the query just wrote.
 
+# SINGLE-RUNNER ASSUMPTION (ADVICE r3): paths are keyed by (name, scale key)
+# only, so two concurrent runners at the same sf could interleave a write in
+# run A between run B's write and B's oracle read. All hand-off content is
+# deterministic for a given (name, key) — identical bytes either way — so the
+# race is benign for the engine's own queries; a runner injecting DIFFERENT
+# parameters at the same key must serialize externally. A per-run token can't
+# go in the key because oracle SQL strings may be generated by a different
+# process than the one that runs the queries (the driver contract).
 _HANDOFF_PATH_TMPL = "/tmp/msk_{name}_handoff_{key}.parquet"
 
 
 def _handoff_path(name: str, key) -> str:
     return _HANDOFF_PATH_TMPL.format(name=name, key=key)
+
+
+def _handoff_enabled() -> bool:
+    """Oracle hand-offs are driver-side materializations that exist ONLY so
+    the DuckDB twin can audit the run. Every writer checks this gate
+    (VERDICT r3 item 3): with MSK_SKIP_ORACLE_HANDOFF=1 no query in QUERIES
+    executes a toPandas()/collect for oracle plumbing — the query computes
+    from its own distributed plan instead — so large-sf callers that never
+    run an oracle pay nothing for it."""
+    import os
+
+    return os.environ.get("MSK_SKIP_ORACLE_HANDOFF") != "1"
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -525,9 +545,7 @@ def q_flagship_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hand-off exists only for the DuckDB oracle; large-scale callers
     # that never run the oracle (the hand-off is driver-side pandas, cost
     # grows with n) can skip it (ADVICE r2)
-    import os
-
-    if os.environ.get("MSK_SKIP_ORACLE_HANDOFF") != "1":
+    if _handoff_enabled():
         _flagship_oracle_parquet(images_n_for_sf(sf_dir))
     imgs = images_df(spark, sf_dir)
     xc, yc = coord_cols(F.col("phash"))
@@ -711,12 +729,15 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = docs.select(
         "doc_id", minhash_signature_col(F.col("text"), 32, 3).alias("sig")
     )
-    path = _write_handoff(
-        sig.toPandas(), _handoff_path("minhash", _sf_tag(sf_dir))
-    )
-    handed = spark.read.parquet(path).select(
-        F.col("doc_id").alias("id"), "sig"
-    )
+    if _handoff_enabled():
+        path = _write_handoff(
+            sig.toPandas(), _handoff_path("minhash", _sf_tag(sf_dir))
+        )
+        handed = spark.read.parquet(path).select(
+            F.col("doc_id").alias("id"), "sig"
+        )
+    else:
+        handed = sig.select(F.col("doc_id").alias("id"), "sig")
     out = minhash_lsh_pairs_from_sig(
         handed, docs, num_hashes=32, bands=16, verify_threshold=0.2
     )
@@ -769,12 +790,17 @@ def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     sig = docs.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
-    path = _write_handoff(
-        sig.toPandas(), _handoff_path("simhash", _sf_tag(sf_dir))
-    )
-    handed = spark.read.parquet(path).select(
-        F.col("doc_id").alias("id"), F.col("simhash").alias("sh")
-    )
+    if _handoff_enabled():
+        path = _write_handoff(
+            sig.toPandas(), _handoff_path("simhash", _sf_tag(sf_dir))
+        )
+        handed = spark.read.parquet(path).select(
+            F.col("doc_id").alias("id"), F.col("simhash").alias("sh")
+        )
+    else:
+        handed = sig.select(
+            F.col("doc_id").alias("id"), F.col("simhash").alias("sh")
+        )
     return simhash_pairs_from_sig(handed, max_hamming=6, bands=8)
 
 
@@ -942,28 +968,29 @@ def q_images_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     rows = generate_rows(_IPV_N, seed=_IPV_SEED)
-    recs = []
-    for r in rows:
-        img = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
-        orig = (
-            render_original(r["image_id"], r["w"], r["h"], seed=_IPV_SEED)
-            if r["fmt"] == "qnt"
-            else img
+    if _handoff_enabled():
+        recs = []
+        for r in rows:
+            img = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+            orig = (
+                render_original(r["image_id"], r["w"], r["h"], seed=_IPV_SEED)
+                if r["fmt"] == "qnt"
+                else img
+            )
+            recs.append(
+                {
+                    "image_id": r["image_id"],
+                    "fmt": r["fmt"],
+                    "phash": r["phash"],
+                    "w": r["w"],
+                    "h": r["h"],
+                    "px": img.ravel().astype("int32").tolist(),
+                    "px_o": orig.ravel().astype("int32").tolist(),
+                }
+            )
+        _write_handoff(
+            pd.DataFrame(recs), _handoff_path("ipv", f"{_IPV_N}_{_IPV_SEED}")
         )
-        recs.append(
-            {
-                "image_id": r["image_id"],
-                "fmt": r["fmt"],
-                "phash": r["phash"],
-                "w": r["w"],
-                "h": r["h"],
-                "px": img.ravel().astype("int32").tolist(),
-                "px_o": orig.ravel().astype("int32").tolist(),
-            }
-        )
-    _write_handoff(
-        pd.DataFrame(recs), _handoff_path("ipv", f"{_IPV_N}_{_IPV_SEED}")
-    )
 
     pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt", "phash"]]
     out = verify_payloads(spark.createDataFrame(pdf))
@@ -1033,22 +1060,23 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_search_spark.sources.synth_av import decode_audio, generate_audio_rows
 
     rows = generate_audio_rows(_AV_AUDIO_N, seed=_AV_SEED)
-    _write_handoff(
-        pd.DataFrame(
-            {
-                "audio_id": [r["audio_id"] for r in rows],
-                "sr": [r["sr"] for r in rows],
-                "n": [r["n_samples"] for r in rows],
-                "s": [
-                    decode_audio(r["bytes"], r["n_samples"], r["fmt"])
-                    .astype("int32")
-                    .tolist()
-                    for r in rows
-                ],
-            }
-        ),
-        _handoff_path("audio", f"{_AV_AUDIO_N}_{_AV_SEED}"),
-    )
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "audio_id": [r["audio_id"] for r in rows],
+                    "sr": [r["sr"] for r in rows],
+                    "n": [r["n_samples"] for r in rows],
+                    "s": [
+                        decode_audio(r["bytes"], r["n_samples"], r["fmt"])
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("audio", f"{_AV_AUDIO_N}_{_AV_SEED}"),
+        )
     df = spark.createDataFrame(pd.DataFrame(rows))
     out = with_audio_features(df)
     return out.select(
@@ -1101,25 +1129,27 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_search_spark.sources.synth_av import decode_frame, generate_video_rows
 
     rows = generate_video_rows(_AV_VIDEO_N, seed=_AV_SEED)
-    recs = []
-    for r in rows:
-        for fi in sample_frame_indices(r["n_frames"], _AV_K):
-            recs.append(
-                {
-                    "video_id": r["video_id"],
-                    "n_frames": r["n_frames"],
-                    "w": r["w"],
-                    "h": r["h"],
-                    "frame_idx": fi,
-                    "px": decode_frame(r["bytes"], r["w"], r["h"], fi, r["fmt"])
-                    .ravel()
-                    .astype("int32")
-                    .tolist(),
-                }
-            )
-    _write_handoff(
-        pd.DataFrame(recs), _handoff_path("vframes", f"{_AV_VIDEO_N}_{_AV_SEED}")
-    )
+    if _handoff_enabled():
+        recs = []
+        for r in rows:
+            for fi in sample_frame_indices(r["n_frames"], _AV_K):
+                recs.append(
+                    {
+                        "video_id": r["video_id"],
+                        "n_frames": r["n_frames"],
+                        "w": r["w"],
+                        "h": r["h"],
+                        "frame_idx": fi,
+                        "px": decode_frame(r["bytes"], r["w"], r["h"], fi, r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist(),
+                    }
+                )
+        _write_handoff(
+            pd.DataFrame(recs),
+            _handoff_path("vframes", f"{_AV_VIDEO_N}_{_AV_SEED}"),
+        )
     df = spark.createDataFrame(pd.DataFrame(rows))
     frames = sample_frames(df, _AV_K)
     stats = with_image_stats(frames)
@@ -1171,13 +1201,24 @@ def q_pq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     two hand-off parquets; DuckDB independently reproduces scoring
     (sequential list_sum over the same fixed subspace order) and the
     (adc, neighbor_id) ranking."""
+    return _pq_run(spark, sf_dir, rerank=None, ho_prefix="pq")
+
+
+def _pq_run(
+    spark: SparkSession, sf_dir: str, rerank: int | None, ho_prefix: str
+) -> DataFrame:
+    """Shared body of the ADC-only and exact-rerank PQ driver queries. Each
+    variant writes its OWN hand-off keys (``ho_prefix``): the contents would
+    be identical here (same seed/sample/params), but distinct keys keep the
+    write→oracle-read pairing of each query self-contained regardless of the
+    order the driver runs them in. Writes are gated (_handoff_enabled)."""
     import pandas as pd
 
     from metric_search_spark.operators.ann import pq_topk
 
     emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("id") % 10 == 0)
-    ho: dict = {}
+    ho: dict | None = {} if _handoff_enabled() else None
     out = pq_topk(
         probes,
         emb,
@@ -1187,30 +1228,86 @@ def q_pq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         ks=_PQ_KS,
         seed=13,
+        rerank=rerank,
         handoff=ho,
     )
-    assert ho["books"].shape[1] == _PQ_KS  # oracle SQL hard-codes the stride
-    tag = _sf_tag(sf_dir)
-    _write_handoff(
-        pd.DataFrame(
-            {
-                "query_id": ho["qids"],
-                "lut": [row.ravel().tolist() for row in ho["lut"]],
-            }
-        ),
-        _handoff_path("pqlut", tag),
-    )
-    codes_pdf = ho["codes_df"].toPandas()
-    _write_handoff(
-        pd.DataFrame(
-            {
-                "neighbor_id": codes_pdf["neighbor_id"],
-                "code": [[int(v) for v in c] for c in codes_pdf["code"]],
-            }
-        ),
-        _handoff_path("pqcodes", tag),
-    )
+    if ho is not None:
+        assert ho["books"].shape[1] == _PQ_KS  # oracle SQL hard-codes the stride
+        tag = _sf_tag(sf_dir)
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "query_id": ho["qids"],
+                    "lut": [row.ravel().tolist() for row in ho["lut"]],
+                }
+            ),
+            _handoff_path(f"{ho_prefix}lut", tag),
+        )
+        codes_pdf = ho["codes_df"].toPandas()
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "neighbor_id": codes_pdf["neighbor_id"],
+                    "code": [[int(v) for v in c] for c in codes_pdf["code"]],
+                }
+            ),
+            _handoff_path(f"{ho_prefix}codes", tag),
+        )
     return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+_PQ_RERANK = 64
+
+
+def q_pq_rerank_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rerank PQ tier (VERDICT r3 item 1): ADC selects each probe's
+    top-c=64 candidates from the compressed code table, then ONE bounded
+    id-equi-join re-scores them with exact L2 over the original vectors
+    (operators/ann.exact_l2_rerank) and re-ranks top-k — the standard
+    production PQ recipe (recall@5 0.596 ADC-only → 0.996 reranked at
+    sf0.001, pinned in tests/test_pq.py). Oracle: DuckDB recomputes the ADC
+    top-c from the SAME pqlut/pqcodes hand-offs the ADC query certifies,
+    then re-ranks by exact L2 from the embeddings view — so the rerank join
+    itself is hard-checked."""
+    return _pq_run(spark, sf_dir, rerank=_PQ_RERANK, ho_prefix="pqrr")
+
+
+def _o_pq_rerank_sql(sf_tag: str) -> str:
+    """DuckDB twin of the reranked PQ tier: ADC top-c candidate selection
+    from the LUT+codes hand-off (identical fixed-order list_sum gather and
+    (adc, neighbor_id) cut at c), then exact L2 from the embeddings view and
+    the final (dist, neighbor_id) window rank."""
+    lp = _handoff_path("pqrrlut", sf_tag)
+    cp = _handoff_path("pqrrcodes", sf_tag)
+    dist = l2_dist_sql("ea.embedding", "eb.embedding")
+    return f"""
+WITH l AS (SELECT query_id, lut FROM read_parquet('{lp}')),
+c AS (SELECT neighbor_id, code FROM read_parquet('{cp}')),
+s AS (
+  SELECT l.query_id, c.neighbor_id,
+         list_sum(list_transform(range(0, {_PQ_M}), j ->
+             l.lut[j * {_PQ_KS} + c.code[j + 1] + 1])) AS adc
+  FROM l, c
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS cr
+    FROM s
+  ) t WHERE cr <= {_PQ_RERANK}
+), x AS (
+  SELECT cand.query_id, cand.neighbor_id, {dist} AS dist
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.query_id
+  JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rnk
+  FROM x
+) t WHERE rnk <= {_PQ_K}
+"""
 
 
 def _o_pq_sql(sf_tag: str) -> str:
@@ -1266,13 +1363,29 @@ def q_ivfpq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB independently re-joins the posting lists, re-gathers the ADC
     scores in the kernel's fixed subspace order, and reproduces the
     (adc, neighbor_id) ranking."""
+    return _ivfpq_run(
+        spark, sf_dir, rerank=None, n_probe=_IVFPQ_PROBE, ho_prefix="ivfpq"
+    )
+
+
+def _ivfpq_run(
+    spark: SparkSession,
+    sf_dir: str,
+    rerank: int | None,
+    n_probe: int,
+    ho_prefix: str,
+) -> DataFrame:
+    """Shared body of the ADC-only and exact-rerank IVF+PQ driver queries.
+    Each variant writes its OWN hand-off keys (``ho_prefix``) — the rerank
+    variant probes more lists, so its ROUTES hand-off genuinely differs from
+    the ADC variant's and the two must never share a path. Writes gated."""
     import pandas as pd
 
     from metric_search_spark.operators.ann import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("id") % 10 == 0)
-    ho: dict = {}
+    ho: dict | None = {} if _handoff_enabled() else None
     out = ivfpq_topk(
         probes,
         emb,
@@ -1280,43 +1393,107 @@ def q_ivfpq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="id",
         vec_col="vec",
         n_lists=_IVFPQ_LISTS,
-        n_probe=_IVFPQ_PROBE,
+        n_probe=n_probe,
         m=_PQ_M,
         ks=_PQ_KS,
         seed=13,
+        rerank=rerank,
         handoff=ho,
     )
-    assert ho["books"].shape[1] == _PQ_KS
-    tag = _sf_tag(sf_dir)
-    luts_pdf = ho["luts_df"].toPandas()
-    _write_handoff(
-        pd.DataFrame(
-            {
-                "query_id": luts_pdf["query_id"],
-                "lut": [[float(v) for v in r] for r in luts_pdf["_lut"]],
-            }
-        ),
-        _handoff_path("ivfpqlut", tag),
-    )
-    pl_pdf = ho["plists_df"].toPandas()
-    _write_handoff(
-        pd.DataFrame(
-            {"query_id": pl_pdf["query_id"], "list": pl_pdf["_list"].astype(int)}
-        ),
-        _handoff_path("ivfpqroutes", tag),
-    )
-    codes_pdf = ho["codes_df"].toPandas()
-    _write_handoff(
-        pd.DataFrame(
-            {
-                "neighbor_id": codes_pdf["neighbor_id"],
-                "list": codes_pdf["_list"].astype(int),
-                "code": [[int(v) for v in c] for c in codes_pdf["code"]],
-            }
-        ),
-        _handoff_path("ivfpqcodes", tag),
-    )
+    if ho is not None:
+        assert ho["books"].shape[1] == _PQ_KS
+        tag = _sf_tag(sf_dir)
+        luts_pdf = ho["luts_df"].toPandas()
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "query_id": luts_pdf["query_id"],
+                    "lut": [[float(v) for v in r] for r in luts_pdf["_lut"]],
+                }
+            ),
+            _handoff_path(f"{ho_prefix}lut", tag),
+        )
+        pl_pdf = ho["plists_df"].toPandas()
+        _write_handoff(
+            pd.DataFrame(
+                {"query_id": pl_pdf["query_id"], "list": pl_pdf["_list"].astype(int)}
+            ),
+            _handoff_path(f"{ho_prefix}routes", tag),
+        )
+        codes_pdf = ho["codes_df"].toPandas()
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "neighbor_id": codes_pdf["neighbor_id"],
+                    "list": codes_pdf["_list"].astype(int),
+                    "code": [[int(v) for v in c] for c in codes_pdf["code"]],
+                }
+            ),
+            _handoff_path(f"{ho_prefix}codes", tag),
+        )
     return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+_IVFPQ_RERANK_PROBE = 16
+
+
+def q_ivfpq_rerank_knn_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-rerank IVF+PQ tier (VERDICT r3 item 1): the posting-list join +
+    per-probe ADC cogroup selects top-c=64 candidates (probing 16/32 lists —
+    the rerank tier spends its budget on routing recall, since rerank can
+    only fix QUANTIZATION error, never a neighbor whose list was never
+    probed), then one bounded id-equi-join re-scores them with exact L2
+    (operators/ann.exact_l2_rerank) — candidates shuffle codes+ids only up
+    to that final bounded re-join (recall@5 0.604 ADC-only → 0.952 reranked
+    at sf0.001, pinned in tests/test_pq.py). Oracle: DuckDB re-derives the
+    candidate sets from the routes/codes hand-offs, recomputes the ADC top-c
+    cut, then re-ranks by exact L2 from the embeddings view."""
+    return _ivfpq_run(
+        spark, sf_dir,
+        rerank=_PQ_RERANK, n_probe=_IVFPQ_RERANK_PROBE, ho_prefix="ivfpqrr",
+    )
+
+
+def _o_ivfpq_rerank_sql(sf_tag: str) -> str:
+    """DuckDB twin of the reranked IVF+PQ tier: posting-list equi-join +
+    fixed-order ADC gather + (adc, neighbor_id) cut at c from the three
+    hand-offs, then exact L2 from the embeddings view and the final
+    (dist, neighbor_id) window rank."""
+    lp = _handoff_path("ivfpqrrlut", sf_tag)
+    rp = _handoff_path("ivfpqrrroutes", sf_tag)
+    cp = _handoff_path("ivfpqrrcodes", sf_tag)
+    dist = l2_dist_sql("ea.embedding", "eb.embedding")
+    return f"""
+WITH l AS (SELECT query_id, lut FROM read_parquet('{lp}')),
+r AS (SELECT query_id, list FROM read_parquet('{rp}')),
+c AS (SELECT neighbor_id, list, code FROM read_parquet('{cp}')),
+s AS (
+  SELECT r.query_id, c.neighbor_id,
+         list_sum(list_transform(range(0, {_PQ_M}), j ->
+             l.lut[j * {_PQ_KS} + c.code[j + 1] + 1])) AS adc
+  FROM r JOIN c USING (list) JOIN l USING (query_id)
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS cr
+    FROM s
+  ) t WHERE cr <= {_PQ_RERANK}
+), x AS (
+  SELECT cand.query_id, cand.neighbor_id, {dist} AS dist
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.query_id
+  JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rnk
+  FROM x
+) t WHERE rnk <= {_PQ_K}
+"""
 
 
 def _o_ivfpq_sql(sf_tag: str) -> str:
@@ -1371,12 +1548,13 @@ def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="msk_idx_")
     build_index(tbl, path, res=3, batches=4)
     nodes = load_nodes(spark, path)
-    _write_handoff(
-        nodes.select(
-            "cell", "node_id", "parent_id", "level", "parent_dist", "vx", "vy"
-        ).toPandas(),
-        _handoff_path("ilh", _sf_tag(sf_dir)),
-    )
+    if _handoff_enabled():
+        _write_handoff(
+            nodes.select(
+                "cell", "node_id", "parent_id", "level", "parent_dist", "vx", "vy"
+            ).toPandas(),
+            _handoff_path("ilh", _sf_tag(sf_dir)),
+        )
     return (
         nodes.groupBy("level")
         .agg(F.count("*").alias("cnt"))
@@ -1508,7 +1686,7 @@ dp AS (
     )
   )
 )
-SELECT user_id, round(d[len(a)], 6) AS twed
+SELECT user_id, round(d[len(d)], 6) AS twed
 FROM dp WHERE i = len(a)
 """
 
@@ -1540,8 +1718,13 @@ def q_ssim_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    path = _write_handoff(pdf, _handoff_path("ssim", f"{_SSIM_N}_{_SSIM_SEED}"))
-    df = spark.read.parquet(path)
+    if _handoff_enabled():
+        path = _write_handoff(
+            pdf, _handoff_path("ssim", f"{_SSIM_N}_{_SSIM_SEED}")
+        )
+        df = spark.read.parquet(path)
+    else:
+        df = spark.createDataFrame(pdf)
     a = df.toDF("id_a", "w", "h", "px_a")
     b = df.toDF("id_b", "w", "h", "px_b")
     pairs = a.join(b, ["w", "h"]).where(F.col("id_a") < F.col("id_b"))
@@ -1781,13 +1964,23 @@ def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     sigs = lsh_band_signatures(emb, n_bits=16, bands=8, seed=7)
-    path = _write_handoff(
-        sigs.toPandas(), _handoff_path("annlsh", _sf_tag(sf_dir))
-    )
-    handed = spark.read.parquet(path)
+    if _handoff_enabled():
+        path = _write_handoff(
+            sigs.toPandas(), _handoff_path("annlsh", _sf_tag(sf_dir))
+        )
+        handed = spark.read.parquet(path)
+        sig_a = handed.toDF("query_id", "band", "sig")
+        sig_b = handed.toDF("neighbor_id", "band", "sig")
+    else:
+        # two independent signature plans (fresh attribute ids — same shape
+        # cosine_topk_lsh uses for its self-join)
+        sig_a = sigs.toDF("query_id", "band", "sig")
+        sig_b = lsh_band_signatures(emb, n_bits=16, bands=8, seed=7).toDF(
+            "neighbor_id", "band", "sig"
+        )
     out = cosine_topk_lsh_from_sigs(
-        handed.toDF("query_id", "band", "sig"),
-        handed.toDF("neighbor_id", "band", "sig"),
+        sig_a,
+        sig_b,
         emb,
         emb,
         k=5,
@@ -1853,6 +2046,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_sample": q_video_frame_sample,
     "pq_knn_embeddings": q_pq_knn_embeddings,
     "ivfpq_knn_embeddings": q_ivfpq_knn_embeddings,
+    "pq_rerank_knn_embeddings": q_pq_rerank_knn_embeddings,
+    "ivfpq_rerank_knn_embeddings": q_ivfpq_rerank_knn_embeddings,
     "index_level_histogram": q_index_level_histogram,
     "twed_events": q_twed_events,
     "ssim_images": q_ssim_images,
@@ -1922,6 +2117,8 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["index_level_histogram"] = _o_ilh_sql(tag)
     oracles["pq_knn_embeddings"] = _o_pq_sql(tag)
     oracles["ivfpq_knn_embeddings"] = _o_ivfpq_sql(tag)
+    oracles["pq_rerank_knn_embeddings"] = _o_pq_rerank_sql(tag)
+    oracles["ivfpq_rerank_knn_embeddings"] = _o_ivfpq_rerank_sql(tag)
     return oracles
 
 

