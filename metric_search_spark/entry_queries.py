@@ -1351,6 +1351,46 @@ def q_winnow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints_arrow(docs, id_col="doc_id", text_col="text")
 
 
+_WINNOW_ND_THRESHOLD = 0.5
+
+
+def q_winnow_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (operators/dedupe.winnow_neardup_pairs —
+    the MOSS consumer of the fingerprints): fp inverted-index self-join →
+    shared-fingerprint counts → containment = shared / min(|A|, |B|) ≥ 0.5.
+    The DuckDB twin recomputes EVERYTHING from raw text — rolling hashes,
+    winnowing selection, inverted-index join, containment — fully
+    independent, no hand-off."""
+    from metric_search_spark.operators.dedupe import winnow_neardup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_neardup_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=_WINNOW_ND_THRESHOLD
+    )
+
+
+def _o_winnow_neardup_sql() -> str:
+    from metric_search_spark.functions.text import winnow_sql
+
+    return f"""
+WITH w AS ({winnow_sql("text")}),
+f AS (SELECT DISTINCT doc_id AS id, fp FROM w),
+sz AS (SELECT id, count(*) AS n FROM f GROUP BY id),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM f a JOIN f b USING (fp)
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared,
+       CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+           AS containment
+FROM p JOIN sz sa ON sa.id = p.id_a JOIN sz sb ON sb.id = p.id_b
+WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+      >= {_WINNOW_ND_THRESHOLD}
+"""
+
+
 _IVFPQ_LISTS, _IVFPQ_PROBE = 32, 8
 
 
@@ -2034,6 +2074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
+    "winnow_neardup_documents": q_winnow_neardup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
@@ -2090,6 +2131,7 @@ from metric_search_spark.functions.text import langid_sql, winnow_sql  # noqa: E
 
 _STATIC_ORACLES["langid_documents"] = langid_sql("text")
 _STATIC_ORACLES["winnow_documents"] = winnow_sql("text")
+_STATIC_ORACLES["winnow_neardup_documents"] = _o_winnow_neardup_sql()
 
 
 def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:

@@ -341,135 +341,141 @@ def winnow_fingerprints_arrow(
     )
 
     def gen(batches):
-        import pandas as pd
+        for pdf in batches:
+            yield _winnow_batch(pdf, id_col, text_col, k, w, powers)
 
-        empty = lambda: pd.DataFrame(  # noqa: E731
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, pos long, fp long"
+    )
+
+
+def _winnow_batch(pdf, id_col, text_col, k, w, powers):
+    """One Arrow batch of the flattened winnowing kernel (module-level so
+    tools/winnow_ubench.py can time the pure-pandas path without Spark
+    jitter; the wrapping ``gen`` above is what mapInPandas pickles)."""
+    import numpy as np
+    import pandas as pd
+
+    texts = [str(t) for t in pdf[text_col]]
+    # docs shorter than one gram contribute nothing (same as the
+    # Column/SQL twins' empty-array branch)
+    keep = np.array([len(s) >= k for s in texts], dtype=bool)
+    if not keep.any():
+        return pd.DataFrame(
             {
                 id_col: np.array([], dtype=object),
                 "pos": np.array([], np.int64),
                 "fp": np.array([], np.int64),
             }
         )
-        for pdf in batches:
-            texts = [str(t) for t in pdf[text_col]]
-            # docs shorter than one gram contribute nothing (same as the
-            # Column/SQL twins' empty-array branch)
-            keep = np.array([len(s) >= k for s in texts], dtype=bool)
-            if not keep.any():
-                yield empty()
-                continue
-            didx = np.nonzero(keep)[0]
-            codes_list = [
-                np.frombuffer(texts[i].encode("utf-32-le"), dtype="<u4").astype(
-                    np.int64
-                )
-                for i in didx
-            ]
-            lens = np.array([len(c) for c in codes_list], dtype=np.int64)
-            off = np.concatenate(([0], np.cumsum(lens)[:-1]))  # char offsets
-            flat = np.concatenate(codes_list)
-            n = lens - k + 1  # grams per doc (all ≥ 1 here)
-            # polynomial gram hashes over the whole flat array as k shifted
-            # multiply-adds (int64 matmul on a strided window view is ~30×
-            # slower — no BLAS path for ints). codepoint ≤ 0x10FFFF ⇒ each
-            # term < 2⁵¹, the 8-term sum < 2⁵⁴ — exact in int64, and the
-            # mod-P result is identical to the twins' per-gram arithmetic.
-            # Grams straddling a document boundary are computed but
-            # discarded by the offset mask below.
-            ng = len(flat) - k + 1
-            acc = flat[0:ng] * powers[0]
-            tmp = np.empty(ng, dtype=np.int64)  # reused per term: one large
-            for j in range(1, k):  # temp instead of k−1 fresh mmaps
-                np.multiply(flat[j : j + ng], powers[j], out=tmp)
-                acc += tmp
-            acc %= WINNOW_P
-            G = acc
-            # flat indices of each doc's valid grams: off_i + [0, n_i)
-            hoff = np.concatenate(([0], np.cumsum(n)[:-1]))  # gram offsets
-            total = int(n.sum())
-            intra = np.arange(total)
-            intra -= np.repeat(hoff, n)
-            gidx = np.repeat(off, n)
-            gidx += intra
-            H = G[gidx]  # per-doc regions [hoff, hoff+n)
+    didx = np.nonzero(keep)[0]
+    codes_list = [
+        np.frombuffer(texts[i].encode("utf-32-le"), dtype="<u4").astype(
+            np.int64
+        )
+        for i in didx
+    ]
+    lens = np.array([len(c) for c in codes_list], dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum(lens)[:-1]))  # char offsets
+    flat = np.concatenate(codes_list)
+    n = lens - k + 1  # grams per doc (all ≥ 1 here)
+    # polynomial gram hashes over the whole flat array as k shifted
+    # multiply-adds (int64 matmul on a strided window view is ~30×
+    # slower — no BLAS path for ints). codepoint ≤ 0x10FFFF ⇒ each
+    # term < 2⁵¹, the 8-term sum < 2⁵⁴ — exact in int64, and the
+    # mod-P result is identical to the twins' per-gram arithmetic.
+    # Grams straddling a document boundary are computed but
+    # discarded by the offset mask below.
+    ng = len(flat) - k + 1
+    acc = flat[0:ng] * powers[0]
+    tmp = np.empty(ng, dtype=np.int64)  # reused per term: one large
+    for j in range(1, k):  # temp instead of k−1 fresh mmaps
+        np.multiply(flat[j : j + ng], powers[j], out=tmp)
+        acc += tmp
+    acc %= WINNOW_P
+    G = acc
+    # flat indices of each doc's valid grams: off_i + [0, n_i)
+    hoff = np.concatenate(([0], np.cumsum(n)[:-1]))  # gram offsets
+    total = int(n.sum())
+    intra = np.arange(total)
+    intra -= np.repeat(hoff, n)
+    gidx = np.repeat(off, n)
+    gidx += intra
+    H = G[gidx]  # per-doc regions [hoff, hoff+n)
 
-            drows, prows, frows = [], [], []
-            long = n >= w
-            if long.any():
-                nl = n[long]
-                hl = hoff[long]
-                wc = nl - w + 1  # windows per long doc
-                # windowed min at EVERY flat start via w−1 elementwise
-                # folds of shifted views (no (rows, w) gather matrix), then
-                # 1-D gathers at the in-document starts
-                nw = len(H) - w + 1
-                mall = H[:nw].copy()
-                for j in range(1, w):
-                    np.minimum(mall, H[j : j + nw], out=mall)
-                wintra = np.arange(int(wc.sum()))
-                wintra -= np.repeat(
-                    np.concatenate(([0], np.cumsum(wc)[:-1])), wc
-                )
-                wstart = np.repeat(hl, wc)
-                wstart += wintra  # flat window starts
-                m = mall[wstart]
-                # rightmost j with H[start+j] == m: scan j = w−1 … 0, first
-                # hit wins (w small — 1-D compares, no 2-D equality mask)
-                rpos = np.empty(len(wstart), dtype=np.int64)
-                found = np.zeros(len(wstart), dtype=bool)
-                hit = np.empty(len(wstart), dtype=bool)
-                ibuf = np.empty(len(wstart), dtype=np.int64)
-                for j in range(w - 1, -1, -1):
-                    np.add(wstart, j, out=ibuf)
-                    np.equal(H[ibuf], m, out=hit)
-                    hit &= ~found
-                    rpos[hit] = j
-                    found |= hit
-                drows.append(np.repeat(didx[long], wc))
-                prows.append(wintra + rpos + 1)  # 1-based in-doc position
-                frows.append(m)
-            short = ~long
-            if short.any():
-                # rightmost global min per short doc: segment-min via
-                # minimum.reduceat, then the LARGEST flat index attaining it
-                # via a masked maximum.reduceat (non-min positions → -1).
-                # reduceat segments MUST cover every doc (a segment runs to
-                # the next boundary, so short-only offsets would swallow
-                # interleaved long docs) — reduce over all, select short.
-                mins_all = np.minimum.reduceat(H, hoff)
-                cand = np.where(
-                    H == np.repeat(mins_all, n), np.arange(len(H)), -1
-                )
-                right_all = np.maximum.reduceat(cand, hoff)
-                drows.append(didx[short])
-                prows.append(right_all[short] - hoff[short] + 1)
-                frows.append(mins_all[short])
-            d = np.concatenate(drows)
-            p = np.concatenate(prows)
-            f = np.concatenate(frows)
-            # distinct (pos, fp) per doc — lexsort + neighbor-diff mask
-            # (np.unique(axis=0) views rows as void records and is ~20×
-            # slower at this size)
-            order = np.lexsort((f, p, d))
-            d, p, f = d[order], p[order], f[order]
-            fresh = np.empty(len(d), dtype=bool)
-            fresh[0] = True
-            np.logical_or(
-                d[1:] != d[:-1],
-                np.logical_or(p[1:] != p[:-1], f[1:] != f[:-1]),
-                out=fresh[1:],
-            )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[d[fresh]],
-                    "pos": p[fresh],
-                    "fp": f[fresh],
-                }
-            )
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        gen, schema=f"{id_col} {id_type}, pos long, fp long"
+    drows, prows, frows = [], [], []
+    long = n >= w
+    if long.any():
+        nl = n[long]
+        hl = hoff[long]
+        wc = nl - w + 1  # windows per long doc
+        # windowed min at EVERY flat start via w−1 elementwise
+        # folds of shifted views (no (rows, w) gather matrix), then
+        # 1-D gathers at the in-document starts
+        nw = len(H) - w + 1
+        mall = H[:nw].copy()
+        for j in range(1, w):
+            np.minimum(mall, H[j : j + nw], out=mall)
+        wintra = np.arange(int(wc.sum()))
+        wintra -= np.repeat(
+            np.concatenate(([0], np.cumsum(wc)[:-1])), wc
+        )
+        wstart = np.repeat(hl, wc)
+        wstart += wintra  # flat window starts
+        m = mall[wstart]
+        # rightmost j with H[start+j] == m: scan j = w−1 … 0, first
+        # hit wins (w small — 1-D compares, no 2-D equality mask)
+        rpos = np.empty(len(wstart), dtype=np.int64)
+        found = np.zeros(len(wstart), dtype=bool)
+        hit = np.empty(len(wstart), dtype=bool)
+        ibuf = np.empty(len(wstart), dtype=np.int64)
+        for j in range(w - 1, -1, -1):
+            np.add(wstart, j, out=ibuf)
+            np.equal(H[ibuf], m, out=hit)
+            hit &= ~found
+            rpos[hit] = j
+            found |= hit
+        drows.append(np.repeat(didx[long], wc))
+        prows.append(wintra + rpos + 1)  # 1-based in-doc position
+        frows.append(m)
+    short = ~long
+    if short.any():
+        # rightmost global min per short doc: segment-min via
+        # minimum.reduceat, then the LARGEST flat index attaining it
+        # via a masked maximum.reduceat (non-min positions → -1).
+        # reduceat segments MUST cover every doc (a segment runs to
+        # the next boundary, so short-only offsets would swallow
+        # interleaved long docs) — reduce over all, select short.
+        mins_all = np.minimum.reduceat(H, hoff)
+        cand = np.where(
+            H == np.repeat(mins_all, n), np.arange(len(H)), -1
+        )
+        right_all = np.maximum.reduceat(cand, hoff)
+        drows.append(didx[short])
+        prows.append(right_all[short] - hoff[short] + 1)
+        frows.append(mins_all[short])
+    d = np.concatenate(drows)
+    p = np.concatenate(prows)
+    f = np.concatenate(frows)
+    # distinct (pos, fp) per doc — lexsort + neighbor-diff mask
+    # (np.unique(axis=0) views rows as void records and is ~20×
+    # slower at this size)
+    order = np.lexsort((f, p, d))
+    d, p, f = d[order], p[order], f[order]
+    fresh = np.empty(len(d), dtype=bool)
+    fresh[0] = True
+    np.logical_or(
+        d[1:] != d[:-1],
+        np.logical_or(p[1:] != p[:-1], f[1:] != f[:-1]),
+        out=fresh[1:],
+    )
+    return pd.DataFrame(
+        {
+            id_col: pdf[id_col].to_numpy()[d[fresh]],
+            "pos": p[fresh],
+            "fp": f[fresh],
+        }
     )
 
 

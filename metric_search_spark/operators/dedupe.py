@@ -35,6 +35,7 @@ __all__ = [
     "simhash_pairs",
     "simhash_pairs_from_sig",
     "ngram_jaccard_pairs",
+    "winnow_neardup_pairs",
     "threshold_filter",
 ]
 
@@ -340,6 +341,66 @@ def ngram_jaccard_pairs(
     return inter.select(
         "id_a", "id_b", jac.cast("double").alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shared WINNOWING fingerprints — the MOSS
+    consumer of functions.text.winnow_fingerprints_arrow (character-level
+    k-gram robustness vs ngram_jaccard_pairs' word shingles; the winnowing
+    guarantee makes any shared substring of length ≥ w + k − 1 contribute
+    a shared fingerprint). Similarity is CONTAINMENT — shared distinct
+    fingerprint values over the SMALLER document's fingerprint-set size —
+    so a short document embedded in a long one still scores 1.0.
+
+    Scale shape: fingerprinting is the zero-shuffle Arrow kernel; the only
+    shuffles are the fp inverted-index equi-join and the (id_a, id_b)
+    pair aggregate — same plan class as ngram_jaccard_pairs. Hot
+    fingerprints are the skew/blowup risk (a fp in d docs emits d(d−1)/2
+    join rows): ``max_df`` drops fingerprints present in more than that
+    many documents (the standard document-frequency cut; boilerplate
+    fingerprints carry no near-dup signal). Per-doc set sizes are counted
+    AFTER the cut so numerator and denominator stay consistent.
+
+    Returns (id_a, id_b, shared, containment) for pairs with
+    containment ≥ threshold."""
+    from metric_search_spark.functions.text import winnow_fingerprints_arrow
+
+    fps = (
+        winnow_fingerprints_arrow(df, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n"))
+    inv = fps.join(sizes, "id")
+    a = inv.select(F.col("id").alias("id_a"), "fp", F.col("n").alias("n_a"))
+    b = inv.select(F.col("id").alias("id_b"), "fp", F.col("n").alias("n_b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    cont = F.col("shared").cast("double") / F.least("n_a", "n_b").cast("double")
+    return pairs.select(
+        "id_a", "id_b", "shared", cont.alias("containment")
+    ).where(F.col("containment") >= threshold)
 
 
 def threshold_filter(

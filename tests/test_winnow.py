@@ -79,6 +79,61 @@ def test_arrow_kernel_matches_relational_on_unicode(docs_df):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_winnow_neardup_pairs_semantics():
+    """Containment semantics + the max_df cut: a document embedded in a
+    longer one scores containment 1.0 (every fingerprint of the short doc
+    appears in the long doc's set); an unrelated doc pairs with nothing at
+    threshold 0.5. With max_df=1 every cross-document fingerprint is cut,
+    so no pairs survive at all."""
+    from metric_search_spark.operators.dedupe import winnow_neardup_pairs
+
+    spark = get_spark()
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    base,
+                    base + " while the miller watches from the old stone bridge",
+                    "completely unrelated content about spark shuffles and io",
+                ],
+            }
+        )
+    )
+    got = winnow_neardup_pairs(docs, threshold=0.5).toPandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(1, 2)}
+    row = got.iloc[0]
+    assert row["containment"] == 1.0  # doc 1's fp set ⊆ doc 2's
+    cut = winnow_neardup_pairs(docs, threshold=0.0, max_df=1).toPandas()
+    assert len(cut) == 0
+
+
+def test_winnow_neardup_query_matches_duckdb_oracle():
+    """Driver-twin replica at sf0.001: the DuckDB oracle recomputes hashes,
+    winnowing, the inverted-index join, and containment from raw text."""
+    duckdb_mod = pytest.importorskip("duckdb")
+
+    from metric_search_spark.entry_queries import QUERIES, _o_winnow_neardup_sql
+
+    spark = get_spark()
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["winnow_neardup_documents"](spark, sf).toPandas()
+    con = duckdb_mod.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.sql(_o_winnow_neardup_sql()).df()
+    cols = ["id_a", "id_b", "shared", "containment"]
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(got) > 0
+
+
 def test_arrow_kernel_single_partition_interleaving(docs_df):
     """Force the whole mixed batch through ONE kernel invocation so the
     flattened short/long reduceat masking is exercised with long docs
