@@ -1391,6 +1391,37 @@ WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
 """
 
 
+def q_stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation run as a REAL Structured
+    Streaming job (streaming/windows.windowed_event_stats: file source →
+    availableNow → append-mode memory sink): tumbling 1-hour windows over
+    events.ts, 30-minute allowed lateness, per-(window, event_type) count +
+    integer-scaled value sum. Append mode withholds every window the final
+    watermark has not closed, so the emitted set is deterministic and the
+    DuckDB twin recomputes it from the raw table: buckets + the
+    window_end <= max(ts) − delay cutoff (the exact-tie EMITS — pinned in
+    tests/test_streaming_windows.py). Integer sum (floor(value·1000)) keeps
+    the aggregate associative, so micro-batch boundaries and the SQL
+    re-aggregation are bit-identical."""
+    from metric_search_spark.streaming.windows import windowed_event_stats
+
+    return windowed_event_stats(spark, f"{sf_dir}/events.parquet")
+
+
+O_STREAM_WINDOW_EVENTS = """
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+b AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wst, event_type,
+         count(*) AS cnt,
+         sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_millis
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(epoch(wst) AS BIGINT) AS win_start, event_type, cnt, sum_millis
+FROM b, wm
+WHERE wst + INTERVAL 1 HOUR <= wm.w
+"""
+
+
 _IVFPQ_LISTS, _IVFPQ_PROBE = 32, 8
 
 
@@ -2075,6 +2106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
     "winnow_neardup_documents": q_winnow_neardup_documents,
+    "stream_window_events": q_stream_window_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
@@ -2132,6 +2164,7 @@ from metric_search_spark.functions.text import langid_sql, winnow_sql  # noqa: E
 _STATIC_ORACLES["langid_documents"] = langid_sql("text")
 _STATIC_ORACLES["winnow_documents"] = winnow_sql("text")
 _STATIC_ORACLES["winnow_neardup_documents"] = _o_winnow_neardup_sql()
+_STATIC_ORACLES["stream_window_events"] = O_STREAM_WINDOW_EVENTS
 
 
 def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:

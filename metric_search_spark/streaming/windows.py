@@ -1,0 +1,126 @@
+"""Event-time windowed streaming aggregation with watermark — the §2.9
+surface beyond foreachBatch ingestion (task brief: "Structured Streaming for
+streams — watermarks + windowed aggs for late data").
+
+``windowed_event_stats`` is the canonical late-data-tolerant rollup: tumbling
+event-time windows over a stream of events, state bounded by a watermark.
+In APPEND mode a window's row is emitted exactly once — when the watermark
+(max event time seen, minus the allowed lateness) passes the window end —
+so the emitted set for a finite stream is deterministic and SQL-checkable:
+every (window, key) whose ``window_end <= max(ts) - delay``. That rule IS
+the oracle (entry_queries q_stream_window_events): DuckDB computes the same
+buckets and the same watermark cutoff from the raw table.
+
+Scale shape: the aggregation state is keyed by (window, event_type) — a
+standard hash-partitioned streaming agg whose state size is bounded by
+(#open windows × #keys), NOT by stream length, because the watermark evicts
+closed windows. No per-row Python anywhere; the whole thing is Catalyst's
+native streaming aggregation.
+
+Determinism note: the value sum is ``sum(floor(value·1000))`` as BIGINT —
+integer summation is associative, so micro-batch boundaries (and a DuckDB
+re-aggregation) produce bit-identical results where a double sum would be
+order-sensitive.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["EVENTS_SCHEMA", "windowed_event_stats", "windowed_event_stats_batch"]
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_sink_counter = itertools.count()
+
+
+def _agg(src: DataFrame, window: str, delay: str) -> DataFrame:
+    # schema-on-read gives TIMESTAMP; a raw parquet read may surface
+    # TIMESTAMP_NTZ (isAdjustedToUTC=false), which won't cast to long.
+    # The session pins spark.sql.session.timeZone=UTC (session.py), so the
+    # NTZ→LTZ cast is wall-clock identity and both paths emit the same
+    # epoch integers.
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                "sum_millis"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_millis",
+        )
+    )
+
+
+def windowed_event_stats(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    window: str = "1 hour",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Run the watermarked tumbling-window aggregation as a real Structured
+    Streaming job (file source → availableNow → memory sink) and return the
+    emitted rows. Append mode: only windows the final watermark closed are
+    in the result — the late tail past ``max(ts) - delay`` is withheld,
+    exactly as it would be on an unbounded stream.
+
+    ``win_start`` is epoch SECONDS (long): the window bucket is computed on
+    the timestamp's internal UTC value (epoch-aligned tumbling), so the
+    integer output is session-timezone-independent and hash-comparable
+    across engines.
+
+    Emission rule (pinned by tests/test_streaming_windows.py's exact-tie
+    case): a window is emitted when ``window.end <= watermark`` — the tie
+    (watermark landing exactly on a window end) EMITS.
+
+    The memory sink is the harness/verification surface (rows land on the
+    driver); a production job points the same plan at a table/foreachBatch
+    sink. ``events_path`` may be a directory or a single parquet file (the
+    file stream source requires a directory basePath, so a file path is
+    turned into a trailing-char glob of its parent)."""
+    import os
+
+    if not os.path.isdir(events_path):
+        # FileStreamSource needs basePath to be a directory; a one-char
+        # glob class keeps the match exact while moving basePath up one
+        events_path = f"{events_path[:-1]}[{events_path[-1]}]"
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    name = f"msk_win_events_{next(_sink_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="msk_stream_ckpt_")
+    q = (
+        _agg(src, window, delay)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def windowed_event_stats_batch(
+    events: DataFrame, *, window: str = "1 hour", delay: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin of the streaming job (same plan minus the watermark
+    eviction): all windows, including the open tail. Used by tests to pin
+    that streaming-emitted rows equal the batch aggregate restricted to
+    closed windows."""
+    return _agg(events, window, delay)

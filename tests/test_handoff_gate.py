@@ -49,6 +49,76 @@ def test_gated_query_matches_ungated_and_writes_nothing(name, monkeypatch):
     )
 
 
+def test_every_handoff_writer_is_gated_source_lint():
+    """Structural guarantee that item 3 can't silently regress: every
+    `_write_handoff(...)` call site in entry_queries.py must sit inside an
+    `if` whose condition mentions `_handoff_enabled` or the gated-dict
+    pattern (`ho is not None`). A new ungated writer fails here in
+    milliseconds instead of waiting for a scale run to pay a surprise
+    driver collect."""
+    import ast
+    import inspect
+
+    import metric_search_spark.entry_queries as eq
+
+    tree = ast.parse(inspect.getsource(eq))
+
+    def guards(node):  # all `if` conditions on the path to `node`
+        out = []
+        for parent in ancestors[node]:
+            if isinstance(parent, ast.If):
+                out.append(ast.unparse(parent.test))
+        return out
+
+    ancestors: dict = {}
+
+    def walk(node, chain):
+        ancestors[node] = chain
+        for child in ast.iter_child_nodes(node):
+            walk(child, chain + [node])
+
+    walk(tree, [])
+
+    def is_gated(node) -> bool:
+        return any(
+            "_handoff_enabled" in g or "ho is not None" in g
+            for g in guards(node)
+        )
+
+    def calls_of(fname: str):
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id == fname
+            ):
+                yield node
+
+    ungated = []
+    for node in calls_of("_write_handoff"):
+        if is_gated(node):
+            continue
+        # one level of helper indirection: a private helper may hold the
+        # write if EVERY call site of that helper is itself gated
+        fn = next(
+            (
+                p
+                for p in reversed(ancestors[node])
+                if isinstance(p, ast.FunctionDef)
+            ),
+            None,
+        )
+        if (
+            fn is not None
+            and fn.name.startswith("_")
+            and list(calls_of(fn.name))
+            and all(is_gated(c) for c in calls_of(fn.name))
+        ):
+            continue
+        ungated.append(node.lineno)
+    assert ungated == [], f"_write_handoff calls without a gate: {ungated}"
+
+
 def test_gate_skips_pq_and_ivfpq_handoffs(monkeypatch):
     """The pq/ivfpq hand-off dict is None when gated, so no codes/LUT
     collect happens; the ranked output is unchanged (same seeded

@@ -1,0 +1,93 @@
+"""Watermarked windowed streaming aggregation (§2.9 beyond foreachBatch):
+emission rule, late-tail withholding, batch-twin consistency, DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from metric_search_spark.streaming.windows import (
+    EVENTS_SCHEMA,
+    windowed_event_stats,
+    windowed_event_stats_batch,
+)
+from tests.sparkutil import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_exact_tie_emits():
+    """The emission rule is window.end <= watermark: with max(ts) 01:30 and
+    30-minute lateness the watermark lands EXACTLY on the [00:00, 01:00)
+    window's end — that window must be emitted (and the open [01:00, 02:00)
+    window withheld)."""
+    spark = get_spark()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 01:30:00"]),
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "value": [1.0, 2.0],
+            "props": ["", ""],
+        }
+    )
+    d = tempfile.mkdtemp(prefix="msk_tie_")
+    spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    out = windowed_event_stats(spark, d).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["win_start"] == pd.Timestamp("2024-01-01 00:00:00").value // 10**9
+    assert row["cnt"] == 1 and row["sum_millis"] == 1000
+
+
+def test_streaming_equals_batch_twin_on_closed_windows():
+    """Streaming append-mode output == the batch aggregate restricted to
+    windows the final watermark closed; the withheld late tail is nonempty
+    (the job really did withhold something)."""
+    spark = get_spark()
+    events = spark.read.schema(EVENTS_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    got = windowed_event_stats(spark, f"{SF_DIR}/events.parquet").toPandas()
+    batch = windowed_event_stats_batch(events).toPandas()
+    wm = (
+        events.agg(
+            (F.max("ts").cast("long") - F.lit(30 * 60)).alias("w")
+        ).first()["w"]
+    )
+    closed = batch[batch["win_start"] + 3600 <= wm]
+    cols = ["win_start", "event_type", "cnt", "sum_millis"]
+    key = ["win_start", "event_type"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        closed[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(closed) < len(batch)  # a late tail was withheld
+
+
+def test_stream_window_query_matches_duckdb_oracle():
+    duckdb = pytest.importorskip("duckdb")
+
+    from metric_search_spark.entry_queries import O_STREAM_WINDOW_EVENTS, QUERIES
+
+    spark = get_spark()
+    got = QUERIES["stream_window_events"](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    want = con.sql(O_STREAM_WINDOW_EVENTS).df()
+    cols = ["win_start", "event_type", "cnt", "sum_millis"]
+    key = ["win_start", "event_type"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(got) > 0
