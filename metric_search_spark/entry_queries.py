@@ -1422,6 +1422,52 @@ WHERE wst + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def q_stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-based SESSION windows as a real streaming job
+    (streaming/windows.session_event_stats, native F.session_window state
+    merge): session = maximal run with consecutive gaps ≤ 30 min, window
+    [first_ts, last_ts + gap). The DuckDB twin sessionizes independently —
+    lag/cumsum over (user, ts) with the pinned STRICT-gap break rule — and
+    applies the same session_end <= max(ts) − delay append-mode cutoff
+    (both boundary ties pinned empirically in
+    tests/test_streaming_windows.py: exactly-gap-apart MERGES, end ==
+    watermark EMITS)."""
+    from metric_search_spark.streaming.windows import session_event_stats
+
+    return session_event_stats(spark, f"{sf_dir}/events.parquet")
+
+
+O_STREAM_SESSION_EVENTS = """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), g AS (
+  SELECT user_id, sid, min(ts) AS st,
+         max(ts) + INTERVAL 30 MINUTE AS en,
+         count(*) AS cnt,
+         sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_millis
+  FROM s GROUP BY 1, 2
+), wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+-- floor, not CAST: session bounds are raw event timestamps with sub-second
+-- parts, epoch() returns fractional seconds, and a bare BIGINT cast ROUNDS
+-- where Spark's timestamp->long cast TRUNCATES (half the rows were +1s)
+SELECT CAST(floor(epoch(st)) AS BIGINT) AS sess_start,
+       CAST(floor(epoch(en)) AS BIGINT) AS sess_end,
+       user_id, cnt, sum_millis
+FROM g, wm
+WHERE en <= wm.w
+"""
+
+
 _IVFPQ_LISTS, _IVFPQ_PROBE = 32, 8
 
 
@@ -2107,6 +2153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_documents": q_winnow_documents,
     "winnow_neardup_documents": q_winnow_neardup_documents,
     "stream_window_events": q_stream_window_events,
+    "stream_session_events": q_stream_session_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
@@ -2165,6 +2212,7 @@ _STATIC_ORACLES["langid_documents"] = langid_sql("text")
 _STATIC_ORACLES["winnow_documents"] = winnow_sql("text")
 _STATIC_ORACLES["winnow_neardup_documents"] = _o_winnow_neardup_sql()
 _STATIC_ORACLES["stream_window_events"] = O_STREAM_WINDOW_EVENTS
+_STATIC_ORACLES["stream_session_events"] = O_STREAM_SESSION_EVENTS
 
 
 def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:

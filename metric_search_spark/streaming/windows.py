@@ -31,7 +31,13 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["EVENTS_SCHEMA", "windowed_event_stats", "windowed_event_stats_batch"]
+__all__ = [
+    "EVENTS_SCHEMA",
+    "windowed_event_stats",
+    "windowed_event_stats_batch",
+    "session_event_stats",
+    "session_event_stats_batch",
+]
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -124,3 +130,77 @@ def windowed_event_stats_batch(
     that streaming-emitted rows equal the batch aggregate restricted to
     closed windows."""
     return _agg(events, window, delay)
+
+
+def _session_agg(src: DataFrame, gap: str, delay: str) -> DataFrame:
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                "sum_millis"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("sess_start"),
+            F.col("win.end").cast("long").alias("sess_end"),
+            "user_id",
+            "cnt",
+            "sum_millis",
+        )
+    )
+
+
+def session_event_stats(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    gap: str = "30 minutes",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Per-user SESSION windows (gap-based, dynamically merging) — the
+    canonical stateful streaming op tumbling windows can't express: a
+    session is the maximal run of a user's events where consecutive gaps
+    are ≤ ``gap``; its window is [first_ts, last_ts + gap). Native
+    ``F.session_window`` (Spark-first: the built-in state store handles the
+    merge — no custom applyInPandasWithState needed for semantics Spark
+    already ships).
+
+    Pinned semantics (tests/test_streaming_windows.py, both empirically
+    verified boundary cases):
+    - MERGE tie: an event exactly ``gap`` after its predecessor EXTENDS the
+      session (new session only when the gap is strictly exceeded).
+    - EMIT tie: append mode emits a session when
+      ``session_end <= watermark`` (tie emits), watermark = max(ts) − delay
+      at stream end.
+    Both rules are what the DuckDB twin (lag/cumsum sessionization +
+    cutoff) recomputes from the raw table. State is keyed by (user,
+    session) and bounded by the watermark — open sessions only."""
+    import os
+
+    if not os.path.isdir(events_path):
+        events_path = f"{events_path[:-1]}[{events_path[-1]}]"
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    name = f"msk_sess_events_{next(_sink_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="msk_stream_ckpt_")
+    q = (
+        _session_agg(src, gap, delay)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def session_event_stats_batch(
+    events: DataFrame, *, gap: str = "30 minutes", delay: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin of the session job: all sessions including open ones."""
+    return _session_agg(events, gap, delay)

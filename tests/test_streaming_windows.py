@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from metric_search_spark.streaming.windows import (
     EVENTS_SCHEMA,
+    session_event_stats,
     windowed_event_stats,
     windowed_event_stats_batch,
 )
@@ -69,6 +70,80 @@ def test_streaming_equals_batch_twin_on_closed_windows():
         check_dtype=False,
     )
     assert len(closed) < len(batch)  # a late tail was withheld
+
+
+def _write_events(spark, pdf):
+    d = tempfile.mkdtemp(prefix="msk_sess_")
+    spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_session_merge_and_emit_ties():
+    """Both session boundary ties, pinned against live behavior:
+    - an event EXACTLY gap after its predecessor MERGES (one session
+      [00:00, 01:00) from events at 00:00 and 00:30 with a 30-min gap);
+      a strictly larger gap starts a new session;
+    - a session whose end equals the final watermark EMITS (user 2's
+      lone event at 01:30 → session end 02:00; max ts 02:30 → watermark
+      exactly 02:00)."""
+    spark = get_spark()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 9],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:30:00",  # == gap: merges
+                    "2024-01-01 01:30:01",  # > gap from 00:30: new session
+                    "2024-01-01 01:30:00",  # user 2: end 02:00 == watermark
+                    "2024-01-01 02:30:00",  # watermark driver (user 3)
+                ]
+            ),
+            "user_id": [1, 1, 1, 2, 3],
+            "event_type": ["a"] * 5,
+            "value": [1.0] * 5,
+            "props": [""] * 5,
+        }
+    )
+    d = _write_events(spark, pdf)
+    out = (
+        session_event_stats(spark, d)
+        .toPandas()
+        .sort_values(["user_id", "sess_start"])
+        .reset_index(drop=True)
+    )
+    base = pd.Timestamp("2024-01-01 00:00:00").value // 10**9
+    rows = list(zip(out["user_id"], out["sess_start"] - base, out["sess_end"] - base, out["cnt"]))
+    # user 1: merged session [0, 3600) with 2 events (exact-gap tie MERGED);
+    # its second session (start 01:30:01, end 02:00:01) is PAST the 02:00
+    # watermark -> withheld. user 2: end == watermark -> emitted.
+    assert rows == [(1, 0, 3600, 2), (2, 5400, 7200, 1)], rows
+
+
+def test_stream_session_query_matches_duckdb_oracle():
+    duckdb = pytest.importorskip("duckdb")
+
+    from metric_search_spark.entry_queries import O_STREAM_SESSION_EVENTS, QUERIES
+
+    spark = get_spark()
+    got = QUERIES["stream_session_events"](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    want = con.sql(O_STREAM_SESSION_EVENTS).df()
+    cols = ["sess_start", "sess_end", "user_id", "cnt", "sum_millis"]
+    key = ["user_id", "sess_start"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(got) > 0
+    # sessions really merge multiple events (not all singleton)
+    assert (got["cnt"] > 1).any()
 
 
 def test_stream_window_query_matches_duckdb_oracle():
