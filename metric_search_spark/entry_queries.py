@@ -1468,6 +1468,38 @@ WHERE en <= wm.w
 """
 
 
+def q_stream_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (streaming/windows.stateful_user_ewma): per-user running EWMA of
+    floor(value·1000), alpha = 1/4, one output row per event, state =
+    one (ewma, count) pair per user carried across micro-batches. With a
+    dyadic alpha the recurrence is EXACT in float64, so the DuckDB
+    recursive-CTE twin replaying e_n = 0.25·x_n + 0.75·e_{n−1} in the same
+    (ts, event_id) order is bit-identical — the TWED-oracle technique
+    applied to streaming state."""
+    from metric_search_spark.streaming.windows import stateful_user_ewma
+
+    return stateful_user_ewma(spark, f"{sf_dir}/events.parquet")
+
+
+O_STREAM_EWMA_EVENTS = """
+WITH RECURSIVE
+ser AS (
+  SELECT user_id,
+         list(CAST(floor(value * 1000) AS DOUBLE) ORDER BY ts, event_id) AS v,
+         list(event_id ORDER BY ts, event_id) AS eid
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id, v, eid, 1 AS i, v[1] AS ewma FROM ser
+  UNION ALL
+  SELECT user_id, v, eid, i + 1, 0.25 * v[i + 1] + 0.75 * ewma
+  FROM r WHERE i < len(v)
+)
+SELECT user_id, eid[i] AS event_id, ewma, CAST(i AS BIGINT) AS n FROM r
+"""
+
+
 _IVFPQ_LISTS, _IVFPQ_PROBE = 32, 8
 
 
@@ -2154,6 +2186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_neardup_documents": q_winnow_neardup_documents,
     "stream_window_events": q_stream_window_events,
     "stream_session_events": q_stream_session_events,
+    "stream_ewma_events": q_stream_ewma_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
@@ -2213,6 +2246,7 @@ _STATIC_ORACLES["winnow_documents"] = winnow_sql("text")
 _STATIC_ORACLES["winnow_neardup_documents"] = _o_winnow_neardup_sql()
 _STATIC_ORACLES["stream_window_events"] = O_STREAM_WINDOW_EVENTS
 _STATIC_ORACLES["stream_session_events"] = O_STREAM_SESSION_EVENTS
+_STATIC_ORACLES["stream_ewma_events"] = O_STREAM_EWMA_EVENTS
 
 
 def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:

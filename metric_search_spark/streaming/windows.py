@@ -26,6 +26,7 @@ order-sensitive.
 from __future__ import annotations
 
 import itertools
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -204,3 +205,108 @@ def session_event_stats_batch(
 ) -> DataFrame:
     """Batch twin of the session job: all sessions including open ones."""
     return _session_agg(events, gap, delay)
+
+
+def stateful_user_ewma(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    alpha: float = 0.25,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (task brief: the escape hatch for stateful semantics Spark's built-in
+    operators lack): a per-user exponentially-weighted moving average of
+    ``floor(value·1000)`` emitted PER EVENT — each output row carries the
+    running ewma after folding that event in. The recurrence
+    ``e_n = alpha·x_n + (1−alpha)·e_{n−1}`` carries across micro-batches in
+    the group state (one (ewma, count) pair per user — state size is
+    O(users), not O(events)).
+
+    EXACTNESS: with the default alpha = 1/4, every e_n is a dyadic rational
+    (integer inputs × binary-fraction coefficients), exact in float64 while
+    magnitudes stay < 2⁵³ — so the DuckDB recursive-CTE twin replaying the
+    SAME recurrence in the SAME order is bit-identical, no tolerance. The
+    TWED oracle precedent, applied to streaming state.
+
+    ORDERING CONTRACT: events fold in (ts, event_id) order. Within a
+    micro-batch the kernel sorts each user's rows; ACROSS batches the fold
+    follows arrival order, so end-to-end determinism requires a per-key
+    time-ordered source — true for this file fixture (one batch) and for
+    the per-partition ordering Kafka-style sources guarantee; a source that
+    interleaves a user's late rows across batches shifts the fold order
+    (exactly the caveat every running-state operator carries)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not os.path.isdir(events_path):  # see windowed_event_stats
+        events_path = f"{events_path[:-1]}[{events_path[-1]}]"
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        # force multi-batch processing (tests use 1 file per batch to pin
+        # that the fold genuinely carries state across micro-batches)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(events_path)
+
+    def fold(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        ewma, n = state.get if state.exists else (0.0, 0)
+        frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            x = np.floor(pdf["value"].to_numpy() * 1000.0)
+            out = np.empty(len(x), dtype=np.float64)
+            for i, xi in enumerate(x):  # sequential by definition; groups
+                if n == 0:  # are small and state is the point
+                    ewma = float(xi)
+                else:
+                    ewma = alpha * float(xi) + (1.0 - alpha) * ewma
+                n += 1
+                out[i] = ewma
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"].to_numpy(),
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "ewma": out,
+                        "n": np.arange(n - len(x) + 1, n + 1, dtype=np.int64),
+                    }
+                )
+            )
+        state.update((ewma, n))
+        # typed empty frame — object-dtype columns trip pandas' concat
+        # dtype inference inside Spark's serializer (see memory:
+        # pyarrow-cogroup empty-frame dtypes)
+        yield pd.concat(frames) if frames else pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "ewma": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+
+    folded = (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="user_id long, event_id long, ewma double, n long",
+            stateStructType="ewma double, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"msk_ewma_events_{next(_sink_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="msk_stream_ckpt_")
+    q = (
+        folded.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

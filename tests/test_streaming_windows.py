@@ -146,6 +146,77 @@ def test_stream_session_query_matches_duckdb_oracle():
     assert (got["cnt"] > 1).any()
 
 
+def test_stateful_ewma_carries_state_across_microbatches():
+    """The applyInPandasWithState fold must genuinely persist per-user
+    state ACROSS micro-batches: two parquet files, maxFilesPerTrigger=1
+    (one batch each, mtime order), one user split across them. The second
+    event's ewma must fold the first batch's state (0.25·x₂ + 0.75·x₁),
+    not restart."""
+    import os
+    import time
+
+    from metric_search_spark.streaming.windows import stateful_user_ewma
+
+    spark = get_spark()
+    d = tempfile.mkdtemp(prefix="msk_ewma_mb_")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_one(fname, ts, event_id, value):
+        # plain parquet FILES at the top level (a Spark writer emits a
+        # directory, which the file stream source does not recurse into)
+        pdf = pd.DataFrame(
+            {
+                "event_id": pd.Series([event_id], dtype="int64"),
+                "ts": pd.to_datetime([ts]),
+                "user_id": pd.Series([1], dtype="int64"),
+                "event_type": ["a"],
+                "value": pd.Series([value], dtype="float64"),
+                "props": [""],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(d, fname),
+            coerce_timestamps="us",  # Spark reads micros, pandas emits ns
+        )
+
+    write_one("f1.parquet", "2024-01-01 00:00:00", 1, 8.0)  # x1 = 8000
+    time.sleep(1.1)  # distinct mtimes -> file order = batch order
+    write_one("f2.parquet", "2024-01-01 00:10:00", 2, 4.0)  # x2 = 4000
+    out = (
+        stateful_user_ewma(spark, d, max_files_per_trigger=1)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n"]) == [1, 2]
+    assert out["ewma"].tolist() == [8000.0, 0.25 * 4000 + 0.75 * 8000]
+
+
+def test_stream_ewma_query_matches_duckdb_oracle_bit_exact():
+    """Dyadic alpha makes the recurrence exact in float64 — the recursive
+    CTE twin must match with check_exact (no tolerance at all)."""
+    duckdb = pytest.importorskip("duckdb")
+
+    from metric_search_spark.entry_queries import O_STREAM_EWMA_EVENTS, QUERIES
+
+    spark = get_spark()
+    got = QUERIES["stream_ewma_events"](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    want = con.sql(O_STREAM_EWMA_EVENTS).df()
+    cols = ["user_id", "event_id", "ewma", "n"]
+    key = ["user_id", "event_id"]
+    a = got[cols].sort_values(key).reset_index(drop=True)
+    b = want[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=True)
+    assert len(a) > 0
+
+
 def test_stream_window_query_matches_duckdb_oracle():
     duckdb = pytest.importorskip("duckdb")
 
