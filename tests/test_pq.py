@@ -214,6 +214,32 @@ def test_ivfpq_candidate_shuffles_carry_no_vectors(spark=None):
         assert "_va" not in m.group(1) and "_vb" not in m.group(1), m.group(1)
 
 
+def test_rerank_plans_never_partition_on_vectors():
+    """The rerank tiers keep the codes-only contract up to the final
+    bounded id-equi-join: no Exchange in either reranked plan hash-
+    partitions on a raw vector column (vectors re-enter only as id-joined
+    payload of the already-cut candidate set)."""
+    import re
+
+    from metric_search_spark.operators.ann import ivfpq_topk, pq_topk
+    from metric_search_spark.plans.inspect import explain_text
+
+    spark = get_spark()
+    emb = _emb_df(spark)
+    probes = emb.where(F.col("id") % 10 == 0)
+    for out in (
+        pq_topk(probes, emb, k=5, id_col="id", vec_col="vec", seed=13,
+                rerank=16),
+        ivfpq_topk(probes, emb, k=5, id_col="id", vec_col="vec", n_lists=32,
+                   n_probe=8, seed=13, rerank=16),
+    ):
+        txt = explain_text(out)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
+            keys = m.group(1)
+            assert "_va" not in keys and "_vb" not in keys, keys
+            assert "vec#" not in keys, keys
+
+
 def test_ivfpq_query_matches_duckdb_oracle():
     duckdb = pytest.importorskip("duckdb")
 
