@@ -277,8 +277,7 @@ def stateful_user_ewma(
             )
         state.update((ewma, n))
         # typed empty frame — object-dtype columns trip pandas' concat
-        # dtype inference inside Spark's serializer (see memory:
-        # pyarrow-cogroup empty-frame dtypes)
+        # dtype inference inside Spark's Arrow serializer
         yield pd.concat(frames) if frames else pd.DataFrame(
             {
                 "user_id": pd.Series([], dtype="int64"),
