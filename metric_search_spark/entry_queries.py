@@ -220,6 +220,52 @@ SELECT vec_id AS id, {cell_from_xy_sql(_EMB_X, _EMB_Y, 4)} AS tile FROM embeddin
 """
 
 
+_KRING_RES, _KRING_K = 4, 1
+
+
+def q_kring_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style k-ring enumeration as a first-class op: every tile within
+    Chebyshev distance k of each record's tile, grid-clipped
+    (functions/spatial.kring_cells_col — the same Morton mask-ripple
+    arithmetic the kNN join's halo uses, exposed as a public Column op).
+    Pure narrow projection + posexplode-free explode: no shuffle, no UDF.
+    Oracle: DuckDB recomputes INDEPENDENTLY — quantize → grid coords →
+    Chebyshev offsets with bounds clamp → explicit bit-sum Morton encode
+    (no mask-ripple), so the two engines share no arithmetic shape."""
+    from metric_search_spark.functions.spatial import kring_cells_col
+
+    t = tile_assign(_emb(spark, sf_dir), res=_KRING_RES).select("id", "tile")
+    return t.select(
+        "id",
+        F.explode(
+            kring_cells_col(F.col("tile"), _KRING_RES, _KRING_K)
+        ).alias("ring_cell"),
+    )
+
+
+def _o_kring_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    res, k = _KRING_RES, _KRING_K
+    n = 1 << res
+    return f"""
+WITH g AS (
+  SELECT vec_id AS id,
+         ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy
+  FROM embeddings
+)
+SELECT id,
+       {res * (1 << 56)} + CAST(list_sum(list_transform(range(0, {res}),
+           b -> (((cx + dx.i) >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))
+              + (((cy + dy.i) >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1))))
+           AS BIGINT) AS ring_cell
+FROM g, range({-k}, {k + 1}) dx(i), range({-k}, {k + 1}) dy(i)
+WHERE cx + dx.i BETWEEN 0 AND {n - 1}
+  AND cy + dy.i BETWEEN 0 AND {n - 1}
+"""
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.groupBy("text").agg(
@@ -2171,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pairwise_label0": q_pairwise_label0,
     "cluster_quota_embeddings": q_cluster_quota_embeddings,
     "tile_embeddings": q_tile_embeddings,
+    "kring_embeddings": q_kring_embeddings,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_stats_documents": q_token_stats_documents,
     "edit_join_documents": q_edit_join_documents,
@@ -2218,6 +2265,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "pairwise_label0": O_PAIRWISE,
     "cluster_quota_embeddings": O_CLUSTER,
     "tile_embeddings": O_TILE,
+    "kring_embeddings": _o_kring_sql(),
     "dedup_exact_documents": O_DEDUP_EXACT,
     "token_stats_documents": O_TOKEN_STATS,
     "edit_join_documents": O_EDIT_JOIN,
