@@ -59,15 +59,17 @@ def bfs_neighborhood(edges: DataFrame, start: int, max_deep: int) -> DataFrame:
     (b) leaves ``visited`` a flat union of materialized legs, so no
     ``persist`` is ever taken on it. The per-hop driver round-trip is the
     frontier count over already-checkpointed blocks (needed anyway to decide
-    termination). Finished legs hold no cache-manager entries; their
-    checkpoint blocks are reclaimed by the ContextCleaner as soon as the
-    returned DataFrame (itself one final checkpoint, independent of the
-    legs) is the only live reference — pinned by
-    tests/test_graph.py::test_bfs_cache_hygiene_deep."""
+    termination). Once the RESULT's own checkpoint is materialized the leg
+    blocks are released DETERMINISTICALLY (``_release_checkpoint`` — a
+    ``DataFrame.unpersist`` is a no-op for checkpoint blocks since they hold
+    no cache-manager entry, and waiting on the ContextCleaner is
+    GC-timing-dependent); only the returned DataFrame's blocks remain —
+    pinned by tests/test_graph.py::test_bfs_cache_hygiene_deep."""
     spark = edges.sparkSession
     und = _undirected(edges).persist()
     visited = spark.createDataFrame([(start, 0)], "node long, hop long")
     frontier = visited
+    legs: list[DataFrame] = []
     try:
         for hop in range(1, max_deep + 1):
             nxt = (
@@ -78,13 +80,30 @@ def bfs_neighborhood(edges: DataFrame, start: int, max_deep: int) -> DataFrame:
                 .withColumn("hop", F.lit(hop).cast("long"))
                 .localCheckpoint(eager=True)
             )
+            legs.append(nxt)
             if nxt.count() == 0:
                 break
             visited = visited.unionByName(nxt)
             frontier = nxt
-        return visited.localCheckpoint(eager=True)
+        out = visited.localCheckpoint(eager=True)  # materialized HERE, so
+        for leg in legs:  # the legs below are no longer needed by anything
+            _release_checkpoint(leg)
+        return out
     finally:
         und.unpersist()
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Drop a localCheckpoint'ed DataFrame's blocks NOW. ``df.unpersist()``
+    can't do it (checkpoint blocks aren't cache-manager entries) and the
+    ContextCleaner only reclaims them after driver GC, which is
+    timing-dependent; the blocks are owned by the LogicalRDD the checkpoint
+    left as the plan, reachable as ``analyzed().rdd()``. The DataFrame is
+    unusable afterwards — callers release only superseded generations."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort: plan shape not LogicalRDD
+        pass
 
 
 def connected_components(

@@ -221,14 +221,12 @@ def test_bfs_cache_hygiene_deep(spark):
     """VERDICT r3 item 7, two claims. (1) A depth-10 BFS RUNS: the hop
     frontier is localCheckpointed each round, truncating the doubled-per-hop
     lineage that previously overflowed plan analysis past ~6 hops. (2) It
-    does not leak block-manager state proportional to depth: finished legs
-    hold no cache-manager entries, and once the returned DataFrame (one
-    final checkpoint) is the only live reference the ContextCleaner reclaims
-    every leg — persistent-RDD count returns to within a small constant of
-    the pre-call count, NOT before + O(depth)."""
-    import gc
-    import time
-
+    does not leak block-manager state proportional to depth: the operator
+    releases every superseded leg's checkpoint blocks DETERMINISTICALLY
+    once the result checkpoint is materialized (_release_checkpoint), so
+    immediately after the call the persistent-RDD count is within one (the
+    result's own blocks) of the pre-call count, NOT before + O(depth) —
+    with no GC/ContextCleaner timing dependence."""
     jsc = spark.sparkContext._jsc
     before = jsc.getPersistentRDDs().size()
     edges = grid6_edges(spark, 16, 16)
@@ -237,16 +235,8 @@ def test_bfs_cache_hygiene_deep(spark):
     assert n > 80  # the walk really went deep (corner wedge = 91 nodes)
     hops = out.toPandas()["hop"]
     assert hops.max() == 10
-    # drop the result (the last reference to the leg checkpoints' lineage)
-    # and let the ContextCleaner reclaim: py4j releases the JVM refs on
-    # python GC; the cleaner unpersists on JVM GC.
-    del out, hops
-    deadline = time.time() + 30
-    while time.time() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        if jsc.getPersistentRDDs().size() - before <= 1:
-            break
-        time.sleep(0.5)
+    # leg checkpoints are released DETERMINISTICALLY inside the operator
+    # (no GC/ContextCleaner wait): only the result's own checkpoint blocks
+    # may remain.
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, (before, after)
