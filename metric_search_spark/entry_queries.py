@@ -1514,6 +1514,47 @@ WHERE en <= wm.w
 """
 
 
+def q_asof_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS-OF join (operators/joins.asof_join — the task brief's
+    named custom operator): every event picks the latest prior-or-equal
+    purchase of the same user. Spark plan is the union-and-carry window
+    (one shuffle of |left|+|right| rows, no interval explosion); the DuckDB
+    twin is the engine-native ``ASOF LEFT JOIN`` — a fully independent
+    implementation of the same semantics. Unmatched rows coalesce to −1 so
+    the value hash is NULL-free."""
+    from metric_search_spark.operators.joins import asof_join
+    from metric_search_spark.streaming.windows import EVENTS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("user_id", "event_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("pid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("pmillis"),
+    )
+    out = asof_join(left, right, on="ts", by="user_id", right_order="pid")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("pid_r"), F.lit(-1)).alias("pid"),
+        F.coalesce(F.col("pmillis_r"), F.lit(-1)).alias("pmillis"),
+    )
+
+
+O_ASOF_PURCHASE_EVENTS = """
+SELECT l.event_id, l.user_id,
+       coalesce(r.pid, -1) AS pid,
+       coalesce(r.pmillis, -1) AS pmillis
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, event_id AS pid,
+         CAST(floor(value * 1000) AS BIGINT) AS pmillis
+  FROM events WHERE event_type = 'purchase'
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_stream_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState
     (streaming/windows.stateful_user_ewma): per-user running EWMA of
@@ -2234,6 +2275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_events": q_stream_window_events,
     "stream_session_events": q_stream_session_events,
     "stream_ewma_events": q_stream_ewma_events,
+    "asof_purchase_events": q_asof_purchase_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
@@ -2295,6 +2337,7 @@ _STATIC_ORACLES["winnow_neardup_documents"] = _o_winnow_neardup_sql()
 _STATIC_ORACLES["stream_window_events"] = O_STREAM_WINDOW_EVENTS
 _STATIC_ORACLES["stream_session_events"] = O_STREAM_SESSION_EVENTS
 _STATIC_ORACLES["stream_ewma_events"] = O_STREAM_EWMA_EVENTS
+_STATIC_ORACLES["asof_purchase_events"] = O_ASOF_PURCHASE_EVENTS
 
 
 def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:

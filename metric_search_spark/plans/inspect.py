@@ -23,9 +23,36 @@ def explain_text(df: DataFrame, mode: str = "formatted") -> str:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan (broadcast
-    exchanges excluded — they are the cheap kind)."""
-    txt = explain_text(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", txt))
+    exchanges excluded — they are the cheap kind).
+
+    Parses SIMPLE mode: the formatted tree prints ``(n) Exchange`` with the
+    partitioning on a separate Arguments line, so a contiguous
+    ``Exchange hashpartitioning(...)`` match finds NOTHING there — a bug
+    that silently made every plan pin vacuous until a one-shuffle assertion
+    (which can't pass vacuously) caught it. Simple mode inlines the
+    arguments, making the contiguous match real."""
+    txt = explain_text(df, mode="simple")
+    return len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            txt,
+        )
+    )
+
+
+def exchange_partition_keys(df: DataFrame) -> list[str]:
+    """The argument list of every shuffle Exchange in the plan (simple mode
+    — see count_exchanges), for pins like 'no Exchange partitions on a raw
+    vector column'. An empty result means NO shuffle exchanges — callers
+    that expect shuffles should assert non-empty first, or the pin is
+    vacuous."""
+    txt = explain_text(df, mode="simple")
+    return [
+        m.group(1)
+        for m in re.finditer(
+            r"\bExchange (?:hash|range)partitioning\(([^)]*)\)", txt
+        )
+    ]
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:

@@ -71,11 +71,19 @@ def test_lsh_candidate_dedup_carries_ids_only(spark):
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
+    from metric_search_spark.plans.inspect import exchange_partition_keys
+
     out = cosine_topk_lsh(emb, emb, k=5, n_bits=16, bands=8)
     txt = explain_text(out)
     # every aggregate key list in the plan (the distinct) must be id-only
-    for m in re.finditer(r"Keys \[\d+\]: \[([^\]]*)\]", txt):
-        assert "_v_" not in m.group(1), m.group(1)
-    # and no hash exchange partitions on a vector column
-    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
-        assert "_v_" not in m.group(1), m.group(1)
+    keysets = re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", txt)
+    assert keysets, "no aggregate in plan — pin would be vacuous"
+    for ks in keysets:
+        assert "_v_" not in ks, ks
+    # and no hash exchange partitions on a vector column (simple-mode
+    # parse: formatted mode splits 'Exchange'/'hashpartitioning' across
+    # lines and silently matched nothing)
+    ex = exchange_partition_keys(out)
+    assert ex, "no shuffle exchanges found — pin would be vacuous"
+    for ks in ex:
+        assert "_v_" not in ks, ks

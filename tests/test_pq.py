@@ -205,13 +205,18 @@ def test_ivfpq_candidate_shuffles_carry_no_vectors(spark=None):
     spark = get_spark()
     emb = _emb_df(spark)
     probes = emb.where(F.col("id") % 10 == 0)
+    from metric_search_spark.plans.inspect import exchange_partition_keys
+
     out = ivfpq_topk(
         probes, emb, k=5, id_col="id", vec_col="vec", n_lists=32, n_probe=8,
         seed=13,
     )
-    txt = explain_text(out)
-    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
-        assert "_va" not in m.group(1) and "_vb" not in m.group(1), m.group(1)
+    # simple-mode parse — the formatted-mode regex matched nothing (vacuous)
+    ex = exchange_partition_keys(out)
+    assert ex, "no shuffle exchanges found — pin would be vacuous"
+    for keys in ex:
+        assert "_va" not in keys and "_vb" not in keys, keys
+        assert "vec#" not in keys, keys
 
 
 def test_rerank_plans_never_partition_on_vectors():
@@ -227,15 +232,17 @@ def test_rerank_plans_never_partition_on_vectors():
     spark = get_spark()
     emb = _emb_df(spark)
     probes = emb.where(F.col("id") % 10 == 0)
+    from metric_search_spark.plans.inspect import exchange_partition_keys
+
     for out in (
         pq_topk(probes, emb, k=5, id_col="id", vec_col="vec", seed=13,
                 rerank=16),
         ivfpq_topk(probes, emb, k=5, id_col="id", vec_col="vec", n_lists=32,
                    n_probe=8, seed=13, rerank=16),
     ):
-        txt = explain_text(out)
-        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
-            keys = m.group(1)
+        ex = exchange_partition_keys(out)
+        assert ex, "no shuffle exchanges found — pin would be vacuous"
+        for keys in ex:
             assert "_va" not in keys and "_vb" not in keys, keys
             assert "vec#" not in keys, keys
 
