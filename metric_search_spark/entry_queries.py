@@ -220,6 +220,46 @@ SELECT vec_id AS id, {cell_from_xy_sql(_EMB_X, _EMB_Y, 4)} AS tile FROM embeddin
 """
 
 
+_ROLLUP_RES = 4
+
+
+def q_tile_rollup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style tile-pyramid rollup (operators/tiling.tile_rollup):
+    per-tile count + exact integer label sum at EVERY resolution 0..4, one
+    data pass + tiny per-level re-aggregations by Morton parent shift.
+    Oracle: DuckDB computes each level DIRECTLY from the quantized
+    coordinates (per-level grid shift + bit-sum Morton encode, no pyramid)
+    — so the engine's parent-shift re-aggregation is checked against an
+    independent flat formulation."""
+    from metric_search_spark.operators.tiling import tile_rollup
+
+    return tile_rollup(
+        _emb(spark, sf_dir), _ROLLUP_RES, value_col="label"
+    ).select("res", "tile", "cnt", "val")
+
+
+def _o_tile_rollup_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    parts = []
+    for lvl in range(_ROLLUP_RES + 1):
+        enc = (
+            f"{lvl * (1 << 56)} + CAST(coalesce(list_sum(list_transform("
+            f"range(0, {lvl}),"
+            f" b -> ((cx >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))"
+            f" + ((cy >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)"
+            f" AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT {lvl} AS res, {enc} AS tile, count(*) AS cnt,"
+            f" sum(CAST(label AS BIGINT)) AS val"
+            f" FROM (SELECT ({quantize_sql(_EMB_X)}) >> {31 - lvl} AS cx,"
+            f" ({quantize_sql(_EMB_Y)}) >> {31 - lvl} AS cy, label"
+            f" FROM embeddings) GROUP BY 1, 2"
+        )
+    return " UNION ALL ".join(parts)
+
+
 _KRING_RES, _KRING_K = 4, 1
 
 
@@ -2259,6 +2299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_quota_embeddings": q_cluster_quota_embeddings,
     "tile_embeddings": q_tile_embeddings,
     "kring_embeddings": q_kring_embeddings,
+    "tile_rollup_embeddings": q_tile_rollup_embeddings,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_stats_documents": q_token_stats_documents,
     "edit_join_documents": q_edit_join_documents,
@@ -2308,6 +2349,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "cluster_quota_embeddings": O_CLUSTER,
     "tile_embeddings": O_TILE,
     "kring_embeddings": _o_kring_sql(),
+    "tile_rollup_embeddings": _o_tile_rollup_sql(),
     "dedup_exact_documents": O_DEDUP_EXACT,
     "token_stats_documents": O_TOKEN_STATS,
     "edit_join_documents": O_EDIT_JOIN,
