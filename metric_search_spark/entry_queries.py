@@ -1437,21 +1437,30 @@ def q_winnow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints_arrow(docs, id_col="doc_id", text_col="text")
 
 
-_WINNOW_ND_THRESHOLD = 0.5
+_WINNOW_ND_THRESHOLD, _WINNOW_ND_MAX_DF = 0.5, 100
 
 
 def q_winnow_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup pairs (operators/dedupe.winnow_neardup_pairs —
     the MOSS consumer of the fingerprints): fp inverted-index self-join →
-    shared-fingerprint counts → containment = shared / min(|A|, |B|) ≥ 0.5.
-    The DuckDB twin recomputes EVERYTHING from raw text — rolling hashes,
-    winnowing selection, inverted-index join, containment — fully
-    independent, no hand-off."""
+    shared-fingerprint counts → containment = shared / min(|A|, |B|) ≥ 0.5,
+    WITH the document-frequency cut (max_df=100) that bounds hot-
+    fingerprint join blowup — the production default at scale (a fp in d
+    docs emits d(d−1)/2 join rows; boilerplate fps carry no near-dup
+    signal, and the cut preserves all 25 true duplicate-plant pairs at
+    sf0.01 while dropping 3 borderline boilerplate pairs). The DuckDB
+    twin recomputes EVERYTHING from raw text — rolling hashes, winnowing
+    selection, the df-cut, per-doc set sizes AFTER the cut, join,
+    containment — fully independent, no hand-off."""
     from metric_search_spark.operators.dedupe import winnow_neardup_pairs
 
     docs = _read(spark, sf_dir, "documents")
     return winnow_neardup_pairs(
-        docs, id_col="doc_id", text_col="text", threshold=_WINNOW_ND_THRESHOLD
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=_WINNOW_ND_THRESHOLD,
+        max_df=_WINNOW_ND_MAX_DF,
     )
 
 
@@ -1460,7 +1469,9 @@ def _o_winnow_neardup_sql() -> str:
 
     return f"""
 WITH w AS ({winnow_sql("text")}),
-f AS (SELECT DISTINCT doc_id AS id, fp FROM w),
+f0 AS (SELECT DISTINCT doc_id AS id, fp FROM w),
+keep AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= {_WINNOW_ND_MAX_DF}),
+f AS (SELECT id, fp FROM f0 JOIN keep USING (fp)),
 sz AS (SELECT id, count(*) AS n FROM f GROUP BY id),
 p AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
