@@ -984,6 +984,13 @@ def asof_join(
     is a single shuffle of |left| + |right| rows, versus the |left|·window
     blowup of the naive theta-join formulation.
 
+    Skew caveat (disclosed, not mitigated here): ordered per-key semantics
+    put each key's full timeline in one window partition, so a single hot
+    key with 10⁸ rows is one task's sort — inherent to any as-of contract.
+    The standard mitigations (pre-bucket the key's timeline by coarse time
+    range and carry boundary state between buckets) compose on top of this
+    operator; the fixture keys are uniform so none is wired in.
+
     Returns every left column plus each right payload column renamed
     ``<col><suffix>``."""
     keys = [by] if isinstance(by, str) else list(by or [])
