@@ -1030,6 +1030,151 @@ def _o_polyfill_sql() -> str:
 O_POLYFILL = _o_polyfill_sql()
 
 
+_ZONE_RES = 5
+
+
+def q_zone_pip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join through the FULL/BORDER-classified cover
+    (operators/pip.zone_join): cells with no polygon edge in them skip the
+    O(edges) even-odd test entirely — the equi-join alone decides membership
+    — so at 10⁹ points the exact test runs only on the O(perimeter/s)
+    boundary fraction. Oracle: the same brute-force per-point even-odd SQL
+    as pip_embeddings (fully independent of the cover classification), so a
+    full cell misclassified by the edge-bbox detector goes hash-red."""
+    from metric_search_spark.operators.pip import zone_join
+
+    emb = _emb(spark, sf_dir)
+    out = zone_join(emb, _pip_polys_df(spark), res=_ZONE_RES)
+    return out.select(F.col("id").alias("vec_id"), "poly_id")
+
+
+def q_compact_polyfill_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-compactCells over the Morton quadtree (operators/tiling.
+    compact_tiles): the res-5 polyfill of each fixture polygon collapses
+    every complete sibling quartet into its parent, repeatedly — the minimal
+    mixed-resolution cover a tile server actually ships. Oracle: DuckDB
+    derives the SAME set through the closed form (a node is emitted iff all
+    its res-5 descendants are center-inside and its parent's are not) from
+    the full-grid polyfill — no merge loop, so the engine's iterative
+    cascade is checked against an independent formulation."""
+    from metric_search_spark.operators.pip import polygon_tiles
+    from metric_search_spark.operators.tiling import compact_tiles
+
+    pf = polygon_tiles(_pip_polys_df(spark), res=_ZONE_RES)
+    return compact_tiles(pf, by=["poly_id"]).select("poly_id", "tile")
+
+
+def q_uncompact_polyfill_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uncompact ∘ compact ≡ identity, checked against the INDEPENDENT
+    full-grid polyfill oracle (same SQL as polyfill_tiles): the compacted
+    mixed-res cover re-expands to exactly the res-5 cell set. Exercises
+    uncompact_tiles' pure-Column 4^Δ child expansion end-to-end."""
+    from metric_search_spark.operators.pip import polygon_tiles
+    from metric_search_spark.operators.tiling import compact_tiles, uncompact_tiles
+
+    pf = polygon_tiles(_pip_polys_df(spark), res=_ZONE_RES)
+    cp = compact_tiles(pf, by=["poly_id"])
+    return uncompact_tiles(cp.select("poly_id", "tile"), _ZONE_RES)
+
+
+def _o_compact_sql() -> str:
+    """Closed-form compact twin: per level l, a node is FULL iff all
+    4^(res-l) res-descendants are center-inside cells; output = full nodes
+    whose parent is not full (level 0 nodes unconditionally)."""
+    from metric_search_spark.operators.pip import pip_sql_condition
+
+    res = _ZONE_RES
+    n = 1 << res
+    s = 1.0 / n
+    selects = []
+    for pid, ring in _PIP_POLYS:
+        cond = pip_sql_condition(
+            f"((cx + 0.5) * {s!r})", f"((cy + 0.5) * {s!r})", ring
+        )
+        selects.append(
+            f"SELECT '{pid}' AS poly_id, cx, cy"
+            f" FROM (SELECT gx.i AS cx, gy.i AS cy"
+            f" FROM range(0, {n}) gx(i), range(0, {n}) gy(i))"
+            f" WHERE {cond}"
+        )
+    ctes = ["s AS (" + " UNION ALL ".join(selects) + ")"]
+    for lvl in range(res + 1):
+        d = res - lvl
+        ctes.append(
+            f"f{lvl} AS (SELECT poly_id, cx >> {d} AS px, cy >> {d} AS py"
+            f" FROM s GROUP BY 1, 2, 3 HAVING count(*) = {4 ** d})"
+        )
+    outs = []
+    for lvl in range(res + 1):
+        enc = (
+            f"{lvl * (1 << 56)} + CAST(coalesce(list_sum(list_transform("
+            f"range(0, {lvl}),"
+            f" b -> ((a.px >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))"
+            f" + ((a.py >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)"
+            f" AS BIGINT)"
+        )
+        sel = f"SELECT a.poly_id, {enc} AS tile FROM f{lvl} a"
+        if lvl > 0:
+            sel += (
+                f" WHERE NOT EXISTS (SELECT 1 FROM f{lvl - 1} b"
+                f" WHERE b.poly_id = a.poly_id"
+                f" AND b.px = a.px >> 1 AND b.py = a.py >> 1)"
+            )
+        outs.append(sel)
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(outs)
+
+
+O_COMPACT = _o_compact_sql()
+
+
+_FOCAL_RES, _FOCAL_K = 4, 1
+
+
+def q_focal_tiles_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster focal sum (operators/tiling.tile_focal_sum): per-tile count +
+    exact label sum over each tile's Chebyshev-1 neighborhood at res 4 —
+    aggregate once, scatter the tiny raster through the k-ring mask-ripple,
+    re-aggregate. Oracle: DuckDB quantizes coordinates to grid indices,
+    joins Chebyshev offsets with bounds clamps, and bit-sum Morton-encodes
+    the receiver — no ring enumeration shared with the engine."""
+    from metric_search_spark.operators.tiling import tile_focal_sum
+
+    return tile_focal_sum(
+        _emb(spark, sf_dir), _FOCAL_RES, k=_FOCAL_K, value_col="label"
+    ).select("tile", "focal_cnt", "focal_val")
+
+
+def _o_focal_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    res, k = _FOCAL_RES, _FOCAL_K
+    n = 1 << res
+    enc = (
+        f"{res * (1 << 56)} + CAST(coalesce(list_sum(list_transform("
+        f"range(0, {res}),"
+        f" b -> ((rx >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))"
+        f" + ((ry >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)"
+        f" AS BIGINT)"
+    )
+    return f"""
+WITH g AS (
+  SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy,
+         count(*) AS cnt, sum(CAST(label AS BIGINT)) AS val
+  FROM embeddings GROUP BY 1, 2
+), recv AS (
+  SELECT cx + dx.i AS rx, cy + dy.i AS ry, cnt, val
+  FROM g, range({-k}, {k + 1}) dx(i), range({-k}, {k + 1}) dy(i)
+  WHERE cx + dx.i BETWEEN 0 AND {n - 1} AND cy + dy.i BETWEEN 0 AND {n - 1}
+)
+SELECT {enc} AS tile, sum(cnt) AS focal_cnt, sum(val) AS focal_val
+FROM recv GROUP BY 1
+"""
+
+
+O_FOCAL = _o_focal_sql()
+
+
 _IPV_N, _IPV_SEED = 2000, 42
 
 
@@ -2335,6 +2480,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
     "pip_embeddings": q_pip_embeddings,
     "polyfill_tiles": q_polyfill_tiles,
+    "zone_pip_embeddings": q_zone_pip_embeddings,
+    "compact_polyfill_tiles": q_compact_polyfill_tiles,
+    "uncompact_polyfill_tiles": q_uncompact_polyfill_tiles,
+    "focal_tiles_embeddings": q_focal_tiles_embeddings,
     "images_payload_verify": q_images_payload_verify,
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
@@ -2375,6 +2524,12 @@ _STATIC_ORACLES: dict[str, str] = {
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,
     "polyfill_tiles": O_POLYFILL,
+    # zone_join must equal the brute per-point test — same independent twin
+    "zone_pip_embeddings": O_PIP,
+    "compact_polyfill_tiles": O_COMPACT,
+    # uncompact∘compact ≡ identity vs the independent full-grid polyfill
+    "uncompact_polyfill_tiles": O_POLYFILL,
+    "focal_tiles_embeddings": O_FOCAL,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "twed_events": O_TWED_EVENTS,
     # (no static rows-only entries remain: every query has either a static

@@ -26,6 +26,8 @@ from metric_search_spark.functions.spatial import cell_from_xy_col, spread_bits_
 __all__ = [
     "point_in_polygon_join",
     "polygon_tiles",
+    "classify_cover",
+    "zone_join",
     "pip_condition_col",
     "pip_sql_condition",
 ]
@@ -136,6 +138,117 @@ def polygon_tiles(
     return cover.where(pip_condition_col(ctr_x, ctr_y, F.col("_ring"))).select(
         "poly_id", F.col("_cell").alias(out_col)
     )
+
+
+def _edge_in_cell_col(ring: Column, cx: Column, cy: Column, res: int) -> Column:
+    """TRUE iff any polygon edge's bounding box intersects the CLOSED cell
+    square [cx·s, (cx+1)·s] × [cy·s, (cy+1)·s]. Conservative boundary
+    detector: a segment that enters the cell always trips this (segment ⊆
+    its own bbox), while a trip without an actual crossing only costs one
+    redundant exact test downstream — never a wrong answer."""
+    s = 2.0 ** (-res)
+    x_lo = cx.cast("double") * s
+    y_lo = cy.cast("double") * s
+    x_hi = x_lo + s
+    y_hi = y_lo + s
+    n = F.size(ring)
+
+    def overlaps(i: Column) -> Column:
+        a = F.element_at(ring, i.cast("int"))
+        b = F.element_at(ring, (F.when(i == n, 1).otherwise(i + 1)).cast("int"))
+        return (
+            (F.greatest(a["x"], b["x"]) >= x_lo)
+            & (F.least(a["x"], b["x"]) <= x_hi)
+            & (F.greatest(a["y"], b["y"]) >= y_lo)
+            & (F.least(a["y"], b["y"]) <= y_hi)
+        )
+
+    return F.exists(F.sequence(F.lit(1), n), overlaps)
+
+
+def classify_cover(
+    polygons: DataFrame,
+    *,
+    res: int = 6,
+    poly_id_col: str = "poly_id",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Full/border classification of each polygon's covering cells at ``res``
+    (H3 polyfill-with-interior semantics):
+
+    - ``is_border = true``  — some edge's bbox intersects the cell: the cell
+      MAY straddle the boundary, so membership of a point inside it needs the
+      exact even-odd test.
+    - ``is_border = false`` — no edge touches the closed cell square, so the
+      cell is uniformly inside or outside; center-inside keeps it as a FULL
+      interior cell (every point in it is inside the polygon, no test needed).
+      Cells uniformly outside are dropped here — they can never contribute.
+
+    The ring array is nulled out on full cells: the broadcast payload carries
+    vertex lists only where a downstream exact test can read them, so the
+    broadcast size scales with the boundary (O(perimeter/s) cells keep rings)
+    rather than the area.
+
+    Returns (poly_id, _ring, _cell, is_border).
+    """
+    s = 2.0 ** (-res)
+    cover = _bbox_cover(polygons, res, poly_id_col, ring_col)
+    ctr_in = pip_condition_col(
+        (F.col("_cx") + 0.5) * s, (F.col("_cy") + 0.5) * s, F.col("_ring")
+    )
+    border = _edge_in_cell_col(F.col("_ring"), F.col("_cx"), F.col("_cy"), res)
+    return (
+        cover.withColumn("is_border", border)
+        .where(F.col("is_border") | ctr_in)
+        .select(
+            "poly_id",
+            F.when(F.col("is_border"), F.col("_ring")).alias("_ring"),
+            "_cell",
+            "is_border",
+        )
+    )
+
+
+def zone_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    *,
+    res: int = 6,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id_col: str = "poly_id",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Point-in-polygon join through a FULL/BORDER-classified cover — same
+    output as :func:`point_in_polygon_join`, but the O(edges) even-odd test
+    runs only for points whose cell straddles the boundary; points landing in
+    full interior cells pass through on the equi-join alone.
+
+    The 100-TB shape: at resolution r the cover of a polygon has O(area/s²)
+    cells but only O(perimeter/s) of them are border cells, so the exact-test
+    fraction shrinks like s·perimeter/area as r grows — the dominant cost
+    becomes the broadcast hash probe per point, not the per-edge loop. Raise
+    ``res`` until border cells are thin, bounded by the broadcast budget
+    (full cells carry no ring payload — see :func:`classify_cover`)."""
+    cover = classify_cover(
+        polygons, res=res, poly_id_col=poly_id_col, ring_col=ring_col
+    )
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+        cell_from_xy_col(
+            F.col(x_col).cast("double"), F.col(y_col).cast("double"), res
+        ).alias("_cell"),
+    )
+    joined = pts.join(F.broadcast(cover), "_cell")
+    # full cells short-circuit: TRUE OR <test on null ring> is TRUE row-wise,
+    # so the even-odd aggregate only evaluates for border-cell rows
+    return joined.where(
+        (~F.col("is_border"))
+        | pip_condition_col(F.col("_px"), F.col("_py"), F.col("_ring"))
+    ).select("id", "poly_id")
 
 
 def point_in_polygon_join(

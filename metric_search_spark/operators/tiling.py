@@ -26,10 +26,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metric_search_spark.core.covertree import check_distribution
-from metric_search_spark.functions.spatial import cell_from_xy_col
+from metric_search_spark.functions.spatial import cell_from_xy_col, kring_cells_col
 from metric_search_spark.functions.vector import l2_dist_col
 
-__all__ = ["tile_assign", "tile_rollup", "cluster_quota", "quota_sizes", "quota_boundaries"]
+__all__ = [
+    "tile_assign",
+    "tile_rollup",
+    "tile_focal_sum",
+    "compact_tiles",
+    "uncompact_tiles",
+    "cluster_quota",
+    "quota_sizes",
+    "quota_boundaries",
+]
 
 
 def tile_assign(
@@ -263,3 +272,136 @@ def tile_rollup(
             cur.select(F.lit(lvl).cast("int").alias("res"), "*")
         )
     return out
+
+
+def tile_focal_sum(
+    df: DataFrame,
+    res: int,
+    *,
+    k: int = 1,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Raster focal (moving-window) aggregation: for every tile at ``res``,
+    the count (and optional exact integer value sum) over its Chebyshev-``k``
+    neighborhood — the map-algebra focal-sum a heatmap smoother or density
+    estimator reads. Output covers every in-grid tile within ``k`` of a
+    non-empty tile (empty neighborhoods never appear).
+
+    100-TB shape: the input is aggregated ONCE per tile (one
+    map-side-combining shuffle over the data); only then does each
+    aggregated tile SCATTER its partials to its k-ring via the Morton
+    mask-ripple enumeration (``kring_cells_col`` — grid-clipped, no UDF),
+    and a second aggregation gathers by receiving tile. The scatter shuffle
+    is |tiles|·(2k+1)² rows of the tiny raster table, never the raw data —
+    the same partial-reaggregation trick as :func:`tile_rollup`. Scatter ≡
+    gather here because the Chebyshev ring is symmetric and grid clipping
+    removes only out-of-grid cells on both views."""
+    aggs = [F.count("*").alias("cnt")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("long")).alias("val"))
+    per_tile = (
+        tile_assign(df, res, x_col=x_col, y_col=y_col).groupBy("tile").agg(*aggs)
+    )
+    scattered = per_tile.select(
+        F.explode(kring_cells_col(F.col("tile"), res, k)).alias("tile"),
+        *[c for c in per_tile.columns if c != "tile"],
+    )
+    re_aggs = [F.sum("cnt").alias("focal_cnt")]
+    if value_col is not None:
+        re_aggs.append(F.sum("val").alias("focal_val"))
+    return scattered.groupBy("tile").agg(*re_aggs)
+
+
+_PREFIX_MASK = (1 << 56) - 1
+
+
+def compact_tiles(
+    df: DataFrame,
+    *,
+    tile_col: str = "tile",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """H3-``compactCells`` semantics over the Morton quadtree: repeatedly
+    replace every complete quartet of sibling cells with their parent,
+    yielding the minimal mixed-resolution set covering exactly the input
+    cells. Input cells may themselves be at mixed resolutions (each encodes
+    its own level in the high byte) but must be non-overlapping — no cell an
+    ancestor of another — and are de-duplicated up front. ``by`` columns
+    (e.g. a polygon id) scope the compaction per group.
+
+    Equivalent closed form on uniform-res input: a node is emitted iff ALL
+    its finest-res descendants are present and its parent's are not — the
+    formulation the DuckDB oracle checks independently.
+
+    100-TB shape: one equi-shuffle per level on the PARENT key of a set that
+    shrinks ≥4× per merge; each group holds ≤4 children so the per-group
+    collect is bounded. Levels run finest→coarsest so merged parents cascade.
+    Each level is an eager localCheckpoint: the pool would otherwise re-plan
+    the whole union chain below it level after level (the
+    :func:`tile_rollup` lesson)."""
+    by = list(by)
+    res_col = F.shiftright(F.col("tile"), 56)
+    cells = df.select(*by, F.col(tile_col).alias("tile")).distinct()
+    max_res = cells.agg(F.max(res_col).alias("m")).first()["m"]
+    if max_res is None or max_res == 0:
+        return cells
+    finished = [cells.where(res_col == 0)]  # level 0 has no siblings to merge
+    pool = cells.where(res_col > 0).localCheckpoint(eager=True)
+    for lvl in range(int(max_res), 0, -1):
+        cand = pool.where(res_col == lvl)
+        rest = pool.where(res_col != lvl)
+        parent = (
+            F.lit((lvl - 1) << 56)
+            + F.shiftright(F.col("tile").bitwiseAND(F.lit(_PREFIX_MASK)), 2)
+        ).cast("long")
+        grp = (
+            cand.groupBy(*by, parent.alias("_parent"))
+            .agg(F.count("*").alias("_n"), F.collect_list("tile").alias("_kids"))
+            .localCheckpoint(eager=True)
+        )
+        finished.append(
+            grp.where(F.col("_n") < 4).select(
+                *by, F.explode("_kids").alias("tile")
+            )
+        )
+        merged = grp.where(F.col("_n") == 4).select(
+            *by, F.col("_parent").alias("tile")
+        )
+        pool = rest.unionByName(merged)
+    out = pool  # after lvl=1, only merged level-0 cells remain
+    for part in finished:
+        out = out.unionByName(part)
+    return out
+
+
+def uncompact_tiles(
+    df: DataFrame,
+    res: int,
+    *,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """H3-``uncompactCells`` semantics: expand every cell to ALL its
+    descendants at resolution ``res`` (a cell already at ``res`` maps to
+    itself; a cell FINER than ``res`` raises at execution time). Pure
+    narrow Column math — per-row ``sequence`` explode of the 4^Δ child
+    offsets appended below the shifted prefix; no shuffle, no UDF, so
+    ``uncompact_tiles(compact_tiles(S), res) ≡ S`` costs one projection."""
+    lvl = F.shiftright(F.col(tile_col), 56)
+    prefix = F.col(tile_col).bitwiseAND(F.lit(_PREFIX_MASK))
+    # 4^Δ as exact long arithmetic (shiftleft needs a literal shift count;
+    # powers of two are exact in double well past 2^54 = 4^27, the max here)
+    n_children = F.pow(F.lit(4.0), (F.lit(res) - lvl).cast("double")).cast("long")
+    hi = F.when(lvl <= F.lit(res), n_children - 1).otherwise(
+        F.raise_error(
+            F.lit(f"uncompact_tiles: input cell finer than target res={res}")
+        ).cast("long")
+    )
+    child = (F.lit(res << 56) + prefix * n_children + F.col("_i")).cast("long")
+    others = [c for c in df.columns if c != tile_col]
+    return (
+        df.select(*others, F.col(tile_col))
+        .withColumn("_i", F.explode(F.sequence(F.lit(0).cast("long"), hi)))
+        .select(*others, child.alias(tile_col))
+    )

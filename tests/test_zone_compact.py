@@ -1,0 +1,307 @@
+"""Classified zone join (full/border cover) + quadtree compact/uncompact +
+raster focal sum — correctness vs brute twins, invariants, and plan pins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from metric_search_spark.operators.pip import (
+    classify_cover,
+    point_in_polygon_join,
+    zone_join,
+)
+from metric_search_spark.operators.tiling import (
+    compact_tiles,
+    tile_focal_sum,
+    uncompact_tiles,
+)
+
+from tests.sparkutil import get_spark
+
+_POLY_SCHEMA = StructType(
+    [
+        StructField("poly_id", StringType()),
+        StructField(
+            "ring",
+            ArrayType(
+                StructType(
+                    [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def _polys():
+    """Seeded star polygons in [0,1]² (same family as test_pip_image)."""
+    rng = np.random.default_rng(11)
+    out = []
+    for j in range(3):
+        cx, cy = rng.uniform(0.25, 0.75, 2)
+        n_v = int(rng.integers(5, 12))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, n_v))
+        radii = rng.uniform(0.08, 0.24, n_v)
+        out.append(
+            (
+                f"poly{j}",
+                [
+                    (float(cx + r * np.cos(a)), float(cy + r * np.sin(a)))
+                    for a, r in zip(angles, radii)
+                ],
+            )
+        )
+    return out
+
+
+def _poly_df(spark, polys):
+    return spark.createDataFrame(
+        [(pid, [{"x": x, "y": y} for x, y in ring]) for pid, ring in polys],
+        _POLY_SCHEMA,
+    )
+
+
+def _pts_df(spark, n=400, seed=12):
+    rng = np.random.default_rng(seed)
+    return spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "x": rng.random(n), "y": rng.random(n)})
+    )
+
+
+def _crossing(px, py, ring):
+    c = 0
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        if (ay > py) != (by > py) and px < ax + (py - ay) * (bx - ax) / (by - ay):
+            c += 1
+    return c % 2 == 1
+
+
+@pytest.mark.parametrize("res", [3, 5, 7])
+def test_zone_join_equals_brute_pip(spark, res):
+    """The full/border short-circuit must be invisible in the output: same
+    (id, poly_id) set as the brute per-point join at every resolution."""
+    polys = _polys()
+    poly_df = _poly_df(spark, polys)
+    pts = _pts_df(spark)
+    z = set(map(tuple, zone_join(pts, poly_df, res=res).collect()))
+    p = set(map(tuple, point_in_polygon_join(pts, poly_df, res=res).collect()))
+    assert z == p and len(z) > 0
+
+
+def test_classify_cover_invariants(spark):
+    """Full cells are uniformly inside (all four corners + center pass the
+    exact test) and ship no ring payload; border cells keep their ring."""
+    polys = _polys()
+    res = 6
+    s = 2.0 ** (-res)
+    rows = classify_cover(_poly_df(spark, polys), res=res).collect()
+    rings = dict(polys)
+    n_full = n_border = 0
+    for r in rows:
+        cell = r["_cell"]
+        assert cell >> 56 == res
+        prefix = cell & ((1 << 56) - 1)
+        cx = cy = 0
+        for b in range(res):
+            cx |= ((prefix >> (2 * b)) & 1) << b
+            cy |= ((prefix >> (2 * b + 1)) & 1) << b
+        if r["is_border"]:
+            n_border += 1
+            assert r["_ring"] is not None
+        else:
+            n_full += 1
+            assert r["_ring"] is None  # broadcast payload scales with perimeter
+            ring = rings[r["poly_id"]]
+            eps = s * 1e-6  # nudge corners off edges/vertices
+            for px, py in [
+                ((cx + 0.5) * s, (cy + 0.5) * s),
+                (cx * s + eps, cy * s + eps),
+                ((cx + 1) * s - eps, cy * s + eps),
+                (cx * s + eps, (cy + 1) * s - eps),
+                ((cx + 1) * s - eps, (cy + 1) * s - eps),
+            ]:
+                assert _crossing(px, py, ring), (r["poly_id"], cx, cy)
+    # at res 6 the interiors dominate: the short-circuit must have real work
+    assert n_full > 0 and n_border > 0
+
+
+def test_zone_join_points_side_no_shuffle(spark):
+    """The points side must reach the broadcast probe without any shuffle
+    Exchange: cell assignment is a projection, the join is broadcast-hash,
+    and the even-odd filter is row-local."""
+    from metric_search_spark.plans import count_exchanges
+
+    polys = _poly_df(spark, _polys())
+    pts = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        ((F.element_at("embedding", 1) + 1.0) / 2.0).alias("x"),
+        ((F.element_at("embedding", 2) + 1.0) / 2.0).alias("y"),
+    )
+    out = zone_join(pts, polys, res=6)
+    assert count_exchanges(out) == 0
+    assert "BroadcastHashJoin" in out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+
+
+def _rand_cells(rng, res, n):
+    """n distinct random cells at resolution res."""
+    grid = 1 << res
+    seen = set()
+    while len(seen) < n:
+        cx = int(rng.integers(0, grid))
+        cy = int(rng.integers(0, grid))
+        t = 0
+        for b in range(res):
+            t |= ((cx >> b) & 1) << (2 * b)
+            t |= ((cy >> b) & 1) << (2 * b + 1)
+        seen.add((res << 56) | t)
+    return sorted(seen)
+
+
+@pytest.mark.parametrize("seed,n", [(0, 40), (1, 300), (2, 1000)])
+def test_compact_uncompact_roundtrip(spark, seed, n):
+    """uncompact(compact(S), res) == S for random cell sets, compaction is
+    minimal (no complete sibling quartet survives) and non-overlapping."""
+    res = 5
+    rng = np.random.default_rng(seed)
+    cells = _rand_cells(rng, res, n)
+    df = spark.createDataFrame([(int(c),) for c in cells], "tile long")
+    comp = [r["tile"] for r in compact_tiles(df).collect()]
+    # levels well-formed, no duplicate, no quartet of siblings left
+    assert len(comp) == len(set(comp))
+    by_parent = {}
+    for t in comp:
+        lvl = t >> 56
+        assert 0 <= lvl <= res
+        if lvl > 0:
+            p = ((lvl - 1) << 56) | ((t & ((1 << 56) - 1)) >> 2)
+            by_parent[p] = by_parent.get(p, 0) + 1
+    assert all(v < 4 for v in by_parent.values()), "complete quartet not merged"
+    # no cell is an ancestor of another
+    comp_set = set(comp)
+    for t in comp:
+        lvl = t >> 56
+        pfx = t & ((1 << 56) - 1)
+        for up in range(1, lvl + 1):
+            assert ((lvl - up) << 56 | (pfx >> (2 * up))) not in comp_set
+    # exact roundtrip
+    comp_df = spark.createDataFrame([(int(c),) for c in comp], "tile long")
+    back = sorted(r["tile"] for r in uncompact_tiles(comp_df, res).collect())
+    assert back == cells
+
+
+def test_compact_full_grid_collapses_to_root(spark):
+    """The complete res-3 grid compacts to the single level-0 cell."""
+    res = 3
+    all_cells = [(int((res << 56) | t),) for t in range(4 ** res)]
+    df = spark.createDataFrame(all_cells, "tile long")
+    out = [r["tile"] for r in compact_tiles(df).collect()]
+    assert out == [0]
+
+
+def test_compact_respects_groups(spark):
+    """by= scopes compaction: the same quartet complete in group A but split
+    across groups must only merge inside A."""
+    res = 2
+    quartet = [(res << 56) | t for t in range(4)]  # siblings of parent 0
+    rows = [("a", int(t)) for t in quartet] + [("b", int(quartet[0]))]
+    df = spark.createDataFrame(rows, "g string, tile long")
+    out = {(r["g"], r["tile"]) for r in compact_tiles(df, by=["g"]).collect()}
+    assert ("a", (1 << 56) | 0) in out  # merged to the level-1 parent
+    assert ("b", quartet[0]) in out  # lone sibling untouched
+    assert len(out) == 2
+
+
+def test_uncompact_rejects_finer_cells(spark):
+    df = spark.createDataFrame([(int((5 << 56) | 3),)], "tile long")
+    with pytest.raises(Exception, match="finer than target res"):
+        uncompact_tiles(df, 4).collect()
+
+
+def test_uncompact_is_narrow(spark):
+    from metric_search_spark.plans import count_exchanges
+
+    df = get_spark().createDataFrame([(int((2 << 56) | 1),)], "tile long")
+    assert count_exchanges(uncompact_tiles(df, 6)) == 0
+
+
+def test_focal_sum_matches_brute_twin(spark):
+    """tile_focal_sum vs a per-cell python scatter at res 4, k ∈ {1, 2}."""
+    rng = np.random.default_rng(21)
+    n, res = 600, 4
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "x": rng.random(n),
+            "y": rng.random(n),
+            "v": rng.integers(0, 9, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    grid = 1 << res
+
+    def quant(u):
+        return min(max(int(np.floor(u * (1 << 31))), 0), (1 << 31) - 1) >> (31 - res)
+
+    def morton(cx, cy):
+        t = 0
+        for b in range(res):
+            t |= ((cx >> b) & 1) << (2 * b)
+            t |= ((cy >> b) & 1) << (2 * b + 1)
+        return (res << 56) | t
+
+    for k in (1, 2):
+        got = {
+            (r["tile"], r["focal_cnt"], r["focal_val"])
+            for r in tile_focal_sum(df, res, k=k, value_col="v").collect()
+        }
+        agg = {}
+        for _, row in pdf.iterrows():
+            cxy = (quant(row.x), quant(row.y))
+            c, v = agg.get(cxy, (0, 0))
+            agg[cxy] = (c + 1, v + int(row.v))
+        recv = {}
+        for (cx, cy), (c, v) in agg.items():
+            for dx in range(-k, k + 1):
+                for dy in range(-k, k + 1):
+                    rx, ry = cx + dx, cy + dy
+                    if 0 <= rx < grid and 0 <= ry < grid:
+                        rc, rv = recv.get((rx, ry), (0, 0))
+                        recv[(rx, ry)] = (rc + c, rv + v)
+        want = {(morton(cx, cy), c, v) for (cx, cy), (c, v) in recv.items()}
+        assert got == want
+
+
+def test_focal_sum_two_shuffles_only(spark):
+    """The scatter must run over the AGGREGATED raster: exactly two hash
+    exchanges (pre-aggregate by tile, re-aggregate by receiving tile) — the
+    input is never exploded (2k+1)² ways."""
+    from metric_search_spark.plans import count_exchanges
+
+    pts = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        ((F.element_at("embedding", 1) + 1.0) / 2.0).alias("x"),
+        ((F.element_at("embedding", 2) + 1.0) / 2.0).alias("y"),
+        "label",
+    )
+    out = tile_focal_sum(pts, 6, k=1, value_col="label")
+    assert count_exchanges(out) == 2
