@@ -141,11 +141,16 @@ def polygon_tiles(
 
 
 def _edge_in_cell_col(ring: Column, cx: Column, cy: Column, res: int) -> Column:
-    """TRUE iff any polygon edge's bounding box intersects the CLOSED cell
-    square [cx·s, (cx+1)·s] × [cy·s, (cy+1)·s]. Conservative boundary
-    detector: a segment that enters the cell always trips this (segment ⊆
-    its own bbox), while a trip without an actual crossing only costs one
-    redundant exact test downstream — never a wrong answer."""
+    """TRUE iff any polygon edge intersects the CLOSED cell square
+    [cx·s, (cx+1)·s] × [cy·s, (cy+1)·s]. EXACT segment-vs-square test by
+    separating axes: the bboxes overlap (x- and y-axes) AND the square's
+    four corners do not all lie strictly on one side of the segment's
+    supporting line (the line-normal axis). Exactness matters for cost,
+    not correctness: a bbox-only detector marks every cell in a long
+    diagonal edge's bounding box as border, inflating the fraction of
+    points that pay the O(edges) even-odd test downstream — the
+    separating-axis test keeps border cells to the ~perimeter/s the zone
+    join's cost model promises."""
     s = 2.0 ** (-res)
     x_lo = cx.cast("double") * s
     y_lo = cy.cast("double") * s
@@ -153,17 +158,35 @@ def _edge_in_cell_col(ring: Column, cx: Column, cy: Column, res: int) -> Column:
     y_hi = y_lo + s
     n = F.size(ring)
 
-    def overlaps(i: Column) -> Column:
+    def hits(i: Column) -> Column:
         a = F.element_at(ring, i.cast("int"))
         b = F.element_at(ring, (F.when(i == n, 1).otherwise(i + 1)).cast("int"))
-        return (
+        bbox = (
             (F.greatest(a["x"], b["x"]) >= x_lo)
             & (F.least(a["x"], b["x"]) <= x_hi)
             & (F.greatest(a["y"], b["y"]) >= y_lo)
             & (F.least(a["y"], b["y"]) <= y_hi)
         )
+        dx = b["x"] - a["x"]
+        dy = b["y"] - a["y"]
 
-    return F.exists(F.sequence(F.lit(1), n), overlaps)
+        def cross(px: Column, py: Column) -> Column:
+            return dx * (py - a["y"]) - dy * (px - a["x"])
+
+        c = [
+            cross(x_lo, y_lo),
+            cross(x_hi, y_lo),
+            cross(x_lo, y_hi),
+            cross(x_hi, y_hi),
+        ]
+        all_pos = c[0] > 0
+        all_neg = c[0] < 0
+        for ci in c[1:]:
+            all_pos = all_pos & (ci > 0)
+            all_neg = all_neg & (ci < 0)
+        return bbox & ~all_pos & ~all_neg
+
+    return F.exists(F.sequence(F.lit(1), n), hits)
 
 
 def classify_cover(
