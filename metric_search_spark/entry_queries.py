@@ -1033,6 +1033,71 @@ O_POLYFILL = _o_polyfill_sql()
 _ZONE_RES = 5
 
 
+# one multipolygon: polyA's pentagon as the outer shell, a square hole
+# punched inside it, and a disjoint triangle part — even-odd across the
+# three rings gives shell-minus-hole plus the island
+_MULTI_POLY = (
+    "multiA",
+    [
+        _PIP_POLYS[0][1],  # outer shell
+        [(0.45, 0.42), (0.55, 0.42), (0.55, 0.50), (0.45, 0.50)],  # hole
+        [(0.78, 0.72), (0.90, 0.75), (0.82, 0.88)],  # disjoint island
+    ],
+)
+
+
+def _multi_polys_df(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ring_t = ArrayType(
+        StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+    )
+    schema = StructType(
+        [
+            StructField("poly_id", StringType()),
+            StructField("rings", ArrayType(ring_t)),
+        ]
+    )
+    pid, rings = _MULTI_POLY
+    return spark.createDataFrame(
+        [(pid, [[{"x": x, "y": y} for x, y in ring] for ring in rings])], schema
+    )
+
+
+def q_multipolygon_pip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-MULTIPOLYGON join (shell + hole + disjoint island) through
+    the classified zone cover: even-odd parity sums crossings across all
+    rings, so points in the hole drop out and the island contributes —
+    and hole boundaries classify as border cells like any edge. Oracle:
+    brute per-point crossings-sum SQL over the same three rings."""
+    from metric_search_spark.operators.pip import zone_join
+
+    emb = _emb(spark, sf_dir)
+    out = zone_join(
+        emb, _multi_polys_df(spark), res=_ZONE_RES, rings_col="rings"
+    )
+    return out.select(F.col("id").alias("vec_id"), "poly_id")
+
+
+def _o_multipolygon_sql() -> str:
+    from metric_search_spark.operators.pip import pip_sql_rings_condition
+
+    pid, rings = _MULTI_POLY
+    return (
+        f"SELECT vec_id, '{pid}' AS poly_id FROM embeddings "
+        f"WHERE {pip_sql_rings_condition(_EMB_X, _EMB_Y, rings)}"
+    )
+
+
+O_MULTIPOLYGON = _o_multipolygon_sql()
+
+
 def q_zone_pip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join through the FULL/BORDER-classified cover
     (operators/pip.zone_join): cells with no polygon edge in them skip the
@@ -2481,6 +2546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_embeddings": q_pip_embeddings,
     "polyfill_tiles": q_polyfill_tiles,
     "zone_pip_embeddings": q_zone_pip_embeddings,
+    "multipolygon_pip_embeddings": q_multipolygon_pip_embeddings,
     "compact_polyfill_tiles": q_compact_polyfill_tiles,
     "uncompact_polyfill_tiles": q_uncompact_polyfill_tiles,
     "focal_tiles_embeddings": q_focal_tiles_embeddings,
@@ -2526,6 +2592,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "polyfill_tiles": O_POLYFILL,
     # zone_join must equal the brute per-point test — same independent twin
     "zone_pip_embeddings": O_PIP,
+    "multipolygon_pip_embeddings": O_MULTIPOLYGON,
     "compact_polyfill_tiles": O_COMPACT,
     # uncompact∘compact ≡ identity vs the independent full-grid polyfill
     "uncompact_polyfill_tiles": O_POLYFILL,

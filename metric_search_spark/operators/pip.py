@@ -29,13 +29,14 @@ __all__ = [
     "classify_cover",
     "zone_join",
     "pip_condition_col",
+    "pip_rings_condition_col",
     "pip_sql_condition",
+    "pip_sql_rings_condition",
 ]
 
 
-def pip_condition_col(px: Column, py: Column, ring: Column) -> Column:
-    """Even-odd crossing test: TRUE iff (px, py) is inside the ring
-    (array<struct<x:double, y:double>>, implicitly closed)."""
+def _crossings_col(px: Column, py: Column, ring: Column) -> Column:
+    """Ray-crossing COUNT of (px, py) against one closed ring."""
     n = F.size(ring)
     idx = F.sequence(F.lit(1), n)
 
@@ -48,13 +49,28 @@ def pip_condition_col(px: Column, py: Column, ring: Column) -> Column:
         xint = ax + (py - ay) * (bx - ax) / (by - ay)
         return F.when(straddles & (px < xint), 1).otherwise(0)
 
-    return F.aggregate(idx, F.lit(0), lambda acc, i: acc + crossing(i)) % 2 == 1
+    return F.aggregate(idx, F.lit(0), lambda acc, i: acc + crossing(i))
 
 
-def pip_sql_condition(px: str, py: str, ring: list[tuple[float, float]]) -> str:
-    """DuckDB twin of pip_condition_col for a CONCRETE ring (list of (x, y)
-    vertices known oracle-side): the edge loop unrolls to plain arithmetic —
-    the identical comparisons/divisions the Column version evaluates."""
+def pip_condition_col(px: Column, py: Column, ring: Column) -> Column:
+    """Even-odd crossing test: TRUE iff (px, py) is inside the ring
+    (array<struct<x:double, y:double>>, implicitly closed)."""
+    return _crossings_col(px, py, ring) % 2 == 1
+
+
+def pip_rings_condition_col(px: Column, py: Column, rings: Column) -> Column:
+    """Even-odd test over a MULTIPOLYGON: ``rings`` is
+    array<array<struct<x,y>>> — outer shells, holes, and disjoint parts are
+    all just rings under even-odd (a hole ring flips the parity back out);
+    crossings simply sum across rings."""
+    total = F.aggregate(
+        rings, F.lit(0), lambda acc, ring: acc + _crossings_col(px, py, ring)
+    )
+    return total % 2 == 1
+
+
+def pip_sql_crossings(px: str, py: str, ring: list[tuple[float, float]]) -> str:
+    """Crossing-count sum for one CONCRETE ring, unrolled to arithmetic."""
     terms = []
     n = len(ring)
     for i in range(n):
@@ -65,19 +81,43 @@ def pip_sql_condition(px: str, py: str, ring: list[tuple[float, float]]) -> str:
             f" AND ({px} < {ax!r} + ({py} - {ay!r}) * ({bx - ax!r}) / ({by - ay!r}))"
             f" THEN 1 ELSE 0 END)"
         )
-    return "((" + " + ".join(terms) + ") % 2 = 1)"
+    return "(" + " + ".join(terms) + ")"
+
+
+def pip_sql_condition(px: str, py: str, ring: list[tuple[float, float]]) -> str:
+    """DuckDB twin of pip_condition_col for a CONCRETE ring (list of (x, y)
+    vertices known oracle-side): the edge loop unrolls to plain arithmetic —
+    the identical comparisons/divisions the Column version evaluates."""
+    return f"({pip_sql_crossings(px, py, ring)} % 2 = 1)"
+
+
+def pip_sql_rings_condition(
+    px: str, py: str, rings: list[list[tuple[float, float]]]
+) -> str:
+    """DuckDB twin of pip_rings_condition_col: crossings sum across rings."""
+    total = " + ".join(pip_sql_crossings(px, py, r) for r in rings)
+    return f"(({total}) % 2 = 1)"
+
+
+def _rings_expr(ring_col: str | None, rings_col: str | None) -> Column:
+    """array<array<struct<x,y>>> from either a single-ring column (wrapped)
+    or a native multipolygon rings column (used as-is)."""
+    if rings_col is not None:
+        return F.col(rings_col)
+    return F.array(F.col(ring_col))
 
 
 def _bbox_cover(
-    polygons: DataFrame, res: int, poly_id_col: str, ring_col: str
+    polygons: DataFrame, res: int, poly_id_col: str, rings: Column
 ) -> DataFrame:
-    """(poly_id, _ring, _cx, _cy, _cell) for every res-cell in each polygon's
-    bounding box — the shared coarse stage of the pip join and the polyfill.
-    Pure Column math over the ring array; cells of different polygons may
-    repeat (the consumers join/filter per polygon)."""
-    ring = F.col(ring_col)
-    xs = F.transform(ring, lambda v: v["x"])
-    ys = F.transform(ring, lambda v: v["y"])
+    """(poly_id, _rings, _cx, _cy, _cell) for every res-cell in each
+    polygon's bounding box (over ALL rings) — the shared coarse stage of the
+    pip join and the polyfill. Pure Column math over the rings array; cells
+    of different polygons may repeat (the consumers join/filter per
+    polygon)."""
+    verts = F.flatten(rings)
+    xs = F.transform(verts, lambda v: v["x"])
+    ys = F.transform(verts, lambda v: v["y"])
     s = 2.0 ** (-res)
     n_grid = 1 << res
 
@@ -91,7 +131,7 @@ def _bbox_cover(
 
     return polygons.select(
         F.col(poly_id_col).alias("poly_id"),
-        ring.alias("_ring"),
+        rings.alias("_rings"),
         F.explode(
             F.flatten(
                 F.transform(
@@ -105,7 +145,7 @@ def _bbox_cover(
         ).alias("_g"),
     ).select(
         "poly_id",
-        "_ring",
+        "_rings",
         F.col("_g.cx").alias("_cx"),
         F.col("_g.cy").alias("_cy"),
         (
@@ -123,6 +163,7 @@ def polygon_tiles(
     res: int = 4,
     poly_id_col: str = "poly_id",
     ring_col: str = "ring",
+    rings_col: str | None = None,
     out_col: str = "tile",
 ) -> DataFrame:
     """Vector→raster polyfill (H3-polyfill semantics over the Morton grid):
@@ -130,18 +171,19 @@ def polygon_tiles(
     Bbox cell enumeration + the same even-odd center test as the pip join —
     pure Column math end-to-end, polygons-side only (no point table), so the
     output is itself broadcastable as the raster side of downstream joins.
-    Tile keys match ``tiling.tile_assign`` / ``cell_from_xy_col`` exactly."""
+    Tile keys match ``tiling.tile_assign`` / ``cell_from_xy_col`` exactly.
+    Pass ``rings_col`` (array of rings) for multipolygons with holes."""
     s = 2.0 ** (-res)
-    cover = _bbox_cover(polygons, res, poly_id_col, ring_col)
+    cover = _bbox_cover(polygons, res, poly_id_col, _rings_expr(ring_col, rings_col))
     ctr_x = (F.col("_cx") + 0.5) * s
     ctr_y = (F.col("_cy") + 0.5) * s
-    return cover.where(pip_condition_col(ctr_x, ctr_y, F.col("_ring"))).select(
-        "poly_id", F.col("_cell").alias(out_col)
-    )
+    return cover.where(
+        pip_rings_condition_col(ctr_x, ctr_y, F.col("_rings"))
+    ).select("poly_id", F.col("_cell").alias(out_col))
 
 
-def _edge_in_cell_col(ring: Column, cx: Column, cy: Column, res: int) -> Column:
-    """TRUE iff any polygon edge intersects the CLOSED cell square
+def _edge_in_cell_col(rings: Column, cx: Column, cy: Column, res: int) -> Column:
+    """TRUE iff any edge of any ring intersects the CLOSED cell square
     [cx·s, (cx+1)·s] × [cy·s, (cy+1)·s]. EXACT segment-vs-square test by
     separating axes: the bboxes overlap (x- and y-axes) AND the square's
     four corners do not all lie strictly on one side of the segment's
@@ -156,37 +198,43 @@ def _edge_in_cell_col(ring: Column, cx: Column, cy: Column, res: int) -> Column:
     y_lo = cy.cast("double") * s
     x_hi = x_lo + s
     y_hi = y_lo + s
-    n = F.size(ring)
 
-    def hits(i: Column) -> Column:
-        a = F.element_at(ring, i.cast("int"))
-        b = F.element_at(ring, (F.when(i == n, 1).otherwise(i + 1)).cast("int"))
-        bbox = (
-            (F.greatest(a["x"], b["x"]) >= x_lo)
-            & (F.least(a["x"], b["x"]) <= x_hi)
-            & (F.greatest(a["y"], b["y"]) >= y_lo)
-            & (F.least(a["y"], b["y"]) <= y_hi)
-        )
-        dx = b["x"] - a["x"]
-        dy = b["y"] - a["y"]
+    def ring_hits(ring: Column) -> Column:
+        n = F.size(ring)
 
-        def cross(px: Column, py: Column) -> Column:
-            return dx * (py - a["y"]) - dy * (px - a["x"])
+        def hits(i: Column) -> Column:
+            a = F.element_at(ring, i.cast("int"))
+            b = F.element_at(
+                ring, (F.when(i == n, 1).otherwise(i + 1)).cast("int")
+            )
+            bbox = (
+                (F.greatest(a["x"], b["x"]) >= x_lo)
+                & (F.least(a["x"], b["x"]) <= x_hi)
+                & (F.greatest(a["y"], b["y"]) >= y_lo)
+                & (F.least(a["y"], b["y"]) <= y_hi)
+            )
+            dx = b["x"] - a["x"]
+            dy = b["y"] - a["y"]
 
-        c = [
-            cross(x_lo, y_lo),
-            cross(x_hi, y_lo),
-            cross(x_lo, y_hi),
-            cross(x_hi, y_hi),
-        ]
-        all_pos = c[0] > 0
-        all_neg = c[0] < 0
-        for ci in c[1:]:
-            all_pos = all_pos & (ci > 0)
-            all_neg = all_neg & (ci < 0)
-        return bbox & ~all_pos & ~all_neg
+            def cross(px: Column, py: Column) -> Column:
+                return dx * (py - a["y"]) - dy * (px - a["x"])
 
-    return F.exists(F.sequence(F.lit(1), n), hits)
+            c = [
+                cross(x_lo, y_lo),
+                cross(x_hi, y_lo),
+                cross(x_lo, y_hi),
+                cross(x_hi, y_hi),
+            ]
+            all_pos = c[0] > 0
+            all_neg = c[0] < 0
+            for ci in c[1:]:
+                all_pos = all_pos & (ci > 0)
+                all_neg = all_neg & (ci < 0)
+            return bbox & ~all_pos & ~all_neg
+
+        return F.exists(F.sequence(F.lit(1), n), hits)
+
+    return F.exists(rings, ring_hits)
 
 
 def classify_cover(
@@ -195,37 +243,42 @@ def classify_cover(
     res: int = 6,
     poly_id_col: str = "poly_id",
     ring_col: str = "ring",
+    rings_col: str | None = None,
 ) -> DataFrame:
     """Full/border classification of each polygon's covering cells at ``res``
     (H3 polyfill-with-interior semantics):
 
-    - ``is_border = true``  — some edge's bbox intersects the cell: the cell
-      MAY straddle the boundary, so membership of a point inside it needs the
-      exact even-odd test.
+    - ``is_border = true``  — some edge (of any ring) intersects the cell
+      square: the cell MAY straddle the boundary, so membership of a point
+      inside it needs the exact even-odd test.
     - ``is_border = false`` — no edge touches the closed cell square, so the
       cell is uniformly inside or outside; center-inside keeps it as a FULL
       interior cell (every point in it is inside the polygon, no test needed).
       Cells uniformly outside are dropped here — they can never contribute.
 
-    The ring array is nulled out on full cells: the broadcast payload carries
-    vertex lists only where a downstream exact test can read them, so the
-    broadcast size scales with the boundary (O(perimeter/s) cells keep rings)
-    rather than the area.
+    Pass ``rings_col`` for multipolygons with holes: a cell fully inside a
+    hole is uniformly outside (its center's even-odd parity across all rings
+    says so) and drops; hole boundaries classify as border like any edge.
 
-    Returns (poly_id, _ring, _cell, is_border).
+    The rings array is nulled out on full cells: the broadcast payload
+    carries vertex lists only where a downstream exact test can read them,
+    so the broadcast size scales with the boundary (O(perimeter/s) cells
+    keep rings) rather than the area.
+
+    Returns (poly_id, _rings, _cell, is_border).
     """
     s = 2.0 ** (-res)
-    cover = _bbox_cover(polygons, res, poly_id_col, ring_col)
-    ctr_in = pip_condition_col(
-        (F.col("_cx") + 0.5) * s, (F.col("_cy") + 0.5) * s, F.col("_ring")
+    cover = _bbox_cover(polygons, res, poly_id_col, _rings_expr(ring_col, rings_col))
+    ctr_in = pip_rings_condition_col(
+        (F.col("_cx") + 0.5) * s, (F.col("_cy") + 0.5) * s, F.col("_rings")
     )
-    border = _edge_in_cell_col(F.col("_ring"), F.col("_cx"), F.col("_cy"), res)
+    border = _edge_in_cell_col(F.col("_rings"), F.col("_cx"), F.col("_cy"), res)
     return (
         cover.withColumn("is_border", border)
         .where(F.col("is_border") | ctr_in)
         .select(
             "poly_id",
-            F.when(F.col("is_border"), F.col("_ring")).alias("_ring"),
+            F.when(F.col("is_border"), F.col("_rings")).alias("_rings"),
             "_cell",
             "is_border",
         )
@@ -242,11 +295,13 @@ def zone_join(
     y_col: str = "y",
     poly_id_col: str = "poly_id",
     ring_col: str = "ring",
+    rings_col: str | None = None,
 ) -> DataFrame:
     """Point-in-polygon join through a FULL/BORDER-classified cover — same
     output as :func:`point_in_polygon_join`, but the O(edges) even-odd test
     runs only for points whose cell straddles the boundary; points landing in
-    full interior cells pass through on the equi-join alone.
+    full interior cells pass through on the equi-join alone. Pass
+    ``rings_col`` for multipolygons with holes.
 
     The 100-TB shape: at resolution r the cover of a polygon has O(area/s²)
     cells but only O(perimeter/s) of them are border cells, so the exact-test
@@ -255,7 +310,11 @@ def zone_join(
     ``res`` until border cells are thin, bounded by the broadcast budget
     (full cells carry no ring payload — see :func:`classify_cover`)."""
     cover = classify_cover(
-        polygons, res=res, poly_id_col=poly_id_col, ring_col=ring_col
+        polygons,
+        res=res,
+        poly_id_col=poly_id_col,
+        ring_col=ring_col,
+        rings_col=rings_col,
     )
     pts = points.select(
         F.col(id_col).alias("id"),
@@ -266,11 +325,11 @@ def zone_join(
         ).alias("_cell"),
     )
     joined = pts.join(F.broadcast(cover), "_cell")
-    # full cells short-circuit: TRUE OR <test on null ring> is TRUE row-wise,
-    # so the even-odd aggregate only evaluates for border-cell rows
+    # full cells short-circuit: TRUE OR <test on null rings> is TRUE
+    # row-wise, so the even-odd aggregate only evaluates for border rows
     return joined.where(
         (~F.col("is_border"))
-        | pip_condition_col(F.col("_px"), F.col("_py"), F.col("_ring"))
+        | pip_rings_condition_col(F.col("_px"), F.col("_py"), F.col("_rings"))
     ).select("id", "poly_id")
 
 
@@ -284,13 +343,15 @@ def point_in_polygon_join(
     y_col: str = "y",
     poly_id_col: str = "poly_id",
     ring_col: str = "ring",
+    rings_col: str | None = None,
 ) -> DataFrame:
     """Returns (id, poly_id) for every point strictly inside a polygon.
     Polygons are assumed few enough to broadcast (dims side of a spatial
-    star join); points scale arbitrarily."""
-    cover = _bbox_cover(polygons, res, poly_id_col, ring_col).select(
-        "poly_id", "_ring", "_cell"
-    )
+    star join); points scale arbitrarily. Pass ``rings_col`` for
+    multipolygons with holes (even-odd across all rings)."""
+    cover = _bbox_cover(
+        polygons, res, poly_id_col, _rings_expr(ring_col, rings_col)
+    ).select("poly_id", "_rings", "_cell")
 
     pts = points.select(
         F.col(id_col).alias("id"),
@@ -303,5 +364,5 @@ def point_in_polygon_join(
 
     joined = pts.join(F.broadcast(cover), "_cell")
     return joined.where(
-        pip_condition_col(F.col("_px"), F.col("_py"), F.col("_ring"))
+        pip_rings_condition_col(F.col("_px"), F.col("_py"), F.col("_rings"))
     ).select("id", "poly_id")

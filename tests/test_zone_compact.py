@@ -125,10 +125,10 @@ def test_classify_cover_invariants(spark):
             cy |= ((prefix >> (2 * b + 1)) & 1) << b
         if r["is_border"]:
             n_border += 1
-            assert r["_ring"] is not None
+            assert r["_rings"] is not None
         else:
             n_full += 1
-            assert r["_ring"] is None  # broadcast payload scales with perimeter
+            assert r["_rings"] is None  # broadcast payload scales with perimeter
             ring = rings[r["poly_id"]]
             eps = s * 1e-6  # nudge corners off edges/vertices
             for px, py in [
@@ -141,6 +141,117 @@ def test_classify_cover_invariants(spark):
                 assert _crossing(px, py, ring), (r["poly_id"], cx, cy)
     # at res 6 the interiors dominate: the short-circuit must have real work
     assert n_full > 0 and n_border > 0
+
+
+_RINGS_SCHEMA = StructType(
+    [
+        StructField("poly_id", StringType()),
+        StructField(
+            "rings",
+            ArrayType(
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _multi():
+    """Shell + hole + disjoint island (even-odd across rings)."""
+    shell = [(0.20, 0.20), (0.70, 0.22), (0.72, 0.65), (0.25, 0.70)]
+    hole = [(0.38, 0.38), (0.55, 0.40), (0.52, 0.55), (0.40, 0.52)]
+    island = [(0.80, 0.78), (0.93, 0.82), (0.85, 0.93)]
+    return [("m0", [shell, hole, island])]
+
+
+def _rings_crossing(px, py, rings):
+    return (sum(int(_crossing_count(px, py, r)) for r in rings)) % 2 == 1
+
+
+def _crossing_count(px, py, ring):
+    c = 0
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        if (ay > py) != (by > py) and px < ax + (py - ay) * (bx - ax) / (by - ay):
+            c += 1
+    return c
+
+
+@pytest.mark.parametrize("res", [4, 6])
+def test_multipolygon_zone_join_holes_and_islands(spark, res):
+    """zone_join with rings: hole points excluded, island points included,
+    and the classified path agrees with both the brute rings join and a
+    python even-odd twin."""
+    polys = _multi()
+    poly_df = spark.createDataFrame(
+        [
+            (pid, [[{"x": x, "y": y} for x, y in ring] for ring in rings])
+            for pid, rings in polys
+        ],
+        _RINGS_SCHEMA,
+    )
+    pts = _pts_df(spark, n=600, seed=13)
+    z = set(map(tuple, zone_join(pts, poly_df, res=res, rings_col="rings").collect()))
+    p = set(
+        map(
+            tuple,
+            point_in_polygon_join(pts, poly_df, res=res, rings_col="rings").collect(),
+        )
+    )
+    assert z == p
+    rings = polys[0][1]
+    pdf = pts.toPandas()
+    want = {
+        (int(r.id), "m0") for r in pdf.itertuples() if _rings_crossing(r.x, r.y, rings)
+    }
+    assert z == want and len(want) > 0
+    # the twin must actually exercise the hole and the island
+    hole_pt = (0.45, 0.45)
+    island_pt = (0.85, 0.83)
+    assert not _rings_crossing(*hole_pt, rings)
+    assert _rings_crossing(*island_pt, rings)
+
+
+def test_classify_cover_rings_drops_hole_interior(spark):
+    """A cell fully inside the hole is uniformly OUTSIDE the multipolygon:
+    it must not appear in the classified cover at all."""
+    polys = _multi()
+    poly_df = spark.createDataFrame(
+        [
+            (pid, [[{"x": x, "y": y} for x, y in ring] for ring in rings])
+            for pid, rings in polys
+        ],
+        _RINGS_SCHEMA,
+    )
+    res = 7
+    s = 2.0 ** (-res)
+    rows = classify_cover(poly_df, res=res, rings_col="rings").collect()
+    rings = polys[0][1]
+    cells = {}
+    for r in rows:
+        prefix = r["_cell"] & ((1 << 56) - 1)
+        cx = cy = 0
+        for b in range(res):
+            cx |= ((prefix >> (2 * b)) & 1) << b
+            cy |= ((prefix >> (2 * b + 1)) & 1) << b
+        cells[(cx, cy)] = r["is_border"]
+    # hole center cell: deep inside the hole, away from its edges
+    hx, hy = 0.455, 0.455
+    hole_cell = (int(hx / s), int(hy / s))
+    assert hole_cell not in cells
+    # island interior is covered (full or border), hole rim is border
+    ix, iy = 0.85, 0.83
+    assert (int(ix / s), int(iy / s)) in cells
+    full_cells = [c for c, b in cells.items() if not b]
+    assert full_cells, "multipolygon cover must still have full cells"
+    for cx, cy in full_cells[:50]:
+        assert _rings_crossing((cx + 0.5) * s, (cy + 0.5) * s, rings)
 
 
 def test_zone_join_points_side_no_shuffle(spark):
