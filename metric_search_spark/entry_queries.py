@@ -1192,6 +1192,112 @@ def _o_compact_sql() -> str:
 O_COMPACT = _o_compact_sql()
 
 
+# deterministic route fixtures (GPS-trace shape); lineB ends in an exactly
+# vertical segment to exercise the degenerate-axis path in both engines
+_ROUTE_LINES = [
+    (
+        "lineA",
+        [(0.031, 0.072), (0.233, 0.411), (0.472, 0.183), (0.711, 0.598), (0.941, 0.342)],
+    ),
+    (
+        "lineB",
+        [
+            (0.105, 0.861),
+            (0.334, 0.622),
+            (0.421, 0.911),
+            (0.672, 0.733),
+            (0.858, 0.909),
+            (0.913, 0.651),
+            (0.913, 0.425),
+        ],
+    ),
+]
+_ROUTE_RES = 5
+
+
+def _route_lines_df(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("line_id", StringType()),
+            StructField(
+                "path",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(
+        [(lid, [{"x": x, "y": y} for x, y in path]) for lid, path in _ROUTE_LINES],
+        schema,
+    )
+
+
+def q_polyline_tiles_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supercover polyline rasterization (operators/pip.polyline_tiles):
+    every res-5 tile whose closed square intersects a route segment —
+    per-segment bbox enumeration + exact separating-axis test, one
+    distinct. Oracle: DuckDB re-derives intersection via Liang–Barsky
+    parametric clipping over the full grid — entry/exit parameters, a
+    disjoint geometric formulation from the engine's corner-sign test."""
+    from metric_search_spark.operators.pip import polyline_tiles
+
+    return polyline_tiles(_route_lines_df(spark), res=_ROUTE_RES)
+
+
+def _lb_segment_cond(ax, ay, bx, by, s) -> str:
+    """Liang–Barsky: segment param t∈[0,1] clipped by the cell square
+    [cx·s,(cx+1)·s]×[cy·s,(cy+1)·s]; intersects iff max-entry ≤ min-exit."""
+    xlo, xhi = f"(cx * {s!r})", f"((cx + 1) * {s!r})"
+    ylo, yhi = f"(cy * {s!r})", f"((cy + 1) * {s!r})"
+    guards, tmins, tmaxs = [], ["0.0"], ["1.0"]
+    for lo, hi, a0, d in ((xlo, xhi, ax, bx - ax), (ylo, yhi, ay, by - ay)):
+        if d == 0:
+            guards.append(f"({a0!r} >= {lo} AND {a0!r} <= {hi})")
+        else:
+            t0 = f"(({lo} - {a0!r}) / {d!r})"
+            t1 = f"(({hi} - {a0!r}) / {d!r})"
+            tmins.append(f"least({t0}, {t1})")
+            tmaxs.append(f"greatest({t0}, {t1})")
+    cond = f"(greatest({', '.join(tmins)}) <= least({', '.join(tmaxs)}))"
+    return "(" + " AND ".join(guards + [cond]) + ")"
+
+
+def _o_polyline_sql() -> str:
+    res = _ROUTE_RES
+    n = 1 << res
+    s = 1.0 / n
+    parts = []
+    for lid, path in _ROUTE_LINES:
+        seg_conds = [
+            _lb_segment_cond(*path[i], *path[i + 1], s) for i in range(len(path) - 1)
+        ]
+        parts.append(
+            f"SELECT '{lid}' AS line_id,"
+            f" {res * (1 << 56)} + CAST(list_sum(list_transform(range(0, {res}),"
+            f" k -> ((cx >> k) & 1) * (CAST(1 AS BIGINT) << (2*k))"
+            f" + ((cy >> k) & 1) * (CAST(1 AS BIGINT) << (2*k + 1)))) AS BIGINT)"
+            f" AS tile"
+            f" FROM (SELECT gx.i AS cx, gy.i AS cy"
+            f" FROM range(0, {n}) gx(i), range(0, {n}) gy(i))"
+            f" WHERE {' OR '.join(seg_conds)}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+O_POLYLINE = _o_polyline_sql()
+
+
 _FOCAL_RES, _FOCAL_K = 4, 1
 
 
@@ -2550,6 +2656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compact_polyfill_tiles": q_compact_polyfill_tiles,
     "uncompact_polyfill_tiles": q_uncompact_polyfill_tiles,
     "focal_tiles_embeddings": q_focal_tiles_embeddings,
+    "polyline_tiles_routes": q_polyline_tiles_routes,
     "images_payload_verify": q_images_payload_verify,
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
@@ -2597,6 +2704,7 @@ _STATIC_ORACLES: dict[str, str] = {
     # uncompact∘compact ≡ identity vs the independent full-grid polyfill
     "uncompact_polyfill_tiles": O_POLYFILL,
     "focal_tiles_embeddings": O_FOCAL,
+    "polyline_tiles_routes": O_POLYLINE,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "twed_events": O_TWED_EVENTS,
     # (no static rows-only entries remain: every query has either a static

@@ -26,6 +26,7 @@ from metric_search_spark.functions.spatial import cell_from_xy_col, spread_bits_
 __all__ = [
     "point_in_polygon_join",
     "polygon_tiles",
+    "polyline_tiles",
     "classify_cover",
     "zone_join",
     "pip_condition_col",
@@ -180,6 +181,115 @@ def polygon_tiles(
     return cover.where(
         pip_rings_condition_col(ctr_x, ctr_y, F.col("_rings"))
     ).select("poly_id", F.col("_cell").alias(out_col))
+
+
+def polyline_tiles(
+    lines: DataFrame,
+    *,
+    res: int = 6,
+    line_id_col: str = "line_id",
+    path_col: str = "path",
+    out_col: str = "tile",
+) -> DataFrame:
+    """Supercover rasterization of polylines: every Morton tile at ``res``
+    whose CLOSED cell square intersects any segment of the path
+    (array<struct<x,y>>, OPEN — consecutive vertices form segments, no
+    closing edge) — the GPS-trace→tiles / road-network→raster operator.
+
+    Plan: explode the path into segments, enumerate each segment's OWN bbox
+    cells (so a long trace costs O(Σ per-segment bbox), never the whole
+    trace's bbox cross product), keep cells passing the exact
+    segment-vs-square separating-axis test, distinct per line. One shuffle
+    (the distinct); everything before it is narrow Column math. Tile keys
+    match ``tiling.tile_assign`` exactly, so the output feeds the focal /
+    rollup / compact operators unchanged.
+
+    The DuckDB oracle recomputes intersection via Liang–Barsky parametric
+    clipping — a different geometric formulation entirely (entry/exit
+    parameters vs separating axes)."""
+    s = 2.0 ** (-res)
+    n_grid = 1 << res
+    path = F.col(path_col)
+    nv = F.size(path)
+    segs = lines.select(
+        F.col(line_id_col).alias("line_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nv - 1),
+                lambda i: F.struct(
+                    F.element_at(path, i.cast("int")).alias("a"),
+                    F.element_at(path, (i + 1).cast("int")).alias("b"),
+                ),
+            )
+        ).alias("_seg"),
+    ).select(
+        "line_id",
+        F.col("_seg.a.x").alias("_ax"),
+        F.col("_seg.a.y").alias("_ay"),
+        F.col("_seg.b.x").alias("_bx"),
+        F.col("_seg.b.y").alias("_by"),
+    )
+
+    def clampg(c: Column) -> Column:
+        return F.greatest(F.lit(0), F.least(F.lit(n_grid - 1), c.cast("long")))
+
+    cx_min = clampg(F.floor(F.least("_ax", "_bx") / s))
+    cx_max = clampg(F.floor(F.greatest("_ax", "_bx") / s))
+    cy_min = clampg(F.floor(F.least("_ay", "_by") / s))
+    cy_max = clampg(F.floor(F.greatest("_ay", "_by") / s))
+    cells = segs.select(
+        "line_id",
+        "_ax",
+        "_ay",
+        "_bx",
+        "_by",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(cx_min, cx_max),
+                    lambda cx: F.transform(
+                        F.sequence(cy_min, cy_max),
+                        lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+                    ),
+                )
+            )
+        ).alias("_g"),
+    )
+    x_lo = F.col("_g.cx").cast("double") * s
+    y_lo = F.col("_g.cy").cast("double") * s
+    x_hi = x_lo + s
+    y_hi = y_lo + s
+    dx = F.col("_bx") - F.col("_ax")
+    dy = F.col("_by") - F.col("_ay")
+
+    def cross(px: Column, py: Column) -> Column:
+        return dx * (py - F.col("_ay")) - dy * (px - F.col("_ax"))
+
+    c = [cross(x_lo, y_lo), cross(x_hi, y_lo), cross(x_lo, y_hi), cross(x_hi, y_hi)]
+    all_pos = c[0] > 0
+    all_neg = c[0] < 0
+    for ci in c[1:]:
+        all_pos = all_pos & (ci > 0)
+        all_neg = all_neg & (ci < 0)
+    # bbox overlap holds by construction of the enumeration (modulo the grid
+    # clamp, which can pull out-of-grid cells inward — re-check it exactly)
+    bbox = (
+        (F.greatest("_ax", "_bx") >= x_lo)
+        & (F.least("_ax", "_bx") <= x_hi)
+        & (F.greatest("_ay", "_by") >= y_lo)
+        & (F.least("_ay", "_by") <= y_hi)
+    )
+    tile = (
+        F.lit(res << 56)
+        + spread_bits_col(F.col("_g.cx")).bitwiseOR(
+            F.shiftleft(spread_bits_col(F.col("_g.cy")), 1)
+        )
+    ).cast("long")
+    return (
+        cells.where(bbox & ~all_pos & ~all_neg)
+        .select("line_id", tile.alias(out_col))
+        .distinct()
+    )
 
 
 def _edge_in_cell_col(rings: Column, cx: Column, cy: Column, res: int) -> Column:

@@ -355,6 +355,126 @@ def test_uncompact_is_narrow(spark):
     assert count_exchanges(uncompact_tiles(df, 6)) == 0
 
 
+def _lb_hits(ax, ay, bx, by, xlo, xhi, ylo, yhi):
+    """Liang–Barsky segment-vs-closed-box (independent of the engine's
+    separating-axis formulation)."""
+    tmin, tmax = 0.0, 1.0
+    for lo, hi, a0, d in ((xlo, xhi, ax, bx - ax), (ylo, yhi, ay, by - ay)):
+        if d == 0:
+            if not (lo <= a0 <= hi):
+                return False
+        else:
+            t0, t1 = (lo - a0) / d, (hi - a0) / d
+            tmin = max(tmin, min(t0, t1))
+            tmax = min(tmax, max(t0, t1))
+    return tmin <= tmax
+
+
+@pytest.mark.parametrize("res,seed", [(4, 31), (6, 32)])
+def test_polyline_tiles_matches_liang_barsky_twin(spark, res, seed):
+    from metric_search_spark.operators.pip import polyline_tiles
+
+    rng = np.random.default_rng(seed)
+    paths = []
+    for j in range(3):
+        nv = int(rng.integers(3, 8))
+        paths.append(
+            (f"l{j}", [(float(rng.random()), float(rng.random())) for _ in range(nv)])
+        )
+    # one exactly-vertical and one exactly-horizontal segment
+    paths.append(("laxis", [(0.31, 0.11), (0.31, 0.77), (0.83, 0.77)]))
+    schema = StructType(
+        [
+            StructField("line_id", StringType()),
+            StructField(
+                "path",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(lid, [{"x": x, "y": y} for x, y in p]) for lid, p in paths], schema
+    )
+    got = {(r["line_id"], r["tile"]) for r in polyline_tiles(df, res=res).collect()}
+    s = 2.0 ** (-res)
+    grid = 1 << res
+
+    def morton(cx, cy):
+        t = 0
+        for b in range(res):
+            t |= ((cx >> b) & 1) << (2 * b)
+            t |= ((cy >> b) & 1) << (2 * b + 1)
+        return (res << 56) | t
+
+    want = set()
+    for lid, p in paths:
+        for i in range(len(p) - 1):
+            ax, ay = p[i]
+            bx, by = p[i + 1]
+            for cx in range(grid):
+                for cy in range(grid):
+                    if _lb_hits(
+                        ax, ay, bx, by, cx * s, (cx + 1) * s, cy * s, (cy + 1) * s
+                    ):
+                        want.add((lid, morton(cx, cy)))
+    assert got == want and len(got) > 0
+
+
+def test_polyline_tiles_cover_sampled_points(spark):
+    """Any point sampled along a segment must land (via tile_assign) in a
+    tile the rasterizer emitted — the supercover guarantee."""
+    from metric_search_spark.functions.spatial import cell_from_xy_col
+    from metric_search_spark.operators.pip import polyline_tiles
+
+    res = 7
+    path = [(0.05, 0.12), (0.61, 0.83), (0.92, 0.31)]
+    schema = StructType(
+        [
+            StructField("line_id", StringType()),
+            StructField(
+                "path",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("l0", [{"x": x, "y": y} for x, y in path])], schema
+    )
+    tiles = {r["tile"] for r in polyline_tiles(df, res=res).collect()}
+    samples = []
+    for i in range(len(path) - 1):
+        (ax, ay), (bx, by) = path[i], path[i + 1]
+        for t in np.linspace(0, 1, 500):
+            samples.append((float(ax + t * (bx - ax)), float(ay + t * (by - ay))))
+    sdf = spark.createDataFrame(pd.DataFrame(samples, columns=["x", "y"]))
+    pts_tiles = {
+        r["t"]
+        for r in sdf.select(
+            cell_from_xy_col(F.col("x"), F.col("y"), res).alias("t")
+        ).collect()
+    }
+    assert pts_tiles <= tiles
+
+
+def test_polyline_tiles_one_shuffle(spark):
+    """Per-segment enumeration + exact test are narrow; only the final
+    distinct shuffles."""
+    from metric_search_spark.operators.pip import polyline_tiles
+    from metric_search_spark.plans import count_exchanges
+    from metric_search_spark.entry_queries import _route_lines_df
+
+    out = polyline_tiles(_route_lines_df(spark), res=6)
+    assert count_exchanges(out) == 1
+
+
 def test_focal_sum_matches_brute_twin(spark):
     """tile_focal_sum vs a per-cell python scatter at res 4, k ∈ {1, 2}."""
     rng = np.random.default_rng(21)
