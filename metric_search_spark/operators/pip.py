@@ -196,13 +196,17 @@ def polyline_tiles(
     (array<struct<x,y>>, OPEN — consecutive vertices form segments, no
     closing edge) — the GPS-trace→tiles / road-network→raster operator.
 
-    Plan: explode the path into segments, enumerate each segment's OWN bbox
-    cells (so a long trace costs O(Σ per-segment bbox), never the whole
-    trace's bbox cross product), keep cells passing the exact
-    segment-vs-square separating-axis test, distinct per line. One shuffle
-    (the distinct); everything before it is narrow Column math. Tile keys
-    match ``tiling.tile_assign`` exactly, so the output feeds the focal /
-    rollup / compact operators unchanged.
+    Plan: explode the path into segments, SUBDIVIDE each segment into
+    cell-length pieces (so candidate enumeration is LINEAR in the
+    segment's supercover — a long diagonal segment never pays its bbox
+    cross product), enumerate each piece's one-cell-padded bbox (≤ 16
+    candidate cells, constant), and keep candidates passing the exact
+    segment-vs-square separating-axis test AGAINST THE ORIGINAL segment —
+    subdivision only generates candidates, so interpolation rounding can
+    never change the output (the padding absorbs it). Distinct per line;
+    one shuffle (the distinct), everything before it narrow Column math.
+    Tile keys match ``tiling.tile_assign`` exactly, so the output feeds
+    the focal / rollup / compact operators unchanged.
 
     The DuckDB oracle recomputes intersection via Liang–Barsky parametric
     clipping — a different geometric formulation entirely (entry/exit
@@ -230,14 +234,30 @@ def polyline_tiles(
         F.col("_seg.b.y").alias("_by"),
     )
 
+    seg_dx = F.col("_bx") - F.col("_ax")
+    seg_dy = F.col("_by") - F.col("_ay")
+    n_sub = F.greatest(
+        F.lit(1),
+        F.ceil(F.greatest(F.abs(seg_dx), F.abs(seg_dy)) / F.lit(s)).cast("int"),
+    )
+    subs = segs.withColumn("_n", n_sub).withColumn(
+        "_j", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
+    )
+    t0 = F.col("_j").cast("double") / F.col("_n")
+    t1 = (F.col("_j") + 1).cast("double") / F.col("_n")
+    sx0 = F.col("_ax") + seg_dx * t0
+    sx1 = F.col("_ax") + seg_dx * t1
+    sy0 = F.col("_ay") + seg_dy * t0
+    sy1 = F.col("_ay") + seg_dy * t1
+
     def clampg(c: Column) -> Column:
         return F.greatest(F.lit(0), F.least(F.lit(n_grid - 1), c.cast("long")))
 
-    cx_min = clampg(F.floor(F.least("_ax", "_bx") / s))
-    cx_max = clampg(F.floor(F.greatest("_ax", "_bx") / s))
-    cy_min = clampg(F.floor(F.least("_ay", "_by") / s))
-    cy_max = clampg(F.floor(F.greatest("_ay", "_by") / s))
-    cells = segs.select(
+    cx_min = clampg(F.floor(F.least(sx0, sx1) / s) - 1)
+    cx_max = clampg(F.floor(F.greatest(sx0, sx1) / s) + 1)
+    cy_min = clampg(F.floor(F.least(sy0, sy1) / s) - 1)
+    cy_max = clampg(F.floor(F.greatest(sy0, sy1) / s) + 1)
+    cells = subs.select(
         "line_id",
         "_ax",
         "_ay",

@@ -424,6 +424,54 @@ def test_polyline_tiles_matches_liang_barsky_twin(spark, res, seed):
     assert got == want and len(got) > 0
 
 
+def test_polyline_tiles_long_diagonal_exact(spark):
+    """A segment spanning the whole unit square: the subdivided candidate
+    enumeration (linear in the supercover) must still be EXACT vs the
+    full-grid Liang–Barsky twin — subdivision generates candidates only,
+    the keep test runs against the original endpoints."""
+    from metric_search_spark.operators.pip import polyline_tiles
+
+    res = 8
+    path = [(0.0123, 0.0317), (0.9811, 0.9437)]
+    schema = StructType(
+        [
+            StructField("line_id", StringType()),
+            StructField(
+                "path",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("diag", [{"x": x, "y": y} for x, y in path])], schema
+    )
+    got = {r["tile"] for r in polyline_tiles(df, res=res).collect()}
+    s = 2.0 ** (-res)
+    grid = 1 << res
+    (ax, ay), (bx, by) = path
+
+    def morton(cx, cy):
+        t = 0
+        for b in range(res):
+            t |= ((cx >> b) & 1) << (2 * b)
+            t |= ((cy >> b) & 1) << (2 * b + 1)
+        return (res << 56) | t
+
+    want = {
+        morton(cx, cy)
+        for cx in range(grid)
+        for cy in range(grid)
+        if _lb_hits(ax, ay, bx, by, cx * s, (cx + 1) * s, cy * s, (cy + 1) * s)
+    }
+    assert got == want
+    # linear supercover: a res-8 diagonal touches ~2·256 cells, not 256²
+    assert len(got) < 4 * grid
+
+
 def test_polyline_tiles_cover_sampled_points(spark):
     """Any point sampled along a segment must land (via tile_assign) in a
     tile the rasterizer emitted — the supercover guarantee."""
