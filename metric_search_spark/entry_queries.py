@@ -1298,6 +1298,70 @@ def _o_polyline_sql() -> str:
 O_POLYLINE = _o_polyline_sql()
 
 
+_NEAREST_RES, _NEAREST_RADIUS = 6, 0.09
+
+
+def q_nearest_route_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching join (operators/pip.nearest_route_join): every point
+    snaps to its nearest fixture route within radius 0.04 — padded
+    supercover raster index broadcast, cell equi-join, exact
+    clamped-projection refine, one argmin aggregation. Oracle: DuckDB
+    scores EVERY (point, segment) pair brute-force with the same clamped
+    projection and takes the per-point argmin — no raster index at all,
+    so a pad too small (a segment missing under a point's cell) goes red."""
+    from metric_search_spark.operators.pip import nearest_route_join
+
+    emb = _emb(spark, sf_dir)
+    out = nearest_route_join(
+        emb, _route_lines_df(spark), radius=_NEAREST_RADIUS, res=_NEAREST_RES
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "line_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.round("dist2", 12).alias("dist2"),
+    )
+
+
+def _o_nearest_route_sql() -> str:
+    r2 = _NEAREST_RADIUS * _NEAREST_RADIUS
+    scores = []
+    for lid, path in _ROUTE_LINES:
+        for k in range(len(path) - 1):
+            ax, ay = path[k]
+            bx, by = path[k + 1]
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            if len2 > 0:
+                t = (
+                    f"least(1.0, greatest(0.0,"
+                    f" (({_EMB_X} - {ax!r}) * {dx!r} + ({_EMB_Y} - {ay!r}) * {dy!r})"
+                    f" / {len2!r}))"
+                )
+            else:
+                t = "0.0"
+            d2 = (
+                f"(({_EMB_X} - ({ax!r} + {t} * {dx!r})) * ({_EMB_X} - ({ax!r} + {t} * {dx!r}))"
+                f" + ({_EMB_Y} - ({ay!r} + {t} * {dy!r})) * ({_EMB_Y} - ({ay!r} + {t} * {dy!r})))"
+            )
+            scores.append(
+                f"SELECT vec_id, '{lid}' AS line_id, CAST({k} AS BIGINT) AS seg_idx,"
+                f" {d2} AS d2 FROM embeddings"
+            )
+    return f"""
+WITH scored AS ({" UNION ALL ".join(scores)})
+SELECT vec_id, line_id, seg_idx, round(d2, 12) AS dist2 FROM (
+  SELECT vec_id, line_id, seg_idx, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, line_id, seg_idx) AS rn
+  FROM scored WHERE d2 <= {r2!r}
+) WHERE rn = 1
+"""
+
+
+O_NEAREST_ROUTE = _o_nearest_route_sql()
+
+
 _FOCAL_RES, _FOCAL_K = 4, 1
 
 
@@ -2657,6 +2721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uncompact_polyfill_tiles": q_uncompact_polyfill_tiles,
     "focal_tiles_embeddings": q_focal_tiles_embeddings,
     "polyline_tiles_routes": q_polyline_tiles_routes,
+    "nearest_route_embeddings": q_nearest_route_embeddings,
     "images_payload_verify": q_images_payload_verify,
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
@@ -2705,6 +2770,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "uncompact_polyfill_tiles": O_POLYFILL,
     "focal_tiles_embeddings": O_FOCAL,
     "polyline_tiles_routes": O_POLYLINE,
+    "nearest_route_embeddings": O_NEAREST_ROUTE,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "twed_events": O_TWED_EVENTS,
     # (no static rows-only entries remain: every query has either a static

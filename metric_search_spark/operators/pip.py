@@ -27,6 +27,7 @@ __all__ = [
     "point_in_polygon_join",
     "polygon_tiles",
     "polyline_tiles",
+    "nearest_route_join",
     "classify_cover",
     "zone_join",
     "pip_condition_col",
@@ -183,6 +184,89 @@ def polygon_tiles(
     ).select("poly_id", F.col("_cell").alias(out_col))
 
 
+def _segment_candidate_cells(
+    lines: DataFrame, res: int, line_id_col: str, path_col: str, pad: int
+) -> DataFrame:
+    """Candidate (cell × segment) pairs for polyline operators: explode the
+    path into indexed segments, subdivide each into cell-length pieces, and
+    enumerate each piece's ``pad``-cell-padded bbox — LINEAR in the
+    segment's supercover (a long diagonal never pays its bbox cross
+    product), ≤ (2+2·pad)² candidates per piece. Candidates are a SUPERSET
+    of the cells within ``(pad−1)·s`` of the segment; consumers apply their
+    own exact keep test against the ORIGINAL endpoints (columns
+    _ax/_ay/_bx/_by + _seg_idx survive), so interpolation rounding never
+    changes their output.
+
+    Returns (line_id, _seg_idx, _ax, _ay, _bx, _by, _g.cx, _g.cy); the same
+    (cell, segment) pair may repeat across adjacent pieces."""
+    s = 2.0 ** (-res)
+    n_grid = 1 << res
+    path = F.col(path_col)
+    nv = F.size(path)
+    segs = lines.select(
+        F.col(line_id_col).alias("line_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), nv - 1),
+                lambda i: F.struct(
+                    F.element_at(path, i.cast("int")).alias("a"),
+                    F.element_at(path, (i + 1).cast("int")).alias("b"),
+                ),
+            )
+        ).alias("_seg_idx", "_seg"),
+    ).select(
+        "line_id",
+        "_seg_idx",
+        F.col("_seg.a.x").alias("_ax"),
+        F.col("_seg.a.y").alias("_ay"),
+        F.col("_seg.b.x").alias("_bx"),
+        F.col("_seg.b.y").alias("_by"),
+    )
+
+    seg_dx = F.col("_bx") - F.col("_ax")
+    seg_dy = F.col("_by") - F.col("_ay")
+    n_sub = F.greatest(
+        F.lit(1),
+        F.ceil(F.greatest(F.abs(seg_dx), F.abs(seg_dy)) / F.lit(s)).cast("int"),
+    )
+    subs = segs.withColumn("_n", n_sub).withColumn(
+        "_j", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
+    )
+    t0 = F.col("_j").cast("double") / F.col("_n")
+    t1 = (F.col("_j") + 1).cast("double") / F.col("_n")
+    sx0 = F.col("_ax") + seg_dx * t0
+    sx1 = F.col("_ax") + seg_dx * t1
+    sy0 = F.col("_ay") + seg_dy * t0
+    sy1 = F.col("_ay") + seg_dy * t1
+
+    def clampg(c: Column) -> Column:
+        return F.greatest(F.lit(0), F.least(F.lit(n_grid - 1), c.cast("long")))
+
+    cx_min = clampg(F.floor(F.least(sx0, sx1) / s) - pad)
+    cx_max = clampg(F.floor(F.greatest(sx0, sx1) / s) + pad)
+    cy_min = clampg(F.floor(F.least(sy0, sy1) / s) - pad)
+    cy_max = clampg(F.floor(F.greatest(sy0, sy1) / s) + pad)
+    return subs.select(
+        "line_id",
+        "_seg_idx",
+        "_ax",
+        "_ay",
+        "_bx",
+        "_by",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(cx_min, cx_max),
+                    lambda cx: F.transform(
+                        F.sequence(cy_min, cy_max),
+                        lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+                    ),
+                )
+            )
+        ).alias("_g"),
+    )
+
+
 def polyline_tiles(
     lines: DataFrame,
     *,
@@ -212,69 +296,7 @@ def polyline_tiles(
     clipping — a different geometric formulation entirely (entry/exit
     parameters vs separating axes)."""
     s = 2.0 ** (-res)
-    n_grid = 1 << res
-    path = F.col(path_col)
-    nv = F.size(path)
-    segs = lines.select(
-        F.col(line_id_col).alias("line_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), nv - 1),
-                lambda i: F.struct(
-                    F.element_at(path, i.cast("int")).alias("a"),
-                    F.element_at(path, (i + 1).cast("int")).alias("b"),
-                ),
-            )
-        ).alias("_seg"),
-    ).select(
-        "line_id",
-        F.col("_seg.a.x").alias("_ax"),
-        F.col("_seg.a.y").alias("_ay"),
-        F.col("_seg.b.x").alias("_bx"),
-        F.col("_seg.b.y").alias("_by"),
-    )
-
-    seg_dx = F.col("_bx") - F.col("_ax")
-    seg_dy = F.col("_by") - F.col("_ay")
-    n_sub = F.greatest(
-        F.lit(1),
-        F.ceil(F.greatest(F.abs(seg_dx), F.abs(seg_dy)) / F.lit(s)).cast("int"),
-    )
-    subs = segs.withColumn("_n", n_sub).withColumn(
-        "_j", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
-    )
-    t0 = F.col("_j").cast("double") / F.col("_n")
-    t1 = (F.col("_j") + 1).cast("double") / F.col("_n")
-    sx0 = F.col("_ax") + seg_dx * t0
-    sx1 = F.col("_ax") + seg_dx * t1
-    sy0 = F.col("_ay") + seg_dy * t0
-    sy1 = F.col("_ay") + seg_dy * t1
-
-    def clampg(c: Column) -> Column:
-        return F.greatest(F.lit(0), F.least(F.lit(n_grid - 1), c.cast("long")))
-
-    cx_min = clampg(F.floor(F.least(sx0, sx1) / s) - 1)
-    cx_max = clampg(F.floor(F.greatest(sx0, sx1) / s) + 1)
-    cy_min = clampg(F.floor(F.least(sy0, sy1) / s) - 1)
-    cy_max = clampg(F.floor(F.greatest(sy0, sy1) / s) + 1)
-    cells = subs.select(
-        "line_id",
-        "_ax",
-        "_ay",
-        "_bx",
-        "_by",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(cx_min, cx_max),
-                    lambda cx: F.transform(
-                        F.sequence(cy_min, cy_max),
-                        lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
-                    ),
-                )
-            )
-        ).alias("_g"),
-    )
+    cells = _segment_candidate_cells(lines, res, line_id_col, path_col, pad=1)
     x_lo = F.col("_g.cx").cast("double") * s
     y_lo = F.col("_g.cy").cast("double") * s
     x_hi = x_lo + s
@@ -309,6 +331,95 @@ def polyline_tiles(
         cells.where(bbox & ~all_pos & ~all_neg)
         .select("line_id", tile.alias(out_col))
         .distinct()
+    )
+
+
+def nearest_route_join(
+    points: DataFrame,
+    lines: DataFrame,
+    *,
+    radius: float,
+    res: int = 6,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    line_id_col: str = "line_id",
+    path_col: str = "path",
+) -> DataFrame:
+    """Map-matching join: every point snaps to its NEAREST polyline within
+    ``radius`` (Euclidean, point-to-segment). Returns
+    (id, line_id, seg_idx, dist2) — one row per matched point; points with
+    no route within radius drop out. Ties break deterministically on
+    (dist2, line_id, seg_idx).
+
+    Plan: the routes rasterize once into a (cell → segment) index padded by
+    ``ceil(radius/s)+1`` cells — every segment within ``radius`` of a point
+    is PROVABLY present under the point's own cell (the nearest on-segment
+    point q is within radius, q's cell is in the unpadded supercover, and
+    the pad covers the Chebyshev gap) — then broadcasts; points equi-join
+    on their cell (no shuffle on the points side), refine with the exact
+    clamped-projection distance, and one aggregation takes the per-point
+    argmin. Pick ``res`` so s ≈ radius: the pad (and the index fan-out)
+    stays a small constant while each point meets only ring-local
+    segments."""
+    import math
+
+    s = 2.0 ** (-res)
+    pad = int(math.ceil(radius / s)) + 1
+    cand = _segment_candidate_cells(lines, res, line_id_col, path_col, pad=pad)
+    cell = (
+        F.lit(res << 56)
+        + spread_bits_col(F.col("_g.cx")).bitwiseOR(
+            F.shiftleft(spread_bits_col(F.col("_g.cy")), 1)
+        )
+    ).cast("long")
+    index = cand.select(
+        "line_id", "_seg_idx", "_ax", "_ay", "_bx", "_by", cell.alias("_cell")
+    ).distinct()
+
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+        cell_from_xy_col(
+            F.col(x_col).cast("double"), F.col(y_col).cast("double"), res
+        ).alias("_cell"),
+    )
+    j = pts.join(F.broadcast(index), "_cell")
+    dx = F.col("_bx") - F.col("_ax")
+    dy = F.col("_by") - F.col("_ay")
+    len2 = dx * dx + dy * dy
+    t = F.when(
+        len2 > 0,
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                ((F.col("_px") - F.col("_ax")) * dx + (F.col("_py") - F.col("_ay")) * dy)
+                / len2,
+            ),
+        ),
+    ).otherwise(F.lit(0.0))
+    qx = F.col("_ax") + t * dx
+    qy = F.col("_ay") + t * dy
+    d2 = (F.col("_px") - qx) * (F.col("_px") - qx) + (F.col("_py") - qy) * (
+        F.col("_py") - qy
+    )
+    scored = j.select(
+        "id",
+        F.struct(
+            d2.alias("d2"), F.col("line_id"), F.col("_seg_idx").alias("seg_idx")
+        ).alias("_c"),
+    ).where(F.col("_c.d2") <= float(radius) * float(radius))
+    return (
+        scored.groupBy("id")
+        .agg(F.min("_c").alias("_b"))
+        .select(
+            "id",
+            F.col("_b.line_id").alias("line_id"),
+            F.col("_b.seg_idx").alias("seg_idx"),
+            F.col("_b.d2").alias("dist2"),
+        )
     )
 
 

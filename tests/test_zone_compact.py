@@ -523,6 +523,86 @@ def test_polyline_tiles_one_shuffle(spark):
     assert count_exchanges(out) == 1
 
 
+def _seg_d2(px, py, ax, ay, bx, by):
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t = 0.0 if len2 == 0 else min(1.0, max(0.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    qx, qy = ax + t * dx, ay + t * dy
+    return (px - qx) * (px - qx) + (py - qy) * (py - qy)
+
+
+@pytest.mark.parametrize("res,radius,seed", [(5, 0.06, 41), (7, 0.02, 42)])
+def test_nearest_route_join_matches_brute_twin(spark, res, radius, seed):
+    """nearest_route_join (raster index + refine + argmin) vs a python
+    all-pairs twin; includes a zero-length (repeated-vertex) segment."""
+    from metric_search_spark.operators.pip import nearest_route_join
+
+    rng = np.random.default_rng(seed)
+    paths = []
+    for j in range(3):
+        nv = int(rng.integers(3, 7))
+        paths.append(
+            (f"r{j}", [(float(rng.random()), float(rng.random())) for _ in range(nv)])
+        )
+    paths.append(("rdup", [(0.41, 0.43), (0.41, 0.43), (0.62, 0.57)]))
+    schema = StructType(
+        [
+            StructField("line_id", StringType()),
+            StructField(
+                "path",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    lines = spark.createDataFrame(
+        [(lid, [{"x": x, "y": y} for x, y in p]) for lid, p in paths], schema
+    )
+    pts = _pts_df(spark, n=500, seed=seed + 100)
+    got = {
+        (r["id"], r["line_id"], r["seg_idx"], round(r["dist2"], 12))
+        for r in nearest_route_join(pts, lines, radius=radius, res=res).collect()
+    }
+    want = set()
+    for row in pts.toPandas().itertuples():
+        best = None
+        for lid, p in paths:
+            for k in range(len(p) - 1):
+                d2 = _seg_d2(row.x, row.y, *p[k], *p[k + 1])
+                if d2 <= radius * radius:
+                    cand = (d2, lid, k)
+                    if best is None or cand < best:
+                        best = cand
+        if best is not None:
+            want.add((int(row.id), best[1], best[2], round(best[0], 12)))
+    assert got == want and len(want) > 0
+
+
+def test_nearest_route_join_points_shuffle_only_for_argmin(spark):
+    """The POINTS table shuffles exactly once (the per-point argmin on id);
+    the only other exchange is the routes-side index dedup — a dim-table
+    shuffle that never scales with the points."""
+    from metric_search_spark.entry_queries import _route_lines_df
+    from metric_search_spark.operators.pip import nearest_route_join
+    from metric_search_spark.plans import count_exchanges, exchange_partition_keys
+
+    pts = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        ((F.element_at("embedding", 1) + 1.0) / 2.0).alias("x"),
+        ((F.element_at("embedding", 2) + 1.0) / 2.0).alias("y"),
+    )
+    out = nearest_route_join(pts, _route_lines_df(spark), radius=0.05, res=6)
+    assert count_exchanges(out) == 2
+    keys = exchange_partition_keys(out)
+    assert len(keys) == 2
+    point_side = [k for k in keys if k.startswith("id#")]
+    route_side = [k for k in keys if "line_id" in k and "_seg_idx" in k]
+    assert len(point_side) == 1 and len(route_side) == 1, keys
+
+
 def test_focal_sum_matches_brute_twin(spark):
     """tile_focal_sum vs a per-cell python scatter at res 4, k ∈ {1, 2}."""
     rng = np.random.default_rng(21)
