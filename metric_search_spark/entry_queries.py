@@ -1410,6 +1410,58 @@ FROM recv GROUP BY 1
 O_FOCAL = _o_focal_sql()
 
 
+_KDE_RES, _KDE_K = 4, 2
+
+
+def q_kde_tiles_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epanechnikov kernel density over the tile grid (operators/tiling.
+    tile_kernel_density): integer-numerator weights make the distributed
+    sum exact, so the density is bit-identical under any partitioning and
+    the DuckDB twin (coordinate join + the same rational weight) matches
+    with no tolerance."""
+    from metric_search_spark.operators.tiling import tile_kernel_density
+
+    return tile_kernel_density(
+        _emb(spark, sf_dir), _KDE_RES, k=_KDE_K, value_col="label"
+    ).select("tile", "density", "wval")
+
+
+def _o_kde_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    res, k = _KDE_RES, _KDE_K
+    n = 1 << res
+    denom = float((k + 1) ** 2)
+    enc = (
+        f"{res * (1 << 56)} + CAST(coalesce(list_sum(list_transform("
+        f"range(0, {res}),"
+        f" b -> ((rx >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))"
+        f" + ((ry >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)"
+        f" AS BIGINT)"
+    )
+    return f"""
+WITH g AS (
+  SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy,
+         count(*) AS cnt, sum(CAST(label AS BIGINT)) AS val
+  FROM embeddings GROUP BY 1, 2
+), recv AS (
+  SELECT cx + dx.i AS rx, cy + dy.i AS ry,
+         CAST({(k + 1) ** 2} - (dx.i * dx.i + dy.i * dy.i) AS BIGINT) AS wnum,
+         cnt, val
+  FROM g, range({-k}, {k + 1}) dx(i), range({-k}, {k + 1}) dy(i)
+  WHERE cx + dx.i BETWEEN 0 AND {n - 1} AND cy + dy.i BETWEEN 0 AND {n - 1}
+)
+SELECT {enc} AS tile,
+       sum(wnum * cnt) / {denom!r} AS density,
+       sum(wnum * val) / {denom!r} AS wval
+FROM recv GROUP BY 1
+"""
+
+
+O_KDE = _o_kde_sql()
+
+
 _IPV_N, _IPV_SEED = 2000, 42
 
 
@@ -2722,6 +2774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_tiles_embeddings": q_focal_tiles_embeddings,
     "polyline_tiles_routes": q_polyline_tiles_routes,
     "nearest_route_embeddings": q_nearest_route_embeddings,
+    "kde_tiles_embeddings": q_kde_tiles_embeddings,
     "images_payload_verify": q_images_payload_verify,
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
@@ -2771,6 +2824,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "focal_tiles_embeddings": O_FOCAL,
     "polyline_tiles_routes": O_POLYLINE,
     "nearest_route_embeddings": O_NEAREST_ROUTE,
+    "kde_tiles_embeddings": O_KDE,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "twed_events": O_TWED_EVENTS,
     # (no static rows-only entries remain: every query has either a static

@@ -139,9 +139,13 @@ def _spread_int(v: int) -> int:
     return x
 
 
-def kring_cells_col(cell: Column, res: int, k: int) -> Column:
+def kring_cells_col(
+    cell: Column, res: int, k: int, with_offsets: bool = False
+) -> Column:
     """array<long> of all cells within Chebyshev distance k (cells.kring),
-    grid-clipped, as a pure Column expression ready to ``explode``.
+    grid-clipped, as a pure Column expression ready to ``explode``. With
+    ``with_offsets`` the elements are struct<cell, dx, dy> instead — for
+    consumers that weight by the grid offset (focal kernels).
 
     Implementation note: higher-order-function lambdas are NOT part of
     whole-stage codegen, so anything per-element must be tiny. This uses
@@ -181,6 +185,28 @@ def kring_cells_col(cell: Column, res: int, k: int) -> Column:
             ok = part >= F.lit(s)
         return shifted, ok
 
+    def wrap(cell_expr: Column | None, dx: int, dy: int, ok: Column | None):
+        """cell-only long, or (cell, dx, dy) struct for offset-aware
+        consumers (weighted focal kernels); None cell → null element."""
+        if with_offsets:
+            payload = None
+            if cell_expr is not None:
+                payload = F.struct(
+                    cell_expr.cast("long").alias("cell"),
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                )
+            null = F.lit(None).cast("struct<cell:long,dx:int,dy:int>")
+            if payload is None:
+                return null
+            return payload if ok is None else F.when(ok, payload).otherwise(null)
+        if cell_expr is None:
+            return F.lit(None).cast("long")
+        cell_long = cell_expr.cast("long")
+        if ok is None:
+            return cell_long
+        return F.when(ok, cell_long).otherwise(F.lit(None).cast("long"))
+
     elems = []
     for dx in range(-k, k + 1):
         for dy in range(-k, k + 1):
@@ -188,9 +214,9 @@ def kring_cells_col(cell: Column, res: int, k: int) -> Column:
                 # cast matters: the cogroup key must be LONG on both sides —
                 # an int 0 here silently fails to group with long cells
                 elems.append(
-                    F.lit(0).cast("long")
+                    wrap(F.lit(0), 0, 0, None)
                     if dx == 0 and dy == 0
-                    else F.lit(None).cast("long")
+                    else wrap(None, dx, dy, None)
                 )
                 continue
             nxp, okx = part_shift(xpart, dx, xmask, ymask, _spread_int)
@@ -198,9 +224,7 @@ def kring_cells_col(cell: Column, res: int, k: int) -> Column:
                 ypart, dy, ymask, xmask, lambda v: _spread_int(v) << 1
             )
             cell_expr = F.lit(res << 56) + nxp.bitwiseOR(nyp)
-            elems.append(
-                F.when(okx & oky, cell_expr).otherwise(F.lit(None).cast("long"))
-            )
+            elems.append(wrap(cell_expr, dx, dy, okx & oky))
     return F.filter(F.array(*elems), lambda c: c.isNotNull())
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "tile_assign",
     "tile_rollup",
     "tile_focal_sum",
+    "tile_kernel_density",
     "compact_tiles",
     "uncompact_tiles",
     "cluster_quota",
@@ -312,6 +313,53 @@ def tile_focal_sum(
     if value_col is not None:
         re_aggs.append(F.sum("val").alias("focal_val"))
     return scattered.groupBy("tile").agg(*re_aggs)
+
+
+def tile_kernel_density(
+    df: DataFrame,
+    res: int,
+    *,
+    k: int = 2,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Epanechnikov-weighted kernel density over the tile grid: each tile's
+    density is Σ over its Chebyshev-k neighborhood of
+    w(dx,dy) · count, with w = ((k+1)² − (dx²+dy²)) / (k+1)² — the
+    grid-offset Epanechnikov kernel (1 at the center, decaying to > 0 at
+    the ring corners). Same two-shuffle scatter plan as
+    :func:`tile_focal_sum`.
+
+    EXACTNESS over distributed float summation: the kernel's numerator is
+    an INTEGER, so partial aggregation sums exact longs (order-independent)
+    and the single division by (k+1)² happens once per output row — the
+    result is bit-identical regardless of partitioning, and a DuckDB twin
+    computing the same rational reproduces it exactly.
+
+    Returns (tile, density[, wval]) — density from counts, wval the
+    weighted integral ``value_col`` sum."""
+    denom = float((k + 1) ** 2)
+    aggs = [F.count("*").alias("cnt")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("long")).alias("val"))
+    per_tile = (
+        tile_assign(df, res, x_col=x_col, y_col=y_col).groupBy("tile").agg(*aggs)
+    )
+    scattered = per_tile.select(
+        F.explode(
+            kring_cells_col(F.col("tile"), res, k, with_offsets=True)
+        ).alias("_o"),
+        *[c for c in per_tile.columns if c != "tile"],
+    )
+    wnum = (
+        F.lit((k + 1) ** 2)
+        - (F.col("_o.dx") * F.col("_o.dx") + F.col("_o.dy") * F.col("_o.dy"))
+    ).cast("long")
+    re_aggs = [(F.sum(wnum * F.col("cnt")) / F.lit(denom)).alias("density")]
+    if value_col is not None:
+        re_aggs.append((F.sum(wnum * F.col("val")) / F.lit(denom)).alias("wval"))
+    return scattered.groupBy(F.col("_o.cell").alias("tile")).agg(*re_aggs)
 
 
 _PREFIX_MASK = (1 << 56) - 1

@@ -650,6 +650,116 @@ def test_focal_sum_matches_brute_twin(spark):
         assert got == want
 
 
+def test_kring_offsets_variant_matches_cells(spark):
+    """kring_cells_col(with_offsets=True) must enumerate exactly the same
+    clipped cells as the plain variant, with correct (dx, dy) tags."""
+    from metric_search_spark.functions.spatial import kring_cells_col
+
+    res, k = 4, 2
+    rng = np.random.default_rng(51)
+    pdf = pd.DataFrame({"x": rng.random(200), "y": rng.random(200)})
+    df = spark.createDataFrame(pdf)
+    from metric_search_spark.operators.tiling import tile_assign
+
+    t = tile_assign(df, res)
+    plain = t.select(
+        "tile", F.explode(kring_cells_col(F.col("tile"), res, k)).alias("c")
+    ).collect()
+    tagged = t.select(
+        "tile",
+        F.explode(kring_cells_col(F.col("tile"), res, k, with_offsets=True)).alias(
+            "o"
+        ),
+    ).collect()
+    assert {(r["tile"], r["c"]) for r in plain} == {
+        (r["tile"], r["o"]["cell"]) for r in tagged
+    }
+    # offset tags decode consistently: neighbor grid coords = base + (dx, dy)
+    for r in tagged[:200]:
+        base, o = r["tile"], r["o"]
+
+        def coords(cell):
+            p = cell & ((1 << 56) - 1)
+            cx = cy = 0
+            for b in range(res):
+                cx |= ((p >> (2 * b)) & 1) << b
+                cy |= ((p >> (2 * b + 1)) & 1) << b
+            return cx, cy
+
+        bx, by = coords(base)
+        nx, ny = coords(o["cell"])
+        assert (nx - bx, ny - by) == (o["dx"], o["dy"])
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_kernel_density_matches_brute_twin_exactly(spark, k):
+    """Integer-numerator Epanechnikov weights: the distributed density must
+    equal the python twin BIT-EXACTLY (no tolerance) — the sum is exact
+    longs, divided once."""
+    from metric_search_spark.operators.tiling import tile_kernel_density
+
+    rng = np.random.default_rng(60 + k)
+    n, res = 500, 4
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "x": rng.random(n),
+            "y": rng.random(n),
+            "v": rng.integers(0, 9, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["tile"], r["density"], r["wval"])
+        for r in tile_kernel_density(df, res, k=k, value_col="v").collect()
+    }
+    grid = 1 << res
+    denom = float((k + 1) ** 2)
+
+    def quant(u):
+        return min(max(int(np.floor(u * (1 << 31))), 0), (1 << 31) - 1) >> (31 - res)
+
+    def morton(cx, cy):
+        t = 0
+        for b in range(res):
+            t |= ((cx >> b) & 1) << (2 * b)
+            t |= ((cy >> b) & 1) << (2 * b + 1)
+        return (res << 56) | t
+
+    agg = {}
+    for row in pdf.itertuples():
+        key = (quant(row.x), quant(row.y))
+        c, v = agg.get(key, (0, 0))
+        agg[key] = (c + 1, v + int(row.v))
+    num = {}
+    for (cx, cy), (c, v) in agg.items():
+        for dx in range(-k, k + 1):
+            for dy in range(-k, k + 1):
+                rx, ry = cx + dx, cy + dy
+                if 0 <= rx < grid and 0 <= ry < grid:
+                    w = (k + 1) ** 2 - (dx * dx + dy * dy)
+                    nc, nv = num.get((rx, ry), (0, 0))
+                    num[(rx, ry)] = (nc + w * c, nv + w * v)
+    want = {
+        (morton(cx, cy), nc / denom, nv / denom) for (cx, cy), (nc, nv) in num.items()
+    }
+    assert got == want  # exact float equality, by construction
+
+
+def test_kernel_density_two_shuffles_only(spark):
+    from metric_search_spark.operators.tiling import tile_kernel_density
+    from metric_search_spark.plans import count_exchanges
+
+    pts = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        ((F.element_at("embedding", 1) + 1.0) / 2.0).alias("x"),
+        ((F.element_at("embedding", 2) + 1.0) / 2.0).alias("y"),
+        "label",
+    )
+    out = tile_kernel_density(pts, 6, k=2, value_col="label")
+    assert count_exchanges(out) == 2
+
+
 def test_focal_sum_two_shuffles_only(spark):
     """The scatter must run over the AGGREGATED raster: exactly two hash
     exchanges (pre-aggregate by tile, re-aggregate by receiving tile) — the
