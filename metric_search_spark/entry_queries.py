@@ -1462,6 +1462,37 @@ FROM recv GROUP BY 1
 O_KDE = _o_kde_sql()
 
 
+def q_zonal_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (operators/pip.zonal_stats): per-polygon point
+    count + exact label sum through the classified zone join — the value
+    column rides through the join (no re-join), one map-side-combining
+    aggregate. Oracle: brute per-point even-odd SQL grouped per polygon —
+    independent of both the cover classification and the keep_cols
+    plumbing."""
+    from metric_search_spark.operators.pip import zonal_stats
+
+    emb = _emb(spark, sf_dir)
+    return zonal_stats(
+        emb, _pip_polys_df(spark), res=_ZONE_RES, value_col="label"
+    ).select("poly_id", "cnt", "val")
+
+
+def _o_zonal_sql() -> str:
+    from metric_search_spark.operators.pip import pip_sql_condition
+
+    parts = []
+    for pid, ring in _PIP_POLYS:
+        parts.append(
+            f"SELECT '{pid}' AS poly_id, count(*) AS cnt,"
+            f" sum(CAST(label AS BIGINT)) AS val FROM embeddings "
+            f"WHERE {pip_sql_condition(_EMB_X, _EMB_Y, ring)}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+O_ZONAL = _o_zonal_sql()
+
+
 _IPV_N, _IPV_SEED = 2000, 42
 
 
@@ -2775,6 +2806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "polyline_tiles_routes": q_polyline_tiles_routes,
     "nearest_route_embeddings": q_nearest_route_embeddings,
     "kde_tiles_embeddings": q_kde_tiles_embeddings,
+    "zonal_stats_embeddings": q_zonal_stats_embeddings,
     "images_payload_verify": q_images_payload_verify,
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
@@ -2825,6 +2857,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "polyline_tiles_routes": O_POLYLINE,
     "nearest_route_embeddings": O_NEAREST_ROUTE,
     "kde_tiles_embeddings": O_KDE,
+    "zonal_stats_embeddings": O_ZONAL,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "twed_events": O_TWED_EVENTS,
     # (no static rows-only entries remain: every query has either a static

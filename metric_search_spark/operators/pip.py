@@ -28,6 +28,7 @@ __all__ = [
     "polygon_tiles",
     "polyline_tiles",
     "nearest_route_join",
+    "zonal_stats",
     "classify_cover",
     "zone_join",
     "pip_condition_col",
@@ -423,6 +424,48 @@ def nearest_route_join(
     )
 
 
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame,
+    *,
+    res: int = 6,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str | None = None,
+    poly_id_col: str = "poly_id",
+    ring_col: str = "ring",
+    rings_col: str | None = None,
+) -> DataFrame:
+    """Zonal statistics: per-polygon count (and exact integral value sum)
+    of the points inside it — the classic raster/vector zonal-stats op,
+    composed as zone_join → one aggregation. Inherits the classified
+    cover's cost shape (interior points never run the O(edges) test); the
+    value column rides THROUGH the zone join (``keep_cols``, no re-join),
+    and the only added shuffle is the map-side-combining aggregate whose
+    state is one row per polygon no matter how many points flow in."""
+    keep: tuple[str, ...] = ()
+    if value_col is not None:
+        points = points.withColumn("_val", F.col(value_col).cast("long"))
+        keep = ("_val",)
+    matched = zone_join(
+        points,
+        polygons,
+        res=res,
+        id_col=id_col,
+        x_col=x_col,
+        y_col=y_col,
+        poly_id_col=poly_id_col,
+        ring_col=ring_col,
+        rings_col=rings_col,
+        keep_cols=keep,
+    )
+    aggs = [F.count("*").alias("cnt")]
+    if value_col is not None:
+        aggs.append(F.sum("_val").alias("val"))
+    return matched.groupBy("poly_id").agg(*aggs)
+
+
 def _edge_in_cell_col(rings: Column, cx: Column, cy: Column, res: int) -> Column:
     """TRUE iff any edge of any ring intersects the CLOSED cell square
     [cx·s, (cx+1)·s] × [cy·s, (cy+1)·s]. EXACT segment-vs-square test by
@@ -537,12 +580,15 @@ def zone_join(
     poly_id_col: str = "poly_id",
     ring_col: str = "ring",
     rings_col: str | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Point-in-polygon join through a FULL/BORDER-classified cover — same
     output as :func:`point_in_polygon_join`, but the O(edges) even-odd test
     runs only for points whose cell straddles the boundary; points landing in
     full interior cells pass through on the equi-join alone. Pass
-    ``rings_col`` for multipolygons with holes.
+    ``rings_col`` for multipolygons with holes; ``keep_cols`` carries extra
+    point columns through to the output (for downstream aggregation without
+    a re-join).
 
     The 100-TB shape: at resolution r the cover of a polygon has O(area/s²)
     cells but only O(perimeter/s) of them are border cells, so the exact-test
@@ -564,6 +610,7 @@ def zone_join(
         cell_from_xy_col(
             F.col(x_col).cast("double"), F.col(y_col).cast("double"), res
         ).alias("_cell"),
+        *[F.col(c) for c in keep_cols],
     )
     joined = pts.join(F.broadcast(cover), "_cell")
     # full cells short-circuit: TRUE OR <test on null rings> is TRUE
@@ -571,7 +618,7 @@ def zone_join(
     return joined.where(
         (~F.col("is_border"))
         | pip_rings_condition_col(F.col("_px"), F.col("_py"), F.col("_rings"))
-    ).select("id", "poly_id")
+    ).select("id", "poly_id", *keep_cols)
 
 
 def point_in_polygon_join(

@@ -273,6 +273,55 @@ def test_zone_join_points_side_no_shuffle(spark):
     )
 
 
+def test_zonal_stats_matches_brute(spark):
+    """zonal_stats (zone_join + keep_cols ride-through + one aggregate)
+    vs a python brute twin, single rings and multipolygon both."""
+    from metric_search_spark.operators.pip import zonal_stats
+
+    polys = _polys()
+    poly_df = _poly_df(spark, polys)
+    pts = _pts_df(spark, n=500, seed=71).withColumn(
+        "v", (F.col("id") % 5).cast("int")
+    )
+    got = {
+        (r["poly_id"], r["cnt"], r["val"])
+        for r in zonal_stats(pts, poly_df, res=5, value_col="v").collect()
+    }
+    pdf = pts.toPandas()
+    want = {}
+    for pid, ring in polys:
+        cnt = val = 0
+        for row in pdf.itertuples():
+            if _crossing(row.x, row.y, ring):
+                cnt += 1
+                val += int(row.v)
+        if cnt:
+            want[pid] = (cnt, val)
+    assert got == {(p, c, v) for p, (c, v) in want.items()}
+    # multipolygon path: shell+hole+island
+    mpolys = _multi()
+    mdf = spark.createDataFrame(
+        [
+            (pid, [[{"x": x, "y": y} for x, y in ring] for ring in rings])
+            for pid, rings in mpolys
+        ],
+        _RINGS_SCHEMA,
+    )
+    got_m = {
+        (r["poly_id"], r["cnt"], r["val"])
+        for r in zonal_stats(
+            pts, mdf, res=6, value_col="v", rings_col="rings"
+        ).collect()
+    }
+    rings = mpolys[0][1]
+    cnt = val = 0
+    for row in pdf.itertuples():
+        if _rings_crossing(row.x, row.y, rings):
+            cnt += 1
+            val += int(row.v)
+    assert got_m == {("m0", cnt, val)}
+
+
 def _rand_cells(rng, res, n):
     """n distinct random cells at resolution res."""
     grid = 1 << res
