@@ -1493,6 +1493,62 @@ def _o_zonal_sql() -> str:
 O_ZONAL = _o_zonal_sql()
 
 
+_OVERLAP_RES = 6
+
+
+def _emb_squares_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One axis-aligned square per embedding row: center = the 2-D
+    projection, half-size 0.003 + (label mod 5)·0.0008 — a data-driven
+    polygon table (thousands of rows, NOT a broadcastable fixture)."""
+    emb = _emb(spark, sf_dir)
+    h = F.lit(0.003) + (F.col("label") % 5).cast("double") * F.lit(0.0008)
+    x, y = F.col("x"), F.col("y")
+
+    def corner(cx: Column, cy: Column) -> Column:
+        return F.struct(cx.alias("x"), cy.alias("y"))
+
+    return emb.select(
+        F.col("id").alias("poly_id"),
+        F.array(
+            corner(x - h, y - h),
+            corner(x + h, y - h),
+            corner(x + h, y + h),
+            corner(x - h, y + h),
+        ).alias("ring"),
+    )
+
+
+def q_square_overlap_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed polygon-polygon overlay self-join (operators/pip.
+    polygon_intersects_join): thousands of data-driven squares on BOTH
+    sides — neither broadcasts; covers meet in a cell-partitioned shuffle,
+    candidate pairs dedup by id, geometry re-joins once for the exact
+    refine (proper edge crossing ∪ vertex containment). Oracle: DuckDB
+    decides the same pairs by strict interval overlap on both axes — pure
+    center/half-size arithmetic, no covers, no edges — so a candidate
+    cell-join miss OR a refine bug goes red."""
+    from metric_search_spark.operators.pip import polygon_intersects_join
+
+    sq = _emb_squares_df(spark, sf_dir)
+    out = polygon_intersects_join(sq, sq, res=_OVERLAP_RES)
+    return out.where(F.col("left_id") < F.col("right_id")).select(
+        F.col("left_id").cast("long").alias("id_a"),
+        F.col("right_id").cast("long").alias("id_b"),
+    )
+
+
+O_SQUARE_OVERLAP = f"""
+WITH sq AS (
+  SELECT vec_id AS id, {_EMB_X} AS x, {_EMB_Y} AS y,
+         0.003 + CAST(label % 5 AS DOUBLE) * 0.0008 AS h
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b
+FROM sq a JOIN sq b ON a.id < b.id
+WHERE abs(a.x - b.x) < a.h + b.h AND abs(a.y - b.y) < a.h + b.h
+"""
+
+
 _IPV_N, _IPV_SEED = 2000, 42
 
 
@@ -2807,6 +2863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nearest_route_embeddings": q_nearest_route_embeddings,
     "kde_tiles_embeddings": q_kde_tiles_embeddings,
     "zonal_stats_embeddings": q_zonal_stats_embeddings,
+    "square_overlap_embeddings": q_square_overlap_embeddings,
     "images_payload_verify": q_images_payload_verify,
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
@@ -2858,6 +2915,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "nearest_route_embeddings": O_NEAREST_ROUTE,
     "kde_tiles_embeddings": O_KDE,
     "zonal_stats_embeddings": O_ZONAL,
+    "square_overlap_embeddings": O_SQUARE_OVERLAP,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "twed_events": O_TWED_EVENTS,
     # (no static rows-only entries remain: every query has either a static

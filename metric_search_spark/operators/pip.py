@@ -29,6 +29,7 @@ __all__ = [
     "polyline_tiles",
     "nearest_route_join",
     "zonal_stats",
+    "polygon_intersects_join",
     "classify_cover",
     "zone_join",
     "pip_condition_col",
@@ -421,6 +422,113 @@ def nearest_route_join(
             F.col("_b.seg_idx").alias("seg_idx"),
             F.col("_b.d2").alias("dist2"),
         )
+    )
+
+
+def _edges_cross_col(rings_a: Column, rings_b: Column) -> Column:
+    """TRUE iff any edge of any ring of A PROPERLY crosses any edge of any
+    ring of B (strict orientation-sign test; touching endpoints / collinear
+    overlap are measure-zero under generic coordinates and excluded by
+    design — pair it with the containment test for interiors-intersect
+    semantics)."""
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    def ring_pair(ra: Column, rb: Column) -> Column:
+        na, nb = F.size(ra), F.size(rb)
+
+        def edge_a(i: Column) -> Column:
+            a1 = F.element_at(ra, i.cast("int"))
+            a2 = F.element_at(ra, (F.when(i == na, 1).otherwise(i + 1)).cast("int"))
+
+            def edge_b(j: Column) -> Column:
+                b1 = F.element_at(rb, j.cast("int"))
+                b2 = F.element_at(
+                    rb, (F.when(j == nb, 1).otherwise(j + 1)).cast("int")
+                )
+                o1 = orient(a1["x"], a1["y"], a2["x"], a2["y"], b1["x"], b1["y"])
+                o2 = orient(a1["x"], a1["y"], a2["x"], a2["y"], b2["x"], b2["y"])
+                o3 = orient(b1["x"], b1["y"], b2["x"], b2["y"], a1["x"], a1["y"])
+                o4 = orient(b1["x"], b1["y"], b2["x"], b2["y"], a2["x"], a2["y"])
+                return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+            return F.exists(F.sequence(F.lit(1), nb), edge_b)
+
+        return F.exists(F.sequence(F.lit(1), na), edge_a)
+
+    return F.exists(
+        rings_a, lambda ra: F.exists(rings_b, lambda rb: ring_pair(ra, rb))
+    )
+
+
+def polygon_intersects_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    res: int = 6,
+    left_id_col: str = "poly_id",
+    right_id_col: str = "poly_id",
+    left_ring_col: str = "ring",
+    right_ring_col: str = "ring",
+    left_rings_col: str | None = None,
+    right_rings_col: str | None = None,
+) -> DataFrame:
+    """Spatial overlay join: (left_id, right_id) for every polygon pair
+    whose INTERIORS intersect — a proper edge crossing, or one polygon
+    containing the other (decided by a strictly-interior vertex; touching
+    boundaries are measure-zero under generic coordinates and excluded).
+
+    The big×big shape (neither side broadcasts): each side classifies its
+    cover once (cells that are border or interior — a pair with
+    intersecting interiors PROVABLY shares such a cell, since any common
+    interior point's cell is non-outside for both), the covers meet in a
+    cell-partitioned SHUFFLE equi-join carrying ids only, candidate pairs
+    dedup by id (the LSH discipline: geometry never rides the candidate
+    explosion), and each surviving pair re-joins its two vertex lists once
+    for the O(Ea·Eb) exact refine. Skew from dense cells is bounded by the
+    per-cell polygon counts, and the candidate dedup collapses multi-cell
+    overlaps before any geometry moves."""
+    lrings = _rings_expr(left_ring_col, left_rings_col)
+    rrings = _rings_expr(right_ring_col, right_rings_col)
+    lcover = classify_cover(
+        left, res=res, poly_id_col=left_id_col,
+        ring_col=left_ring_col, rings_col=left_rings_col,
+    ).select(F.col("poly_id").alias("_lid"), "_cell")
+    rcover = classify_cover(
+        right, res=res, poly_id_col=right_id_col,
+        ring_col=right_ring_col, rings_col=right_rings_col,
+    ).select(F.col("poly_id").alias("_rid"), "_cell")
+    cand = lcover.join(rcover, "_cell").select("_lid", "_rid").distinct()
+
+    lgeom = left.select(
+        F.col(left_id_col).alias("_lid"), lrings.alias("_lrings")
+    )
+    rgeom = right.select(
+        F.col(right_id_col).alias("_rid"), rrings.alias("_rrings")
+    )
+    pairs = cand.join(lgeom, "_lid").join(rgeom, "_rid")
+
+    # containment: any ring's lead vertex of one side strictly interior to
+    # the other (checked per RING, not just the first — a multipolygon
+    # island nested with no edge crossing is caught by its own ring; a
+    # boundary point strictly inside an open interior implies the
+    # interiors intersect, so this never over-reports)
+    def any_vertex_in(rings: Column, other: Column) -> Column:
+        return F.exists(
+            rings,
+            lambda ring: pip_rings_condition_col(
+                F.element_at(ring, 1)["x"], F.element_at(ring, 1)["y"], other
+            ),
+        )
+
+    hit = (
+        _edges_cross_col(F.col("_lrings"), F.col("_rrings"))
+        | any_vertex_in(F.col("_lrings"), F.col("_rrings"))
+        | any_vertex_in(F.col("_rrings"), F.col("_lrings"))
+    )
+    return pairs.where(hit).select(
+        F.col("_lid").alias("left_id"), F.col("_rid").alias("right_id")
     )
 
 

@@ -322,6 +322,109 @@ def test_zonal_stats_matches_brute(spark):
     assert got_m == {("m0", cnt, val)}
 
 
+def _orient(px, py, qx, qy, rx, ry):
+    return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+
+def _poly_interiors_intersect(rings_a, rings_b):
+    def edges(rings):
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                yield ring[i], ring[(i + 1) % n]
+
+    for (a1, a2) in edges(rings_a):
+        for (b1, b2) in edges(rings_b):
+            o1 = _orient(*a1, *a2, *b1)
+            o2 = _orient(*a1, *a2, *b2)
+            o3 = _orient(*b1, *b2, *a1)
+            o4 = _orient(*b1, *b2, *a2)
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                return True
+    for rings, other in ((rings_a, rings_b), (rings_b, rings_a)):
+        for ring in rings:
+            if _rings_crossing(*ring[0], other):
+                return True
+    return False
+
+
+def test_polygon_intersects_join_matches_brute(spark):
+    """Distributed overlay self-join over random star polygons vs a python
+    all-pairs twin (proper crossing + per-ring containment)."""
+    from metric_search_spark.operators.pip import polygon_intersects_join
+
+    rng = np.random.default_rng(81)
+    polys = []
+    for j in range(60):
+        cx, cy = rng.uniform(0.1, 0.9, 2)
+        nv = int(rng.integers(4, 9))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        radii = rng.uniform(0.02, 0.09, nv)
+        polys.append(
+            (
+                f"p{j:02d}",
+                [
+                    (float(cx + r * np.cos(a)), float(cy + r * np.sin(a)))
+                    for a, r in zip(angles, radii)
+                ],
+            )
+        )
+    df = _poly_df(spark, polys)
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in polygon_intersects_join(df, df, res=5).collect()
+        if r["left_id"] < r["right_id"]
+    }
+    want = set()
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            if _poly_interiors_intersect([polys[i][1]], [polys[j][1]]):
+                want.add((polys[i][0], polys[j][0]))
+    assert got == want and len(want) > 0
+
+
+def test_polygon_intersects_join_holes_and_islands(spark):
+    """Semantics pins: an island part nested inside the other polygon with
+    NO edge crossing must match; a square inside the other's HOLE must
+    not."""
+    from metric_search_spark.operators.pip import polygon_intersects_join
+
+    shell = [(0.2, 0.2), (0.8, 0.2), (0.8, 0.8), (0.2, 0.8)]
+    hole = [(0.4, 0.4), (0.6, 0.4), (0.6, 0.6), (0.4, 0.6)]
+    far = [(0.05, 0.05), (0.1, 0.05), (0.1, 0.1), (0.05, 0.1)]
+    inner = [(0.25, 0.25), (0.33, 0.25), (0.33, 0.33), (0.25, 0.33)]
+    in_hole = [(0.45, 0.45), (0.55, 0.45), (0.55, 0.55), (0.45, 0.55)]
+    left = spark.createDataFrame(
+        [("A", [[{"x": x, "y": y} for x, y in r] for r in (shell, hole)])],
+        _RINGS_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            ("island", [[{"x": x, "y": y} for x, y in r] for r in (far, inner)]),
+            ("inhole", [[{"x": x, "y": y} for x, y in in_hole]]),
+        ],
+        _RINGS_SCHEMA,
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in polygon_intersects_join(
+            left, right, res=6, left_rings_col="rings", right_rings_col="rings"
+        ).collect()
+    }
+    assert ("A", "island") in got  # nested part, zero crossings
+    assert ("A", "inhole") not in got  # inside the hole = outside A
+
+
+def test_polygon_intersects_join_no_nested_loop(spark):
+    """The big×big overlay must plan as cell-partitioned equi-joins — no
+    BroadcastNestedLoopJoin / cartesian product anywhere."""
+    from metric_search_spark.entry_queries import q_square_overlap_embeddings
+    from metric_search_spark.plans import has_nested_loop_join
+
+    out = q_square_overlap_embeddings(spark, "/root/testdata/sf0.001")
+    assert not has_nested_loop_join(out)
+
+
 def _rand_cells(rng, res, n):
     """n distinct random cells at resolution res."""
     grid = 1 << res
