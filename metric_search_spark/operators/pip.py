@@ -501,13 +501,22 @@ def polygon_intersects_join(
     ).select(F.col("poly_id").alias("_rid"), "_cell")
     cand = lcover.join(rcover, "_cell").select("_lid", "_rid").distinct()
 
-    lgeom = left.select(
-        F.col(left_id_col).alias("_lid"), lrings.alias("_lrings")
+    def geom(df: DataFrame, id_col: str, rings: Column, tag: str) -> DataFrame:
+        verts = F.flatten(rings)
+        xs = F.transform(verts, lambda v: v["x"])
+        ys = F.transform(verts, lambda v: v["y"])
+        return df.select(
+            F.col(id_col).alias(f"_{tag}id"),
+            rings.alias(f"_{tag}rings"),
+            F.array_min(xs).alias(f"_{tag}x0"),
+            F.array_max(xs).alias(f"_{tag}x1"),
+            F.array_min(ys).alias(f"_{tag}y0"),
+            F.array_max(ys).alias(f"_{tag}y1"),
+        )
+
+    pairs = cand.join(geom(left, left_id_col, lrings, "l"), "_lid").join(
+        geom(right, right_id_col, rrings, "r"), "_rid"
     )
-    rgeom = right.select(
-        F.col(right_id_col).alias("_rid"), rrings.alias("_rrings")
-    )
-    pairs = cand.join(lgeom, "_lid").join(rgeom, "_rid")
 
     # containment: any ring's lead vertex of one side strictly interior to
     # the other (checked per RING, not just the first — a multipolygon
@@ -522,11 +531,22 @@ def polygon_intersects_join(
             ),
         )
 
-    hit = (
+    # bbox overlap is NECESSARY for interior intersection — F.when forces
+    # the skip, so the O(Ea·Eb) refine evaluates only on bbox-overlapping
+    # pairs (the cell join over-generates: two polygons in one dense cell
+    # need not come near each other)
+    bbox_overlap = (
+        (F.col("_lx0") <= F.col("_rx1"))
+        & (F.col("_rx0") <= F.col("_lx1"))
+        & (F.col("_ly0") <= F.col("_ry1"))
+        & (F.col("_ry0") <= F.col("_ly1"))
+    )
+    refine = (
         _edges_cross_col(F.col("_lrings"), F.col("_rrings"))
         | any_vertex_in(F.col("_lrings"), F.col("_rrings"))
         | any_vertex_in(F.col("_rrings"), F.col("_lrings"))
     )
+    hit = F.when(bbox_overlap, refine).otherwise(F.lit(False))
     return pairs.where(hit).select(
         F.col("_lid").alias("left_id"), F.col("_rid").alias("right_id")
     )
