@@ -1455,7 +1455,7 @@ WITH g AS (
 SELECT {enc} AS tile,
        sum(wnum * cnt) / {denom!r} AS density,
        sum(wnum * val) / {denom!r} AS wval
-FROM recv GROUP BY 1
+FROM recv WHERE wnum > 0 GROUP BY 1
 """
 
 

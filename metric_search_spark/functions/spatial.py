@@ -39,6 +39,7 @@ __all__ = [
     "coord_cols",
     "cell_col",
     "cell_from_xy_col",
+    "cell_from_cxy_col",
     "cell_xy_cols",
     "kring_cells_col",
     "cell_sql",
@@ -120,6 +121,16 @@ def cell_col(phash: Column, res: int) -> Column:
 def cell_from_xy_col(x: Column, y: Column, res: int) -> Column:
     """Normalized (x, y) -> cell id (cells.cell_encode)."""
     return cell_col(phash_col(x, y), res)
+
+
+def cell_from_cxy_col(cx: Column, cy: Column, res: int) -> Column:
+    """Grid indices (cx, cy) at resolution ``res`` -> cell id: the one
+    Morton-interleave-and-pack expression shared by every operator that
+    enumerates grid rectangles (bbox covers, supercover rasterizers)."""
+    return (
+        F.lit(res << 56)
+        + spread_bits_col(cx).bitwiseOR(F.shiftleft(spread_bits_col(cy), 1))
+    ).cast("long")
 
 
 def cell_xy_cols(cell: Column) -> tuple[Column, Column]:

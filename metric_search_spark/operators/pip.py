@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metric_search_spark.functions.spatial import cell_from_xy_col, spread_bits_col
+from metric_search_spark.functions.spatial import (
+    cell_from_cxy_col,
+    cell_from_xy_col,
+)
 
 __all__ = [
     "point_in_polygon_join",
@@ -39,10 +42,21 @@ __all__ = [
 ]
 
 
+def _edge_index_col(n: Column) -> Column:
+    """``sequence(1, n)`` that degrades to EMPTY for n < 1. Spark's
+    ``sequence`` with start > stop counts DOWN (sequence(1, 0) = [1, 0]),
+    so a degenerate ring/path would evaluate element_at(..., 0) and kill
+    the whole job with ELEMENT_AT_BY_INDEX_ZERO; an empty array makes it
+    contribute nothing instead."""
+    return F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))), lambda _: n >= F.lit(1)
+    )
+
+
 def _crossings_col(px: Column, py: Column, ring: Column) -> Column:
     """Ray-crossing COUNT of (px, py) against one closed ring."""
     n = F.size(ring)
-    idx = F.sequence(F.lit(1), n)
+    idx = _edge_index_col(n)
 
     def crossing(i: Column) -> Column:
         a = F.element_at(ring, i.cast("int"))
@@ -103,6 +117,43 @@ def pip_sql_rings_condition(
     return f"(({total}) % 2 = 1)"
 
 
+def _seg_square_hits(
+    ax: Column,
+    ay: Column,
+    bx: Column,
+    by: Column,
+    x_lo: Column,
+    x_hi: Column,
+    y_lo: Column,
+    y_hi: Column,
+) -> Column:
+    """EXACT segment-vs-CLOSED-square intersection by separating axes: the
+    bboxes overlap on the x- and y-axes AND the square's four corners do
+    not all lie strictly on one side of the segment's supporting line (the
+    line-normal axis). The ONE predicate behind both the border classifier
+    and the polyline rasterizer — a strictness change here moves both in
+    lockstep."""
+    bbox = (
+        (F.greatest(ax, bx) >= x_lo)
+        & (F.least(ax, bx) <= x_hi)
+        & (F.greatest(ay, by) >= y_lo)
+        & (F.least(ay, by) <= y_hi)
+    )
+    dx = bx - ax
+    dy = by - ay
+
+    def cross(px: Column, py: Column) -> Column:
+        return dx * (py - ay) - dy * (px - ax)
+
+    c = [cross(x_lo, y_lo), cross(x_hi, y_lo), cross(x_lo, y_hi), cross(x_hi, y_hi)]
+    all_pos = c[0] > 0
+    all_neg = c[0] < 0
+    for ci in c[1:]:
+        all_pos = all_pos & (ci > 0)
+        all_neg = all_neg & (ci < 0)
+    return bbox & ~all_pos & ~all_neg
+
+
 def _rings_expr(ring_col: str | None, rings_col: str | None) -> Column:
     """array<array<struct<x,y>>> from either a single-ring column (wrapped)
     or a native multipolygon rings column (used as-is)."""
@@ -152,12 +203,7 @@ def _bbox_cover(
         "_rings",
         F.col("_g.cx").alias("_cx"),
         F.col("_g.cy").alias("_cy"),
-        (
-            F.lit(res << 56)
-            + spread_bits_col(F.col("_g.cx")).bitwiseOR(
-                F.shiftleft(spread_bits_col(F.col("_g.cy")), 1)
-            )
-        ).alias("_cell"),
+        cell_from_cxy_col(F.col("_g.cx"), F.col("_g.cy"), res).alias("_cell"),
     )
 
 
@@ -209,7 +255,7 @@ def _segment_candidate_cells(
         F.col(line_id_col).alias("line_id"),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), nv - 1),
+                _edge_index_col(nv - 1),
                 lambda i: F.struct(
                     F.element_at(path, i.cast("int")).alias("a"),
                     F.element_at(path, (i + 1).cast("int")).alias("b"),
@@ -301,39 +347,18 @@ def polyline_tiles(
     cells = _segment_candidate_cells(lines, res, line_id_col, path_col, pad=1)
     x_lo = F.col("_g.cx").cast("double") * s
     y_lo = F.col("_g.cy").cast("double") * s
-    x_hi = x_lo + s
-    y_hi = y_lo + s
-    dx = F.col("_bx") - F.col("_ax")
-    dy = F.col("_by") - F.col("_ay")
-
-    def cross(px: Column, py: Column) -> Column:
-        return dx * (py - F.col("_ay")) - dy * (px - F.col("_ax"))
-
-    c = [cross(x_lo, y_lo), cross(x_hi, y_lo), cross(x_lo, y_hi), cross(x_hi, y_hi)]
-    all_pos = c[0] > 0
-    all_neg = c[0] < 0
-    for ci in c[1:]:
-        all_pos = all_pos & (ci > 0)
-        all_neg = all_neg & (ci < 0)
-    # bbox overlap holds by construction of the enumeration (modulo the grid
-    # clamp, which can pull out-of-grid cells inward — re-check it exactly)
-    bbox = (
-        (F.greatest("_ax", "_bx") >= x_lo)
-        & (F.least("_ax", "_bx") <= x_hi)
-        & (F.greatest("_ay", "_by") >= y_lo)
-        & (F.least("_ay", "_by") <= y_hi)
+    hit = _seg_square_hits(
+        F.col("_ax"),
+        F.col("_ay"),
+        F.col("_bx"),
+        F.col("_by"),
+        x_lo,
+        x_lo + s,
+        y_lo,
+        y_lo + s,
     )
-    tile = (
-        F.lit(res << 56)
-        + spread_bits_col(F.col("_g.cx")).bitwiseOR(
-            F.shiftleft(spread_bits_col(F.col("_g.cy")), 1)
-        )
-    ).cast("long")
-    return (
-        cells.where(bbox & ~all_pos & ~all_neg)
-        .select("line_id", tile.alias(out_col))
-        .distinct()
-    )
+    tile = cell_from_cxy_col(F.col("_g.cx"), F.col("_g.cy"), res)
+    return cells.where(hit).select("line_id", tile.alias(out_col)).distinct()
 
 
 def nearest_route_join(
@@ -369,12 +394,7 @@ def nearest_route_join(
     s = 2.0 ** (-res)
     pad = int(math.ceil(radius / s)) + 1
     cand = _segment_candidate_cells(lines, res, line_id_col, path_col, pad=pad)
-    cell = (
-        F.lit(res << 56)
-        + spread_bits_col(F.col("_g.cx")).bitwiseOR(
-            F.shiftleft(spread_bits_col(F.col("_g.cy")), 1)
-        )
-    ).cast("long")
+    cell = cell_from_cxy_col(F.col("_g.cx"), F.col("_g.cy"), res)
     index = cand.select(
         "line_id", "_seg_idx", "_ax", "_ay", "_bx", "_by", cell.alias("_cell")
     ).distinct()
@@ -453,9 +473,9 @@ def _edges_cross_col(rings_a: Column, rings_b: Column) -> Column:
                 o4 = orient(b1["x"], b1["y"], b2["x"], b2["y"], a2["x"], a2["y"])
                 return (o1 * o2 < 0) & (o3 * o4 < 0)
 
-            return F.exists(F.sequence(F.lit(1), nb), edge_b)
+            return F.exists(_edge_index_col(nb), edge_b)
 
-        return F.exists(F.sequence(F.lit(1), na), edge_a)
+        return F.exists(_edge_index_col(na), edge_a)
 
     return F.exists(
         rings_a, lambda ra: F.exists(rings_b, lambda rb: ring_pair(ra, rb))
@@ -644,7 +664,7 @@ def _edge_in_cell_col(rings: Column, cx: Column, cy: Column, res: int) -> Column
                 all_neg = all_neg & (ci < 0)
             return bbox & ~all_pos & ~all_neg
 
-        return F.exists(F.sequence(F.lit(1), n), hits)
+        return F.exists(_edge_index_col(n), hits)
 
     return F.exists(rings, ring_hits)
 

@@ -164,7 +164,8 @@ def cluster_quota(
     finally:
         parted.unpersist()
     bucket = F.lit(None).cast("long")
-    # build CASE from the last boundary down so the first match wins
+    # boundaries are cumulative so the (prev, b] ranges are disjoint; the
+    # WHEN order is immaterial
     expr = None
     prev = 0
     for i, b in enumerate(bounds):
@@ -206,6 +207,23 @@ def cluster_quota_sql(
 
 
 __all__.append("cluster_quota_sql")
+
+
+_PREFIX_MASK = (1 << 56) - 1
+
+
+def _tile_parent_col(tile: Column, parent_lvl: int | Column) -> Column:
+    """Morton parent: child cell (lvl<<56 | prefix) → (parent_lvl<<56 |
+    prefix >> 2) — the ONE parent-shift expression behind the rollup
+    pyramid and quadtree compaction."""
+    lvl_part = (
+        F.lit(parent_lvl << 56)
+        if isinstance(parent_lvl, int)
+        else parent_lvl * F.lit(1 << 56)
+    )
+    return (
+        lvl_part + F.shiftright(tile.bitwiseAND(F.lit(_PREFIX_MASK)), 2)
+    ).cast("long")
 
 
 def tile_rollup(
@@ -254,12 +272,7 @@ def tile_rollup(
     if value_col is not None:
         re_aggs.append(F.sum("val").alias("val"))
     for lvl in range(res - 1, -1, -1):
-        parent = (
-            F.lit(lvl << 56)
-            + F.shiftright(
-                F.col("tile").bitwiseAND(F.lit((1 << 56) - 1)), 2
-            )
-        ).cast("long")
+        parent = _tile_parent_col(F.col("tile"), lvl)
         cur = (
             cur.select(
                 parent.alias("tile"),
@@ -327,9 +340,10 @@ def tile_kernel_density(
     """Epanechnikov-weighted kernel density over the tile grid: each tile's
     density is Σ over its Chebyshev-k neighborhood of
     w(dx,dy) · count, with w = ((k+1)² − (dx²+dy²)) / (k+1)² — the
-    grid-offset Epanechnikov kernel (1 at the center, decaying to > 0 at
-    the ring corners). Same two-shuffle scatter plan as
-    :func:`tile_focal_sum`.
+    grid-offset Epanechnikov kernel over its POSITIVE support
+    dx²+dy² < (k+1)² — for k ≥ 3 the Chebyshev ring's corners fall outside
+    it and are dropped, never scattered with a negative weight. Same
+    two-shuffle scatter plan as :func:`tile_focal_sum`.
 
     EXACTNESS over distributed float summation: the kernel's numerator is
     an INTEGER, so partial aggregation sums exact longs (order-independent)
@@ -356,13 +370,14 @@ def tile_kernel_density(
         F.lit((k + 1) ** 2)
         - (F.col("_o.dx") * F.col("_o.dx") + F.col("_o.dy") * F.col("_o.dy"))
     ).cast("long")
+    # kernel support is dx²+dy² < (k+1)²: for k ≥ 3 the Chebyshev ring's
+    # corners fall OUTSIDE it (e.g. k=3, offset (3,3): 16 − 18 < 0) — drop
+    # them rather than scatter negative weights
+    scattered = scattered.where(wnum > 0)
     re_aggs = [(F.sum(wnum * F.col("cnt")) / F.lit(denom)).alias("density")]
     if value_col is not None:
         re_aggs.append((F.sum(wnum * F.col("val")) / F.lit(denom)).alias("wval"))
     return scattered.groupBy(F.col("_o.cell").alias("tile")).agg(*re_aggs)
-
-
-_PREFIX_MASK = (1 << 56) - 1
 
 
 def compact_tiles(
@@ -400,10 +415,7 @@ def compact_tiles(
     for lvl in range(int(max_res), 0, -1):
         cand = pool.where(res_col == lvl)
         rest = pool.where(res_col != lvl)
-        parent = (
-            F.lit((lvl - 1) << 56)
-            + F.shiftright(F.col("tile").bitwiseAND(F.lit(_PREFIX_MASK)), 2)
-        ).cast("long")
+        parent = _tile_parent_col(F.col("tile"), lvl - 1)
         grp = (
             cand.groupBy(*by, parent.alias("_parent"))
             .agg(F.count("*").alias("_n"), F.collect_list("tile").alias("_kids"))
@@ -421,7 +433,7 @@ def compact_tiles(
     out = pool  # after lvl=1, only merged level-0 cells remain
     for part in finished:
         out = out.unionByName(part)
-    return out
+    return out.select(*by, F.col("tile").alias(tile_col))
 
 
 def uncompact_tiles(

@@ -494,6 +494,68 @@ def test_compact_respects_groups(spark):
     assert len(out) == 2
 
 
+def test_compact_honors_tile_col_name(spark):
+    """compact/uncompact round-trip under a non-default tile column name
+    (the output must carry tile_col, not a hardcoded 'tile')."""
+    res = 3
+    cells = _rand_cells(np.random.default_rng(9), res, 30)
+    df = spark.createDataFrame([(int(c),) for c in cells], "cell long")
+    comp = compact_tiles(df, tile_col="cell")
+    assert comp.columns == ["cell"]
+    back = sorted(
+        r["cell"] for r in uncompact_tiles(comp, res, tile_col="cell").collect()
+    )
+    assert back == cells
+
+
+def test_degenerate_geometry_contributes_nothing(spark):
+    """Empty rings and <2-vertex paths must NOT crash the job (Spark's
+    sequence(1, 0) counts DOWN to element_at(..., 0)): they contribute no
+    edges/segments and disappear from the output."""
+    from metric_search_spark.operators.pip import polyline_tiles
+
+    # single-ping + empty paths alongside one real route
+    schema = StructType(
+        [
+            StructField("line_id", StringType()),
+            StructField(
+                "path",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    lines = spark.createDataFrame(
+        [
+            ("ping", [{"x": 0.5, "y": 0.5}]),
+            ("empty", []),
+            ("real", [{"x": 0.1, "y": 0.1}, {"x": 0.3, "y": 0.2}]),
+        ],
+        schema,
+    )
+    got = {r["line_id"] for r in polyline_tiles(lines, res=5).collect()}
+    assert got == {"real"}
+    # polygon with an empty ring in its rings array: the empty ring adds
+    # no crossings; the shell still matches
+    shell = [(0.2, 0.2), (0.8, 0.2), (0.8, 0.8), (0.2, 0.8)]
+    polys = spark.createDataFrame(
+        [("withempty", [[{"x": x, "y": y} for x, y in shell], []])],
+        _RINGS_SCHEMA,
+    )
+    pts = _pts_df(spark, n=50, seed=91)
+    rows = zone_join(pts, polys, res=5, rings_col="rings").collect()
+    pdf = pts.toPandas()
+    want = {
+        (int(r.id), "withempty")
+        for r in pdf.itertuples()
+        if 0.2 < r.x < 0.8 and 0.2 < r.y < 0.8
+    }
+    assert {(r["id"], r["poly_id"]) for r in rows} == want and want
+
+
 def test_uncompact_rejects_finer_cells(spark):
     df = spark.createDataFrame([(int((5 << 56) | 3),)], "tile long")
     with pytest.raises(Exception, match="finer than target res"):
@@ -888,14 +950,17 @@ def test_kernel_density_matches_brute_twin_exactly(spark, k):
         for dx in range(-k, k + 1):
             for dy in range(-k, k + 1):
                 rx, ry = cx + dx, cy + dy
-                if 0 <= rx < grid and 0 <= ry < grid:
-                    w = (k + 1) ** 2 - (dx * dx + dy * dy)
+                w = (k + 1) ** 2 - (dx * dx + dy * dy)
+                # kernel support is dx²+dy² < (k+1)²: k=3 ring corners fall
+                # outside it and contribute nothing (engine drops them too)
+                if 0 <= rx < grid and 0 <= ry < grid and w > 0:
                     nc, nv = num.get((rx, ry), (0, 0))
                     num[(rx, ry)] = (nc + w * c, nv + w * v)
     want = {
         (morton(cx, cy), nc / denom, nv / denom) for (cx, cy), (nc, nv) in num.items()
     }
     assert got == want  # exact float equality, by construction
+    assert all(d >= 0 for _, d, _ in got)  # Epanechnikov never negative
 
 
 def test_kernel_density_two_shuffles_only(spark):
