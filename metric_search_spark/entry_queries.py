@@ -15,15 +15,17 @@ margin to the nearest achievable value (documented inline per query).
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metric_search_spark.functions.spatial import (
     cell_from_xy_sql,
     coord_sql,
+    morton_bitsum_sql,
 )
 from metric_search_spark.functions.vector import (
     cosine_sim_sql,
@@ -45,7 +47,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def images_n_for_sf(sf_dir: str) -> int:
     """Deterministic image-table size per scale factor (FIXTURES.md F1):
     sf0.001 → 2,000 rows; sf0.01 → 20,000; sf0.1 → 200,000."""
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # \d+(\.\d+)? — a greedy [0-9.]+ would capture "0.01." from
+    # ".../sf0.01.bak" and crash float()
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else 0.001
     return max(200, int(2_000_000 * sf))
 
@@ -243,13 +247,7 @@ def _o_tile_rollup_sql() -> str:
 
     parts = []
     for lvl in range(_ROLLUP_RES + 1):
-        enc = (
-            f"{lvl * (1 << 56)} + CAST(coalesce(list_sum(list_transform("
-            f"range(0, {lvl}),"
-            f" b -> ((cx >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))"
-            f" + ((cy >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)"
-            f" AS BIGINT)"
-        )
+        enc = morton_bitsum_sql("cx", "cy", lvl)
         parts.append(
             f"SELECT {lvl} AS res, {enc} AS tile, count(*) AS cnt,"
             f" sum(CAST(label AS BIGINT)) AS val"
@@ -296,10 +294,7 @@ WITH g AS (
   FROM embeddings
 )
 SELECT id,
-       {res * (1 << 56)} + CAST(list_sum(list_transform(range(0, {res}),
-           b -> (((cx + dx.i) >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))
-              + (((cy + dy.i) >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1))))
-           AS BIGINT) AS ring_cell
+       {morton_bitsum_sql("(cx + dx.i)", "(cy + dy.i)", res)} AS ring_cell
 FROM g, range({-k}, {k + 1}) dx(i), range({-k}, {k + 1}) dy(i)
 WHERE cx + dx.i BETWEEN 0 AND {n - 1}
   AND cy + dy.i BETWEEN 0 AND {n - 1}
@@ -562,7 +557,10 @@ FROM events
 # parameters at the same key must serialize externally. A per-run token can't
 # go in the key because oracle SQL strings may be generated by a different
 # process than the one that runs the queries (the driver contract).
-_HANDOFF_PATH_TMPL = "/tmp/msk_{name}_handoff_{key}.parquet"
+# per-UID filename: on a shared host another user's identically-named
+# /tmp file would make os.replace raise (sticky-bit) or feed the oracle
+# foreign state
+_HANDOFF_PATH_TMPL = f"/tmp/msk_{{name}}_handoff_u{os.getuid()}_{{key}}.parquet"
 
 
 def _handoff_path(name: str, key) -> str:
@@ -637,11 +635,14 @@ def q_flagship_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     xc, yc = coord_cols(F.col("phash"))
     # numeric join keys beat 15-byte strings through the shuffle; image_id is
     # img%012d so the long round-trips exactly (restored via format_string)
+    # localCheckpoint, not persist: the table is consumed twice (kNN probe/
+    # build + tile side) and the query has no post-materialization hook to
+    # unpersist — repeated in-process runs would pile CacheManager entries
     tbl = imgs.select(
         F.substring("image_id", 4, 12).cast("long").alias("id"),
         xc.alias("x"),
         yc.alias("y"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     out = knn_join(tbl, tbl, k=10, vec_col=None)
     tiles = tile_assign(tbl, res=6).select(F.col("id").alias("query_id"), "tile")
     joined = out.join(tiles, "query_id")
@@ -1016,10 +1017,7 @@ def _o_polyfill_sql() -> str:
         )
         parts.append(
             f"SELECT '{pid}' AS poly_id,"
-            f" {res * (1 << 56)} + CAST(list_sum(list_transform(range(0, {res}),"
-            f" k -> ((cx >> k) & 1) * (CAST(1 AS BIGINT) << (2*k))"
-            f" + ((cy >> k) & 1) * (CAST(1 AS BIGINT) << (2*k + 1)))) AS BIGINT)"
-            f" AS tile"
+            f" {morton_bitsum_sql('cx', 'cy', res)} AS tile"
             f" FROM (SELECT gx.i AS cx, gy.i AS cy"
             f" FROM range(0, {n}) gx(i), range(0, {n}) gy(i))"
             f" WHERE {cond}"
@@ -1171,13 +1169,7 @@ def _o_compact_sql() -> str:
         )
     outs = []
     for lvl in range(res + 1):
-        enc = (
-            f"{lvl * (1 << 56)} + CAST(coalesce(list_sum(list_transform("
-            f"range(0, {lvl}),"
-            f" b -> ((a.px >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))"
-            f" + ((a.py >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)"
-            f" AS BIGINT)"
-        )
+        enc = morton_bitsum_sql("a.px", "a.py", lvl)
         sel = f"SELECT a.poly_id, {enc} AS tile FROM f{lvl} a"
         if lvl > 0:
             sel += (
@@ -1284,10 +1276,7 @@ def _o_polyline_sql() -> str:
         ]
         parts.append(
             f"SELECT '{lid}' AS line_id,"
-            f" {res * (1 << 56)} + CAST(list_sum(list_transform(range(0, {res}),"
-            f" k -> ((cx >> k) & 1) * (CAST(1 AS BIGINT) << (2*k))"
-            f" + ((cy >> k) & 1) * (CAST(1 AS BIGINT) << (2*k + 1)))) AS BIGINT)"
-            f" AS tile"
+            f" {morton_bitsum_sql('cx', 'cy', res)} AS tile"
             f" FROM (SELECT gx.i AS cx, gy.i AS cy"
             f" FROM range(0, {n}) gx(i), range(0, {n}) gy(i))"
             f" WHERE {' OR '.join(seg_conds)}"
@@ -1303,7 +1292,7 @@ _NEAREST_RES, _NEAREST_RADIUS = 6, 0.09
 
 def q_nearest_route_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-matching join (operators/pip.nearest_route_join): every point
-    snaps to its nearest fixture route within radius 0.04 — padded
+    snaps to its nearest fixture route within radius 0.09 — padded
     supercover raster index broadcast, cell equi-join, exact
     clamped-projection refine, one argmin aggregation. Oracle: DuckDB
     scores EVERY (point, segment) pair brute-force with the same clamped
@@ -1384,13 +1373,7 @@ def _o_focal_sql() -> str:
 
     res, k = _FOCAL_RES, _FOCAL_K
     n = 1 << res
-    enc = (
-        f"{res * (1 << 56)} + CAST(coalesce(list_sum(list_transform("
-        f"range(0, {res}),"
-        f" b -> ((rx >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))"
-        f" + ((ry >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)"
-        f" AS BIGINT)"
-    )
+    enc = morton_bitsum_sql("rx", "ry", res)
     return f"""
 WITH g AS (
   SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
@@ -1432,13 +1415,7 @@ def _o_kde_sql() -> str:
     res, k = _KDE_RES, _KDE_K
     n = 1 << res
     denom = float((k + 1) ** 2)
-    enc = (
-        f"{res * (1 << 56)} + CAST(coalesce(list_sum(list_transform("
-        f"range(0, {res}),"
-        f" b -> ((rx >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))"
-        f" + ((ry >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)"
-        f" AS BIGINT)"
-    )
+    enc = morton_bitsum_sql("rx", "ry", res)
     return f"""
 WITH g AS (
   SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
@@ -1837,7 +1814,11 @@ def _pq_run(
         handoff=ho,
     )
     if ho is not None:
-        assert ho["books"].shape[1] == _PQ_KS  # oracle SQL hard-codes the stride
+        if ho["books"].shape[1] != _PQ_KS:  # oracle SQL hard-codes the stride
+            raise ValueError(
+                f"PQ hand-off stride {ho['books'].shape[1]} != {_PQ_KS}; "
+                "the oracle's flat-LUT gather would read wrong entries"
+            )
         tag = _sf_tag(sf_dir)
         _write_handoff(
             pd.DataFrame(
@@ -2118,9 +2099,13 @@ SELECT l.event_id, l.user_id,
        coalesce(r.pmillis, -1) AS pmillis
 FROM events l
 ASOF LEFT JOIN (
-  SELECT user_id, ts, event_id AS pid,
-         CAST(floor(value * 1000) AS BIGINT) AS pmillis
-  FROM events WHERE event_type = 'purchase'
+  -- pre-dedup equal (user_id, ts) purchases to the max-pid row: the engine
+  -- tie-breaks on right_order="pid", while native ASOF picks an UNSPECIFIED
+  -- row among equal r.ts — no current fixture has such ties, but the oracle
+  -- must stay deterministic at any sf
+  SELECT user_id, ts, max(event_id) AS pid,
+         CAST(floor(arg_max(value, event_id) * 1000) AS BIGINT) AS pmillis
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
@@ -2207,7 +2192,11 @@ def _ivfpq_run(
         handoff=ho,
     )
     if ho is not None:
-        assert ho["books"].shape[1] == _PQ_KS
+        if ho["books"].shape[1] != _PQ_KS:
+            raise ValueError(
+                f"PQ hand-off stride {ho['books'].shape[1]} != {_PQ_KS}; "
+                "the oracle's flat-LUT gather would read wrong entries"
+            )
         tag = _sf_tag(sf_dir)
         luts_pdf = ho["luts_df"].toPandas()
         _write_handoff(
@@ -2339,7 +2328,7 @@ def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tree.cpp:842-870), nesting child.level == parent.level - 1 (holds for
     pure-insert builds), and stored-parent_dist consistency — so a matching
     histogram certifies every serialized node satisfies them."""
-    import tempfile
+    import shutil
 
     from metric_search_spark.functions.spatial import coord_cols
     from metric_search_spark.sources.index import build_index, load_nodes
@@ -2351,7 +2340,10 @@ def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         xc.alias("x"),
         yc.alias("y"),
     )
-    path = tempfile.mkdtemp(prefix="msk_idx_")
+    # fixed per-sf path, cleared up front (the knn_after_delete pattern):
+    # a fresh mkdtemp per run leaked one full index dir per invocation
+    path = f"/tmp/msk_idx_u{os.getuid()}_{_sf_tag(sf_dir)}"
+    shutil.rmtree(path, ignore_errors=True)
     build_index(tbl, path, res=3, batches=4)
     nodes = load_nodes(spark, path)
     if _handoff_enabled():
@@ -2415,7 +2407,9 @@ def q_twed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 32,
             ).alias("series")
         )
-    )
+    ).localCheckpoint(eager=True)  # the anchor .first() below would otherwise
+    # re-run the whole per-user aggregation a second time when the main plan
+    # materializes — at 10⁹ events that is a doubled full-data shuffle
     anchor = series.orderBy("user_id").first()["series"]
 
     def fn(batches):

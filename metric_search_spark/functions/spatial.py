@@ -40,6 +40,7 @@ __all__ = [
     "cell_col",
     "cell_from_xy_col",
     "cell_from_cxy_col",
+    "morton_bitsum_sql",
     "cell_xy_cols",
     "kring_cells_col",
     "cell_sql",
@@ -265,6 +266,22 @@ def phash_sql(x_expr: str, y_expr: str) -> str:
 
 def cell_from_xy_sql(x_expr: str, y_expr: str, res: int) -> str:
     return cell_sql(phash_sql(x_expr, y_expr), res)
+
+
+def morton_bitsum_sql(cx_expr: str, cy_expr: str, res: int) -> str:
+    """Grid indices → cell id as an EXPLICIT per-bit sum (DuckDB):
+    res<<56 + Σ_b ((cx>>b)&1)·4^b + ((cy>>b)&1)·2·4^b. Deliberately shares
+    no arithmetic shape with the engine's spread-mask interleave — the
+    oracle-side twin of ``cell_from_cxy_col``, used by every grid-oracle
+    builder (rollup, kring, polyfill, compact, polyline, focal, kde).
+    ``coalesce`` covers res=0 (empty list_transform → NULL)."""
+    return (
+        f"({res * (1 << 56)} + CAST(coalesce(list_sum(list_transform("
+        f"range(0, {res}),"
+        f" b -> (({cx_expr} >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))"
+        f" + (({cy_expr} >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)"
+        f" AS BIGINT))"
+    )
 
 
 def cell_sql(phash_expr: str, res: int) -> str:
