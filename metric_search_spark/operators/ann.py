@@ -222,21 +222,29 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     from metric_search_spark.core.metrics import get_metric
+    from metric_search_spark.operators.joins import _require_distance
 
     m = get_metric(metric)
+    # cosine is a SIMILARITY here (the reference's Standards.cpp quirk):
+    # ranking it ascending would return the k WORST matches, and the L2
+    # centroid routing assumes a distance — same guard as knn_join/range_join
+    _require_distance(m)
     pid = probe_id_col or id_col
     qt = probes.schema[pid].dataType.simpleString()
     bt = build.schema[id_col].dataType.simpleString()
     n_build = build.count()
     frac = min(1.0, sample_rows / max(n_build, 1))
-    sample = np.vstack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in build.select(F.col(vec_col).cast("array<double>"))
-            .sample(frac, seed=seed)
-            .collect()
-        ]
+    srows = (
+        build.select(F.col(vec_col).cast("array<double>"))
+        .sample(frac, seed=seed)
+        .collect()
     )
+    if not srows:
+        raise ValueError(
+            "ivf_topk: build-side sample is empty (build side has no rows?) — "
+            "the coarse quantizer cannot train"
+        )
+    sample = np.vstack([np.asarray(r[0], dtype=np.float64) for r in srows])
     C = _kmeans_centroids(sample, n_lists, kmeans_iters, seed)
     n_lists_eff = len(C)
     n_probe_eff = min(n_probe, n_lists_eff)
@@ -349,7 +357,12 @@ def cosine_topk_lsh(
     vector is re-joined ONCE after dedup — a duplicated candidate never moves
     its 2×dim doubles through the dedup exchange (pinned in
     tests/test_ann_lsh.py via plans.inspect)."""
-    dim = len(build.select(vec_col).first()[0])
+    first = build.select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            "cosine_topk_lsh: build side has no rows — nothing to hash"
+        )
+    dim = len(first[0])
     a = lsh_band_signatures(
         probes,
         id_col=probe_id_col or id_col,

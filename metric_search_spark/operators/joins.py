@@ -237,26 +237,6 @@ def _with_salt(side_c: DataFrame, salts: DataFrame) -> DataFrame:
     )
 
 
-def _halo_build(
-    build_c: DataFrame, salts: DataFrame, res: int, ring_k: int
-) -> DataFrame:
-    """Build side of the fast path: each build row replicated to every group
-    (= probe cell) within its k-ring, fanned out across that group's probe
-    salt buckets."""
-    payload = _payload_cols(build_c)
-    exploded = build_c.select(
-        *payload,
-        F.explode(kring_cells_col(F.col("_cell"), res, ring_k)).alias("_cell"),
-    )
-    return exploded.join(F.broadcast(salts), "_cell", "left").select(
-        *payload,
-        "_cell",
-        F.explode(
-            F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
-        ).alias("_salt"),
-    )
-
-
 def _pack_cells(side_c: DataFrame) -> DataFrame:
     """Collapse a prepared side to ONE row per cell with columnar arrays of
     its records (ids, coords, optional vectors) — all JVM-side expression
@@ -762,7 +742,7 @@ def knn_join(
                     F.coalesce(F.col("cnt"), F.lit(0))
                     >= F.lit(min(k, max(n_build, 1)))
                 )
-                & (F.col("kth") <= F.col("guar"))
+                & (F.col("kth") < F.col("guar"))
             ).alias("ok"),
         )
         unresolved_ids = (
@@ -832,7 +812,7 @@ def knn_join(
                             F.coalesce(F.col("cnt"), F.lit(0))
                             >= F.lit(min(k, max(n_build, 1)))
                         )
-                        & (F.col("kth") <= F.col("guar"))
+                        & (F.col("kth") < F.col("guar"))
                     ).alias("ok"),
                 )
                 unresolved_ids = (
@@ -952,11 +932,15 @@ def range_join(
             }
         )
 
-    return (
+    out = (
         probes_s.groupBy("_cell", "_salt")
         .cogroup(halo.groupBy("_cell", "_salt"))
         .applyInPandas(fn, schema=out_schema)
     )
+    # release handle for the internal probes cache (the knn_join convention:
+    # getattr(out, "_msk_backing", out).unpersist() when done)
+    out._msk_backing = probes_c  # type: ignore[attr-defined]
+    return out
 
 
 def asof_join(
@@ -995,15 +979,23 @@ def asof_join(
     ``<col><suffix>``."""
     keys = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in right.columns if c not in keys and c != on]
-    ro = right_order if right_order is not None else F.lit(0)
-    if isinstance(ro, str):
-        ro = F.col(ro)
+    if right_order is not None:
+        # order by the column's OWN type: a cast to long would silently
+        # null out string/timestamp tie-breakers and reintroduce the
+        # nondeterminism the parameter exists to remove
+        rord_type = right.schema[right_order].dataType
+        ro: Column = F.col(right_order)
+    else:
+        from pyspark.sql.types import LongType
+
+        rord_type = LongType()
+        ro = F.lit(0).cast("long")
 
     lcols = [F.col(c) for c in left.columns]
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_rord"),
+        F.lit(None).cast(rord_type).alias("_rord"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in payload],
     )
     r_tag = right.select(
@@ -1011,7 +1003,7 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(on),
         F.lit(0).alias("_side"),
-        ro.cast("long").alias("_rord"),
+        ro.alias("_rord"),
         *[F.col(c).alias(f"{c}{suffix}") for c in payload],
     ).select(*[f"{c}" for c in l_tag.columns])  # align column order
     merged = l_tag.unionByName(r_tag)
@@ -1020,18 +1012,22 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_rord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # carry the payload columns AND the match's own (on, order) so ties and
-    # provenance stay inspectable; all carries share one window -> one sort
+    # carry the matched right row as ONE struct, null on left rows: per-
+    # column last(ignorenulls) would backfill a NULL payload field from an
+    # OLDER right row, emitting a row that never existed (DuckDB ASOF
+    # returns the matched row's fields verbatim, NULLs included); all
+    # carries still share one window -> one sort
+    rrow = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in payload]),
+    ).otherwise(F.lit(None))
     carried = merged.select(
         *[c for c in merged.columns if c not in ("_side", "_rord")],
         F.col("_side"),
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in payload
-        ],
+        F.last(rrow, ignorenulls=True).over(w).alias("_c"),
     )
     out = carried.where(F.col("_side") == 1).select(
         *[c for c in left.columns],
-        *[F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in payload],
+        *[F.col(f"_c.{c}").alias(f"{c}{suffix}") for c in payload],
     )
     return out

@@ -38,6 +38,7 @@ __all__ = [
     "windowed_event_stats_batch",
     "session_event_stats",
     "session_event_stats_batch",
+    "stateful_user_ewma",
 ]
 
 EVENTS_SCHEMA = (
@@ -253,8 +254,14 @@ def stateful_user_ewma(
         import numpy as np
 
         ewma, n = state.get if state.exists else (0.0, 0)
+        # a group larger than one Arrow batch arrives as MULTIPLE chunks in
+        # pdf_iter; sorting each chunk independently would fold events out
+        # of (ts, event_id) order whenever file row order isn't time order —
+        # concat first, sort ONCE across the whole micro-batch's group
+        chunks = list(pdf_iter)
         frames = []
-        for pdf in pdf_iter:
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             x = np.floor(pdf["value"].to_numpy() * 1000.0)
             out = np.empty(len(x), dtype=np.float64)

@@ -44,6 +44,36 @@ def test_asof_semantics_inclusive_and_no_prior():
     assert got == [None, 100, 101]  # t=5: nothing; t=20: inclusive; t=30: latest
 
 
+def test_asof_null_payload_not_backfilled():
+    """A NULL field in the MATCHED right row must come through as NULL —
+    a per-column ignorenulls carry would backfill it from an older right
+    row, emitting a mixed row that never existed (DuckDB ASOF returns the
+    matched row verbatim)."""
+    spark = get_spark()
+    left = _df(spark, {"k": [1], "lid": [10], "t": [3]}, "k long, lid long, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 5, 9), (1, 2, None, 7)], "k long, t long, a long, b long"
+    )
+    out = asof_join(left, right, on="t", by="k", right_order="b").toPandas()
+    # match is the t=2 row: a is NULL there, b is 7 — a must NOT be 5
+    assert pd.isna(out["a_r"].iloc[0])
+    assert int(out["b_r"].iloc[0]) == 7
+
+
+def test_asof_string_right_order_tie_break():
+    """right_order columns keep their OWN type: a string tie-breaker must
+    order lexicographically, not be silently cast-to-long into NULLs."""
+    spark = get_spark()
+    left = _df(spark, {"k": [1], "lid": [10], "t": [50]}, "k long, lid long, t long")
+    right = spark.createDataFrame(
+        [(1, 40, "evt-b", 1), (1, 40, "evt-a", 2)],
+        "k long, t long, uid string, val long",
+    )
+    out = asof_join(left, right, on="t", by="k", right_order="uid").toPandas()
+    assert out["uid_r"].iloc[0] == "evt-b"  # lexicographically last wins
+    assert int(out["val_r"].iloc[0]) == 1
+
+
 def test_asof_duplicate_right_ts_tie_breaks_on_right_order():
     """Two right rows at the same timestamp: the one with the LARGEST
     right_order wins (last in the carry order) — deterministic, documented."""
