@@ -92,10 +92,15 @@ def minhash_lsh_pairs(
     groupBy band-key equi-join (the only shuffle) → distinct pairs → exact
     verify on the joined shingle sets.
     """
+    # docs shorter than shingle_n words have an EMPTY shingle set: their
+    # signature would be all-NULL (array_min of []), every such doc would
+    # share one constant band key, and the band join would materialize a
+    # quadratic candidate blowup of unrelated short docs (crawl corpora are
+    # full of them). They can never near-dup via shingles — drop them here.
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_col(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    )
+    ).where(~F.isnull(F.element_at("sig", 1)))
     return minhash_lsh_pairs_from_sig(
         sig,
         df,
@@ -228,7 +233,14 @@ def simhash_col(text: Column) -> Column:
         if len(hashes) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
         arrs = hashes.to_numpy()
-        lens = np.fromiter(map(len, arrs), dtype=np.int64, count=len(arrs))
+        # NULL text folds like an EMPTY doc (simhash 0), matching the
+        # Column twin's coalesced fold; bare len(None) used to crash the
+        # whole job on the first NULL row
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs),
+            dtype=np.int64,
+            count=len(arrs),
+        )
         out = np.zeros(len(arrs), dtype=np.int64)
         nz = np.nonzero(lens)[0]  # docs with ≥1 token (empty → simhash 0,
         if len(nz):  # matching the old kernel's empty-planes sum)

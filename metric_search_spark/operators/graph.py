@@ -125,38 +125,47 @@ def connected_components(
     min-label propagation loop (kept as the oracle-shaped baseline)."""
     if algorithm == "star":
         return _cc_star(edges, nodes, max_rounds)
-    und = _undirected(edges)
-    if nodes is None:
-        nodes = und.select(F.col("src").alias("node")).distinct()
-    # localCheckpoint per round: each round's plan references the previous
-    # labels twice (union + change check), so lineage doubles per round —
-    # eager checkpoints keep the plan constant-size
-    labels = (
-        nodes.select("node")
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_rounds):
-        msgs = labels.join(und, labels["node"] == und["src"]).select(
-            F.col("dst").alias("node"), "component"
-        )
-        new_labels = (
-            labels.select("node", "component")
-            .unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+    # persist the normalized edges: every round's msgs join re-reads them,
+    # so an expensive upstream plan would otherwise recompute per round
+    und = _undirected(edges).persist()
+    try:
+        if nodes is None:
+            nodes = und.select(F.col("src").alias("node")).distinct()
+        # localCheckpoint per round: each round's plan references the
+        # previous labels twice (union + change check), so lineage doubles
+        # per round — eager checkpoints keep the plan constant-size
+        labels = (
+            nodes.select("node")
+            .withColumn("component", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        for _ in range(max_rounds):
+            msgs = labels.join(und, labels["node"] == und["src"]).select(
+                F.col("dst").alias("node"), "component"
+            )
+            new_labels = (
+                labels.select("node", "component")
+                .unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            # the change check above was the last reader of the old
+            # generation — release its checkpoint blocks now instead of
+            # waiting on GC (the BFS-leg lesson)
+            _release_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        und.unpersist()
 
 
 def _min_neighbor(und: DataFrame) -> DataFrame:
@@ -235,10 +244,7 @@ def _cc_star(
         )
         # localCheckpoint (not persist): truncates the logical plan each
         # round — 20+ rounds of stacked join/distinct lineage otherwise blow
-        # up analysis/driver memory long before the data does. Checkpoint
-        # blocks of finished rounds are reclaimed by the ContextCleaner when
-        # the driver GCs the DataFrame (they are not cache-manager entries,
-        # so an unpersist() here would be a no-op — ADVICE r2).
+        # up analysis/driver memory long before the data does.
         nxt = (
             large.unionByName(small)
             .where(F.col("src") != F.col("dst"))
@@ -248,6 +254,12 @@ def _cc_star(
         # converged when every node's neighbors already sit on the component
         # minimum: edge set unchanged (digest equality, see _digest above)
         digest = _digest(nxt)
+        # the digest action was the last reader of the superseded round's
+        # edges — release its checkpoint blocks deterministically rather
+        # than waiting for the driver to GC the DataFrame (the BFS-leg
+        # lesson; up to max_rounds generations of the full edge set
+        # otherwise stay pinned in executor storage)
+        _release_checkpoint(cur)
         cur = nxt
         if digest == prev_digest:
             break
@@ -516,6 +528,11 @@ def paley_edges(spark, q: int) -> DataFrame:
     """Paley graph (details/graph.cpp:536-562): vertices Z_q (q prime ≡ 1 mod
     4); i ~ j iff (i − j) is a nonzero quadratic residue mod q. Pure
     spark.range + modular arithmetic — no driver-side enumeration."""
+    # q prime ≡ 1 (mod 4) is what makes −1 a residue and the graph
+    # UNDIRECTED; q ≡ 3 (mod 4) silently yields a directed tournament and a
+    # composite q a meaningless residue set — reject like lps_edges does
+    if not is_prime(q) or q % 4 != 1:
+        raise ValueError(f"paley_edges: q={q} must be a prime ≡ 1 (mod 4)")
     residues = (
         spark.range(1, q)
         .select(((F.col("id") * F.col("id")) % q).alias("r"))

@@ -30,11 +30,13 @@ def count_exchanges(df: DataFrame) -> int:
     ``Exchange hashpartitioning(...)`` match finds NOTHING there — a bug
     that silently made every plan pin vacuous until a one-shuffle assertion
     (which can't pass vacuously) caught it. Simple mode inlines the
-    arguments, making the contiguous match real."""
+    arguments, making the contiguous match real. RoundRobinPartitioning
+    (``df.repartition(n)``) counts too — a shuffle is a shuffle."""
     txt = explain_text(df, mode="simple")
     return len(
         re.findall(
-            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            r"\bExchange (?:hashpartitioning|rangepartitioning"
+            r"|RoundRobinPartitioning|SinglePartition)",
             txt,
         )
     )
@@ -47,12 +49,20 @@ def exchange_partition_keys(df: DataFrame) -> list[str]:
     that expect shuffles should assert non-empty first, or the pin is
     vacuous."""
     txt = explain_text(df, mode="simple")
-    return [
-        m.group(1)
-        for m in re.finditer(
-            r"\bExchange (?:hash|range)partitioning\(([^)]*)\)", txt
-        )
-    ]
+    out = []
+    for m in re.finditer(r"\bExchange (?:hash|range)partitioning\(", txt):
+        # balanced-paren capture: a [^)]* match truncates at the first ')'
+        # inside a nested key expression (e.g. cast(x#3 as int)), silently
+        # dropping the rest of the key list and making key pins vacuous
+        depth, i = 1, m.end()
+        while i < len(txt) and depth:
+            if txt[i] == "(":
+                depth += 1
+            elif txt[i] == ")":
+                depth -= 1
+            i += 1
+        out.append(txt[m.end() : i - 1])
+    return out
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
@@ -64,8 +74,12 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
 
 def has_single_partition_exchange(df: DataFrame) -> bool:
     """True if the plan funnels data through Exchange SinglePartition — the
-    global-sort anti-pattern that serializes at scale."""
-    return "Exchange SinglePartition" in explain_text(df)
+    global-sort anti-pattern that serializes at scale.
+
+    SIMPLE mode, for the same reason as count_exchanges: formatted mode
+    puts ``SinglePartition`` on a separate Arguments line, so the
+    contiguous match never fired and this check was vacuously False."""
+    return "Exchange SinglePartition" in explain_text(df, mode="simple")
 
 
 def has_nested_loop_join(df: DataFrame) -> bool:
@@ -89,7 +103,28 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """ReadSchema column lists of every parquet scan (column-pruning check)."""
     txt = explain_text(df)
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", txt):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    for m in re.finditer(r"ReadSchema: struct<", txt):
+        # balanced-bracket capture: [^>]* stops at the first '>' of a NESTED
+        # type (array<double>, map<...>), silently dropping every column
+        # after it — pruning pins on vector-bearing scans were vacuous
+        depth, i = 1, m.end()
+        while i < len(txt) and depth:
+            if txt[i] == "<":
+                depth += 1
+            elif txt[i] == ">":
+                depth -= 1
+            i += 1
+        body = txt[m.end() : i - 1]
+        cols, level, start = [], 0, 0
+        for j, ch in enumerate(body + ","):
+            if ch in "<(":
+                level += 1
+            elif ch in ">)":
+                level -= 1
+            elif ch == "," and level == 0:
+                part = body[start:j].strip()
+                if part:
+                    cols.append(part.split(":")[0].strip())
+                start = j + 1
         out.append(cols)
     return out

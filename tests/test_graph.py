@@ -240,3 +240,15 @@ def test_bfs_cache_hygiene_deep(spark):
     # may remain.
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, (before, after)
+
+
+def test_paley_rejects_invalid_q(spark):
+    """q must be a prime ≡ 1 (mod 4): q ≡ 3 silently built a directed
+    tournament and composite q a meaningless graph before the guard."""
+    import pytest as _pytest
+
+    from metric_search_spark.operators.graph import paley_edges
+
+    for bad in (7, 9, 12):
+        with _pytest.raises(ValueError, match="prime"):
+            paley_edges(spark, bad)

@@ -101,3 +101,30 @@ def test_cell_derivation_codegen(spark):
     out = df.select(xc.alias("x"), yc.alias("y"))
     assert has_whole_stage_codegen(out)
     assert count_exchanges(out) == 0
+
+
+def test_single_partition_detection_not_vacuous(spark):
+    """has_single_partition_exchange must actually FIRE on a global window
+    sort (it parsed formatted mode before, where 'Exchange' and
+    'SinglePartition' sit on different lines — vacuously False forever)."""
+    from pyspark.sql import Window
+
+    from metric_search_spark.plans import has_single_partition_exchange
+
+    bad = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+    )
+    assert has_single_partition_exchange(bad)
+
+
+def test_read_schema_handles_nested_types(spark):
+    """Columns AFTER a nested-typed column must survive the ReadSchema
+    parse (the old regex stopped at array<double>'s first '>')."""
+    from metric_search_spark.plans import read_schema_columns
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "embedding", "label"
+    )
+    schemas = read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"embedding", "label"}, schemas

@@ -235,3 +235,39 @@ def test_fingerprint_dup_detection(spark, docs):
     fp = dict(zip(out["doc_id"], out["fp"]))
     assert fp[0] == fp[1]
     assert fp[0] != fp[5]
+
+
+def test_simhash_null_text_matches_column_twin(spark):
+    """NULL text folds like an EMPTY doc (simhash 0) in BOTH the Arrow
+    kernel and the Column twin — the kernel used to crash the whole job on
+    len(None) at the first NULL row."""
+    from metric_search_spark.operators.dedupe import (
+        simhash_col,
+        simhash_col_expr,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, None), (3, "aa bb cc")],
+        "doc_id long, text string",
+    )
+    k = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", simhash_col(F.col("text")).alias("sh")).collect()}
+    e = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", simhash_col_expr(F.col("text")).alias("sh")).collect()}
+    assert k == e and k[2] == 0
+    pairs = simhash_pairs(df.where(F.col("text").isNotNull())).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+
+
+def test_minhash_short_docs_never_band(spark):
+    """Docs shorter than shingle_n words have empty shingle sets: they must
+    NOT all collide on one constant all-NULL band key (quadratic candidate
+    blowup on crawl-style corpora) — they drop before banding."""
+    from metric_search_spark.operators.dedupe import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "zz qq"), (3, "xx"), (4, "")],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs(df, verify_threshold=None).count() == 0
