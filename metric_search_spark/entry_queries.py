@@ -1351,6 +1351,52 @@ SELECT vec_id, line_id, seg_idx, round(d2, 12) AS dist2 FROM (
 O_NEAREST_ROUTE = _o_nearest_route_sql()
 
 
+def q_buffer_polyfill_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster buffer (operators/tiling.buffer_tiles): each fixture
+    polygon's res-5 polyfill dilated by Chebyshev 1 via the k-ring
+    mask-ripple + distinct — the GIS buffer verb over the engine's own
+    polyfill. Oracle: DuckDB dilates the full-grid center-inside cell set
+    with explicit (dx, dy) offsets and bounds clamps, then bit-sum
+    Morton-encodes — no mask arithmetic shared with the engine."""
+    from metric_search_spark.operators.pip import polygon_tiles
+    from metric_search_spark.operators.tiling import buffer_tiles
+
+    pf = polygon_tiles(_pip_polys_df(spark), res=_ZONE_RES)
+    return buffer_tiles(pf, _ZONE_RES, k=1, by=["poly_id"]).select(
+        "poly_id", "tile"
+    )
+
+
+def _o_buffer_sql() -> str:
+    from metric_search_spark.operators.pip import pip_sql_condition
+
+    res, k = _ZONE_RES, 1
+    n = 1 << res
+    s = 1.0 / n
+    selects = []
+    for pid, ring in _PIP_POLYS:
+        cond = pip_sql_condition(
+            f"((cx + 0.5) * {s!r})", f"((cy + 0.5) * {s!r})", ring
+        )
+        selects.append(
+            f"SELECT '{pid}' AS poly_id, cx, cy"
+            f" FROM (SELECT gx.i AS cx, gy.i AS cy"
+            f" FROM range(0, {n}) gx(i), range(0, {n}) gy(i))"
+            f" WHERE {cond}"
+        )
+    enc = morton_bitsum_sql("(cx + dx.i)", "(cy + dy.i)", res)
+    return (
+        "WITH s AS (" + " UNION ALL ".join(selects) + ") "
+        f"SELECT DISTINCT poly_id, {enc} AS tile"
+        f" FROM s, range({-k}, {k + 1}) dx(i), range({-k}, {k + 1}) dy(i)"
+        f" WHERE cx + dx.i BETWEEN 0 AND {n - 1}"
+        f" AND cy + dy.i BETWEEN 0 AND {n - 1}"
+    )
+
+
+O_BUFFER = _o_buffer_sql()
+
+
 _FOCAL_RES, _FOCAL_K = 4, 1
 
 
@@ -2852,6 +2898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multipolygon_pip_embeddings": q_multipolygon_pip_embeddings,
     "compact_polyfill_tiles": q_compact_polyfill_tiles,
     "uncompact_polyfill_tiles": q_uncompact_polyfill_tiles,
+    "buffer_polyfill_tiles": q_buffer_polyfill_tiles,
     "focal_tiles_embeddings": q_focal_tiles_embeddings,
     "polyline_tiles_routes": q_polyline_tiles_routes,
     "nearest_route_embeddings": q_nearest_route_embeddings,
@@ -2904,6 +2951,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "compact_polyfill_tiles": O_COMPACT,
     # uncompact∘compact ≡ identity vs the independent full-grid polyfill
     "uncompact_polyfill_tiles": O_POLYFILL,
+    "buffer_polyfill_tiles": O_BUFFER,
     "focal_tiles_embeddings": O_FOCAL,
     "polyline_tiles_routes": O_POLYLINE,
     "nearest_route_embeddings": O_NEAREST_ROUTE,

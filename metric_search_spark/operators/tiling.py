@@ -34,6 +34,7 @@ __all__ = [
     "tile_rollup",
     "tile_focal_sum",
     "tile_kernel_density",
+    "buffer_tiles",
     "compact_tiles",
     "uncompact_tiles",
     "cluster_quota",
@@ -378,6 +379,31 @@ def tile_kernel_density(
     if value_col is not None:
         re_aggs.append((F.sum(wnum * F.col("val")) / F.lit(denom)).alias("wval"))
     return scattered.groupBy(F.col("_o.cell").alias("tile")).agg(*re_aggs)
+
+
+def buffer_tiles(
+    df: DataFrame,
+    res: int,
+    *,
+    k: int = 1,
+    tile_col: str = "tile",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Raster BUFFER (morphological dilation): the input tile set grown by
+    Chebyshev distance ``k`` — the H3 gridDisk-of-a-set / GIS buffer verb.
+    Composes the k-ring mask-ripple with one distinct; grid-clipped like
+    every ring op. Applied to a polyfill it buffers a polygon; applied to
+    a polyline supercover it buffers a route corridor. ``by`` columns
+    (e.g. poly_id) scope the dilation per feature. All input cells must be
+    at resolution ``res``."""
+    by = list(by)
+    return (
+        df.select(
+            *by,
+            F.explode(kring_cells_col(F.col(tile_col), res, k)).alias(tile_col),
+        )
+        .distinct()
+    )
 
 
 def compact_tiles(

@@ -817,6 +817,47 @@ def test_nearest_route_join_points_shuffle_only_for_argmin(spark):
     assert len(point_side) == 1 and len(route_side) == 1, keys
 
 
+def test_buffer_tiles_matches_brute_dilation(spark):
+    """buffer_tiles vs python Chebyshev dilation with grid clamps, per
+    group; k=2 exercises the multi-ring path."""
+    from metric_search_spark.operators.tiling import buffer_tiles
+
+    res, k = 4, 2
+    rng = np.random.default_rng(97)
+    grid = 1 << res
+    rows = []
+    for g in ("a", "b"):
+        for c in _rand_cells(rng, res, 12):
+            rows.append((g, int(c)))
+    df = spark.createDataFrame(rows, "g string, tile long")
+    got = {(r["g"], r["tile"]) for r in buffer_tiles(df, res, k=k, by=["g"]).collect()}
+
+    def coords(cell):
+        p = cell & ((1 << 56) - 1)
+        cx = cy = 0
+        for b in range(res):
+            cx |= ((p >> (2 * b)) & 1) << b
+            cy |= ((p >> (2 * b + 1)) & 1) << b
+        return cx, cy
+
+    def morton(cx, cy):
+        t = 0
+        for b in range(res):
+            t |= ((cx >> b) & 1) << (2 * b)
+            t |= ((cy >> b) & 1) << (2 * b + 1)
+        return (res << 56) | t
+
+    want = set()
+    for g, t in rows:
+        cx, cy = coords(t)
+        for dx in range(-k, k + 1):
+            for dy in range(-k, k + 1):
+                nx, ny = cx + dx, cy + dy
+                if 0 <= nx < grid and 0 <= ny < grid:
+                    want.add((g, morton(nx, ny)))
+    assert got == want
+
+
 def test_focal_sum_matches_brute_twin(spark):
     """tile_focal_sum vs a per-cell python scatter at res 4, k ∈ {1, 2}."""
     rng = np.random.default_rng(21)
