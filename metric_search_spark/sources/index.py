@@ -203,14 +203,53 @@ def index_meta(spark: SparkSession, path: str) -> tuple[int, int, str]:
 
 
 def compaction_batches(spark: SparkSession, path: str) -> list[str]:
-    """Generation batches written by streaming.incremental.compact_index."""
+    """Generation batches written by streaming.incremental.compact_index,
+    ordered by their NUMERIC generation id — lexicographic name order would
+    invert shadowing the day generation ids change digit count."""
     try:
         rows = (
             spark.read.parquet(f"{path}/manifest_compact").select("batch").collect()
         )
-        return sorted({r["batch"] for r in rows})
     except Exception:  # noqa: BLE001 — no compactions yet
         return []
+
+    def gen_key(name: str):
+        tail = name.removeprefix("compact")
+        return (0, int(tail)) if tail.isdigit() else (1, name)
+
+    return sorted({r["batch"] for r in rows}, key=gen_key)
+
+
+def recover_node_dirs(path: str) -> None:
+    """Crash recovery for compact_index's GC directory swaps (local paths
+    only; object-store paths never reach the swap — compact_index refuses
+    them). For every ``batch=X``: a leftover ``__old`` with ``X`` present
+    is post-swap garbage (delete); ``__old`` with ``X`` MISSING means the
+    crash hit between the two renames — restore the new copy (``__tmp``)
+    if it exists, else the old one. Stray ``__tmp`` with ``X`` present is
+    an unswapped rewrite (delete; the next compaction redoes it)."""
+    import os
+    import shutil
+
+    nodes_dir = f"{path}/nodes"
+    if "://" in path or not os.path.isdir(nodes_dir):
+        return
+    entries = set(os.listdir(nodes_dir))
+    for e in sorted(entries):
+        if e.endswith("__old"):
+            final = e[: -len("__old")]
+            tmp = final + "__tmp"
+            if final in entries:
+                shutil.rmtree(f"{nodes_dir}/{e}", ignore_errors=True)
+            elif tmp in entries:
+                os.rename(f"{nodes_dir}/{tmp}", f"{nodes_dir}/{final}")
+                shutil.rmtree(f"{nodes_dir}/{e}", ignore_errors=True)
+            else:
+                os.rename(f"{nodes_dir}/{e}", f"{nodes_dir}/{final}")
+        elif e.endswith("__tmp"):
+            final = e[: -len("__tmp")]
+            if final in entries:
+                shutil.rmtree(f"{nodes_dir}/{e}", ignore_errors=True)
 
 
 def load_nodes(spark: SparkSession, path: str) -> DataFrame:
@@ -225,8 +264,14 @@ def load_nodes(spark: SparkSession, path: str) -> DataFrame:
     per-cell and Catalyst keeps it a single hash aggregate + join — at scale
     the steady state has exactly one generation per cell, so the anti-join
     side is tiny."""
+    recover_node_dirs(path)  # heal any crash-interrupted GC swap first
     builds = [str(b) for b in sorted(completed_batches(spark, path))]
     gens = compaction_batches(spark, path)
+    if not builds and not gens:
+        raise ValueError(
+            f"load_nodes: no completed batches or compaction generations at "
+            f"{path!r} — index empty or manifest missing"
+        )
     parts = [
         spark.read.parquet(f"{path}/nodes/batch={b}").withColumn(
             "_gen", F.lit(0)
@@ -362,9 +407,6 @@ def knn_probe_index(
             ).astype({"query_id": "int64", "neighbor_id": "int64", "dist": "float64"})
         tree = _tree_from_pdf(node_pdf, metric)
         ids = node_pdf["id"].to_numpy()
-        by_node = {}
-        for pos, r in enumerate(node_pdf.itertuples()):
-            by_node[pos] = int(ids[pos])
         qs, ns, ds = [], [], []
         P = np.column_stack(
             (probe_pdf["_x"].to_numpy(np.float64), probe_pdf["_y"].to_numpy(np.float64))
@@ -373,12 +415,13 @@ def knn_probe_index(
         for i in range(len(P)):
             for node, dist in tree.knn(P[i], k=k, prune="safe"):
                 qs.append(int(pids[i]))
-                ns.append(int(node_pdf["id"].iloc[node]))
+                ns.append(int(ids[node]))
                 ds.append(float(dist))
         return pd.DataFrame({"query_id": qs, "neighbor_id": ns, "dist": ds})
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     done_parts = []
+    round_caches: list[DataFrame] = []
     unresolved = probes_c
     ring = 1
     try:
@@ -403,6 +446,7 @@ def knn_probe_index(
                 .where(F.col("rank") <= k)
                 .persist()
             )
+            round_caches.append(topk)
             if ring >= grid_n:
                 done_parts.append(topk)
                 break
@@ -415,8 +459,11 @@ def knn_probe_index(
             verdict = geo.join(per_probe, "query_id", "left").select(
                 "query_id",
                 (
+                    # strict <: a kth EXACTLY on the ring's guarantee radius
+                    # can tie with an unexplored outside point that wins the
+                    # id tie-break (same fix as joins.knn_join)
                     (F.coalesce(F.col("cnt"), F.lit(0)) >= k)
-                    & (F.col("kth") <= F.col("guar"))
+                    & (F.col("kth") < F.col("guar"))
                 ).alias("ok"),
             )
             unres_ids = verdict.where(
@@ -442,3 +489,7 @@ def knn_probe_index(
     finally:
         nodes.unpersist()
         probes_c.unpersist()
+        # the eager checkpoint above materialized everything the per-round
+        # caches fed — release them instead of leaking one per ring round
+        for c in round_caches:
+            c.unpersist()

@@ -51,7 +51,20 @@ __all__ = [
     "stream_into_index",
 ]
 
-_DELTA_SCHEMA = "id long, x double, y double, op string"
+_DELTA_SCHEMA = "id long, x double, y double, op string, seq long"
+
+
+def _require_local(path: str) -> None:
+    """Compaction's delta-clear and GC directory swap are driver-local file
+    ops (shutil/os.rename); on an object-store path they would silently
+    no-op or corrupt mid-swap — refuse loudly instead. The append/probe
+    path is pure Spark IO and works anywhere; only maintenance is local."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"compact_index/_clear_delta require a driver-local filesystem "
+            f"path, got {path!r}; object-store deployments need a "
+            f"Hadoop-FS-based maintenance variant"
+        )
 
 # per-round {over-fetch bucket -> probe count} histograms from the most
 # recent _probe_base_minus_dead call (diagnostics; pinned in tests)
@@ -66,12 +79,15 @@ def append_delta(
     x_col: str = "x",
     y_col: str = "y",
 ) -> None:
-    """Insert rows into the index's delta log (append-only parquet)."""
+    """Insert rows into the index's delta log (append-only parquet). Each
+    call stamps one ``seq`` — within a single call, at most one op per id
+    is meaningful (duplicates tie-break deterministically but arbitrarily)."""
     df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
         F.lit("I").alias("op"),
+        F.lit(time.time_ns()).alias("seq"),
     ).write.mode("append").parquet(f"{path}/delta")
 
 
@@ -83,25 +99,41 @@ def delete_ids(df: DataFrame, path: str, *, id_col: str = "id") -> None:
         F.lit(None).cast("double").alias("x"),
         F.lit(None).cast("double").alias("y"),
         F.lit("D").alias("op"),
+        F.lit(time.time_ns()).alias("seq"),
     ).write.mode("append").parquet(f"{path}/delta")
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     try:
-        return spark.read.schema(_DELTA_SCHEMA).parquet(f"{path}/delta")
-    except Exception:  # noqa: BLE001 — empty delta
-        return None
+        df = spark.read.schema(_DELTA_SCHEMA).parquet(f"{path}/delta")
+        df.schema  # force path resolution now, inside the try
+        return df
+    except AnalysisException as e:
+        # ONLY path-missing means "no delta"; a permissions error or a
+        # corrupt footer must not silently resurrect deleted records
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def _effective_delta(delta: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(live inserts, tombstoned ids): a tombstone wins over any insert of
-    the same id in the log."""
-    dead = delta.where(F.col("op") == "D").select("id").distinct()
-    live = (
-        delta.where(F.col("op") == "I")
-        .join(dead, "id", "left_anti")
-        .dropDuplicates(["id"])
+    """(live inserts, tombstoned ids) under LATEST-OP-WINS semantics: the
+    delta log is ordered by ``seq``, so delete→reinsert reinstates the id
+    (the reference supports erase-then-insert, tree.cpp:526/391) and a
+    reinsert of a base id is an UPDATE. Ties at equal seq (same call, or
+    legacy pre-seq rows reading as NULL) resolve to the tombstone."""
+    w = Window.partitionBy("id").orderBy(
+        F.col("seq").desc_nulls_last(), F.col("op").asc()
     )
+    latest = (
+        delta.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    dead = latest.where(F.col("op") == "D").select("id")
+    live = latest.where(F.col("op") == "I").select("id", "x", "y")
     return live, dead
 
 
@@ -126,8 +158,12 @@ def knn_probe_live(
             probes, path, k=k, id_col=id_col, x_col=x_col, y_col=y_col
         )
     live, dead = _effective_delta(delta)
+    # SUPPRESS from the base every delta-touched id, not just tombstones: a
+    # live insert of a base id is an UPDATE — its stale base copy must not
+    # compete with the delta-side fresh copy in the merge window
+    suppress = dead.unionByName(live.select("id")).distinct()
     base = _probe_base_minus_dead(
-        probes, path, dead, k, id_col=id_col, x_col=x_col, y_col=y_col
+        probes, path, suppress, k, id_col=id_col, x_col=x_col, y_col=y_col
     )
     parts = [base]
     if not live.isEmpty():
@@ -188,6 +224,10 @@ def _probe_base_minus_dead(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     )
+    if p.isEmpty():  # fetched_parts[0] below would IndexError on no probes
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, dist double"
+        )
     # per-cell tombstone counts: tiny (bounded by the cell grid), so a
     # driver-side collect feeds both the broadcast join and n_dead
     d_cell_rows = (
@@ -300,6 +340,7 @@ def compact_index(spark: SparkSession, path: str) -> int:
     """Apply the delta log: rebuild ONLY the cells it touches (cell-scoped
     refresh — the partition-parallel analog of the reference's lock-guarded
     in-place mutation). Returns the number of rebuilt cells."""
+    _require_local(path)
     delta = read_delta(spark, path)
     if delta is None:
         return 0
@@ -307,14 +348,20 @@ def compact_index(spark: SparkSession, path: str) -> int:
     live, dead = _effective_delta(delta)
     nodes = load_nodes(spark, path)
 
+    # every delta-touched id suppresses its base copy: a tombstone removes
+    # it, a live row REPLACES it (update semantics — knn_probe_live merges
+    # exactly this way, so compaction must land the identical record set)
+    suppress = dead.unionByName(live.select("id")).distinct()
+
     live_c = live.withColumn(
         "cell", cell_from_xy_col(_clamp01(F.col("x")), _clamp01(F.col("y")), res)
     )
-    dead_cells = nodes.join(
-        dead.select(F.col("id")), "id", "left_semi"
-    ).select("cell")
+    # touched cells = destinations of live rows ∪ CURRENT base cell of every
+    # suppressed id: an update that moves a record across cells must rebuild
+    # both its old cell (drop the stale copy) and its new one (add the fresh)
+    stale_cells = nodes.join(suppress, "id", "left_semi").select("cell")
     touched = (
-        live_c.select("cell").unionByName(dead_cells).distinct().persist()
+        live_c.select("cell").unionByName(stale_cells).distinct().persist()
     )
     n_touched = touched.count()
     if n_touched == 0:
@@ -322,21 +369,22 @@ def compact_index(spark: SparkSession, path: str) -> int:
         touched.unpersist()
         return 0
 
-    # records of touched cells = (base payload − tombstones) ∪ NEW live
-    # inserts. The anti-join of inserts against ids already in the base makes
-    # delta re-application idempotent: if a crash lands between the manifest
-    # commit and the delta clear, the next compaction rebuilds the same cells
-    # with identical content instead of duplicating the already-applied rows
+    # records of touched cells = (base payload − suppressed ids) ∪ live rows
+    # — an UPSERT. Re-application is idempotent because the rebuilt content
+    # is a pure function of (visible base state, delta): if a crash lands
+    # between the manifest commit and the delta clear, the next compaction
+    # re-derives the same record set against the already-shadowed cells
+    # (live ids are then suppressed from their OWN committed copies and
+    # re-added with identical coordinates) instead of duplicating rows
     # (ADVICE r1, medium).
     base_records = (
         nodes.join(touched, "cell", "left_semi")
-        .join(dead, "id", "left_anti")
+        .join(suppress, "id", "left_anti")
         .select("id", F.col("vx").alias("_x"), F.col("vy").alias("_y"), "cell")
     )
-    new_records = (
-        live_c.join(touched, "cell", "left_semi")
-        .join(nodes.select("id"), "id", "left_anti")
-        .select("id", F.col("x").alias("_x"), F.col("y").alias("_y"), "cell")
+    # every live destination cell is in `touched` by construction
+    new_records = live_c.select(
+        "id", F.col("x").alias("_x"), F.col("y").alias("_y"), "cell"
     )
     all_records = base_records.unionByName(new_records)
 
@@ -351,7 +399,20 @@ def compact_index(spark: SparkSession, path: str) -> int:
     #   3. clear the delta (re-application before this is idempotent, above)
     #   4. GC: strip touched cells from older generations — pure space
     #      reclamation; a crash mid-GC leaves shadowed rows, never data loss
-    gen = int(time.time() * 1000)
+    # MONOTONIC generation id derived from the manifest itself (max existing
+    # numeric id + 1) — a wall-clock id could collide within one tick or
+    # regress under clock skew, silently inverting per-cell shadowing
+    from metric_search_spark.sources.index import compaction_batches
+
+    prev_gens = compaction_batches(spark, path)
+    gen = 1 + max(
+        (
+            int(x.removeprefix("compact"))
+            for x in prev_gens
+            if x.removeprefix("compact").isdigit()
+        ),
+        default=0,
+    )
     b = f"compact{gen}"
     rebuilt.write.mode("overwrite").parquet(f"{path}/nodes/batch={b}")
     n_new = spark.read.parquet(f"{path}/nodes/batch={b}").count()
@@ -366,8 +427,6 @@ def compact_index(spark: SparkSession, path: str) -> int:
     _clear_delta(spark, path)
 
     # GC pass: rewrite every OLDER generation without the touched cells
-    from metric_search_spark.sources.index import compaction_batches
-
     olds = [str(x) for x in sorted(completed_batches(spark, path))]
     olds += [x for x in compaction_batches(spark, path) if x != b]
     for old in olds:
@@ -375,7 +434,7 @@ def compact_index(spark: SparkSession, path: str) -> int:
         kept = part.join(touched, "cell", "left_anti")
         kept.write.mode("overwrite").parquet(f"{path}/nodes/batch={old}__tmp")
     for old in olds:
-        _replace_dir(spark, f"{path}/nodes/batch={old}__tmp", f"{path}/nodes/batch={old}")
+        _replace_dir(f"{path}/nodes/batch={old}__tmp", f"{path}/nodes/batch={old}")
     # drop any cached file listings for the replaced directories
     spark.catalog.refreshByPath(f"{path}/nodes")
     for old in olds:
@@ -384,16 +443,29 @@ def compact_index(spark: SparkSession, path: str) -> int:
     return n_touched
 
 
-def _replace_dir(spark: SparkSession, src: str, dst: str) -> None:
+def _replace_dir(src: str, dst: str) -> None:
+    """Two-rename swap matching sources.index.recover_node_dirs: dst→__old,
+    src→dst, drop __old. A crash at ANY intermediate point leaves a state
+    recover_node_dirs heals on the next load: __old + dst present → drop
+    __old; __old alone + __tmp → promote __tmp; __tmp + dst → drop __tmp
+    (stale shadowed rows stay shadowed until a later GC reclaims them).
+    The previous rmtree(dst)+move had a window where the ONLY live copy of
+    a generation was gone."""
+    import os
     import shutil
 
-    shutil.rmtree(dst, ignore_errors=True)
-    shutil.move(src, dst)
+    old = f"{dst}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(src, dst)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _clear_delta(spark: SparkSession, path: str) -> None:
     import shutil
 
+    _require_local(path)
     shutil.rmtree(f"{path}/delta", ignore_errors=True)
 
 

@@ -189,6 +189,144 @@ def test_probe_rejects_non_l2_metric_index(spark, tmp_path):
         knn_probe_index(spark.createDataFrame(pdf.iloc[:5]), path, k=3)
 
 
+def test_update_and_reinsert_semantics(spark, tmp_path):
+    """Latest-op-wins delta semantics: a live insert of a base id is an
+    UPDATE (stale base copy suppressed — including a move ACROSS cells),
+    delete→reinsert reinstates the id (reference erase-then-insert,
+    tree.cpp:526/391), and compaction lands the identical record set."""
+    pdf, path = _base(spark, tmp_path, n=200)
+    rng = np.random.default_rng(55)
+
+    # update 5 base ids in place (same region) + move 3 across the grid
+    upd = pdf.iloc[:8].copy()
+    upd.loc[upd.index[:5], ["x", "y"]] = rng.random((5, 2)) * 0.1 + upd.iloc[:5][["x", "y"]].to_numpy() * 0.9
+    upd.loc[upd.index[5:], "x"] = 1.0 - upd.iloc[5:]["x"].to_numpy()  # far cell
+    upd.loc[upd.index[5:], "y"] = 1.0 - upd.iloc[5:]["y"].to_numpy()
+    append_delta(spark.createDataFrame(upd), path)
+
+    # delete two ids, then reinsert ONE of them at new coords
+    delete_ids(spark.createDataFrame(pd.DataFrame({"id": [100, 101]})), path)
+    reins = pd.DataFrame({"id": [100], "x": [0.5], "y": [0.5]})
+    append_delta(spark.createDataFrame(reins), path)
+
+    effective = pdf[~pdf["id"].isin({100, 101, *upd["id"]})]
+    effective = pd.concat([effective, upd, reins]).reset_index(drop=True)
+    probes = effective.sample(25, random_state=9)
+    want = _brute(effective, probes, 5)
+
+    live = knn_probe_live(spark.createDataFrame(probes), path, k=5).toPandas()
+    for qid, grp in live.sort_values(["query_id", "rank"]).groupby("query_id"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], qid
+
+    n_cells = compact_index(spark, path)
+    assert n_cells > 0
+    nodes = load_nodes(spark, path).toPandas()
+    assert len(nodes) == len(effective)
+    assert nodes["id"].is_unique
+    merged = nodes.merge(effective, on="id")
+    assert np.allclose(merged["vx"], merged["x"])  # fresh coords landed
+    assert np.allclose(merged["vy"], merged["y"])
+    after = knn_probe_live(spark.createDataFrame(probes), path, k=5).toPandas()
+    for qid, grp in after.sort_values(["query_id", "rank"]).groupby("query_id"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], qid
+    health = verify_index(spark, path).toPandas()
+    assert health["covering_ok"].all()
+
+
+def test_gc_swap_crash_recovery(spark, tmp_path):
+    """recover_node_dirs heals every intermediate state of _replace_dir's
+    two-rename GC swap; answers and node counts are unchanged after each
+    simulated crash."""
+    import os
+    import shutil
+
+    from metric_search_spark.sources.index import recover_node_dirs
+
+    pdf, path = _base(spark, tmp_path, n=150)
+    rng = np.random.default_rng(66)
+    new = pd.DataFrame({"id": np.arange(700, 720), "x": rng.random(20), "y": rng.random(20)})
+    append_delta(spark.createDataFrame(new), path)
+    compact_index(spark, path)
+    n_total = load_nodes(spark, path).count()
+    nodes_dir = f"{path}/nodes"
+    victim = f"{nodes_dir}/batch=0"
+
+    # state A: crash between rename(dst→old) and rename(tmp→dst), no tmp
+    # written yet — the ORIGINAL copy must come back
+    os.rename(victim, f"{victim}__old")
+    recover_node_dirs(path)
+    assert os.path.isdir(victim) and not os.path.isdir(f"{victim}__old")
+    assert load_nodes(spark, path).count() == n_total
+
+    # state B: crash after the GC rewrite but before any rename — a stray
+    # __tmp with the final present is dropped
+    shutil.copytree(victim, f"{victim}__tmp")
+    recover_node_dirs(path)
+    assert not os.path.isdir(f"{victim}__tmp")
+    assert load_nodes(spark, path).count() == n_total
+
+    # state C: crash between the two renames WITH the tmp present — the new
+    # (GC'd) copy is promoted
+    shutil.copytree(victim, f"{victim}__tmp")
+    os.rename(victim, f"{victim}__old")
+    recover_node_dirs(path)
+    assert os.path.isdir(victim)
+    assert not os.path.isdir(f"{victim}__old") and not os.path.isdir(f"{victim}__tmp")
+    spark.catalog.refreshByPath(nodes_dir)
+    assert load_nodes(spark, path).count() == n_total
+
+    # state D: crash after rename(tmp→dst) but before dropping __old —
+    # post-swap garbage is deleted, dst untouched
+    shutil.copytree(victim, f"{victim}__old")
+    recover_node_dirs(path)
+    assert not os.path.isdir(f"{victim}__old")
+    assert load_nodes(spark, path).count() == n_total
+
+
+def test_generations_monotonic_and_numeric_order(spark, tmp_path):
+    """Generation ids come from the manifest (max+1), and compaction_batches
+    orders them NUMERICALLY — 'compact10' must shadow 'compact9', which
+    lexicographic name order would invert."""
+    from metric_search_spark.sources.index import compaction_batches
+
+    pdf, path = _base(spark, tmp_path, n=80)
+    rng = np.random.default_rng(77)
+    for i in range(2):
+        rows = pd.DataFrame(
+            {"id": [900 + i], "x": [rng.random()], "y": [rng.random()]}
+        )
+        append_delta(spark.createDataFrame(rows), path)
+        compact_index(spark, path)
+    gens = compaction_batches(spark, path)
+    assert gens == ["compact1", "compact2"]
+
+    # numeric-vs-lexicographic pin: seed manifest rows named compact9/10
+    extra = spark.createDataFrame(
+        [(f"compact{g}", 2, 2, "euclidean", 0, 0.0, 0.0) for g in (10, 9)],
+        "batch string, batches int, res int, metric string, n_nodes long, "
+        "wall_s double, rows_per_sec double",
+    )
+    extra.write.mode("append").parquet(f"{path}/manifest_compact")
+    gens = compaction_batches(spark, path)
+    assert gens == ["compact1", "compact2", "compact9", "compact10"]
+
+
+def test_compact_refuses_object_store_paths(spark):
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        compact_index(spark, "s3://bucket/idx")
+
+
+def test_probe_live_empty_probes(spark, tmp_path):
+    """Zero probes + nonzero tombstones: the over-fetch machinery must
+    short-circuit to an empty result instead of IndexError-ing."""
+    pdf, path = _base(spark, tmp_path, n=60)
+    delete_ids(spark.createDataFrame(pd.DataFrame({"id": pdf["id"].iloc[:5]})), path)
+    empty = spark.createDataFrame([], "id long, x double, y double")
+    out = knn_probe_live(empty, path, k=3)
+    assert out.count() == 0
+    assert set(out.columns) >= {"query_id", "neighbor_id", "dist"}
+
+
 def test_stream_ingestion_available_now(spark, tmp_path):
     pdf, path = _base(spark, tmp_path, n=200)
     src = tmp_path / "stream_src"
