@@ -2794,6 +2794,104 @@ FROM knn k CROSS JOIN (VALUES ('live'), ('compacted')) ph(phase)
 """
 
 
+def q_knn_after_update_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update/reinsert mutation-path driver query — the latest-op-wins
+    delta semantics (streaming/incremental._effective_delta) end-to-end,
+    mirroring the reference's erase-then-insert sequences
+    (tests/test_api.cpp:67-90, tree.cpp:526/391) at table level:
+
+      build_index
+        → append_delta of EXISTING ids at new coords     [UPDATE — some
+          move across grid cells, so compaction rebuilds both cells]
+        → delete_ids                                     [tombstones]
+        → append_delta reinserting HALF the deleted ids  [REINSTATE]
+        → knn_probe_live  [phase='live': base ⊕ delta, stale copies
+          suppressed, latest op per id wins]
+      → compact_index (upsert rebuild + delta clear + crash-safe GC)
+        → knn_probe_live  [phase='compacted': pure rebuilt base]
+
+    Both phases must produce the SAME exact kNN over the mutated set. All
+    mutation rules are deterministic and SQL-expressible; the oracle
+    re-derives the effective point set with a precedence CASE
+    (reinserted > deleted > updated > base) and recomputes the window kNN
+    from scratch. 'live' is materialized via localCheckpoint BEFORE
+    compaction rewrites the index directories."""
+    import shutil
+
+    from metric_search_spark.sources.index import build_index
+    from metric_search_spark.streaming.incremental import (
+        append_delta,
+        compact_index,
+        delete_ids,
+        knn_probe_live,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pts = emb.select("id", "x", "y")
+    path = f"/tmp/msk_mut_upd_index_{_sf_tag(sf_dir)}"
+    shutil.rmtree(path, ignore_errors=True)
+    build_index(pts, path, res=3, batches=4)
+
+    # UPDATE: ids %5==1 move to (1 − x/2, y/2) — a cross-cell displacement
+    updates = pts.where(F.col("id") % 5 == 1).select(
+        "id",
+        (F.lit(1.0) - F.col("x") / 2).alias("x"),
+        (F.col("y") / 2).alias("y"),
+    )
+    append_delta(updates, path)
+    # DELETE ids %9==4, then REINSERT the even half at swapped coords
+    delete_ids(pts.where(F.col("id") % 9 == 4).select("id"), path)
+    reins = pts.where((F.col("id") % 9 == 4) & (F.col("id") % 2 == 0)).select(
+        "id", F.col("y").alias("x"), F.col("x").alias("y")
+    )
+    append_delta(reins, path)
+
+    live = knn_probe_live(pts, path, k=5).select(
+        F.lit("live").alias("phase"),
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+    ).localCheckpoint(eager=True)
+
+    compact_index(spark, path)
+    compacted = knn_probe_live(pts, path, k=5).select(
+        F.lit("compacted").alias("phase"),
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+    )
+    return live.unionByName(compacted)
+
+
+O_KNN_AFTER_UPDATE = f"""
+WITH pts AS (
+  SELECT vec_id AS id, {_EMB_X} AS x, {_EMB_Y} AS y FROM embeddings
+), eff AS (
+  -- precedence: reinserted (last op) > deleted > updated > base
+  SELECT id,
+    CASE WHEN id % 9 = 4 AND id % 2 = 0 THEN y
+         WHEN id % 5 = 1 THEN 1.0 - x / 2
+         ELSE x END AS x,
+    CASE WHEN id % 9 = 4 AND id % 2 = 0 THEN x
+         WHEN id % 5 = 1 THEN y / 2
+         ELSE y END AS y
+  FROM pts
+  WHERE NOT (id % 9 = 4 AND id % 2 <> 0)
+), knn AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT q.id AS query_id, e.id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.id
+             ORDER BY sqrt((q.x - e.x) * (q.x - e.x)
+                         + (q.y - e.y) * (q.y - e.y)), e.id) AS rnk
+    FROM pts q CROSS JOIN eff e
+  ) WHERE rnk <= 5
+)
+SELECT ph.phase, k.query_id, k.neighbor_id, CAST(k.rnk AS BIGINT) AS rnk
+FROM knn k CROSS JOIN (VALUES ('live'), ('compacted')) ph(phase)
+"""
+
+
 def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH cosine ANN with a signature hand-off oracle
     (see q_minhash_lsh_documents): the hyperplane family is engine-
@@ -2917,6 +3015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
+    "knn_after_update_embeddings": q_knn_after_update_embeddings,
 }
 
 # oracles whose SQL is scale-independent (they read the driver's
@@ -2959,6 +3058,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "zonal_stats_embeddings": O_ZONAL,
     "square_overlap_embeddings": O_SQUARE_OVERLAP,
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
+    "knn_after_update_embeddings": O_KNN_AFTER_UPDATE,
     "twed_events": O_TWED_EVENTS,
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
