@@ -911,6 +911,57 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
 """
 
 
+def q_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the IMAGE table (operators/
+    dedupe.image_neardup_pairs): decode every payload, compute the 8×8
+    mean-threshold pHash in one Arrow pass, then the banded Hamming
+    self-join (bands=4 × 16-bit segments, verify ≤ 1 bit apart). The pHash
+    family is pixel-derived (engine-side decode), so the oracle gets a
+    signature hand-off — (image_id, phash64) — and DuckDB independently
+    recomputes the band segments, the segment equi-join, and the
+    bit_count(xor) verify, exactly like the simhash twin. Natural near-dups
+    are plentiful in the synth table (similar (u, v) scenes hash within a
+    bit of each other), so the result is non-trivial at every sf.
+
+    Uses the FULL renderer (sources/synth.spark_images_full, 16–32 px
+    scenes): the flagship's lite 4×4 payloads are meaningless under an 8×8
+    block hash (every hash collapses to 0)."""
+    from metric_search_spark.functions.image import with_phash64
+    from metric_search_spark.operators.dedupe import simhash_pairs_from_sig
+    from metric_search_spark.sources.synth import spark_images_full
+
+    imgs = spark_images_full(spark, images_n_for_sf(sf_dir), seed=42)
+    sig = with_phash64(imgs).select(
+        F.col("image_id").alias("id"), F.col("phash64").alias("sh")
+    )
+    if _handoff_enabled():
+        path = _write_handoff(
+            sig.toPandas(), _handoff_path("imgphash", _sf_tag(sf_dir))
+        )
+        sig = spark.read.parquet(path)
+    return simhash_pairs_from_sig(sig, max_hamming=1, bands=4)
+
+
+def _o_image_neardup_sql(sf_tag: str) -> str:
+    path = _handoff_path("imgphash", sf_tag)
+    # phash64 masks to 63 bits (synth.phash64), so sh >= 0 and DuckDB's
+    # arithmetic shift matches Spark's shiftrightunsigned even without the
+    # mask-discards-fill-bits argument the simhash twin leans on
+    return f"""
+WITH sig AS (
+  SELECT id, sh FROM read_parquet('{path}')
+), bands AS (
+  SELECT id, sh, b, ((sh >> (b * 16)) & 65535) AS seg
+  FROM sig, range(0, 4) t(b)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.b = b.b AND a.seg = b.seg AND a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= 1
+"""
+
+
 # two fixed pentagon/star polygons over the embeddings' 2-D projection plane
 _PIP_POLYS = [
     (
@@ -2988,6 +3039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
+    "image_neardup_phash": q_image_neardup_phash,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
     "pip_embeddings": q_pip_embeddings,
@@ -3090,6 +3142,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["flagship_images_knn"] = _o_flagship_sql(images_n_for_sf(sf_dir))
     oracles["minhash_lsh_documents"] = _o_minhash_sql(tag)
     oracles["simhash_documents"] = _o_simhash_sql(tag)
+    oracles["image_neardup_phash"] = _o_image_neardup_sql(tag)
     oracles["ann_lsh_embeddings"] = _o_ann_lsh_sql(tag)
     # ssim's hand-off is keyed by its fixed (n, seed) — the procedural
     # image set is the same at every sf — so its SQL is scale-independent,

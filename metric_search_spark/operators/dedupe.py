@@ -36,6 +36,7 @@ __all__ = [
     "simhash_pairs_from_sig",
     "ngram_jaccard_pairs",
     "winnow_neardup_pairs",
+    "image_neardup_pairs",
     "threshold_filter",
 ]
 
@@ -322,6 +323,41 @@ def simhash_pairs_from_sig(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def image_neardup_pairs(
+    images: DataFrame,
+    *,
+    id_col: str = "image_id",
+    max_hamming: int = 1,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance — the
+    image-payload counterpart of ``simhash_pairs`` (the reference's image
+    use-case indexes whole images under SSIM, n-api/test/test.js:29-63;
+    phash64 is the standard near-dup compaction of the same signal).
+
+    Pipeline: decode every payload and compute the classic 8×8
+    mean-threshold pHash in one Arrow pass (functions/image.with_phash64),
+    then the banded Hamming self-join (simhash_pairs_from_sig): any pair
+    within Hamming ``max_hamming`` < ``bands`` must agree on at least one
+    full 64/bands-bit segment (pigeonhole), so candidates come from a
+    segment equi-join — the shuffle key is (band, segment), never an
+    all-pairs product — and ``bit_count(xor)`` verifies exactly.
+
+    100 TB shape: the decode pass is embarrassingly parallel over the image
+    table; after it only (id, 8-byte hash) rows move. Band-segment hot keys
+    (many near-identical images) grow candidate lists quadratically per
+    segment value — that is inherent to the semantics (those images ARE
+    near-dups); lower max_hamming/bands shrinks both candidates and output.
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max_hamming.
+    """
+    from metric_search_spark.functions.image import with_phash64
+
+    sig = with_phash64(images).select(
+        F.col(id_col).alias("id"), F.col("phash64").alias("sh")
+    )
+    return simhash_pairs_from_sig(sig, max_hamming=max_hamming, bands=bands)
 
 
 def ngram_jaccard_pairs(

@@ -140,8 +140,23 @@ def generate_rows(
     keyed by its own rng(seed, i) so generation is order- and
     partition-independent (the property the distributed generator relies on).
     """
+    return full_rows_for_ids(
+        np.arange(start, start + n), seed=seed, sizes=sizes, fmts=fmts
+    )
+
+
+def full_rows_for_ids(
+    ids_arr: np.ndarray,
+    seed: int = 42,
+    sizes: tuple[int, ...] = (16, 24, 32),
+    fmts: tuple[str, ...] = ("raw", "qnt"),
+) -> list[dict]:
+    """generate_rows for an arbitrary id set — each row keyed by its own
+    rng(seed, i), so any partitioning of ids reproduces the same table
+    (the property spark_images_full's distributed tasks rely on)."""
     rows = []
-    for i in range(start, start + n):
+    for i in np.asarray(ids_arr).tolist():
+        i = int(i)
         rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
         u, v = rng.uniform(0, 1, 2)
         w = int(rng.choice(sizes))
@@ -284,6 +299,29 @@ def spark_images(spark, n: int, seed: int = 42, num_partitions: int | None = Non
             if len(ids) == 0:
                 continue
             yield lite_rows_for_ids(ids, seed)
+
+    rng_df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=out_schema)
+
+
+def spark_images_full(spark, n: int, seed: int = 42, num_partitions: int | None = None):
+    """Distributed FULL-renderer image table (generate_rows pixels: 16–32 px
+    procedural scenes, raw/qnt alternating) — the variant for operators whose
+    semantics need real image structure (pHash near-dup, SSIM); spark_images'
+    lite 4×4 payloads degenerate an 8×8 block hash. Same task shape: each
+    task renders its own id range, no driver bottleneck."""
+    import pandas as pd
+
+    out_schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            yield pd.DataFrame(full_rows_for_ids(ids, seed))
 
     rng_df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
     return rng_df.mapInPandas(gen, schema=out_schema)
