@@ -911,6 +911,70 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
 """
 
 
+# DBSCAN parameters for the embeddings' 2-D projection: eps=0.01 / min_pts=6
+# yields 15 clusters / 141 cores / 99 border / 260 noise at sf0.01 — rich
+# structure on every axis of the semantics. Boundary safety: the nearest
+# pairwise distance to eps is 1.96e-08 at sf0.01 (measured), eleven orders
+# above any cross-engine fp divergence in the shared sqrt(Δx²+Δy²) form.
+_DBSCAN_EPS = 0.01
+_DBSCAN_MIN_PTS = 6
+
+
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN (operators/cluster.dbscan) over the embeddings'
+    2-D projection: cell-partitioned eps-neighborhood range join → degree
+    aggregate → core points → connected components over core-core edges
+    (large-star/small-star) → deterministic border assignment (min core
+    neighbor's cluster) → noise. The oracle recomputes ALL of it from the
+    raw table in DuckDB: brute-force neighbor counts, core set, transitive
+    closure of the core graph via a recursive CTE, min-cluster border
+    rule — no shared machinery with the engine's halo join or star CC."""
+    from metric_search_spark.operators.cluster import dbscan
+
+    emb = _emb(spark, sf_dir)
+    return dbscan(
+        emb.select("id", "x", "y"), eps=_DBSCAN_EPS, min_pts=_DBSCAN_MIN_PTS
+    )
+
+
+O_DBSCAN = f"""
+WITH RECURSIVE pts AS (
+  SELECT vec_id AS id, {_EMB_X} AS x, {_EMB_Y} AS y FROM embeddings
+), nbr AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM pts a, pts b
+  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+        <= {_DBSCAN_EPS}
+), core AS (
+  SELECT ia AS id FROM nbr GROUP BY ia HAVING count(*) >= {_DBSCAN_MIN_PTS}
+), edges AS (
+  -- core-core neighbor edges, self-loops kept so isolated cores reach
+  -- themselves in the closure
+  SELECT n.ia AS src, n.ib AS dst FROM nbr n
+  JOIN core c1 ON c1.id = n.ia
+  JOIN core c2 ON c2.id = n.ib
+), reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+), comp AS (
+  SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a
+), border AS (
+  SELECT n.ia AS id, min(c.cluster) AS cluster
+  FROM nbr n JOIN comp c ON c.id = n.ib
+  WHERE n.ia NOT IN (SELECT id FROM core)
+  GROUP BY n.ia
+)
+SELECT id, cluster, 'core' AS role FROM comp
+UNION ALL
+SELECT id, cluster, 'border' AS role FROM border
+UNION ALL
+SELECT p.id, CAST(-1 AS BIGINT) AS cluster, 'noise' AS role FROM pts p
+WHERE p.id NOT IN (SELECT id FROM comp)
+  AND p.id NOT IN (SELECT id FROM border)
+"""
+
+
 def q_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over the IMAGE table (operators/
     dedupe.image_neardup_pairs): decode every payload, compute the 8×8
@@ -3040,6 +3104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
     "image_neardup_phash": q_image_neardup_phash,
+    "dbscan_embeddings": q_dbscan_embeddings,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
     "pip_embeddings": q_pip_embeddings,
@@ -3093,6 +3158,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "bpeish_documents": O_BPEISH,
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
     "cosine_neardup_embeddings": O_COSINE_NEARDUP,
+    "dbscan_embeddings": O_DBSCAN,
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,
     "polyfill_tiles": O_POLYFILL,

@@ -1,0 +1,139 @@
+"""Density-based clustering (DBSCAN) over 2-D point tables.
+
+The reference's clustering surface is quota clustering over the cover tree
+(tree.cpp:1145-1215 — see operators/tiling.cluster_quota); DBSCAN is the
+density-clustering counterpart a geospatial tiling engine needs (cluster GPS
+points / image centroids into arbitrary-shape regions with noise rejection).
+
+Spark-first decomposition — every stage is an existing cell-partitioned
+primitive, nothing is all-pairs:
+
+1. eps-neighborhoods: operators/joins.range_join (Morton-cell halo join —
+   candidates only from the ⌈eps/cell⌉-ring, skew-salted) with inclusive
+   d ≤ eps, self-pair included (DBSCAN counts the point itself).
+2. degree: one groupBy(query_id).count() — map-side combining aggregate.
+3. core points: degree ≥ min_pts.
+4. cluster cores: connected components over core-core neighbor edges
+   (operators/graph.connected_components — large-star/small-star, O(log n)
+   rounds); cluster id = min core id in the component.
+5. border points: non-core with ≥1 core neighbor join the MINIMUM cluster
+   id among their core neighbors. (Classic DBSCAN assigns border points to
+   the first-discovered cluster — scan-order dependent; the min rule is the
+   deterministic refinement, so results are reproducible under any
+   partitioning. Core/noise status is identical to classic DBSCAN.)
+6. noise: everything else, cluster = -1.
+
+100 TB shape: the only super-linear risk is a density blob making one cell's
+neighbor lists quadratic — inherent to the semantics (those points ARE all
+neighbors); range_join's salting spreads the compute. All joins downstream
+of (1) are id-equi-joins on (id, long) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metric_search_spark.operators.graph import connected_components
+from metric_search_spark.operators.joins import range_join
+
+__all__ = ["dbscan"]
+
+
+def dbscan(
+    pts: DataFrame,
+    eps: float,
+    min_pts: int,
+    *,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    res: int | None = None,
+    coord_scale: float = 1.0,
+    cc_max_rounds: int = 50,
+) -> DataFrame:
+    """DBSCAN over (id, x, y) points in [0,1)²/coord_scale. Returns
+    (id, cluster, role) — cluster is the min core-point id of the cluster
+    (-1 for noise), role ∈ {'core','border','noise'}. eps membership is
+    INCLUSIVE (d ≤ eps) and the neighborhood count includes the point
+    itself, the textbook DBSCAN convention."""
+    p = pts.select(
+        F.col(id_col).alias("id"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    nbrs = range_join(
+        p,
+        p,
+        radius=eps,
+        vec_col=None,
+        x_col="x",
+        y_col="y",
+        inclusive=True,
+        res=res,
+        coord_scale=coord_scale,
+    )
+    # the halo join's probe cache is re-read by the degree agg, the edge
+    # build, and the border join below — materialize once, release at end
+    nbrs = nbrs.persist()
+    try:
+        deg = nbrs.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_nbr"))
+        core = (
+            deg.where(F.col("n_nbr") >= min_pts)
+            .select(F.col("query_id").alias("id"))
+            .persist()
+        )
+        core_q = core.select(F.col("id").alias("query_id"))
+        core_n = core.select(F.col("id").alias("neighbor_id"))
+        core_edges = (
+            nbrs.join(core_q, "query_id")
+            .join(core_n, "neighbor_id")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        )
+        comp = connected_components(
+            core_edges,
+            nodes=core.select(F.col("id").alias("node")),
+            max_rounds=cc_max_rounds,
+        )
+        core_lab = comp.select(
+            F.col("node").alias("id"),
+            F.col("component").alias("cluster"),
+            F.lit("core").alias("role"),
+        )
+        border_lab = (
+            nbrs.join(core_n, "neighbor_id")  # keep pairs whose NEIGHBOR is core
+            .join(
+                comp.select(
+                    F.col("node").alias("neighbor_id"),
+                    F.col("component").alias("cluster"),
+                ),
+                "neighbor_id",
+            )
+            .join(core_q, "query_id", "left_anti")  # drop core probes
+            .groupBy("query_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .select(
+                F.col("query_id").alias("id"), "cluster", F.lit("border").alias("role")
+            )
+        )
+        assigned = core_lab.unionByName(border_lab)
+        noise_lab = (
+            p.select("id")
+            .join(assigned.select("id"), "id", "left_anti")
+            .select(
+                "id",
+                F.lit(-1).cast(dict(assigned.dtypes)["cluster"]).alias("cluster"),
+                F.lit("noise").alias("role"),
+            )
+        )
+        out = assigned.unionByName(noise_lab)
+        # the union re-reads nbrs through three branches — materialize the
+        # (small: one row per point) result before releasing the caches
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        getattr(nbrs, "_msk_backing", nbrs).unpersist()
+        nbrs.unpersist()
+        try:
+            core.unpersist()
+        except NameError:
+            pass
