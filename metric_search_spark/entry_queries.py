@@ -911,6 +911,37 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
 """
 
 
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling): exactly
+    min(5, |stratum|) documents per (lang, source) stratum, chosen by the
+    MINSTD hash rank — the reproducible-subset operator every training
+    pipeline needs (same rows survive under any partitioning, cluster size,
+    or engine). The oracle recomputes the hash (exact BIGINT arithmetic,
+    sample_hash_sql) and the per-stratum row_number in DuckDB; the shared
+    hash formula is the POINT (reproducibility), and the distributed window
+    + WindowGroupLimit machinery is what the match certifies
+    (plan pin: tests/test_sampling.py)."""
+    from metric_search_spark.operators.sampling import sample_stratified
+
+    docs = _read(spark, sf_dir, "documents")
+    out = sample_stratified(docs, ["lang", "source"], 5, id_col="doc_id", seed=11)
+    return out.select("doc_id", "lang", "source", "rk")
+
+
+def _o_stratified_sql() -> str:
+    from metric_search_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", 11)
+    return f"""
+SELECT doc_id, lang, source, CAST(r AS BIGINT) AS rk FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source ORDER BY {h}, doc_id) AS r
+  FROM documents
+) WHERE r <= 5
+"""
+
+
 # DBSCAN parameters for the embeddings' 2-D projection: eps=0.01 / min_pts=6
 # yields 15 clusters / 141 cores / 99 border / 260 noise at sf0.01 — rich
 # structure on every axis of the semantics. Boundary safety: the nearest
@@ -3105,6 +3136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_documents": q_simhash_documents,
     "image_neardup_phash": q_image_neardup_phash,
     "dbscan_embeddings": q_dbscan_embeddings,
+    "stratified_sample_documents": q_stratified_sample_documents,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
     "pip_embeddings": q_pip_embeddings,
@@ -3159,6 +3191,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
     "cosine_neardup_embeddings": O_COSINE_NEARDUP,
     "dbscan_embeddings": O_DBSCAN,
+    "stratified_sample_documents": _o_stratified_sql(),
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,
     "polyfill_tiles": O_POLYFILL,

@@ -1,0 +1,100 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on raw: pipelines carve reproducible
+subsets — per-stratum quotas (balance languages/sources), fixed-rate holdouts
+(eval splits), decimation for ablations. ``df.sample()`` is seed-stable only
+per partitioning; these operators instead key every decision on a PURE
+FUNCTION of the row id, so the same row is kept under any partitioning, any
+cluster size, any engine — the property that makes a sample auditable.
+
+Hash: two MINSTD rounds (Lehmer multiplicative congruential generator,
+x → 48271·x mod 2³¹−1 — public-domain constants from Park & Miller 1988)
+with an xor-shift between rounds for nonlinearity. Everything stays below
+2⁴⁷, so the arithmetic is exact in BIGINT on both Spark (ANSI-safe, no
+overflow) and DuckDB — the SQL twin (``sample_hash_sql``) reproduces the
+exact integers, which is what lets a driver oracle hash-match a sample.
+
+Scale notes:
+- ``sample_stratified`` is a per-stratum window rank — the rank ≤ n filter
+  triggers Spark's WindowGroupLimit partial top-n (each map task keeps only
+  its local top-n before the shuffle), so a 10⁹-row stratum moves
+  ~n·tasks rows, not 10⁹ (plan-pinned in tests/test_sampling.py).
+- ``sample_hash`` (Bernoulli) is a pure Column filter — no shuffle at all;
+  it composes with any downstream plan and pushes into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_col",
+    "sample_hash_sql",
+    "sample_hash",
+    "sample_stratified",
+]
+
+_M = 2147483647  # 2^31 - 1 (prime)
+_A = 48271
+
+
+def hash_col(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic per-id hash in [0, 2³¹−1): two MINSTD rounds + an
+    xor-shift. Exact-integer reproducible in ANSI SQL (sample_hash_sql).
+    ``id_col`` must be a non-negative integer column (every table id here
+    is; pmod guards the seed fold anyway)."""
+    x = F.pmod(id_col.cast("long") + F.lit(131071 * seed), F.lit(_M)) + F.lit(1)
+    h1 = F.pmod(x * _A, F.lit(_M))
+    h1x = h1.bitwiseXOR(F.shiftrightunsigned(h1, 13))
+    return F.pmod(F.pmod(h1x, F.lit(_M)) * _A, F.lit(_M))
+
+
+def sample_hash_sql(id_expr: str, seed: int = 0) -> str:
+    """The exact SQL twin of hash_col (DuckDB/ANSI): same integers."""
+    x = f"((({id_expr}) + {131071 * seed}) % {_M} + {_M}) % {_M} + 1"
+    h1 = f"(({x}) * {_A}) % {_M}"
+    h1x = f"xor({h1}, ({h1}) >> 13)"
+    return f"((({h1x}) % {_M}) * {_A}) % {_M}"
+
+
+def sample_hash(
+    df: DataFrame, fraction: float, *, id_col: str = "id", seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with hash < fraction·M.
+    Same rows kept under any partitioning/engine; a pure filter (no
+    shuffle). The realized rate converges to ``fraction`` at corpus size
+    (the hash is equidistributed); exact per-group counts need
+    sample_stratified."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} not in [0, 1]")
+    return df.where(hash_col(F.col(id_col), seed) < int(fraction * _M))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata: list[str],
+    n: int,
+    *,
+    id_col: str = "id",
+    seed: int = 0,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum, chosen by hash rank —
+    a deterministic per-group reservoir. Returns the input columns plus
+    ``rank_col`` (1..n within the stratum, by (hash, id) — the tie-break
+    makes the output total-ordered and therefore hashable cross-engine).
+
+    Skew: a hot stratum's candidates concentrate on one reducer, but
+    WindowGroupLimit caps what reaches it at top-n per map task — the
+    reducer sees O(n·tasks) rows however hot the stratum is."""
+    if n < 1:
+        raise ValueError(f"n {n} must be >= 1")
+    from pyspark.sql import Window
+
+    h = hash_col(F.col(id_col), seed)
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= n)
+    )
