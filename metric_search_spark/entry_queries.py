@@ -911,6 +911,29 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
 """
 
 
+def q_kmv_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch): per event_type,
+    estimate the distinct user_id count from the k=64 smallest MINSTD
+    hashes. Unlike HLL, every byte of the sketch and the estimate is
+    deterministic shared-arithmetic — the DuckDB twin recomputes hash,
+    distinct, per-group top-k, and the (k−1)·M/h₍ₖ₎ estimator exactly
+    (single double division → bit-identical). Merge associativity and the
+    accuracy envelope are pinned in tests/test_sketch.py."""
+    from metric_search_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    ev = _read(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=64, seed=7)
+    return kmv_estimate(sk, ["event_type"], k=64)
+
+
+def _o_kmv_sql() -> str:
+    from metric_search_spark.operators.sketch import kmv_estimate_sql
+
+    return kmv_estimate_sql(
+        "events", "event_type", "user_id", k=64, seed=7, group_name="event_type"
+    )
+
+
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling): exactly
     min(5, |stratum|) documents per (lang, source) stratum, chosen by the
@@ -3137,6 +3160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_neardup_phash": q_image_neardup_phash,
     "dbscan_embeddings": q_dbscan_embeddings,
     "stratified_sample_documents": q_stratified_sample_documents,
+    "kmv_distinct_events": q_kmv_distinct_events,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
     "pip_embeddings": q_pip_embeddings,
@@ -3192,6 +3216,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "cosine_neardup_embeddings": O_COSINE_NEARDUP,
     "dbscan_embeddings": O_DBSCAN,
     "stratified_sample_documents": _o_stratified_sql(),
+    "kmv_distinct_events": _o_kmv_sql(),
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,
     "polyfill_tiles": O_POLYFILL,
