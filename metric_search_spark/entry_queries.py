@@ -3125,6 +3125,60 @@ SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS rnk FROM (
 """
 
 
+_TOPK_TOKENS = 10
+_MG_CAP = 64  # ≥ the corpus vocabulary ⇒ the MG sketch is provably exact
+# (no decrement can fire when every per-partition summary fits), so the
+# sketch path — mapInPandas summaries, sentinel error rows, lattice merge,
+# offset subtraction — is exercised end-to-end with a hard SQL twin; the
+# approximate regime's guarantees are pinned in tests/test_freq.py where an
+# oracle cannot hash partitioning-dependent estimates.
+
+
+def q_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-k most frequent tokens (operators/freq.value_topk):
+    hash-aggregate with map-side combine, then TakeOrderedAndProject — the
+    per-task bounded top-k merge, no global sort (plan-pinned in
+    tests/test_freq.py). Ties break by token ascending, making the cut
+    deterministic and hashable."""
+    from metric_search_spark.operators.freq import explode_tokens, value_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return value_topk(explode_tokens(docs, "text"), "tok", _TOPK_TOKENS)
+
+
+O_TOKEN_TOPK = f"""
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+) WHERE tok <> ''
+GROUP BY tok
+ORDER BY cnt DESC, tok ASC
+LIMIT {_TOPK_TOKENS}
+"""
+
+
+def q_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over document tokens at capacity ≥ vocab —
+    the sketch's oracle-checkable exact regime (same pattern as IVF at full
+    probe): est == true count and err_ub == 0, which the DuckDB twin
+    verifies as plain GROUP BY counts. The sketch machinery (per-partition
+    capacity-bounded summaries, sentinel decrement-mass rows, pointwise-sum
+    merge, offset subtraction) runs for real; only the decrements have
+    nothing to do."""
+    from metric_search_spark.operators.freq import explode_tokens, misra_gries
+
+    docs = _read(spark, sf_dir, "documents")
+    return misra_gries(explode_tokens(docs, "text"), "tok", _MG_CAP)
+
+
+O_HEAVY_HITTERS = """
+SELECT tok, CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err_ub
+FROM (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+) WHERE tok <> ''
+GROUP BY tok
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3139,6 +3193,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_rollup_embeddings": q_tile_rollup_embeddings,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_stats_documents": q_token_stats_documents,
+    "token_topk_documents": q_token_topk_documents,
+    "heavy_hitters_documents": q_heavy_hitters_documents,
     "edit_join_documents": q_edit_join_documents,
     "dedupe_threshold_embeddings": q_dedupe_threshold_embeddings,
     "bfs_grid4": q_bfs_grid4,
@@ -3205,6 +3261,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "tile_rollup_embeddings": _o_tile_rollup_sql(),
     "dedup_exact_documents": O_DEDUP_EXACT,
     "token_stats_documents": O_TOKEN_STATS,
+    "token_topk_documents": O_TOKEN_TOPK,
+    "heavy_hitters_documents": O_HEAVY_HITTERS,
     "edit_join_documents": O_EDIT_JOIN,
     "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
     "bfs_grid4": O_BFS_GRID4,
