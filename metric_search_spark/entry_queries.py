@@ -3179,6 +3179,54 @@ GROUP BY tok
 """
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP cube over orders: all four grouping sets of
+    (status, priority) in ONE pass — Spark's native ``cube`` expands the
+    sets inside a single Expand + hash aggregate (map-side combined), so a
+    10⁹-row fact table is read once, not once per subtotal level. Sums are
+    exact integer cents (round(price·100) — the price's double is within ε
+    of a 2-decimal value, so ·100 never lands on an exact .5 and both
+    engines round identically); grouping_id disambiguates subtotal rows
+    from any genuine '(all)' value. Cardinality of the result is
+    |status|·|priority| + |status| + |priority| + 1 regardless of fact
+    size."""
+    orders = _read(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select("o_orderstatus", "o_orderpriority", cents.alias("_c"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("_c").alias("sum_cents"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.col("gid").cast("long").alias("gid"),
+            "cnt",
+            "sum_cents",
+        )
+    )
+
+
+# the twin derives gid from the coalesced NULLs (orders has no NULL status/
+# priority — verified — so NULL ⇔ subtotal row), avoiding any reliance on
+# DuckDB's GROUPING bit order matching Spark's
+O_CUBE_ORDERS = """
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+          + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3195,6 +3243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats_documents": q_token_stats_documents,
     "token_topk_documents": q_token_topk_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
+    "cube_orders": q_cube_orders,
     "edit_join_documents": q_edit_join_documents,
     "dedupe_threshold_embeddings": q_dedupe_threshold_embeddings,
     "bfs_grid4": q_bfs_grid4,
@@ -3263,6 +3312,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "token_stats_documents": O_TOKEN_STATS,
     "token_topk_documents": O_TOKEN_TOPK,
     "heavy_hitters_documents": O_HEAVY_HITTERS,
+    "cube_orders": O_CUBE_ORDERS,
     "edit_join_documents": O_EDIT_JOIN,
     "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
     "bfs_grid4": O_BFS_GRID4,
