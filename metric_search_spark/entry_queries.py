@@ -3179,6 +3179,44 @@ GROUP BY tok
 """
 
 
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-arrival under at-least-once replay
+    (streaming/dedup.stream_dedup_within_watermark — the BOUNDED-state
+    mode): the events file is staged twice with increasing mtimes, the file
+    source replays it as two micro-batches (maxFilesPerTrigger=1), and
+    dropDuplicatesWithinWatermark(event_id) drops every second-batch row —
+    live-state duplicates (ts ≥ watermark) and late arrivals (ts <
+    watermark) alike — so the emitted set is exactly the original table,
+    whichever copy won. The state store holds only the trailing 30-minute
+    window (the 100-TB budget); the eviction-reemit caveat and the exact
+    unbounded mode are pinned in tests/test_stream_dedup.py. ts is emitted
+    as epoch seconds (Spark's long cast truncates; the twin floors)."""
+    from metric_search_spark.streaming.dedup import (
+        stage_replay,
+        stream_dedup_within_watermark,
+    )
+
+    d = stage_replay(f"{sf_dir}/events.parquet", times=2)
+    out = stream_dedup_within_watermark(
+        spark, d, ["event_id"], delay="30 minutes"
+    )
+    return out.select(
+        "event_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+O_STREAM_DEDUP_EVENTS = """
+SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       user_id, event_type, value, props
+FROM events
+"""
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP cube over orders: all four grouping sets of
     (status, priority) in ONE pass — Spark's native ``cube`` expands the
@@ -3258,6 +3296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_events": q_stream_window_events,
     "stream_session_events": q_stream_session_events,
     "stream_ewma_events": q_stream_ewma_events,
+    "stream_dedup_events": q_stream_dedup_events,
     "asof_purchase_events": q_asof_purchase_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
@@ -3357,6 +3396,7 @@ _STATIC_ORACLES["winnow_neardup_documents"] = _o_winnow_neardup_sql()
 _STATIC_ORACLES["stream_window_events"] = O_STREAM_WINDOW_EVENTS
 _STATIC_ORACLES["stream_session_events"] = O_STREAM_SESSION_EVENTS
 _STATIC_ORACLES["stream_ewma_events"] = O_STREAM_EWMA_EVENTS
+_STATIC_ORACLES["stream_dedup_events"] = O_STREAM_DEDUP_EVENTS
 _STATIC_ORACLES["asof_purchase_events"] = O_ASOF_PURCHASE_EVENTS
 
 
