@@ -529,6 +529,98 @@ FROM events
 """
 
 
+def q_pagerank_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.pagerank — the Pregel power-method loop:
+    per-iteration rank shuffle against a once-partitioned edge cache,
+    map-side-combined contribution aggregate, eager-checkpoint lineage) on
+    a deterministic 256-node functional multigraph: i → (2i+1) mod 256 and
+    i → ⌊i/2⌋, so every outdegree is exactly 2. With damping 1/2 and
+    N = 256 every intermediate is a dyadic rational with denominator
+    ≤ 2⁻⁴⁰ after 16 iterations — float64 arithmetic is EXACT and
+    summation-order independent, which is what lets the DuckDB twin (a
+    list-carrying recursive CTE that re-runs the whole power method
+    sequentially) hash-match the distributed result bit-for-bit, the
+    TWED/EWMA oracle technique applied to an iterative graph algorithm."""
+    from metric_search_spark.operators.graph import pagerank
+
+    n = 256
+    ids = spark.range(n)
+    edges = ids.select(
+        F.col("id").alias("src"), ((F.col("id") * 2 + 1) % n).alias("dst")
+    ).unionByName(
+        ids.select(
+            F.col("id").alias("src"), (F.col("id") / 2).cast("long").alias("dst")
+        )
+    )
+    return pagerank(edges, iters=16, damping=0.5).select("node", "pr")
+
+
+O_PAGERANK_FUNCTIONAL = """
+WITH RECURSIVE e AS (
+  SELECT i AS src, (2*i+1) % 256 AS dst FROM range(256) t(i)
+  UNION ALL
+  SELECT i AS src, i // 2 AS dst FROM range(256) t(i)
+),
+inl AS (
+  SELECT n.node, coalesce(l.srcs, CAST([] AS BIGINT[])) AS srcs
+  FROM (SELECT unnest(range(256)) AS node) n
+  LEFT JOIN (SELECT dst, list(src ORDER BY src) AS srcs FROM e GROUP BY dst) l
+    ON l.dst = n.node
+),
+adj AS (SELECT list(srcs ORDER BY node) AS A FROM inl),
+pr AS (
+  SELECT 0 AS it, list_transform(range(256), x -> 1.0/256) AS v
+  UNION ALL
+  SELECT it+1,
+    list_transform(range(256), i ->
+      0.5/256 + 0.5 * coalesce(list_sum(list_transform(
+        A[CAST(i+1 AS INT)], u -> v[CAST(u+1 AS INT)] / 2.0)), 0.0))
+  FROM pr, adj WHERE it < 16
+)
+SELECT CAST(t.i AS BIGINT) AS node, v[CAST(t.i+1 AS INT)] AS pr
+FROM (SELECT v FROM pr WHERE it = 16)
+CROSS JOIN (SELECT unnest(range(256)) AS i) t
+"""
+
+
+def q_triangles_grid8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_counts — the
+    degree-ordered orientation join: each triangle found once as a wedge at
+    its lowest-(deg,id) corner, Σoutdeg² ≤ O(|E|^1.5) wedge work, plain
+    equi-joins throughout) on a 10×10 Grid8 lattice (reference generator
+    details/graph.cpp:473-528), where corner/edge/interior nodes make the
+    counts non-constant. The oracle rebuilds the canonical a<b edge set in
+    SQL and counts by the textbook a<b<c three-way self-join — a different
+    algorithm shape entirely."""
+    from metric_search_spark.operators.graph import grid8_edges, triangle_counts
+
+    return triangle_counts(grid8_edges(spark, 10, 10))
+
+
+O_TRIANGLES_GRID8 = """
+WITH e AS (
+  SELECT i AS a, i + 1 AS b FROM range(100) t(i) WHERE i % 10 < 9
+  UNION ALL
+  SELECT i, i + 10 FROM range(100) t(i) WHERE i < 90
+  UNION ALL
+  SELECT i, i + 11 FROM range(100) t(i) WHERE i % 10 < 9 AND i < 90
+  UNION ALL
+  SELECT i, i + 9 FROM range(100) t(i) WHERE i % 10 > 0 AND i < 90
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT CAST(n.i AS BIGINT) AS node, CAST(count(corners.node) AS BIGINT) AS triangles
+FROM (SELECT unnest(range(100)) AS i) n
+LEFT JOIN corners ON corners.node = n.i
+GROUP BY n.i
+"""
+
+
 # ------------------------------------------------- oracle hand-off plumbing
 #
 # Pattern (VERDICT r2 item 1): for operators whose hash family / index state
@@ -3285,6 +3377,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_join_documents": q_edit_join_documents,
     "dedupe_threshold_embeddings": q_dedupe_threshold_embeddings,
     "bfs_grid4": q_bfs_grid4,
+    "pagerank_functional": q_pagerank_functional,
+    "triangles_grid8": q_triangles_grid8,
     "bfs_grid6": q_bfs_grid6,
     "connected_components_events": q_connected_components_events,
     "flagship_images_knn": q_flagship_images_knn,
@@ -3355,6 +3449,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "edit_join_documents": O_EDIT_JOIN,
     "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
     "bfs_grid4": O_BFS_GRID4,
+    "pagerank_functional": O_PAGERANK_FUNCTIONAL,
+    "triangles_grid8": O_TRIANGLES_GRID8,
     "bfs_grid6": O_BFS_GRID6,
     "connected_components_events": O_CC_EVENTS,
     "quality_documents": O_QUALITY,

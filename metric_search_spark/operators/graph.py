@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "bfs_neighborhood",
     "connected_components",
+    "pagerank",
+    "triangle_counts",
     "grid4_edges",
     "grid6_edges",
     "grid8_edges",
@@ -543,3 +545,191 @@ def paley_edges(spark, q: int) -> DataFrame:
     ).where(F.col("src") != F.col("dst"))
     diff = F.pmod(F.col("src") - F.col("dst"), F.lit(q))
     return pairs.join(F.broadcast(residues), diff == F.col("r")).select("src", "dst")
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Distributed PageRank over a DIRECTED (multi)graph, fixed-iteration
+    power method. Returns (node, pr).
+
+    pr_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} pr_t(u)/outdeg(u) + dangling_t/N)
+    where dangling_t is the summed rank of nodes with no out-edges — the
+    standard uniform-redistribution treatment. Multi-edges count with
+    multiplicity (outdeg = count of out-edges, each parallel edge carries
+    its own contribution) and self-loops contribute to their own node —
+    the conventions the fixed-iteration DuckDB twin reproduces exactly.
+
+    Scale shape (the Pregel loop, shuffle-minimal):
+    - edges pre-join their outdegree ONCE, are repartitioned by src and
+      persisted — the per-iteration rank join shuffles only the |V|-row
+      rank table to the edge partitioning (cached-exchange reuse), and the
+      contribution aggregate is map-side-combined on dst. Per iteration:
+      two |V|-bounded shuffles, never |E| after the setup pass.
+    - each iteration's ranks are an eager ``localCheckpoint`` (the
+      BFS/CC lineage rule — the plan references ranks once per join, so
+      un-truncated lineage grows linearly and analysis quadratically);
+      the superseded generation's blocks are released deterministically.
+    - the dangling-mass scalar is one tiny agg job per iteration, SKIPPED
+      entirely when the graph has no dangling nodes (checked once).
+
+    Exactness note (why the driver oracle can hash-match doubles): when
+    every outdegree is a power of two, damping is dyadic (e.g. 0.5), and
+    N is a power of two, every intermediate is an exact dyadic rational
+    with denominator ≤ 2^(log2 N + iters·(1+log2 maxdeg)); while that
+    stays under 2^53 the float64 arithmetic is EXACT and summation-order
+    independent, so Spark and a sequential SQL twin agree bit-for-bit.
+    tests/test_graph.py pins mass conservation and a hand-computed
+    3-node golden for the general (non-dyadic) case."""
+    spark = edges.sparkSession
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select(F.col("node").cast("long")).persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    eo = (
+        e.join(outdeg, "src")
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
+    eo.count()  # materialize the partitioned edge cache before the loop
+    dangling = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    has_dangling = dangling.count() > 0
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            dm = 0.0
+            if has_dangling:
+                row = (
+                    dangling.join(ranks, "node").agg(F.sum("pr")).collect()
+                )
+                dm = row[0][0] or 0.0
+            contribs = (
+                eo.join(ranks, eo["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("pr") / F.col("outdeg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
+            )
+            new_ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm / n))
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            _release_checkpoint(ranks)
+            ranks = new_ranks
+        return ranks
+    finally:
+        eo.unpersist()
+        dangling.unpersist()
+        nodes.unpersist()
+
+
+def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED simple
+    graph induced by ``edges`` (directions dropped, parallel edges merged,
+    self-loops discarded). Returns (node, triangles) for every node in
+    ``nodes`` (default: every endpoint), zeros included.
+
+    Scale shape — the degree-ordered orientation join (the standard
+    skew-proof formulation): orient each undirected edge from its lower
+    (degree, id) endpoint to the higher, so every triangle is generated
+    exactly once as a wedge at its LOWEST-ordered corner closed by one
+    oriented edge. A hub of degree D generates wedges only from its
+    ORIENTED out-edges (≤ its number of higher-degree neighbors), so the
+    wedge count is Σ outdeg², bounded by O(|E|^1.5) overall instead of the
+    Σ deg² a naive src-join suffers on skewed graphs; both joins are plain
+    equi-joins (shuffle on node key / packed edge key), no broadcast of
+    anything |V|-sized."""
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        _undirected(e)
+        .where(F.col("src") != F.col("dst"))
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    deg = (
+        _undirected(und)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total order key (deg, node) packed into one long: node ids fit 32
+    # bits in every generator here; the pack keeps the orientation
+    # comparison a single long compare in the joins below
+    key = lambda d, i: F.shiftleft(F.col(d), 32) + F.col(i)  # noqa: E731
+    ed = (
+        und.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "dsrc")
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            key("dsrc", "src").alias("ksrc"),
+            key("ddst", "dst").alias("kdst"),
+        )
+    )
+    oriented = ed.select(
+        F.when(F.col("ksrc") < F.col("kdst"), F.col("src"))
+        .otherwise(F.col("dst"))
+        .alias("a"),
+        F.when(F.col("ksrc") < F.col("kdst"), F.col("dst"))
+        .otherwise(F.col("src"))
+        .alias("b"),
+        F.least("ksrc", "kdst").alias("ka"),
+        F.greatest("ksrc", "kdst").alias("kb"),
+    )
+    w1 = oriented.select("a", F.col("b").alias("b1"), F.col("kb").alias("k1"))
+    w2 = oriented.select("a", F.col("b").alias("b2"), F.col("kb").alias("k2"))
+    wedges = w1.join(w2, "a").where(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("a").alias("b1"), F.col("b").alias("b2")
+    )
+    tri = wedges.join(closing, ["b1", "b2"]).select(
+        "a", F.col("b1").alias("b"), F.col("b2").alias("c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    counts = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    return nodes.select(F.col("node").cast("long")).join(
+        counts, "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+    )

@@ -252,3 +252,103 @@ def test_paley_rejects_invalid_q(spark):
     for bad in (7, 9, 12):
         with _pytest.raises(ValueError, match="prime"):
             paley_edges(spark, bad)
+
+
+def test_pagerank_golden_3node(spark):
+    """Hand-checkable non-dyadic case: 0→1, 1→2, 2 dangling; d=0.85, 2
+    iterations, numpy-recomputed golden with uniform dangling
+    redistribution."""
+    from metric_search_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r.node: r.pr for r in pagerank(e, iters=2, damping=0.85).collect()}
+    r = np.full(3, 1 / 3)
+    for _ in range(2):
+        c = np.zeros(3)
+        c[1] += r[0]
+        c[2] += r[1]
+        r = 0.15 / 3 + 0.85 * (c + r[2] / 3)
+    assert got.keys() == {0, 1, 2}
+    for i in range(3):
+        assert abs(got[i] - r[i]) < 1e-15, (i, got[i], r[i])
+
+
+def test_pagerank_mass_conserved_and_multiedge(spark):
+    """Total mass stays exactly 1 on the dyadic functional graph (every
+    value a multiple of 2^-40 — sums exact), and a parallel edge counts
+    with multiplicity (doubling an edge changes nothing when it is the
+    node's only out-edge, but shifts mass when it competes)."""
+    from metric_search_spark.operators.graph import pagerank
+
+    n = 256
+    edges = [(i, (2 * i + 1) % n) for i in range(n)] + [
+        (i, i // 2) for i in range(n)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    pr = pagerank(e, iters=16, damping=0.5).toPandas()
+    assert len(pr) == n
+    assert pr["pr"].sum() == 1.0  # exact dyadic arithmetic, no tolerance
+
+    # multi-edge semantics: node 0 sends 2/3 of its mass to 1, 1/3 to 2
+    e2 = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)], "src long, dst long"
+    )
+    got = {r.node: r.pr for r in pagerank(e2, iters=8, damping=0.85).collect()}
+    assert got[1] > got[2]  # the doubled edge carries double weight
+
+
+def test_pagerank_isolated_nodes_via_nodes_arg(spark):
+    """An isolated node (present in nodes, absent from edges) is dangling:
+    it holds teleport+redistribution mass and total mass stays 1."""
+    from metric_search_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    pr = pagerank(e, nodes=nodes, iters=4, damping=0.85).toPandas()
+    assert len(pr) == 3
+    assert abs(pr["pr"].sum() - 1.0) < 1e-12
+    assert pr.set_index("node")["pr"][2] > 0
+
+
+def test_triangle_counts_grid8_vs_bruteforce(spark):
+    """Per-node counts on a 5×4 Grid8 lattice match a python brute force
+    over the canonicalized edge set."""
+    from metric_search_spark.operators.graph import grid8_edges, triangle_counts
+
+    edges = grid8_edges(spark, 5, 4)
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    es = set()
+    for row in edges.collect():
+        a, b = row.src, row.dst
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {v: 0 for v in adj}
+    for a in sorted(adj):
+        for b in sorted(x for x in adj[a] if x > a):
+            for c in sorted(x for x in (adj[a] & adj[b]) if x > b):
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+    assert got == want
+    assert len(set(got.values())) > 1  # corners/edges/interior really differ
+
+
+def test_triangle_counts_paley_regular_and_zero(spark):
+    """Paley(13) is edge- and vertex-transitive: every node sits in the
+    same number of triangles (= deg·λ/2 = 6·2/2 = 6, λ=(q-5)/4=2); a
+    triangle-free graph (4-cycle) reports all zeros, and directed
+    duplicates/self-loops are canonicalized away."""
+    from metric_search_spark.operators.graph import paley_edges, triangle_counts
+
+    got = {r.node: r.triangles for r in triangle_counts(paley_edges(spark, 13)).collect()}
+    assert set(got.values()) == {6} and len(got) == 13
+
+    c4 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 0), (1, 0)], "src long, dst long"
+    )
+    got2 = {r.node: r.triangles for r in triangle_counts(c4).collect()}
+    assert set(got2.values()) == {0} and len(got2) == 4
