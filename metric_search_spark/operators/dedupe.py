@@ -35,6 +35,7 @@ __all__ = [
     "simhash_pairs",
     "simhash_pairs_from_sig",
     "ngram_jaccard_pairs",
+    "tfidf_cosine_pairs",
     "winnow_neardup_pairs",
     "image_neardup_pairs",
     "threshold_filter",
@@ -471,3 +472,86 @@ def threshold_filter(
     if keep_anchor_id is not None:
         cond = cond | (F.col(id_col) == keep_anchor_id)
     return df.where(cond)
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Blocked TF-IDF cosine similarity join: pairs of documents in the
+    SAME blocking group with cosine(tfidf_a, tfidf_b) ≥ ``threshold``.
+    Returns (doc_a, doc_b, cos), doc_a < doc_b.
+
+    The classic entity-resolution/blocked-similarity shape: TF-IDF weights
+    are GLOBAL (corpus-wide document frequency, tf·ln(N/df)), but candidate
+    pairs form only within a blocking key — so the token inverted index is
+    keyed by (block, token) and a corpus-common token's posting list is
+    bounded by the block size, never |corpus|. Unblocked all-pairs TF-IDF
+    over a shared vocabulary is quadratic no matter how it is joined; with
+    blocking the pair work is Σ_blocks |block|², the knob a 100-TB pipeline
+    actually turns (block by language/domain/near-dup bucket). ``max_df``
+    optionally drops tokens appearing in more than that many documents
+    (df-based stop-wording — the same cut winnow_neardup_pairs applies);
+    weights and norms are computed AFTER the cut so both engines agree on
+    the vector space.
+
+    Plan: two groupBy passes (tf, then df), one broadcast of the scalar N,
+    a (block, token) equi-join for dots, and an id-equi-join to attach the
+    two norms — all shuffles on bounded keys, no UDFs anywhere."""
+    b = [F.col(c) for c in block_cols]
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc", *block_cols, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= float(max_df))
+    n = float(docs.count())
+    w = tf.join(dfreq, "tok").select(
+        "doc",
+        *block_cols,
+        "tok",
+        (F.col("tf") * F.log(F.lit(n) / F.col("df"))).alias("w"),
+    )
+    nrm = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
+        "tok",
+        F.col("w").alias("wa"),
+    )
+    bb = w.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
+        F.col("tok").alias("tok_b"),
+        F.col("w").alias("wb"),
+    )
+    cond = [a["tok"] == bb["tok_b"], a["doc_a"] < bb["doc_b"]] + [
+        a[f"_ba_{c}"] == bb[f"_bb_{c}"] for c in block_cols
+    ]
+    dots = (
+        a.join(bb, cond)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

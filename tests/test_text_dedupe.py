@@ -271,3 +271,57 @@ def test_minhash_short_docs_never_band(spark):
         "doc_id long, text string",
     )
     assert minhash_lsh_pairs(df, verify_threshold=None).count() == 0
+
+
+def test_tfidf_cosine_pairs_golden(spark):
+    """Hand-computable corpus: weights tf·ln(N/df), pairs only within the
+    blocking key, cosine checked against a numpy recomputation."""
+    import math
+
+    from metric_search_spark.operators.dedupe import tfidf_cosine_pairs
+
+    rows = [
+        (0, "cat dog cat", "a", "x"),
+        (1, "cat dog", "a", "x"),
+        (2, "cat dog cat", "b", "x"),   # identical tf to doc 0, other block
+        (3, "bird", "a", "x"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.cos
+        for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    # blocking: (0,2) and (1,2) never pair despite identical text shape
+    assert set(got) == {(0, 1)}
+    n = 4.0
+    w_cat, w_dog = math.log(n / 3.0), math.log(n / 3.0)
+    a = np.array([2 * w_cat, 1 * w_dog])
+    b = np.array([1 * w_cat, 1 * w_dog])
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got[(0, 1)] - want) < 1e-12
+
+    # max_df drops corpus-wide tokens from the vector space entirely:
+    # with max_df=1 only 'bird' survives and no pair shares a token
+    got2 = tfidf_cosine_pairs(docs, threshold=0.0, max_df=1).collect()
+    assert got2 == []
+
+
+def test_tfidf_threshold_and_symmetry(spark):
+    """Pairs are emitted once (doc_a < doc_b) and the threshold filters on
+    the UNROUNDED cosine."""
+    from metric_search_spark.operators.dedupe import tfidf_cosine_pairs
+
+    rows = [
+        (10, "alpha beta gamma", "a", "x"),
+        (11, "alpha beta delta", "a", "x"),
+        (12, "epsilon zeta", "a", "x"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = tfidf_cosine_pairs(docs, threshold=0.0).toPandas()
+    assert (out.doc_a < out.doc_b).all()
+    hi = tfidf_cosine_pairs(docs, threshold=0.99).toPandas()
+    assert len(hi) < len(out)
