@@ -889,6 +889,62 @@ HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.2
 """
 
 
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (operators/funnel.funnel):
+    per user, the earliest strictly-(ts, event_id)-ordered completion —
+    stage count plus the chosen stage EVENT IDS (all integers, so the twin
+    is exact with no float story at all). The oracle rebuilds each stage
+    with row_number windows and explicit tuple comparisons — a different
+    formulation of the same greedy-earliest semantics."""
+    from metric_search_spark.operators.funnel import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        F.col("user").alias("user_id"), "stage", "e1", "e2", "e3"
+    )
+
+
+O_FUNNEL_EVENTS = """
+WITH s1 AS (
+  SELECT usr, m, i FROM (
+    SELECT user_id AS usr, ts AS m, event_id AS i,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT usr, m, i FROM (
+    SELECT e.user_id AS usr, e.ts AS m, e.event_id AS i,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s1 ON s1.usr = e.user_id
+    WHERE e.event_type = 'click'
+      AND (e.ts > s1.m OR (e.ts = s1.m AND e.event_id > s1.i))
+  ) WHERE rn = 1
+),
+s3 AS (
+  SELECT usr, m, i FROM (
+    SELECT e.user_id AS usr, e.ts AS m, e.event_id AS i,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s2 ON s2.usr = e.user_id
+    WHERE e.event_type = 'purchase'
+      AND (e.ts > s2.m OR (e.ts = s2.m AND e.event_id > s2.i))
+  ) WHERE rn = 1
+)
+SELECT u.user_id,
+       CAST((s1.usr IS NOT NULL) AS BIGINT) + CAST((s2.usr IS NOT NULL) AS BIGINT)
+         + CAST((s3.usr IS NOT NULL) AS BIGINT) AS stage,
+       s1.i AS e1, s2.i AS e2, s3.i AS e3
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON s1.usr = u.user_id
+LEFT JOIN s2 ON s2.usr = u.user_id
+LEFT JOIN s3 ON s3.usr = u.user_id
+"""
+
+
 def q_tfidf_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked TF-IDF cosine similarity join
     (operators/dedupe.tfidf_cosine_pairs): global tf·ln(N/df) weights,
@@ -3436,6 +3492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_events": q_asof_purchase_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "tfidf_pairs_documents": q_tfidf_pairs_documents,
+    "funnel_events": q_funnel_events,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "simhash_documents": q_simhash_documents,
     "image_neardup_phash": q_image_neardup_phash,
@@ -3500,6 +3557,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "bpeish_documents": O_BPEISH,
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
     "tfidf_pairs_documents": O_TFIDF_PAIRS,
+    "funnel_events": O_FUNNEL_EVENTS,
     "cosine_neardup_embeddings": O_COSINE_NEARDUP,
     "dbscan_embeddings": O_DBSCAN,
     "stratified_sample_documents": _o_stratified_sql(),
