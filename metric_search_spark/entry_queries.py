@@ -1155,6 +1155,36 @@ SELECT doc_id, lang, source, CAST(r AS BIGINT) AS rk FROM (
 """
 
 
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.sample_weighted — Efraimidis–Spirakis A-ES):
+    top-100 documents by the exponential key −ln((hash+1)/M)/n_chars, so
+    longer documents are proportionally likelier — the
+    sample-by-token-budget move a training pipeline makes when examples
+    cost by length. The oracle recomputes the MINSTD hash exactly and the
+    key in SQL; both engines' ln/÷ are correctly-rounded IEEE on identical
+    inputs, and ties (measure-zero) break by doc_id."""
+    from metric_search_spark.operators.sampling import sample_weighted
+
+    docs = _read(spark, sf_dir, "documents")
+    out = sample_weighted(docs, 100, weight_col="n_chars", id_col="doc_id", seed=7)
+    return out.select("doc_id", "n_chars", "rk")
+
+
+def _o_weighted_sample_sql() -> str:
+    from metric_search_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", 7)
+    return f"""
+SELECT doc_id, n_chars, CAST(r AS BIGINT) AS rk FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           ORDER BY -ln((({h}) + 1) / 2147483647.0) / n_chars, doc_id) AS r
+  FROM documents WHERE n_chars > 0
+) WHERE r <= 100
+"""
+
+
 # DBSCAN parameters for the embeddings' 2-D projection: eps=0.01 / min_pts=6
 # yields 15 clusters / 141 cores / 99 border / 260 noise at sf0.01 — rich
 # structure on every axis of the semantics. Boundary safety: the nearest
@@ -3498,6 +3528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_neardup_phash": q_image_neardup_phash,
     "dbscan_embeddings": q_dbscan_embeddings,
     "stratified_sample_documents": q_stratified_sample_documents,
+    "weighted_sample_documents": q_weighted_sample_documents,
     "kmv_distinct_events": q_kmv_distinct_events,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
@@ -3561,6 +3592,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "cosine_neardup_embeddings": O_COSINE_NEARDUP,
     "dbscan_embeddings": O_DBSCAN,
     "stratified_sample_documents": _o_stratified_sql(),
+    "weighted_sample_documents": _o_weighted_sample_sql(),
     "kmv_distinct_events": _o_kmv_sql(),
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,

@@ -33,6 +33,7 @@ __all__ = [
     "sample_hash_sql",
     "sample_hash",
     "sample_stratified",
+    "sample_weighted",
 ]
 
 _M = 2147483647  # 2^31 - 1 (prime)
@@ -96,5 +97,51 @@ def sample_stratified(
     w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= n)
+    )
+
+
+def sample_weighted(
+    df: DataFrame,
+    n: int,
+    *,
+    weight_col: str,
+    strata: list[str] | None = None,
+    id_col: str = "id",
+    seed: int = 0,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES one-pass scheme: each row draws
+    u = (hash(id)+1)/M ∈ (0, 1] and is ranked by the exponential key
+    −ln(u)/w ascending (≡ largest u^(1/w)); the top ``n`` rows are an
+    exact weighted sample without replacement, and because u is a pure
+    function of the row id the SAME rows win under any partitioning, any
+    cluster size, any engine — sample_hash_sql reproduces the integers and
+    ln/division are correctly-rounded IEEE in both engines. Rows with
+    weight ≤ 0 are excluded by definition (never sampled; keeps the
+    zero-division semantics engine-neutral). Ties (measure-zero in the
+    keys) break by id, making the output total-ordered and hashable.
+
+    ``strata``: when given, an independent top-n per stratum (weighted
+    quota sampling). Returns the input columns plus ``rank_col``.
+
+    Scale: same WindowGroupLimit shape as sample_stratified — the rank ≤ n
+    filter caps each map task at its local top-n before the shuffle, so even
+    the global (unpartitioned) variant moves O(n·tasks) rows to the single
+    reducer, not |corpus|."""
+    if n < 1:
+        raise ValueError(f"n {n} must be >= 1")
+    from pyspark.sql import Window
+
+    h = hash_col(F.col(id_col), seed)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_M))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = (
+        Window.partitionBy(*strata) if strata else Window.partitionBy()
+    ).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn(rank_col, F.row_number().over(w).cast("long"))
         .where(F.col(rank_col) <= n)
     )

@@ -102,3 +102,65 @@ def test_sample_hash_rate_and_determinism(spark):
     assert k10 <= k25
     with pytest.raises(ValueError):
         sample_hash(df, 1.5)
+
+
+def test_weighted_sample_bias_and_invariance(spark):
+    """A-ES semantics: (a) heavier rows are sampled more often across
+    seeds — the whole point of the operator; (b) the winners are a pure
+    function of (id, weight, seed) — identical under repartitioning;
+    (c) weight <= 0 rows never appear; (d) n >= |rows| returns all
+    positive-weight rows (exact, no replacement)."""
+    from metric_search_spark.operators.sampling import sample_weighted
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(200)]
+    rows.append((200, 0.0))
+    rows.append((201, -3.0))
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    heavy_hits = light_hits = 0
+    for seed in range(8):
+        got = sample_weighted(df, 20, weight_col="w", seed=seed).collect()
+        ids = {r.id for r in got}
+        assert 200 not in ids and 201 not in ids
+        heavy_hits += sum(1 for i in ids if i % 10 == 0)
+        light_hits += sum(1 for i in ids if i % 10 != 0)
+    # 20 heavy rows hold 2000/2180 of the mass: with 8×20 draws the heavy
+    # group must dominate (expected ~110+ heavy vs ~45 light)
+    assert heavy_hits > light_hits, (heavy_hits, light_hits)
+
+    a = sample_weighted(df, 20, weight_col="w", seed=3).collect()
+    b = sample_weighted(
+        df.repartition(13), 20, weight_col="w", seed=3
+    ).collect()
+    assert {(r.id, r.rk) for r in a} == {(r.id, r.rk) for r in b}
+
+    full = sample_weighted(df, 1000, weight_col="w", seed=0).collect()
+    assert len(full) == 200  # the two non-positive-weight rows are out
+
+
+def test_weighted_sample_strata_and_plan(spark):
+    """Per-stratum quotas are independent top-n, and even the GLOBAL
+    variant keeps the WindowGroupLimit partial top-n (the property that
+    makes a single-reducer window survive a 10^9-row corpus)."""
+    from metric_search_spark.operators.sampling import sample_weighted
+    from metric_search_spark.plans.inspect import explain_text
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 3), "ab"[i % 2]) for i in range(100)],
+        "id long, w double, g string",
+    )
+    per = sample_weighted(df, 7, weight_col="w", strata=["g"], seed=1)
+    got = per.groupBy("g").count().collect()
+    assert {r["count"] for r in got} == {7}
+
+    glob = sample_weighted(df, 7, weight_col="w", seed=1)
+    plan = explain_text(glob, mode="simple")
+    # the unpartitioned rank<=n collapses to the distributed top-k
+    # (TakeOrderedAndProject: per-partition heap + driver merge) — even
+    # tighter than WindowGroupLimit; accept either proof that the
+    # single-reducer window never sees the full corpus
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        sample_weighted(df, 0, weight_col="w")
