@@ -1155,6 +1155,34 @@ SELECT doc_id, lang, source, CAST(r AS BIGINT) AS rk FROM (
 """
 
 
+def q_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (operators/quantiles.exact_quantiles):
+    p10/p50/p90/p99/max of value per event_type, type-1 (lower) rank
+    selection — the value at ascending rank ⌈q·n⌉, an actual data value
+    (never interpolated), so the twin is exact with no float-blend story.
+    One per-group sort shuffle; the honest cost of EXACT quantiles."""
+    from metric_search_spark.operators.quantiles import exact_quantiles
+
+    ev = _read(spark, sf_dir, "events")
+    out = exact_quantiles(
+        ev, "value", [0.1, 0.5, 0.9, 0.99, 1.0], group_cols=["event_type"]
+    )
+    return out.select("event_type", "q", "val")
+
+
+O_QUANTILES_EVENTS = """
+WITH ranked AS (
+  SELECT event_type, value AS val,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, q, val
+FROM ranked, (SELECT unnest([0.1, 0.5, 0.9, 0.99, 1.0]) AS q)
+WHERE rn = ceil(q * n)
+"""
+
+
 def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.sample_weighted — Efraimidis–Spirakis A-ES):
@@ -3529,6 +3557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dbscan_embeddings": q_dbscan_embeddings,
     "stratified_sample_documents": q_stratified_sample_documents,
     "weighted_sample_documents": q_weighted_sample_documents,
+    "quantiles_events": q_quantiles_events,
     "kmv_distinct_events": q_kmv_distinct_events,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
@@ -3593,6 +3622,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "dbscan_embeddings": O_DBSCAN,
     "stratified_sample_documents": _o_stratified_sql(),
     "weighted_sample_documents": _o_weighted_sample_sql(),
+    "quantiles_events": O_QUANTILES_EVENTS,
     "kmv_distinct_events": _o_kmv_sql(),
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,

@@ -1,0 +1,69 @@
+"""Exact distributed quantiles by rank selection.
+
+The analytics staple next to cube/rollup: per-group p50/p90/p99 of a
+measure. This is the EXACT tier — the type-1 (lower) quantile, defined as
+the value at 1-indexed rank ⌈q·n⌉ of the group's ascending sort — chosen
+over interpolating definitions because it is engine-independent to the
+bit: rank arithmetic is ⌈double·bigint⌉ on identical IEEE inputs and the
+answer is an actual data value, never a blend of two (interpolation
+formulas differ subtly across engines — a+(b−a)f vs (1−f)a+fb — and would
+reintroduce last-ulp drift).
+
+Scale shape: one shuffle — the per-group sort window. row_number +
+count-over-partition compile into a single Window over one Exchange on
+the group key; the quantile filter then keeps ⌈q·n⌉-ranked rows only. At
+10⁹ rows per group the full sort is the honest cost of EXACT quantiles
+(any cheaper answer is approximate by definition); for the sketch tier at
+that scale Spark's native approx_percentile / the KMV module apply — this
+operator is the ground truth they are judged against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["exact_quantiles"]
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    *,
+    group_cols: list[str] | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-group exact type-1 quantiles. Returns (group_cols..., q, val)
+    with one row per group × quantile; ``val`` is the group's value at
+    ascending rank ⌈q·n⌉ (q ∈ (0, 1]; q=1 is the max, q→0⁺ the min).
+
+    ``tie_col``: optional unique column appended to the sort for a total
+    order — the RETURNED value is identical either way (equal values are
+    interchangeable at a rank), it only pins WHICH physical row wins for
+    engines that care.
+    """
+    if not qs:
+        raise ValueError("exact_quantiles: need at least one quantile")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {q} not in (0, 1]")
+    gc = list(group_cols or [])
+    order = [F.col("val").asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(*gc).orderBy(*order)
+    wn = Window.partitionBy(*gc)
+    ranked = df.select(
+        *gc,
+        F.col(value_col).alias("val"),
+        *([F.col(tie_col)] if tie_col else []),
+    ).withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        ranked.select(*gc, "val", "_rn", "_n", F.explode(qarr).alias("q"))
+        .where(F.col("_rn") == F.ceil(F.col("q") * F.col("_n")))
+        .select(*gc, "q", "val")
+    )
