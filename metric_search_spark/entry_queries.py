@@ -2573,6 +2573,60 @@ ASOF LEFT JOIN (
 """
 
 
+def q_resample_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + LOCF gap-fill (operators/resample.resample_locf):
+    per user, a grid from date_trunc('hour', first event) to the last
+    event, every grid point carrying the latest prior-or-equal event's id
+    and floor(value·1000) — integers only, so the twin is exact. Spark
+    side: bounds aggregate → sequence/posexplode grid → union-and-carry
+    asof_join (one shuffle); DuckDB side: generate_series + native ASOF
+    LEFT JOIN with the max-id pre-dedup for duplicate-ts determinism."""
+    from metric_search_spark.operators.resample import resample_locf
+    from metric_search_spark.streaming.windows import EVENTS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vmillis"),
+    )
+    out = resample_locf(
+        ev, by="user_id", carry=["eid", "vmillis"], right_order="eid"
+    )
+    return out.select(
+        "user_id",
+        "pos",
+        F.coalesce(F.col("eid_r"), F.lit(-1)).alias("eid"),
+        F.coalesce(F.col("vmillis_r"), F.lit(-1)).alias("vmillis"),
+    )
+
+
+O_RESAMPLE_LOCF_EVENTS = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn, max(ts) AS mx
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT user_id, mn,
+         unnest(generate_series(mn, mx, INTERVAL 3600 SECOND)) AS ts
+  FROM b
+),
+r AS (
+  -- pre-dedup equal (user_id, ts) events to the max-id row: the engine
+  -- tie-breaks on right_order, native ASOF picks an unspecified equal row
+  SELECT user_id, ts, max(event_id) AS eid,
+         CAST(floor(arg_max(value, event_id) * 1000) AS BIGINT) AS vmillis
+  FROM events GROUP BY user_id, ts
+)
+SELECT g.user_id,
+       CAST(floor(epoch(g.ts - g.mn) / 3600) AS BIGINT) AS pos,
+       coalesce(r.eid, -1) AS eid,
+       coalesce(r.vmillis, -1) AS vmillis
+FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.ts >= r.ts
+"""
+
+
 def q_stream_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState
     (streaming/windows.stateful_user_ewma): per-user running EWMA of
@@ -3548,6 +3602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ewma_events": q_stream_ewma_events,
     "stream_dedup_events": q_stream_dedup_events,
     "asof_purchase_events": q_asof_purchase_events,
+    "resample_locf_events": q_resample_locf_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "tfidf_pairs_documents": q_tfidf_pairs_documents,
     "funnel_events": q_funnel_events,
@@ -3658,6 +3713,7 @@ _STATIC_ORACLES["stream_session_events"] = O_STREAM_SESSION_EVENTS
 _STATIC_ORACLES["stream_ewma_events"] = O_STREAM_EWMA_EVENTS
 _STATIC_ORACLES["stream_dedup_events"] = O_STREAM_DEDUP_EVENTS
 _STATIC_ORACLES["asof_purchase_events"] = O_ASOF_PURCHASE_EVENTS
+_STATIC_ORACLES["resample_locf_events"] = O_RESAMPLE_LOCF_EVENTS
 
 
 def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
