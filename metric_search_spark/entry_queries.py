@@ -1183,6 +1183,88 @@ WHERE rn = ceil(q * n)
 """
 
 
+def q_pmi_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocations (operators/cooccur.pmi_pairs):
+    unordered token pairs with co-document support ≥ 32, scored
+    ln(N·c_ab/(c_a·c_b)). Counts are exact integers; the single ln() runs
+    on identical integers in both engines (round-6 guard for the last
+    ulp)."""
+    from metric_search_spark.operators.cooccur import pmi_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pmi_pairs(docs, min_count=32)
+    return out.select("tok_a", "tok_b", "c_ab", F.round("pmi", 6).alias("pmi"))
+
+
+O_PMI_PAIRS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+cx AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+  FROM toks a JOIN toks b ON a.doc = b.doc AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 32
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents)
+SELECT tok_a, tok_b, c_ab,
+       round(ln(n.nn * c_ab / (ca.c * CAST(cb.c AS DOUBLE))), 6) AS pmi
+FROM pairs, n
+JOIN cx ca ON ca.tok = pairs.tok_a
+JOIN cx cb ON cb.tok = pairs.tok_b
+"""
+
+
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags (operators/quantiles.mad_outliers): events
+    whose value deviates from their event_type's exact rank-median by more
+    than 1.5× the MAD. All statistics are actual data values (type-1
+    medians) and the deviation arithmetic is correctly-rounded IEEE on
+    identical inputs in both engines, so the strict comparison is
+    deterministic with no epsilon or rounding story."""
+    from metric_search_spark.operators.quantiles import mad_outliers
+
+    ev = _read(spark, sf_dir, "events")
+    out = mad_outliers(
+        ev.select("event_id", "event_type", "value"),
+        "value",
+        group_cols=["event_type"],
+        k=1.5,
+    )
+    return out.select("event_id", "event_type", F.round("dev", 6).alias("dev"))
+
+
+O_MAD_OUTLIERS_EVENTS = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS med FROM ranked WHERE rn = ceil(0.5 * n)
+),
+dev AS (
+  SELECT e.event_id, e.event_type, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, dev AS mad FROM dranked WHERE rn = ceil(0.5 * n)
+)
+SELECT d.event_id, d.event_type, round(d.dev, 6) AS dev
+FROM dev d JOIN mad USING (event_type)
+WHERE d.dev > 1.5 * mad.mad
+"""
+
+
 def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.sample_weighted — Efraimidis–Spirakis A-ES):
@@ -3613,6 +3695,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "weighted_sample_documents": q_weighted_sample_documents,
     "quantiles_events": q_quantiles_events,
+    "mad_outliers_events": q_mad_outliers_events,
+    "pmi_pairs_documents": q_pmi_pairs_documents,
     "kmv_distinct_events": q_kmv_distinct_events,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
@@ -3678,6 +3762,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "stratified_sample_documents": _o_stratified_sql(),
     "weighted_sample_documents": _o_weighted_sample_sql(),
     "quantiles_events": O_QUANTILES_EVENTS,
+    "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
+    "pmi_pairs_documents": O_PMI_PAIRS,
     "kmv_distinct_events": _o_kmv_sql(),
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,

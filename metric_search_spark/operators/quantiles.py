@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "mad_outliers"]
 
 
 def exact_quantiles(
@@ -67,3 +67,43 @@ def exact_quantiles(
         .where(F.col("_rn") == F.ceil(F.col("q") * F.col("_n")))
         .select(*gc, "q", "val")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging by median absolute deviation:
+    keep rows with |v − median| > k·MAD, where both medians are the exact
+    type-1 (rank ⌈n/2⌉) statistics of this module. Rank-based medians make
+    the whole pipeline engine-deterministic: med, MAD, and v are actual
+    data values copied bit-for-bit, and sub/abs/mul are correctly-rounded
+    IEEE on identical inputs — so the strict-> comparison needs no epsilon
+    story at all (unlike mean/stddev z-scores, whose sums are
+    order-dependent). MAD = 0 (constant-majority groups) flags every
+    non-median value, the conventional reading.
+
+    Returns the input columns plus med, mad, dev (= |v − med|).
+    Scale: three group-key shuffles (rank-median, deviation rank-median,
+    broadcast-able stat re-joins) — each map-side bounded; the honest
+    exact-tier cost, same note as exact_quantiles."""
+    gc = list(group_cols or [])
+    med = exact_quantiles(df, value_col, [0.5], group_cols=gc).select(
+        *gc, F.col("val").alias("med")
+    )
+    join_on = gc if gc else None
+    dev = (
+        df.join(F.broadcast(med), join_on) if gc else df.crossJoin(F.broadcast(med))
+    ).withColumn("dev", F.abs(F.col(value_col) - F.col("med")))
+    madq = exact_quantiles(dev, "dev", [0.5], group_cols=gc).select(
+        *gc, F.col("val").alias("mad")
+    )
+    out = (
+        dev.join(F.broadcast(madq), join_on)
+        if gc
+        else dev.crossJoin(F.broadcast(madq))
+    )
+    return out.where(F.col("dev") > F.lit(float(k)) * F.col("mad"))

@@ -51,3 +51,30 @@ def test_validation_and_single_exchange(spark):
     # row_number and count-over-partition share ONE exchange on the group
     # key — the per-group sort is the only shuffle
     assert count_exchanges(out) == 1
+
+
+def test_mad_outliers_golden_and_zero_mad(spark):
+    """Hand-checkable: group a = [1,1,1,1,100] → med=1 (rank 3 of 5),
+    deviations [0,0,0,0,99] → MAD=0 → only 100 flagged (dev > 0). Group b
+    symmetric spread → nothing beyond k·MAD."""
+    from metric_search_spark.operators.quantiles import mad_outliers
+
+    rows = [("a", v) for v in (1.0, 1.0, 1.0, 1.0, 100.0)] + [
+        ("b", v) for v in (10.0, 20.0, 30.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mad_outliers(df, "v", group_cols=["g"], k=1.5).collect()
+    assert [(r.g, r.v, r.med, r.mad, r.dev) for r in got] == [
+        ("a", 100.0, 1.0, 0.0, 99.0)
+    ]
+    # b: med=20, devs [10,0,10], MAD=10, k*MAD=15 → none flagged
+
+
+def test_mad_outliers_global_group(spark):
+    from metric_search_spark.operators.quantiles import mad_outliers
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (1, 2, 3, 4, 1000)], "v double"
+    )
+    got = mad_outliers(df, "v", k=3.0).collect()
+    assert [r.v for r in got] == [1000.0]  # med=3, MAD=1, |1000-3| > 3

@@ -325,3 +325,33 @@ def test_tfidf_threshold_and_symmetry(spark):
     assert (out.doc_a < out.doc_b).all()
     hi = tfidf_cosine_pairs(docs, threshold=0.99).toPandas()
     assert len(hi) < len(out)
+
+
+def test_pmi_pairs_golden(spark):
+    """4 docs; {x,y} co-occur in 2, x in 3, y in 2 → pmi = ln(4·2/(3·2));
+    repeated tokens inside a doc count once; min_count cuts."""
+    import math
+
+    from metric_search_spark.operators.cooccur import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x y y"),
+            (1, "x y"),
+            (2, "x z"),
+            (3, "w"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.tok_a, r.tok_b): (r.c_ab, r.pmi)
+        for r in pmi_pairs(docs, min_count=2).collect()
+    }
+    assert set(got) == {("x", "y")}
+    c_ab, pmi = got[("x", "y")]
+    assert c_ab == 2
+    assert abs(pmi - math.log(4 * 2 / (3 * 2))) < 1e-12
+    all_pairs = {
+        (r.tok_a, r.tok_b) for r in pmi_pairs(docs, min_count=1).collect()
+    }
+    assert ("x", "z") in all_pairs and ("w", "x") not in all_pairs
