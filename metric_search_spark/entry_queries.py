@@ -1183,6 +1183,72 @@ WHERE rn = ceil(q * n)
 """
 
 
+def q_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equi-width histogram
+    (operators/quantiles.equiwidth_histogram): 20 bins of value over each
+    event_type's own [min, max], empty bins emitted as zeros. Bin edges
+    are exact data values and the bin arithmetic is identical IEEE in both
+    engines — integer counts, no rounding story."""
+    from metric_search_spark.operators.quantiles import equiwidth_histogram
+
+    ev = _read(spark, sf_dir, "events")
+    return equiwidth_histogram(ev, "value", 20, group_cols=["event_type"])
+
+
+O_HISTOGRAM_EVENTS = """
+WITH b AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE least(CAST(floor((e.value - b.lo) * 20.0 / (b.hi - b.lo))
+                              AS BIGINT), 19)
+         END AS bin
+  FROM events e JOIN b USING (event_type)
+),
+grid AS (
+  SELECT event_type, unnest(range(20)) AS bin FROM b
+)
+SELECT g.event_type, g.bin, CAST(count(binned.bin) AS BIGINT) AS n
+FROM grid g LEFT JOIN binned ON binned.event_type = g.event_type
+                            AND binned.bin = g.bin
+GROUP BY 1, 2
+"""
+
+
+def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix
+    (operators/transitions.transition_counts): consecutive event-type
+    pairs over each user's (ts, event_id)-ordered sequence — one per-user
+    sort shuffle + a map-side-combined (from, to) count. Counts exact; the
+    row-normalizing division runs on identical integers both sides
+    (round-6 guard)."""
+    from metric_search_spark.operators.transitions import transition_counts
+
+    ev = _read(spark, sf_dir, "events")
+    out = transition_counts(ev)
+    return out.select("src_type", "dst_type", "n", F.round("p", 6).alias("p"))
+
+
+O_TRANSITIONS_EVENTS = """
+WITH steps AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst_type
+  FROM events
+),
+counts AS (
+  SELECT src_type, dst_type, count(*) AS n
+  FROM steps WHERE dst_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE), 6) AS p
+FROM counts
+"""
+
+
 def q_pmi_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level PMI collocations (operators/cooccur.pmi_pairs):
     unordered token pairs with co-document support ≥ 32, scored
@@ -3697,6 +3763,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_events": q_quantiles_events,
     "mad_outliers_events": q_mad_outliers_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
+    "transitions_events": q_transitions_events,
+    "histogram_events": q_histogram_events,
     "kmv_distinct_events": q_kmv_distinct_events,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
@@ -3764,6 +3832,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "quantiles_events": O_QUANTILES_EVENTS,
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
+    "transitions_events": O_TRANSITIONS_EVENTS,
+    "histogram_events": O_HISTOGRAM_EVENTS,
     "kmv_distinct_events": _o_kmv_sql(),
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles", "mad_outliers"]
+__all__ = ["exact_quantiles", "mad_outliers", "equiwidth_histogram"]
 
 
 def exact_quantiles(
@@ -107,3 +107,53 @@ def mad_outliers(
         else dev.crossJoin(F.broadcast(madq))
     )
     return out.where(F.col("dev") > F.lit(float(k)) * F.col("mad"))
+
+
+def equiwidth_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group equi-width histogram over the group's own [min, max]:
+    bin = min(⌊(v − lo)·bins/(hi − lo)⌋, bins−1), counts per (group, bin)
+    including a 0-count row for every empty bin (the shape downstream
+    plotting/drift checks expect). Degenerate groups (hi = lo) collapse
+    into bin 0. Engine-deterministic: lo/hi are exact min/max data values
+    and the bin arithmetic is correctly-rounded IEEE on identical inputs —
+    the same no-epsilon argument as mad_outliers; values landing exactly
+    on an interior edge go to the upper bin in both engines by the same
+    ⌊·⌋.
+
+    Scale: one map-side-combined (group → lo, hi) aggregate broadcast back
+    onto the rows, then one map-side-combined (group, bin) count — two
+    tiny shuffles, no sort anywhere (the cheap-tier complement to
+    exact_quantiles' full per-group sort)."""
+    if bins < 1:
+        raise ValueError(f"bins {bins} must be >= 1")
+    gc = list(group_cols or [])
+    bounds = df.groupBy(*gc).agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), gc) if gc else df.crossJoin(F.broadcast(bounds))
+    )
+    width = F.col("_hi") - F.col("_lo")
+    raw = F.floor(
+        (F.col(value_col) - F.col("_lo")) * F.lit(float(bins)) / width
+    )
+    binc = (
+        F.when(width == 0, F.lit(0))
+        .otherwise(F.least(raw, F.lit(bins - 1)))
+        .cast("long")
+    )
+    counts = joined.select(*gc, binc.alias("bin")).groupBy(*gc, "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = bounds.select(
+        *gc, F.explode(F.sequence(F.lit(0), F.lit(bins - 1)).cast("array<long>")).alias("bin")
+    )
+    return grid.join(counts, gc + ["bin"], "left").select(
+        *gc, "bin", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )

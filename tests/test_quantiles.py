@@ -78,3 +78,50 @@ def test_mad_outliers_global_group(spark):
     )
     got = mad_outliers(df, "v", k=3.0).collect()
     assert [r.v for r in got] == [1000.0]  # med=3, MAD=1, |1000-3| > 3
+
+
+def test_equiwidth_histogram_golden(spark):
+    """[0..10] in 5 bins of width 2: v=10 (the max) clamps into bin 4;
+    interior edge v=2 goes to the UPPER bin (floor((2-0)*5/10)=1); empty
+    bins appear as zeros; degenerate group collapses to bin 0."""
+    from metric_search_spark.operators.quantiles import equiwidth_histogram
+
+    rows = [("a", float(v)) for v in (0, 1, 2, 10)] + [("c", 7.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.bin): r.n
+        for r in equiwidth_histogram(df, "v", 5, group_cols=["g"]).collect()
+    }
+    assert got == {
+        ("a", 0): 2, ("a", 1): 1, ("a", 2): 0, ("a", 3): 0, ("a", 4): 1,
+        ("c", 0): 2, ("c", 1): 0, ("c", 2): 0, ("c", 3): 0, ("c", 4): 0,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        equiwidth_histogram(df, "v", 0)
+
+
+def test_transition_counts_golden(spark):
+    """Two users: u1 a→b→a, u2 a→b. Transitions: a→b ×2 (p=1.0),
+    b→a ×1 (p=1.0). Cross-user boundaries never create transitions."""
+    import datetime as dt
+
+    from metric_search_spark.operators.transitions import transition_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "a"),
+        (2, base + dt.timedelta(seconds=1), 1, "b"),
+        (3, base + dt.timedelta(seconds=2), 1, "a"),
+        (4, base, 2, "a"),
+        (5, base + dt.timedelta(seconds=1), 2, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    got = {
+        (r.src_type, r.dst_type): (r.n, r.p)
+        for r in transition_counts(ev).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
