@@ -1183,6 +1183,85 @@ WHERE rn = ceil(q * n)
 """
 
 
+_KMEANS_K, _KMEANS_ITERS, _KMEANS_SEED, _KMEANS_SCALE = 8, 5, 0, 1 << 30
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd k-means
+    (operators/cluster.kmeans_2d) over the embeddings' 2-D projection:
+    k=8, 5 iterations, MINSTD-hash-seeded init, integer-scaled coordinates
+    (exact order-independent cluster sums; centroid divisions on identical
+    integers), argmin ties to the lowest cluster id. The DuckDB twin
+    UNROLLS all five assignment/update rounds as generated CTE pairs — the
+    entire iterative algorithm replayed relationally, the PageRank-oracle
+    technique without even a recursive CTE."""
+    from metric_search_spark.operators.cluster import kmeans_2d
+
+    emb = _emb(spark, sf_dir)
+    return kmeans_2d(
+        emb.select(F.col("id"), "x", "y"),
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        seed=_KMEANS_SEED,
+        scale=_KMEANS_SCALE,
+    )
+
+
+def _o_kmeans_sql(
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    seed: int = _KMEANS_SEED,
+    scale: int = _KMEANS_SCALE,
+) -> str:
+    from metric_search_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("id", seed)
+    ctes = [
+        f"""pts AS (
+  SELECT vec_id AS id,
+         CAST(floor({_EMB_X} * {scale}.0) AS BIGINT) AS ix,
+         CAST(floor({_EMB_Y} * {scale}.0) AS BIGINT) AS iy
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY hh, id) AS cid,
+         CAST(ix AS DOUBLE) AS cx, CAST(iy AS DOUBLE) AS cy
+  FROM (SELECT id, ix, iy, {h} AS hh FROM pts)
+  ORDER BY hh, id LIMIT {k}
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT id, ix, iy, cid FROM (
+    SELECT p.id, p.ix, p.iy, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY
+             (p.ix - c.cx)*(p.ix - c.cx) + (p.iy - c.cy)*(p.iy - c.cy),
+             c.cid) AS rn
+    FROM pts p, c{i - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT c.cid, coalesce(n.cx, c.cx) AS cx, coalesce(n.cy, c.cy) AS cy
+  FROM c{i - 1} c LEFT JOIN (
+    SELECT cid, CAST(sum(ix) AS DOUBLE)/count(*) AS cx,
+                CAST(sum(iy) AS DOUBLE)/count(*) AS cy
+    FROM a{i} GROUP BY cid
+  ) n ON n.cid = c.cid
+)"""
+        )
+    final = f"""SELECT id, cid AS cluster FROM (
+  SELECT p.id, c.cid,
+         row_number() OVER (PARTITION BY p.id ORDER BY
+           (p.ix - c.cx)*(p.ix - c.cx) + (p.iy - c.cy)*(p.iy - c.cy),
+           c.cid) AS rn
+  FROM pts p, c{iters} c
+) WHERE rn = 1"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def q_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group equi-width histogram
     (operators/quantiles.equiwidth_histogram): 20 bins of value over each
@@ -3765,6 +3844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
     "histogram_events": q_histogram_events,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "kmv_distinct_events": q_kmv_distinct_events,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
@@ -3834,6 +3914,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
     "histogram_events": O_HISTOGRAM_EVENTS,
+    "kmeans_embeddings": _o_kmeans_sql(),
     "kmv_distinct_events": _o_kmv_sql(),
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from metric_search_spark.operators.graph import connected_components
 from metric_search_spark.operators.joins import range_join
 
-__all__ = ["dbscan"]
+__all__ = ["dbscan", "kmeans_2d"]
 
 
 def dbscan(
@@ -137,3 +137,110 @@ def dbscan(
             core.unpersist()
         except NameError:
             pass
+
+
+def kmeans_2d(
+    points: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    *,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    seed: int = 0,
+    scale: int = 1 << 30,
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means on 2-D points. Returns
+    (id, cluster) after ``iters`` assignment/update rounds.
+
+    Every source of k-means nondeterminism is pinned:
+    - init: the k points with smallest (MINSTD hash(id), id) — the shared
+      cross-engine hash, so both engines seed identically (cluster ids =
+      that rank order, 1..k);
+    - coordinates integer-scale to ⌊x·2³⁰⌋ — cluster SUMS are exact longs
+      (order-independent under any partitioning; headroom: 10⁹ rows ×
+      2³⁰ < 2⁶³), and the centroid division sum/count runs on identical
+      integers in both engines;
+    - assignment: argmin of the IEEE-identical dist², ties to the LOWEST
+      cluster id (min over (dist², cid) structs);
+    - an emptied cluster keeps its previous centroid (the pq_train
+      convention).
+
+    Scale shape per iteration: broadcast the k centroids onto the points
+    (map-side join, no shuffle), ONE map-side-combined (cluster → sums)
+    aggregate of k rows, and a k-row driver collect — the classic Lloyd
+    loop; the points table is scanned, never shuffled. The driver query's
+    DuckDB twin UNROLLS the iterations as generated CTE pairs
+    (assign_i, centroids_i) — the whole algorithm replayed relationally.
+    """
+    from metric_search_spark.operators.sampling import hash_col
+
+    if k < 1 or iters < 0:
+        raise ValueError(f"kmeans_2d: k={k} must be >=1 and iters={iters} >=0")
+    spark = points.sparkSession
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.floor(F.col(x_col) * F.lit(float(scale))).cast("long").alias("ix"),
+        F.floor(F.col(y_col) * F.lit(float(scale))).cast("long").alias("iy"),
+    ).persist()
+    init = (
+        pts.withColumn("_h", hash_col(F.col("id"), seed))
+        .orderBy("_h", "id")
+        .limit(k)
+        .collect()
+    )
+    if not init:
+        pts.unpersist()
+        return spark.createDataFrame([], "id long, cluster long")
+    cents = [
+        (i + 1, float(r["ix"]), float(r["iy"])) for i, r in enumerate(init)
+    ]
+    try:
+        for _ in range(iters):
+            cdf = spark.createDataFrame(
+                cents, "cid long, cx double, cy double"
+            )
+            d2 = (
+                (F.col("ix") - F.col("cx")) * (F.col("ix") - F.col("cx"))
+                + (F.col("iy") - F.col("cy")) * (F.col("iy") - F.col("cy"))
+            )
+            assigned = (
+                pts.crossJoin(F.broadcast(cdf))
+                .groupBy("id")
+                .agg(
+                    F.min(F.struct(d2.alias("d2"), F.col("cid"))).alias("m"),
+                    F.first("ix").alias("ix"),
+                    F.first("iy").alias("iy"),
+                )
+                .select("id", F.col("m.cid").alias("cid"), "ix", "iy")
+            )
+            upd = {
+                r["cid"]: (
+                    r["sx"] / r["n"],
+                    r["sy"] / r["n"],
+                )
+                for r in assigned.groupBy("cid")
+                .agg(
+                    F.sum("ix").alias("sx"),
+                    F.sum("iy").alias("sy"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            }
+            cents = [
+                (cid, *upd[cid]) if cid in upd else (cid, cx, cy)
+                for (cid, cx, cy) in cents
+            ]
+        cdf = spark.createDataFrame(cents, "cid long, cx double, cy double")
+        d2 = (
+            (F.col("ix") - F.col("cx")) * (F.col("ix") - F.col("cx"))
+            + (F.col("iy") - F.col("cy")) * (F.col("iy") - F.col("cy"))
+        )
+        return (
+            pts.crossJoin(F.broadcast(cdf))
+            .groupBy("id")
+            .agg(F.min(F.struct(d2.alias("d2"), F.col("cid"))).alias("m"))
+            .select("id", F.col("m.cid").alias("cluster"))
+        )
+    finally:
+        pts.unpersist()

@@ -115,3 +115,47 @@ def test_dbscan_all_noise_and_all_core(spark):
     )
     out2 = dbscan(df2, eps=0.1, min_pts=3).collect()
     assert all(r["role"] == "core" and r["cluster"] == 3 for r in out2)
+
+
+def test_kmeans_separated_blobs_and_invariance(spark):
+    """Three well-separated blobs are recovered exactly (same partition of
+    the ids regardless of label numbering), the result is identical under
+    repartitioning, and iters=0 assigns to the raw seeds."""
+    from metric_search_spark.operators.cluster import kmeans_2d
+
+    pts = []
+    for b, (cx, cy) in enumerate([(0.1, 0.1), (0.5, 0.9), (0.9, 0.2)]):
+        for j in range(20):
+            pts.append((b * 100 + j, cx + (j % 5) * 1e-3, cy + (j // 5) * 1e-3))
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+
+    got = {r.id: r.cluster for r in kmeans_2d(df, k=3, iters=6).collect()}
+    assert len(got) == 60
+    blobs = [{got[b * 100 + j] for j in range(20)} for b in range(3)]
+    assert all(len(s) == 1 for s in blobs)          # each blob one cluster
+    assert len(set().union(*blobs)) == 3             # three distinct ones
+
+    again = {
+        r.id: r.cluster
+        for r in kmeans_2d(df.repartition(7), k=3, iters=6).collect()
+    }
+    assert again == got
+
+    init_only = kmeans_2d(df, k=3, iters=0).collect()
+    assert len(init_only) == 60
+
+
+def test_kmeans_k_exceeds_points_and_validation(spark):
+    """k > |points|: init takes all points as seeds; every point lands in
+    some cluster. Bad args raise."""
+    import pytest as _pytest
+
+    from metric_search_spark.operators.cluster import kmeans_2d
+
+    df = spark.createDataFrame(
+        [(1, 0.1, 0.1), (2, 0.9, 0.9)], "id long, x double, y double"
+    )
+    got = kmeans_2d(df, k=5, iters=3).collect()
+    assert len(got) == 2 and {r.cluster for r in got} == {1, 2}
+    with _pytest.raises(ValueError, match="kmeans_2d"):
+        kmeans_2d(df, k=0)
