@@ -1410,6 +1410,68 @@ WHERE d.dev > 1.5 * mad.mad
 """
 
 
+def q_linreg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS drift line (operators/regress.linreg): slope and
+    intercept of value over days-since-2024-01-01. The five sufficient
+    statistics are EXACT int64 sums of ⌊v·2¹⁶⌋-scaled coordinates (one
+    map-side-combined aggregate, no iteration), the normal-equation
+    products run in decimal(38,0) (DuckDB: HUGEINT), and the final
+    division is the identical IEEE quotient of identical exact integers in
+    both engines. x is floored-seconds (Spark ts→long ≡ DuckDB
+    floor(epoch)) divided by 86400.0 — one correctly-rounded division,
+    then an exact ·2¹⁶."""
+    from metric_search_spark.operators.regress import linreg
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (
+            (F.col("ts").cast("timestamp").cast("long") - F.lit(1704067200))
+            / F.lit(86400.0)
+        ).alias("x_days"),
+        "value",
+    )
+    out = linreg(pts, "x_days", "value", group_cols=["event_type"])
+    return out.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+O_LINREG_EVENTS = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
+                    / 86400.0 * 65536.0) AS BIGINT) AS ix,
+         CAST(floor(value * 65536.0) AS BIGINT) AS iy
+  FROM events
+),
+agg AS (
+  SELECT event_type, count(*) AS n,
+         sum(ix) AS sx, sum(iy) AS sy,
+         sum(ix * iy) AS sxy, sum(ix * ix) AS sxx
+  FROM pts GROUP BY event_type
+),
+fit AS (
+  SELECT event_type, n, sx, sy,
+         CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+              - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+       / CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+              - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS slope
+  FROM agg
+  WHERE n >= 2
+    AND CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+        - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) <> 0
+)
+SELECT event_type, n, round(slope, 6) AS slope,
+       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM fit
+"""
+
+
 def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.sample_weighted — Efraimidis–Spirakis A-ES):
@@ -3841,6 +3903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_documents": q_weighted_sample_documents,
     "quantiles_events": q_quantiles_events,
     "mad_outliers_events": q_mad_outliers_events,
+    "linreg_events": q_linreg_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
     "histogram_events": q_histogram_events,
@@ -3911,6 +3974,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "weighted_sample_documents": _o_weighted_sample_sql(),
     "quantiles_events": O_QUANTILES_EVENTS,
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
+    "linreg_events": O_LINREG_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
     "histogram_events": O_HISTOGRAM_EVENTS,

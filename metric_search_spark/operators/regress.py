@@ -1,0 +1,69 @@
+"""Per-group ordinary least squares (y = a + b·x) with exact integer sums.
+
+The drift/trend primitive (metric-over-time slopes, per-segment fits).
+Closed-form OLS needs only five sufficient statistics
+(n, Σx, Σy, Σxy, Σx²); the whole fit is ONE map-side-combined aggregate —
+no iteration, no shuffle beyond the group key.
+
+Determinism design (the module's recurring theme): float sums are
+summation-order-dependent, so coordinates integer-scale to ⌊v·2ˢ⌋ first —
+the five statistics are then EXACT longs under any partitioning, and both
+engines divide identical integers for the final slope/intercept.
+Envelope: products are ≤ 2²ˢ, so group sums stay inside int64 while
+rows_per_group < 2^(63−2s) (s=16 → two billion rows per group); beyond
+that, swap the long sums for DECIMAL(38,0) — the plan shape is unchanged.
+Slope/intercept come out in SCALED units; callers un-scale (slope is
+scale-free, intercept divides by 2ˢ) — the driver oracle checks the
+scaled integers' quotients directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["linreg"]
+
+
+def linreg(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    scale_bits: int = 16,
+) -> DataFrame:
+    """Exact-arithmetic per-group OLS fit. Returns
+    (group_cols..., n, slope, intercept) where slope/intercept describe
+    the least-squares line of scaled-y on scaled-x (slope is unit-free;
+    intercept is in scaled-y units). Groups with n < 2 or zero x-variance
+    (slope undefined) are dropped."""
+    gc = list(group_cols or [])
+    s = float(1 << scale_bits)
+    ix = F.floor(F.col(x_col) * F.lit(s)).cast("long")
+    iy = F.floor(F.col(y_col) * F.lit(s)).cast("long")
+    agg = df.select(*gc, ix.alias("_ix"), iy.alias("_iy")).groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_ix").alias("sx"),
+        F.sum("_iy").alias("sy"),
+        F.sum(F.col("_ix") * F.col("_iy")).alias("sxy"),
+        F.sum(F.col("_ix") * F.col("_ix")).alias("sxx"),
+    )
+    # The SUMS fit int64 under the documented envelope, but the normal-
+    # equation PRODUCTS (n·sxy, sx·sy, …) square the magnitude again —
+    # n·sxx already exceeds 2^63 at ~2k rows/group of day-scale x at s=16.
+    # Compute them in decimal(38,0) (exact int128-backed in both Spark and
+    # DuckDB-as-HUGEINT), then one cast to double: round-to-nearest on the
+    # identical exact integer gives bit-identical quotient operands.
+    dec = "decimal(38,0)"
+    n_d = F.col("n").cast(dec)
+    num = n_d * F.col("sxy").cast(dec) - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    den = n_d * F.col("sxx").cast(dec) - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return (
+        agg.where((F.col("n") >= 2) & (den != 0))
+        .select(*gc, "n", slope.alias("slope"), intercept.alias("intercept"))
+    )

@@ -1,0 +1,73 @@
+"""operators/regress.linreg — exact-integer per-group OLS.
+
+Reference anchor: the reference engine's aggregate surface
+(SURVEY.md §2.4) reduces metric columns with deterministic exact
+arithmetic; linreg extends that family with the closed-form trend fit a
+metric-over-time pipeline needs. Determinism contract: the five
+sufficient statistics are exact int64 sums of 2^s-scaled coordinates, so
+the fit is invariant under any partitioning/summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from metric_search_spark.operators.regress import linreg
+from tests.sparkutil import get_spark
+
+
+def _fit_rows(rows, **kw):
+    spark = get_spark()
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = linreg(df, "x", "y", group_cols=["g"], **kw)
+    return {r["g"]: (r["n"], r["slope"], r["intercept"]) for r in out.collect()}
+
+
+def test_exact_line_recovered():
+    # y = 3x + 5 exactly, x integer-valued: scaling by 2^16 is lossless so
+    # the closed form recovers slope/intercept to float exactness
+    rows = [("a", float(x), 3.0 * x + 5.0) for x in range(10)]
+    got = _fit_rows(rows)
+    n, slope, intercept = got["a"]
+    assert n == 10
+    assert abs(slope - 3.0) < 1e-12
+    # intercept is reported in scaled-y units (2^16)
+    assert abs(intercept / 65536.0 - 5.0) < 1e-9
+
+
+def test_matches_numpy_polyfit_on_scaled_ints():
+    rng = np.random.default_rng(5)
+    xs = rng.uniform(0, 30, size=200)
+    ys = 1.7 * xs + rng.normal(0, 2.0, size=200)
+    rows = [("g", float(x), float(y)) for x, y in zip(xs, ys)]
+    got = _fit_rows(rows)
+    _, slope, intercept = got["g"]
+    ix = np.floor(xs * 65536.0)
+    iy = np.floor(ys * 65536.0)
+    ref_slope, ref_icept = np.polyfit(ix, iy, 1)
+    assert abs(slope - ref_slope) < 1e-9
+    assert abs(intercept - ref_icept) < 1e-6 * max(1.0, abs(ref_icept))
+
+
+def test_partitioning_invariance():
+    # exact integer sums ⇒ identical fit under any partitioning
+    spark = get_spark()
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"g{i % 3}", float(x), float(0.5 * x + rng.normal()))
+        for i, x in enumerate(rng.uniform(0, 10, size=300))
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = {r["g"]: (r["slope"], r["intercept"]) for r in linreg(df, "x", "y", group_cols=["g"]).collect()}
+    b = {
+        r["g"]: (r["slope"], r["intercept"])
+        for r in linreg(df.repartition(7, "x"), "x", "y", group_cols=["g"]).collect()
+    }
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_degenerate_groups_dropped():
+    rows = [("single", 1.0, 2.0), ("flat", 4.0, 1.0), ("flat", 4.0, 9.0)]
+    got = _fit_rows(rows)
+    assert "single" not in got  # n < 2
+    assert "flat" not in got  # zero x-variance
