@@ -1472,6 +1472,58 @@ FROM fit
 """
 
 
+def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/rank.bm25_topk, Lucene idf variant) for a
+    fixed 4-term query over documents, top-100 by integer micro-score.
+    Every float input is an identical IEEE op on identical exact integers
+    in both engines; ln()'s last ulp is quenched by per-term micro-unit
+    rounding, after which the per-doc reduce is an order-free exact int64
+    sum and ties break by doc_id — no epsilon story at the compare
+    boundary."""
+    from metric_search_spark.operators.rank import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "vector", "window", "slow"], top_n=100)
+
+
+O_BM25_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc, tok FROM (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS n_toks
+),
+tf AS (
+  SELECT doc, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'vector', 'window', 'slow') GROUP BY doc, tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+dl AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+per_term AS (
+  -- association mirrors the Spark plan op-for-op; (1.2 + 1.0) not 2.2 so
+  -- both engines derive k1+1 by the same double ADD, not a literal parse
+  SELECT tf.doc,
+         CAST(round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * tf * (1.2 + 1.0)
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                              / (CAST(n_toks AS DOUBLE)
+                                 / CAST(n_docs AS DOUBLE))))
+           * 1000000.0) AS BIGINT) AS smicro
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc), consts
+),
+agg AS (SELECT doc, sum(smicro) AS score_micro FROM per_term GROUP BY doc)
+SELECT doc AS doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+       row_number() OVER (ORDER BY score_micro DESC, doc) AS rank
+FROM agg
+ORDER BY score_micro DESC, doc LIMIT 100
+"""
+
+
 def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.sample_weighted — Efraimidis–Spirakis A-ES):
@@ -3904,6 +3956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_events": q_quantiles_events,
     "mad_outliers_events": q_mad_outliers_events,
     "linreg_events": q_linreg_events,
+    "bm25_documents": q_bm25_documents,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
     "histogram_events": q_histogram_events,
@@ -3975,6 +4028,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quantiles_events": O_QUANTILES_EVENTS,
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
     "linreg_events": O_LINREG_EVENTS,
+    "bm25_documents": O_BM25_DOCUMENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
     "histogram_events": O_HISTOGRAM_EVENTS,
