@@ -2430,6 +2430,82 @@ FROM ps GROUP BY fmt, phash_ok
 """
 
 
+_MOSAIC_RES = 3
+
+
+def q_tile_mosaic_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster mosaic (tile pyramid rendering primitive, north-rule
+    geospatial×image composition): decode every image payload, reduce to
+    EXACT per-channel int64 pixel sums (functions/image.with_channel_sums),
+    assign its phash-derived Morton tile, and aggregate per-tile mean RGB —
+    the map-tile color mosaic a 10¹²-image basemap build computes. One
+    decode pass + one map-side-combined aggregate on the tile key; the
+    means divide exact integer totals once, identically in both engines.
+    Hand-off oracle (ipv-style): decoded integer pixels land in a parquet
+    and DuckDB independently recomputes the channel sums from raw pixels
+    AND the tile from the stored phash (pure bit arithmetic,
+    cells.cell_sql), then the same aggregate. Fixed (n, seed) — the
+    counter-keyed generator is scale-independent."""
+    import pandas as pd
+
+    from metric_search_spark.cells import cell_col
+    from metric_search_spark.functions.image import with_channel_sums
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "phash": [r["phash"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("mosaic", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt", "phash"]]
+    sums = with_channel_sums(spark.createDataFrame(pdf))
+    tiled = sums.withColumn("tile", cell_col(F.col("phash"), _MOSAIC_RES))
+    npx_t = F.sum("npx").cast("double")
+    return tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("npx").alias("npx"),
+        F.round(F.sum("sum_r").cast("double") / npx_t, 6).alias("mean_r"),
+        F.round(F.sum("sum_g").cast("double") / npx_t, 6).alias("mean_g"),
+        F.round(F.sum("sum_b").cast("double") / npx_t, 6).alias("mean_b"),
+    )
+
+
+def _o_mosaic_sql() -> str:
+    from metric_search_spark.cells import cell_sql
+
+    path = _handoff_path("mosaic", f"{_IPV_N}_{_IPV_SEED}")
+    tile = cell_sql("phash", _MOSAIC_RES)
+    return f"""
+WITH sums AS (
+  SELECT {tile} AS tile, w*h AS npx,
+    list_sum(list_transform(range(1, w*h + 1), i -> px[3*i - 2])) AS sr,
+    list_sum(list_transform(range(1, w*h + 1), i -> px[3*i - 1])) AS sg,
+    list_sum(list_transform(range(1, w*h + 1), i -> px[3*i])) AS sb
+  FROM read_parquet('{path}')
+)
+SELECT tile, count(*) AS n_images, CAST(sum(npx) AS BIGINT) AS npx,
+  round(CAST(sum(sr) AS DOUBLE) / CAST(sum(npx) AS DOUBLE), 6) AS mean_r,
+  round(CAST(sum(sg) AS DOUBLE) / CAST(sum(npx) AS DOUBLE), 6) AS mean_g,
+  round(CAST(sum(sb) AS DOUBLE) / CAST(sum(npx) AS DOUBLE), 6) AS mean_b
+FROM sums GROUP BY tile
+"""
+
+
 _AV_AUDIO_N, _AV_VIDEO_N, _AV_K, _AV_SEED = 256, 64, 4, 42
 
 
@@ -3978,6 +4054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_embeddings": q_zonal_stats_embeddings,
     "square_overlap_embeddings": q_square_overlap_embeddings,
     "images_payload_verify": q_images_payload_verify,
+    "tile_mosaic_images": q_tile_mosaic_images,
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
     "pq_knn_embeddings": q_pq_knn_embeddings,
@@ -4092,6 +4169,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     # but it belongs with the hand-off family (the query must run first)
     oracles["ssim_images"] = _o_ssim_sql()
     oracles["images_payload_verify"] = _o_ipv_sql()
+    oracles["tile_mosaic_images"] = _o_mosaic_sql()
     oracles["audio_stats"] = _o_audio_sql()
     oracles["video_frame_sample"] = _o_vframes_sql()
     oracles["index_level_histogram"] = _o_ilh_sql(tag)

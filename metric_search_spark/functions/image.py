@@ -22,6 +22,7 @@ from metric_search_spark.sources.synth import decode_image, phash64, psnr
 __all__ = [
     "decode_external",
     "with_image_stats",
+    "with_channel_sums",
     "with_phash64",
     "resized",
     "verify_payloads",
@@ -69,6 +70,33 @@ def with_image_stats(df: DataFrame) -> DataFrame:
                 ("mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b")
             ):
                 pdf[name] = stats[:, j]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def with_channel_sums(df: DataFrame) -> DataFrame:
+    """Adds EXACT per-channel int64 pixel sums (sum_r/g/b) and the pixel
+    count (npx = w·h) decoded from the payload. Unlike with_image_stats'
+    float means, integer sums merge associatively under any partitioning —
+    the building block for deterministic downstream aggregates (tile
+    mosaics, corpus-level channel statistics) whose final division happens
+    once, on identical exact integers, in every engine."""
+    schema = df.schema.simpleString()[7:-1] + (
+        ", sum_r long, sum_g long, sum_b long, npx long"
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = np.empty((len(pdf), 4), dtype=np.int64)
+            for i, (payload, w, h, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                out[i, :3] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out[i, 3] = int(w) * int(h)
+            for j, name in enumerate(("sum_r", "sum_g", "sum_b", "npx")):
+                pdf[name] = out[:, j]
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
