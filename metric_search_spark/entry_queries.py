@@ -1472,6 +1472,66 @@ FROM fit
 """
 
 
+def q_acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type lag-1..3 autocorrelation (operators/regress.acf) of
+    value over the (ts, event_id)-ordered sequence. Every reduction is an
+    exact int64 sum of ⌊v·2¹²⌋ products; the estimator then evaluates one
+    fixed IEEE chain on identical integers in both engines, so r matches
+    to the last ulp (rounded 6 for the repr boundary)."""
+    from metric_search_spark.operators.regress import acf
+
+    ev = _read(spark, sf_dir, "events")
+    out = acf(
+        ev,
+        "value",
+        group_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        max_lag=3,
+    )
+    return out.select("event_type", "lag", "n", F.round("r", 6).alias("r"))
+
+
+O_ACF_EVENTS = """
+WITH seq AS (
+  SELECT event_type, CAST(floor(value * 4096.0) AS BIGINT) AS x,
+         lead(CAST(floor(value * 4096.0) AS BIGINT), 1) OVER w AS l1,
+         lead(CAST(floor(value * 4096.0) AS BIGINT), 2) OVER w AS l2,
+         lead(CAST(floor(value * 4096.0) AS BIGINT), 3) OVER w AS l3
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(x * l1) AS c1, sum(CASE WHEN l1 IS NOT NULL THEN x END) AS h1,
+         sum(l1) AS t1,
+         sum(x * l2) AS c2, sum(CASE WHEN l2 IS NOT NULL THEN x END) AS h2,
+         sum(l2) AS t2,
+         sum(x * l3) AS c3, sum(CASE WHEN l3 IS NOT NULL THEN x END) AS h3,
+         sum(l3) AS t3
+  FROM seq GROUP BY event_type
+),
+lags AS (
+  SELECT event_type, n, sx, sxx, 1 AS lag, c1 AS cr, h1 AS hd, t1 AS tl FROM agg
+  UNION ALL
+  SELECT event_type, n, sx, sxx, 2, c2, h2, t2 FROM agg
+  UNION ALL
+  SELECT event_type, n, sx, sxx, 3, c3, h3, t3 FROM agg
+),
+-- m inlined per use would also work; a named column keeps ONE division,
+-- mirroring the Spark plan's common-subexpression shape
+withm AS (
+  SELECT *, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM lags
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+       round((CAST(cr AS DOUBLE) - m * CAST(hd + tl AS DOUBLE)
+              + (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) * m * m)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * m), 6) AS r
+FROM withm
+WHERE n > lag
+  AND CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * m <> 0.0
+"""
+
+
 def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval (operators/rank.bm25_topk, Lucene idf variant) for a
     fixed 4-term query over documents, top-100 by integer micro-score.
@@ -4033,6 +4093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers_events": q_mad_outliers_events,
     "linreg_events": q_linreg_events,
     "bm25_documents": q_bm25_documents,
+    "acf_events": q_acf_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
     "histogram_events": q_histogram_events,
@@ -4106,6 +4167,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
     "linreg_events": O_LINREG_EVENTS,
     "bm25_documents": O_BM25_DOCUMENTS,
+    "acf_events": O_ACF_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
     "histogram_events": O_HISTOGRAM_EVENTS,

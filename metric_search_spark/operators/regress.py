@@ -19,10 +19,10 @@ scaled integers' quotients directly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["linreg"]
+__all__ = ["linreg", "acf"]
 
 
 def linreg(
@@ -66,4 +66,80 @@ def linreg(
     return (
         agg.where((F.col("n") >= 2) & (den != 0))
         .select(*gc, "n", slope.alias("slope"), intercept.alias("intercept"))
+    )
+
+
+def acf(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+    order_cols: list[str],
+    max_lag: int = 3,
+    scale_bits: int = 12,
+) -> DataFrame:
+    """Per-group lag-k autocorrelation r_k, k = 1..max_lag, of the
+    ``order_cols``-ordered sequence of ⌊v·2ˢ⌋-scaled values — the
+    seasonality/burstiness probe next to linreg's trend. Uses the standard
+    biased estimator r_k = Σᵢ(xᵢ−m)(xᵢ₊ₖ−m) / Σᵢ(xᵢ−m)², expanded into
+    SUFFICIENT STATISTICS so every data reduction is an exact int64 sum
+    (order-free): with cross_k = Σ xᵢxᵢ₊ₖ, head_k = Σ₁..ₙ₋ₖ xᵢ,
+    tail_k = Σₖ₊₁..ₙ xᵢ,
+
+        num_k = cross_k − m·(head_k + tail_k) + (n−k)·m²,   m = sx/n
+        den   = sxx − sx·m
+
+    evaluated by one FIXED chain of IEEE ops on identical integers in both
+    engines. ``order_cols`` must totally order each group (include a
+    unique id) or lead() is nondeterministic. One window shuffle on the
+    group key + one map-side-combined aggregate; groups must be
+    fine-grained enough to partition (per-entity series, not 5 global
+    types, at real scale). Returns (group…, lag, n, r); groups with
+    n ≤ max_lag or zero variance drop."""
+    gc = list(group_cols)
+    s = float(1 << scale_bits)
+    w = Window.partitionBy(*gc).orderBy(*[F.col(c) for c in order_cols])
+    d = df.select(
+        *gc, *order_cols, F.floor(F.col(value_col) * F.lit(s)).cast("long").alias("_x")
+    )
+    for k in range(1, max_lag + 1):
+        d = d.withColumn(f"_l{k}", F.lead("_x", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        aggs += [
+            F.sum(F.col("_x") * lk).alias(f"_c{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("_x"))).alias(f"_h{k}"),
+            F.sum(lk).alias(f"_t{k}"),
+        ]
+    a = d.groupBy(*gc).agg(*aggs)
+    lags = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.col(f"_c{k}").alias("cross"),
+                F.col(f"_h{k}").alias("head"),
+                F.col(f"_t{k}").alias("tail"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    e = a.select(*gc, "n", "sx", "sxx", F.explode(lags).alias("p")).select(
+        *gc, "n", "sx", "sxx", "p.lag", "p.cross", "p.head", "p.tail"
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("sx").cast("double") / nd
+    num = (
+        F.col("cross").cast("double")
+        - m * (F.col("head") + F.col("tail")).cast("double")
+        + (nd - F.col("lag").cast("double")) * m * m
+    )
+    den = F.col("sxx").cast("double") - F.col("sx").cast("double") * m
+    return (
+        e.where((F.col("n") > F.col("lag")) & (den != 0.0))
+        .select(*gc, "lag", "n", (num / den).alias("r"))
     )

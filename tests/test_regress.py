@@ -71,3 +71,55 @@ def test_degenerate_groups_dropped():
     got = _fit_rows(rows)
     assert "single" not in got  # n < 2
     assert "flat" not in got  # zero x-variance
+
+
+# ------------------------------------------------------------------- acf
+
+
+def _acf_numpy(xs, k):
+    x = np.floor(np.asarray(xs) * 4096.0)
+    n = len(x)
+    m = x.sum() / n
+    num = ((x[: n - k] - m) * (x[k:] - m)).sum()
+    den = ((x - m) ** 2).sum()
+    return num / den
+
+
+def test_acf_matches_numpy():
+    from metric_search_spark.operators.regress import acf
+
+    spark = get_spark()
+    rng = np.random.default_rng(3)
+    # AR(1)-ish series: positive lag-1 autocorrelation by construction
+    vals = [50.0]
+    for _ in range(399):
+        vals.append(0.8 * vals[-1] + 0.2 * 50.0 + rng.normal(0, 5.0))
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = acf(df, "v", group_cols=["g"], order_cols=["i"], max_lag=3)
+    got = {r["lag"]: r["r"] for r in out.collect()}
+    for k in (1, 2, 3):
+        assert abs(got[k] - _acf_numpy(vals, k)) < 1e-9
+    assert got[1] > 0.5  # the AR structure is actually detected
+
+
+def test_acf_partitioning_invariance():
+    from metric_search_spark.operators.regress import acf
+
+    spark = get_spark()
+    rng = np.random.default_rng(4)
+    rows = [
+        (f"g{i % 2}", i, float(v))
+        for i, v in enumerate(rng.uniform(0, 100, size=300))
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    a = sorted(map(tuple, acf(df, "v", group_cols=["g"], order_cols=["i"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            acf(
+                df.repartition(11), "v", group_cols=["g"], order_cols=["i"]
+            ).collect(),
+        )
+    )
+    assert a == b
