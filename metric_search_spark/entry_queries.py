@@ -1472,6 +1472,37 @@ FROM fit
 """
 
 
+def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/dedupe.ngram_contamination):
+    documents with source='src0' play the benchmark set, everything else
+    the training corpus; a test doc is contaminated when any of its 8-token
+    n-grams appears verbatim in train. Counts are DISTINCT shared grams —
+    exact integers, no float anywhere."""
+    from metric_search_spark.operators.dedupe import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        n=8,
+    )
+
+
+O_CONTAMINATION_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source, array_to_string(ts[i:i+7], ' ') AS gram
+  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)
+),
+test_g AS (SELECT doc_id, gram FROM grams WHERE source = 'src0'),
+train_g AS (SELECT DISTINCT gram FROM grams WHERE source <> 'src0')
+SELECT t.doc_id, count(*) AS shared_grams
+FROM test_g t JOIN train_g USING (gram) GROUP BY t.doc_id
+"""
+
+
 def q_acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type lag-1..3 autocorrelation (operators/regress.acf) of
     value over the (ts, event_id)-ordered sequence. Every reduction is an
@@ -4094,6 +4125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linreg_events": q_linreg_events,
     "bm25_documents": q_bm25_documents,
     "acf_events": q_acf_events,
+    "contamination_documents": q_contamination_documents,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
     "histogram_events": q_histogram_events,
@@ -4168,6 +4200,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "linreg_events": O_LINREG_EVENTS,
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
+    "contamination_documents": O_CONTAMINATION_DOCUMENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
     "histogram_events": O_HISTOGRAM_EVENTS,

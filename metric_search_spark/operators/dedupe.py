@@ -38,6 +38,7 @@ __all__ = [
     "tfidf_cosine_pairs",
     "winnow_neardup_pairs",
     "image_neardup_pairs",
+    "ngram_contamination",
     "threshold_filter",
 ]
 
@@ -554,4 +555,52 @@ def tfidf_cosine_pairs(
             (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
+    )
+
+
+def ngram_contamination(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test contamination check — the eval-set decontamination
+    primitive every training pipeline runs before benchmarking: a test
+    document is contaminated if any of its token n-grams appears verbatim
+    anywhere in the training corpus. Returns (doc_id, shared_grams) for
+    contaminated test docs, where shared_grams counts the test doc's
+    DISTINCT n-grams found in train.
+
+    Scale shape: both sides reduce to DISTINCT (doc, gram) / (gram) sets
+    (map-side-combined), then ONE equi-join on the gram key — an inverted
+    index probe, never a doc×doc product. The train side deduplicates to
+    unique grams first, so the join's build input is the corpus vocabulary
+    of n-grams, not its token stream. At 10⁹-doc scale, map the gram
+    string to xxhash64 on BOTH sides before the shuffle (8-byte keys vs
+    ~60-byte strings; a collision can only add a false shared gram at
+    ~2⁻⁶⁴) — kept as strings here so the DuckDB twin joins on identical
+    values. Docs shorter than n tokens have no n-grams and cannot be
+    contaminated (the guard also keeps F.sequence ascending)."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        ts = F.split(F.col(text_col), " ")
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+            lambda i: F.array_join(F.slice(ts, i, n), " "),
+        )
+        return (
+            df.where(F.size(ts) >= n)
+            .select(F.col(id_col).alias("doc"), F.explode(g).alias("gram"))
+            .distinct()
+        )
+
+    train_g = grams(train).select("gram").distinct()
+    return (
+        grams(test)
+        .join(train_g, "gram")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .select(F.col("doc").alias(id_col), "shared_grams")
     )
