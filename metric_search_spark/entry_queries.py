@@ -1472,6 +1472,63 @@ FROM fit
 """
 
 
+def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-user activity (operators/rolling.rolling_agg):
+    for every event, count + exact ⌊v·2¹⁶⌋ sum over the user's previous
+    3600 seconds. The RANGE frame on floored epoch seconds makes
+    intra-second tie order irrelevant and the scaled sum is an exact
+    int64 — output carries no float at all."""
+    from metric_search_spark.operators.rolling import rolling_agg
+
+    ev = _read(spark, sf_dir, "events")
+    out = rolling_agg(
+        ev, "value", "ts", partition_cols=["user_id"], window_s=3600
+    )
+    return out.select("event_id", "user_id", "roll_n", "roll_sum_scaled")
+
+
+O_ROLLING_EVENTS = """
+SELECT event_id, user_id,
+       count(*) OVER w AS roll_n,
+       sum(CAST(floor(value * 65536.0) AS BIGINT)) OVER w AS roll_sum_scaled
+FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the props JSON column
+    (F.get_json_object — Spark's streaming Jackson path evaluator, no
+    UDF), then per-event-type exact integer stats over the extracted k.
+    The 100-TB point: schema-on-read extraction happens INSIDE the scan
+    projection (one pass, no intermediate materialization), and the
+    aggregate is map-side combined on 5 keys of exact longs."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("ndv_k"),
+        )
+    )
+
+
+O_JSON_PROPS_EVENTS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS ndv_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (operators/dedupe.ngram_contamination):
     documents with source='src0' play the benchmark set, everything else
@@ -4126,6 +4183,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_documents": q_bm25_documents,
     "acf_events": q_acf_events,
     "contamination_documents": q_contamination_documents,
+    "rolling_events": q_rolling_events,
+    "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
     "histogram_events": q_histogram_events,
@@ -4201,6 +4260,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,
+    "rolling_events": O_ROLLING_EVENTS,
+    "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
     "histogram_events": O_HISTOGRAM_EVENTS,
