@@ -1472,6 +1472,49 @@ FROM fit
 """
 
 
+def q_nearest_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) labeling QA over the embedding table
+    (operators/cluster.nearest_centroid): fit per-label mean centroids,
+    assign every vector to its nearest by L2, report (vec_id, label, pred,
+    dist). All reductions are exact integer sums — the squared distance is
+    the exact Σ(n·ix−s)² in decimal/HUGEINT and the only division happens
+    once per (vector, label) on identical integers, so argmin and dist are
+    bit-deterministic (ties by label)."""
+    from metric_search_spark.operators.cluster import nearest_centroid
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = nearest_centroid(emb)
+    return out.select(
+        "vec_id", "label", "pred", F.round("dist", 6).alias("dist")
+    )
+
+
+O_NEAREST_CENTROID = """
+WITH comps AS (
+  SELECT vec_id AS id, label, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 65536.0) AS BIGINT) AS ix
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cent AS (
+  SELECT label AS clabel, d, sum(ix) AS sc, count(*) AS nc
+  FROM comps GROUP BY 1, 2
+),
+dist AS (
+  SELECT c.id, c.label, ct.clabel,
+         CAST(sum((ct.nc * c.ix - ct.sc) * (ct.nc * c.ix - ct.sc)) AS DOUBLE)
+         / CAST(ct.nc * ct.nc AS DOUBLE) / 4294967296.0 AS dist
+  FROM comps c JOIN cent ct USING (d)
+  GROUP BY c.id, c.label, ct.clabel, ct.nc
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, clabel) AS r
+  FROM dist
+)
+SELECT id AS vec_id, label, clabel AS pred, round(dist, 6) AS dist
+FROM ranked WHERE r = 1
+"""
+
+
 def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour per-user activity (operators/rolling.rolling_agg):
     for every event, count + exact ⌊v·2¹⁶⌋ sum over the user's previous
@@ -4184,6 +4227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf_events": q_acf_events,
     "contamination_documents": q_contamination_documents,
     "rolling_events": q_rolling_events,
+    "nearest_centroid_embeddings": q_nearest_centroid_embeddings,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
@@ -4261,6 +4305,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,
     "rolling_events": O_ROLLING_EVENTS,
+    "nearest_centroid_embeddings": O_NEAREST_CENTROID,
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,

@@ -31,13 +31,13 @@ of (1) are id-equi-joins on (id, long) rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from metric_search_spark.operators.graph import connected_components
 from metric_search_spark.operators.joins import range_join
 
-__all__ = ["dbscan", "kmeans_2d"]
+__all__ = ["dbscan", "kmeans_2d", "nearest_centroid"]
 
 
 def dbscan(
@@ -244,3 +244,79 @@ def kmeans_2d(
         )
     finally:
         pts.unpersist()
+
+
+def nearest_centroid(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale_bits: int = 16,
+) -> DataFrame:
+    """Nearest-centroid classification (Rocchio) over an embedding column:
+    fit per-label mean centroids, then assign EVERY vector to its nearest
+    centroid by L2 — the labeling/QA primitive (find mislabeled examples:
+    rows where pred ≠ label) of an embedding-curated training corpus.
+
+    Exactness design: components integer-scale to ⌊v·2ˢ⌋, centroid state
+    is the exact (Σ components, n) pair per label, and the squared
+    distance to centroid c is computed as the EXACT integer
+    Σ_d (n_c·ix_d − s_{c,d})² in decimal(38,0) (DuckDB: HUGEINT) — the
+    per-dim reduce is an order-free integer sum, so no float summation
+    exists anywhere; the single division by n_c² happens once on identical
+    exact values in both engines. Argmin ties break by label.
+
+    Scale shape: ONE posexplode pass builds centroids (map-side combined,
+    L·D rows out), the assignment join broadcasts the tiny L·D centroid
+    table against the exploded components, and the per-(vector, label)
+    reduce is map-side combined on the id key — no all-pairs anything.
+    Returns (id, label, pred, dist) per vector.
+    """
+    s = float(1 << scale_bits)
+    comps = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda v: F.floor(v * F.lit(s)).cast("long"),
+            )
+        ).alias("d", "ix"),
+    )
+    cent = comps.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.sum("ix").alias("sc"), F.count(F.lit(1)).alias("nc")
+    )
+    dec = "decimal(38,0)"
+    diff = F.col("nc") * F.col("ix") - F.col("sc")
+    dist2 = (
+        comps.join(F.broadcast(cent), "d")
+        .groupBy("id", "label", "clabel", "nc")
+        .agg(F.sum((diff * diff).cast(dec)).alias("ss"))
+        .select(
+            "id",
+            "label",
+            "clabel",
+            # un-scale back to input units: ÷2²ˢ is a power-of-two EXPONENT
+            # shift on the identical quotient double, so it stays
+            # bit-deterministic AND leaves dist well-conditioned for any
+            # downstream decimal rounding (in scaled units dist sits at
+            # ~1e10 where 1e-6 is below double resolution)
+            (
+                F.col("ss").cast("double")
+                / (F.col("nc") * F.col("nc")).cast("double")
+                / F.lit(float(1 << (2 * scale_bits)))
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("dist", "clabel")
+    return (
+        dist2.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("label").alias(label_col),
+            F.col("clabel").alias("pred"),
+            "dist",
+        )
+    )
