@@ -1912,6 +1912,93 @@ def _pip_polys_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _metric_polys() -> list[tuple[str, list[tuple[float, float]]]]:
+    """32 seeded star-shaped polygons (angularly sorted vertices ⇒ simple
+    rings), odd ids reversed so both orientations exercise the signed
+    shoelace. Python-side doubles; the oracle embeds the identical repr()
+    literals, which round-trip bit-exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    polys = []
+    for p in range(32):
+        k = int(rng.integers(3, 12))
+        cx, cy = rng.uniform(0.2, 0.8, 2)
+        angles = np.sort(rng.uniform(0, 2 * np.pi, k))
+        radii = rng.uniform(0.02, 0.15, k)
+        xs = cx + radii * np.cos(angles)
+        ys = cy + radii * np.sin(angles)
+        ring = [(float(x), float(y)) for x, y in zip(xs, ys)]
+        if p % 2:
+            ring = ring[::-1]
+        polys.append((f"mp{p:02d}", ring))
+    return polys
+
+
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace polygon metrics (operators/pip.polygon_metrics) over the
+    32-polygon star fixture: exact-integer signed-area cross terms and
+    centroid numerators (decimal/HUGEINT), one window + one aggregate; the
+    closing divisions run on identical exact integers in both engines."""
+    from metric_search_spark.operators.pip import polygon_metrics
+
+    schema = "poly_id string, ring array<struct<x:double, y:double>>"
+    df = spark.createDataFrame(
+        [
+            (pid, [{"x": x, "y": y} for x, y in ring])
+            for pid, ring in _metric_polys()
+        ],
+        schema,
+    )
+    out = polygon_metrics(df)
+    return out.select(
+        "poly_id",
+        "n_vertices",
+        F.round("area", 9).alias("area"),
+        F.round("cx", 9).alias("cx"),
+        F.round("cy", 9).alias("cy"),
+    )
+
+
+def _o_polygon_metrics_sql() -> str:
+    rows = ", ".join(
+        f"('{pid}', {i}, {x!r}, {y!r})"
+        for pid, ring in _metric_polys()
+        for i, (x, y) in enumerate(ring)
+    )
+    s1, s2 = float(1 << 30), float(1 << 60)
+    return f"""
+WITH verts AS (SELECT * FROM (VALUES {rows}) v(pid, i, x, y)),
+q AS (
+  SELECT pid, i, CAST(floor(x * {s1!r}) AS BIGINT) AS ix,
+         CAST(floor(y * {s1!r}) AS BIGINT) AS iy
+  FROM verts
+),
+nxt AS (
+  SELECT pid, ix, iy,
+         coalesce(lead(ix) OVER w, first_value(ix) OVER w) AS jx,
+         coalesce(lead(iy) OVER w, first_value(iy) OVER w) AS jy
+  FROM q WINDOW w AS (PARTITION BY pid ORDER BY i)
+),
+terms AS (
+  SELECT pid, CAST(ix * jy - jx * iy AS HUGEINT) AS cr,
+         CAST(ix + jx AS HUGEINT) * CAST(ix * jy - jx * iy AS HUGEINT) AS cxn,
+         CAST(iy + jy AS HUGEINT) * CAST(ix * jy - jx * iy AS HUGEINT) AS cyn
+  FROM nxt
+),
+agg AS (
+  SELECT pid, count(*) AS n_vertices, sum(cr) AS a2,
+         sum(cxn) AS sx, sum(cyn) AS sy
+  FROM terms GROUP BY pid
+)
+SELECT pid AS poly_id, n_vertices,
+       round(abs(CAST(a2 AS DOUBLE)) * 0.5 / {s2!r}, 9) AS area,
+       round(CAST(sx AS DOUBLE) / (CAST(a2 AS DOUBLE) * 3.0) / {s1!r}, 9) AS cx,
+       round(CAST(sy AS DOUBLE) / (CAST(a2 AS DOUBLE) * 3.0) / {s1!r}, 9) AS cy
+FROM agg WHERE n_vertices >= 3 AND a2 <> 0
+"""
+
+
 def q_pip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_search_spark.operators.pip import point_in_polygon_join
 
@@ -4228,6 +4315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_documents": q_contamination_documents,
     "rolling_events": q_rolling_events,
     "nearest_centroid_embeddings": q_nearest_centroid_embeddings,
+    "polygon_metrics": q_polygon_metrics,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
@@ -4306,6 +4394,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,
     "rolling_events": O_ROLLING_EVENTS,
     "nearest_centroid_embeddings": O_NEAREST_CENTROID,
+    "polygon_metrics": _o_polygon_metrics_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,

@@ -18,7 +18,7 @@ stage 2 (exact): ray-crossing (even-odd) test as a pure Column aggregate
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from metric_search_spark.functions.spatial import (
@@ -39,6 +39,7 @@ __all__ = [
     "pip_rings_condition_col",
     "pip_sql_condition",
     "pip_sql_rings_condition",
+    "polygon_metrics",
 ]
 
 
@@ -802,3 +803,78 @@ def point_in_polygon_join(
     return joined.where(
         pip_rings_condition_col(F.col("_px"), F.col("_py"), F.col("_rings"))
     ).select("id", "poly_id")
+
+
+def polygon_metrics(
+    polys: DataFrame,
+    *,
+    id_col: str = "poly_id",
+    ring_col: str = "ring",
+    scale_bits: int = 30,
+) -> DataFrame:
+    """Shoelace polygon metrics: signed area, centroid, vertex count per
+    simple ring — the zonal bookkeeping (tile weighting, zone densities)
+    next to zonal_stats. Returns (poly_id, n_vertices, area, cx, cy).
+
+    Exactness: vertices quantize to ⌊v·2ˢ⌋ int64 grid coordinates; the
+    shoelace cross terms crᵢ = ixᵢ·iyᵢ₊₁ − ixᵢ₊₁·iyᵢ (≤ 2⁶¹, exact long)
+    and the centroid numerators (ixᵢ+ixᵢ₊₁)·crᵢ (≤ 2⁹², exact
+    decimal(38,0)/HUGEINT) reduce as order-free integer sums; the closing
+    divisions (A = |Σcr|/2·2⁻²ˢ, C = Σnum/(3·Σcr)·2⁻ˢ) are fixed IEEE
+    chains on identical exact integers in both engines, with the 2ᵏ
+    un-scalings pure exponent shifts. Signs cancel between numerator and
+    Σcr, so centroid is orientation-independent; area is |·| (unsigned).
+
+    Plan shape: ONE posexplode + lead window per ring (partitioned by
+    polygon — rings are per-row small, the window never sees cross-polygon
+    data) + one map-side-combined aggregate. Degenerate rings (< 3
+    vertices or zero area) drop."""
+    dec = "decimal(38,0)"
+    verts = polys.select(
+        F.col(id_col).alias("pid"),
+        F.posexplode(F.col(ring_col)).alias("i", "v"),
+    ).select(
+        "pid",
+        "i",
+        F.floor(F.col("v.x") * F.lit(float(1 << scale_bits)))
+        .cast("long")
+        .alias("ix"),
+        F.floor(F.col("v.y") * F.lit(float(1 << scale_bits)))
+        .cast("long")
+        .alias("iy"),
+    )
+    w = Window.partitionBy("pid").orderBy("i")
+    wf = Window.partitionBy("pid")
+    nxt = verts.select(
+        "pid",
+        "ix",
+        "iy",
+        F.coalesce(F.lead("ix").over(w), F.first("ix").over(wf)).alias("jx"),
+        F.coalesce(F.lead("iy").over(w), F.first("iy").over(wf)).alias("jy"),
+    )
+    cr = F.col("ix") * F.col("jy") - F.col("jx") * F.col("iy")
+    agg = (
+        nxt.select(
+            "pid",
+            cr.cast(dec).alias("cr"),
+            ((F.col("ix") + F.col("jx")).cast(dec) * cr.cast(dec)).alias("cxn"),
+            ((F.col("iy") + F.col("jy")).cast(dec) * cr.cast(dec)).alias("cyn"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("cr").alias("a2"),
+            F.sum("cxn").alias("sx"),
+            F.sum("cyn").alias("sy"),
+        )
+    )
+    s2 = float(1 << (2 * scale_bits))
+    s1 = float(1 << scale_bits)
+    a3 = F.col("a2").cast("double") * F.lit(3.0)
+    return agg.where((F.col("n_vertices") >= 3) & (F.col("a2") != 0)).select(
+        F.col("pid").alias(id_col),
+        "n_vertices",
+        (F.abs(F.col("a2")).cast("double") * F.lit(0.5) / F.lit(s2)).alias("area"),
+        (F.col("sx").cast("double") / a3 / F.lit(s1)).alias("cx"),
+        (F.col("sy").cast("double") / a3 / F.lit(s1)).alias("cy"),
+    )
