@@ -1572,6 +1572,68 @@ FROM events GROUP BY event_type
 """
 
 
+def _fixture_windows() -> list[tuple[int, int, int]]:
+    """48 deterministic maintenance windows over January 2024: staggered
+    starts (13h7s stride breaks hour alignment), lengths 30–150 min."""
+    t0 = 1704067200
+    wins = []
+    for w in range(48):
+        start = t0 + w * (13 * 3600 + 7)
+        length = 1800 + (w % 5) * 1800
+        wins.append((w, start, start + length))
+    return wins
+
+
+def q_interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/intervals.interval_overlap_join):
+    per-(user, day) activity spans [min ts, max ts+1) × 48 fixture
+    maintenance windows, half-open overlap semantics, bucketed to a 6h
+    equi-join (never a nested-loop θ-join). All arithmetic is exact integer
+    epoch seconds — no float anywhere."""
+    from metric_search_spark.operators.intervals import interval_overlap_join
+
+    ev = _read(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    spans = (
+        ev.select("user_id", sec.alias("_sec"))
+        .groupBy("user_id", F.floor(F.col("_sec") / 86400).cast("long").alias("day"))
+        .agg(
+            F.min("_sec").alias("astart"),
+            (F.max("_sec") + F.lit(1)).alias("aend"),
+        )
+    )
+    wins = spark.createDataFrame(
+        _fixture_windows(), "win_id long, wstart long, wend long"
+    )
+    out = interval_overlap_join(
+        spans,
+        F.broadcast(wins),
+        left_start="astart",
+        left_end="aend",
+        right_start="wstart",
+        right_end="wend",
+        bucket_s=21600,
+    )
+    return out.select("user_id", "day", "win_id", "astart", "aend", "overlap_s")
+
+
+def _o_interval_overlap_sql() -> str:
+    rows = ", ".join(f"({w}, {s}, {e})" for w, s, e in _fixture_windows())
+    return f"""
+WITH spans AS (
+  SELECT user_id,
+         CAST(floor(sec / 86400) AS BIGINT) AS day,
+         min(sec) AS astart, max(sec) + 1 AS aend
+  FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+  GROUP BY 1, 2
+),
+wins AS (SELECT * FROM (VALUES {rows}) w(win_id, wstart, wend))
+SELECT user_id, day, win_id, astart, aend,
+       least(aend, wend) - greatest(astart, wstart) AS overlap_s
+FROM spans JOIN wins ON astart < wend AND wstart < aend
+"""
+
+
 def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (operators/dedupe.ngram_contamination):
     documents with source='src0' play the benchmark set, everything else
@@ -4316,6 +4378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_events": q_rolling_events,
     "nearest_centroid_embeddings": q_nearest_centroid_embeddings,
     "polygon_metrics": q_polygon_metrics,
+    "interval_overlap_events": q_interval_overlap_events,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
@@ -4395,6 +4458,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "rolling_events": O_ROLLING_EVENTS,
     "nearest_centroid_embeddings": O_NEAREST_CENTROID,
     "polygon_metrics": _o_polygon_metrics_sql(),
+    "interval_overlap_events": _o_interval_overlap_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
