@@ -1584,6 +1584,34 @@ def _fixture_windows() -> list[tuple[int, int, int]]:
     return wins
 
 
+def q_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix
+    (operators/freq.group_entropy): the behavioral-diversity probe. Counts
+    are exact; each −p·ln p term is an identical IEEE chain on identical
+    integers, micro-rounded so the cross-term reduce is an order-free exact
+    int64 sum — the output carries no float column at all."""
+    from metric_search_spark.operators.freq import group_entropy
+
+    ev = _read(spark, sf_dir, "events")
+    return group_entropy(ev, "user_id", "event_type")
+
+
+O_ENTROPY_EVENTS = """
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+wn AS (
+  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS n FROM cnt
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, count(*) AS ndv,
+       CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                           * 1000000000.0) AS BIGINT)) AS BIGINT)
+         AS entropy_micro
+FROM wn GROUP BY user_id, n
+"""
+
+
 def q_interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/intervals.interval_overlap_join):
     per-(user, day) activity spans [min ts, max ts+1) × 48 fixture
@@ -4379,6 +4407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nearest_centroid_embeddings": q_nearest_centroid_embeddings,
     "polygon_metrics": q_polygon_metrics,
     "interval_overlap_events": q_interval_overlap_events,
+    "entropy_events": q_entropy_events,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
@@ -4459,6 +4488,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "nearest_centroid_embeddings": O_NEAREST_CENTROID,
     "polygon_metrics": _o_polygon_metrics_sql(),
     "interval_overlap_events": _o_interval_overlap_sql(),
+    "entropy_events": O_ENTROPY_EVENTS,
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,

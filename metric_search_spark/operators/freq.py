@@ -41,10 +41,16 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["explode_tokens", "value_topk", "misra_gries", "misra_gries_with_bound"]
+__all__ = [
+    "explode_tokens",
+    "value_topk",
+    "misra_gries",
+    "misra_gries_with_bound",
+    "group_entropy",
+]
 
 
 def explode_tokens(
@@ -196,3 +202,40 @@ def misra_gries_with_bound(
         F.lit(err).cast("long").alias(err_col),
     )
     return rows, err
+
+
+def group_entropy(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    micro: float = 1e9,
+) -> DataFrame:
+    """Shannon entropy (nats) of the ``value_col`` distribution within each
+    group — the behavioral-diversity / label-balance probe (a user who only
+    ever 'click's scores 0; uniform over k values scores ln k).
+
+    Two map-side-combined aggregates: (group, value) counts, then a
+    per-group reduce of −(c/n)·ln(c/n) terms. Each term's float chain runs
+    on identical exact integers in every engine; the CROSS-TERM sum — the
+    one order-sensitive float reduction — is quenched to an order-free
+    exact int64 sum by rounding each term to ``micro`` units first (a
+    ~10⁻¹⁶ relative ulp vs the ½·10⁻⁹ boundary: flip probability ~10⁻⁷/term
+    — the BM25 design, one decimal tighter). Returns
+    (group, n, ndv, entropy_micro:int64)."""
+    cnt = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("g")
+    n = F.sum("c").over(w)
+    p = F.col("c").cast("double") / n.cast("double")
+    term = F.round(-(p * F.log(p)) * F.lit(micro), 0).cast("long")
+    return (
+        cnt.select("g", n.alias("n"), term.alias("t"))
+        .groupBy("g", "n")
+        .agg(
+            F.count(F.lit(1)).alias("ndv"),
+            F.sum("t").alias("entropy_micro"),
+        )
+        .select(F.col("g").alias(group_col), "n", "ndv", "entropy_micro")
+    )
