@@ -1584,6 +1584,57 @@ def _fixture_windows() -> list[tuple[int, int, int]]:
     return wins
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/sessions.sessionize, 30-min gap)
+    rolled up per session: count, exact integer time bounds, exact
+    ⌊v·2¹⁶⌋ value sum. The (ts, event_id) total order makes session
+    numbering deterministic; no float anywhere."""
+    from metric_search_spark.operators.sessions import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize(
+        ev,
+        "ts",
+        partition_cols=["user_id"],
+        order_tiebreak="event_id",
+        gap_s=1800,
+    )
+    sec = F.col("ts").cast("timestamp").cast("long")
+    iv = F.floor(F.col("value") * F.lit(65536.0)).cast("long")
+    return (
+        s.select("user_id", "session_idx", sec.alias("_sec"), iv.alias("_iv"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_sec").alias("start_sec"),
+            F.max("_sec").alias("end_sec"),
+            F.sum("_iv").alias("sum_val_scaled"),
+        )
+    )
+
+
+O_SESSIONIZE_EVENTS = """
+WITH s AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(floor(value * 65536.0) AS BIGINT) AS iv
+  FROM events
+),
+b AS (
+  SELECT *, CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+x AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM b
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n,
+       min(sec) AS start_sec, max(sec) AS end_sec,
+       CAST(sum(iv) AS BIGINT) AS sum_val_scaled
+FROM x GROUP BY 1, 2
+"""
+
+
 def q_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Shannon entropy of the event-type mix
     (operators/freq.group_entropy): the behavioral-diversity probe. Counts
@@ -4408,6 +4459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "polygon_metrics": q_polygon_metrics,
     "interval_overlap_events": q_interval_overlap_events,
     "entropy_events": q_entropy_events,
+    "sessionize_events": q_sessionize_events,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
@@ -4489,6 +4541,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "polygon_metrics": _o_polygon_metrics_sql(),
     "interval_overlap_events": _o_interval_overlap_sql(),
     "entropy_events": O_ENTROPY_EVENTS,
+    "sessionize_events": O_SESSIONIZE_EVENTS,
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
