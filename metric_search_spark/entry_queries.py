@@ -1584,6 +1584,84 @@ def _fixture_windows() -> list[tuple[int, int, int]]:
     return wins
 
 
+def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-activity day, then
+    (cohort_day, day_offset) → distinct active users — the
+    activation/retention curve every product pipeline computes. Two
+    map-side-combined aggregates + one broadcast-sized cohort join; exact
+    integer day arithmetic throughout."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("timestamp").cast("long") / 86400).cast(
+        "long"
+    )
+    acts = ev.select("user_id", day.alias("day")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+O_COHORT_RETENTION_EVENTS = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day
+  FROM events
+),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY 1)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM acts JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface (DataFrame.groupBy().pivot() — Catalyst's PivotFirst
+    path with an EXPLICIT value list, so no extra distinct-values scan):
+    per-user event counts spread into one column per event type, plus the
+    exact scaled value sum per type. The oracle spells the same pivot as
+    CASE aggregates — the relational identity Spark compiles pivot into."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    iv = F.floor(F.col("value") * F.lit(65536.0)).cast("long")
+    out = (
+        ev.select("user_id", "event_type", iv.alias("_iv"))
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_iv").alias("sv"),
+        )
+    )
+    # pivot names columns f"{value}_{alias}"; coalesce counts to 0 for
+    # users who never produced a type (sum stays NULL — disclosed)
+    cols = [F.col("user_id")]
+    for t in types:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+        cols.append(F.col(f"{t}_sv").alias(f"{t}_sv"))
+    return out.select(*cols)
+
+
+def _o_pivot_sql() -> str:
+    types = ["click", "view", "purchase", "signup", "error"]
+    parts = []
+    for t in types:
+        parts.append(
+            f"coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+            f" AS {t}_n"
+        )
+        parts.append(
+            f"CAST(sum(CASE WHEN event_type = '{t}'"
+            f" THEN CAST(floor(value * 65536.0) AS BIGINT) END) AS BIGINT)"
+            f" AS {t}_sv"
+        )
+    return (
+        "SELECT user_id, " + ", ".join(parts) + " FROM events GROUP BY user_id"
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (operators/sessions.sessionize, 30-min gap)
     rolled up per session: count, exact integer time bounds, exact
@@ -4460,6 +4538,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap_events": q_interval_overlap_events,
     "entropy_events": q_entropy_events,
     "sessionize_events": q_sessionize_events,
+    "cohort_retention_events": q_cohort_retention_events,
+    "pivot_events": q_pivot_events,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
@@ -4542,6 +4622,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "interval_overlap_events": _o_interval_overlap_sql(),
     "entropy_events": O_ENTROPY_EVENTS,
     "sessionize_events": O_SESSIONIZE_EVENTS,
+    "cohort_retention_events": O_COHORT_RETENTION_EVENTS,
+    "pivot_events": _o_pivot_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
