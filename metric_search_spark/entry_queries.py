@@ -1584,6 +1584,69 @@ def _fixture_windows() -> list[tuple[int, int, int]]:
     return wins
 
 
+def q_pricing_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary over lineitem, in EXACT integer
+    cents: quantities floor to longs, money rounds to cents, and the
+    discount/tax factors become integer (100−d)/(100+t) multipliers, so
+    every sum is an exact int64 under any partitioning; the averages
+    divide identical exact integers. One map-side-combined aggregate over
+    4 group keys — the canonical whole-stage-codegen scan shape."""
+    ev = _read(spark, sf_dir, "lineitem")
+    sec = F.col("l_shipdate").cast("timestamp").cast("long")
+    iq = F.floor(F.col("l_quantity")).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d100 = F.round(F.col("l_discount") * 100, 0).cast("long")
+    t100 = F.round(F.col("l_tax") * 100, 0).cast("long")
+    disc = pc * (F.lit(100) - d100)
+    charge = disc * (F.lit(100) + t100)
+    return (
+        ev.where(sec <= 904694400)  # 1998-09-02 UTC
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            iq.alias("iq"),
+            pc.alias("pc"),
+            d100.alias("d100"),
+            disc.alias("disc"),
+            charge.alias("charge"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("iq").alias("sum_qty"),
+            F.sum("pc").alias("sum_base_cents"),
+            F.sum("disc").alias("sum_disc_c100"),
+            F.sum("charge").alias("sum_charge_c104"),
+            F.round(F.sum("iq").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias("avg_qty"),
+            F.round(F.sum("pc").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias("avg_price_cents"),
+            F.round(F.sum("d100").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias("avg_disc100"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+O_PRICING_SUMMARY = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity) AS BIGINT) AS iq,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS d100,
+         CAST(round(l_tax * 100) AS BIGINT) AS t100
+  FROM lineitem
+  WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) <= 904694400
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(iq) AS BIGINT) AS sum_qty,
+       CAST(sum(pc) AS BIGINT) AS sum_base_cents,
+       CAST(sum(pc * (100 - d100)) AS BIGINT) AS sum_disc_c100,
+       CAST(sum(pc * (100 - d100) * (100 + t100)) AS BIGINT) AS sum_charge_c104,
+       round(CAST(sum(iq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_qty,
+       round(CAST(sum(pc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_price_cents,
+       round(CAST(sum(d100) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_disc100,
+       count(*) AS count_order
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users cohorted by first-activity day, then
     (cohort_day, day_offset) → distinct active users — the
@@ -4539,6 +4602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entropy_events": q_entropy_events,
     "sessionize_events": q_sessionize_events,
     "cohort_retention_events": q_cohort_retention_events,
+    "pricing_summary_lineitem": q_pricing_summary_lineitem,
     "pivot_events": q_pivot_events,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
@@ -4623,6 +4687,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "entropy_events": O_ENTROPY_EVENTS,
     "sessionize_events": O_SESSIONIZE_EVENTS,
     "cohort_retention_events": O_COHORT_RETENTION_EVENTS,
+    "pricing_summary_lineitem": O_PRICING_SUMMARY,
     "pivot_events": _o_pivot_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
