@@ -1647,6 +1647,73 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q_shipping_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping priority: customer ⋈ orders ⋈ lineitem
+    three-way join, revenue in exact integer cents·100
+    (Σ pc·(100−d100)), top-10 unshipped orders by (revenue desc,
+    orderdate, orderkey). The dimension side (filtered customers)
+    broadcasts; the fact-fact join shuffles on o_orderkey; the global
+    top-10 is a sort+limit (TakeOrderedAndProject), never a full window."""
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = 795484800  # 1995-03-15 UTC
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("timestamp").cast("long") < cutoff
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("timestamp").cast("long") > cutoff
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    odate = F.col("o_orderdate").cast("timestamp").cast("long")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "l_orderkey",
+            odate.alias("o_date"),
+            "o_orderpriority",
+            rev.alias("_rev"),
+        )
+        .groupBy("l_orderkey", "o_date", "o_orderpriority")
+        .agg(F.sum("_rev").alias("revenue_c100"))
+    )
+    top = joined.orderBy(
+        F.col("revenue_c100").desc(), "o_date", "l_orderkey"
+    ).limit(10)
+    w = Window.orderBy(F.col("revenue_c100").desc(), "o_date", "l_orderkey")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+O_SHIPPING_PRIORITY = """
+WITH j AS (
+  SELECT l.l_orderkey,
+         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_date,
+         o.o_orderpriority,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) < 795484800
+    AND CAST(floor(epoch(l.l_shipdate)) AS BIGINT) > 795484800
+),
+agg AS (
+  SELECT l_orderkey, o_date, o_orderpriority,
+         CAST(sum(rev) AS BIGINT) AS revenue_c100
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT *, row_number() OVER (ORDER BY revenue_c100 DESC, o_date, l_orderkey)
+       AS rank
+FROM agg
+ORDER BY revenue_c100 DESC, o_date, l_orderkey LIMIT 10
+"""
+
+
 def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users cohorted by first-activity day, then
     (cohort_day, day_offset) → distinct active users — the
@@ -4603,6 +4670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "cohort_retention_events": q_cohort_retention_events,
     "pricing_summary_lineitem": q_pricing_summary_lineitem,
+    "shipping_priority_orders": q_shipping_priority_orders,
     "pivot_events": q_pivot_events,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
@@ -4688,6 +4756,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "sessionize_events": O_SESSIONIZE_EVENTS,
     "cohort_retention_events": O_COHORT_RETENTION_EVENTS,
     "pricing_summary_lineitem": O_PRICING_SUMMARY,
+    "shipping_priority_orders": O_SHIPPING_PRIORITY,
     "pivot_events": _o_pivot_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
