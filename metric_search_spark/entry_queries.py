@@ -1714,6 +1714,66 @@ ORDER BY revenue_c100 DESC, o_date, l_orderkey LIMIT 10
 """
 
 
+def q_regional_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped regional revenue: the 6-table join
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) where the
+    customer's and supplier's nations must MATCH, revenue per nation in
+    exact integer cents·100 over one order-year. Plan shape: every
+    dimension (customer, supplier, nation, region) broadcasts down the
+    chain; the only shuffle is the lineitem⋈orders fact join — the
+    star-schema pattern Catalyst + AQE handle natively."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    odate = F.col("o_orderdate").cast("timestamp").cast("long")
+    y96, y97 = 820454400, 852076800  # [1996-01-01, 1997-01-01) UTC
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    return (
+        li.join(
+            orders.where((odate >= y96) & (odate < y97)),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).alias("revenue_c100"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_REGIONAL_REVENUE = """
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c100,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE CAST(floor(epoch(o.o_orderdate)) AS BIGINT) >= 820454400
+  AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) < 852076800
+GROUP BY 1, 2
+"""
+
+
 def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users cohorted by first-activity day, then
     (cohort_day, day_offset) → distinct active users — the
@@ -4671,6 +4731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention_events": q_cohort_retention_events,
     "pricing_summary_lineitem": q_pricing_summary_lineitem,
     "shipping_priority_orders": q_shipping_priority_orders,
+    "regional_revenue_orders": q_regional_revenue_orders,
     "pivot_events": q_pivot_events,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
@@ -4757,6 +4818,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "cohort_retention_events": O_COHORT_RETENTION_EVENTS,
     "pricing_summary_lineitem": O_PRICING_SUMMARY,
     "shipping_priority_orders": O_SHIPPING_PRIORITY,
+    "regional_revenue_orders": O_REGIONAL_REVENUE,
     "pivot_events": _o_pivot_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
