@@ -1592,15 +1592,19 @@ def q_pricing_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide identical exact integers. One map-side-combined aggregate over
     4 group keys — the canonical whole-stage-codegen scan shape."""
     ev = _read(spark, sf_dir, "lineitem")
-    sec = F.col("l_shipdate").cast("timestamp").cast("long")
     iq = F.floor(F.col("l_quantity")).cast("long")
     pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     d100 = F.round(F.col("l_discount") * 100, 0).cast("long")
     t100 = F.round(F.col("l_tax") * 100, 0).cast("long")
     disc = pc * (F.lit(100) - d100)
     charge = disc * (F.lit(100) + t100)
+    # NTZ-literal comparison (not a cast chain) so the predicate pushes to
+    # the parquet scan; ⟺ the oracle's floor(epoch) ≤ cutoff because every
+    # generated date is midnight-aligned (asserted against sf0.1)
     return (
-        ev.where(sec <= 904694400)  # 1998-09-02 UTC
+        ev.where(
+            F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+        )
         .select(
             "l_returnflag",
             "l_linestatus",
@@ -1657,12 +1661,14 @@ def q_shipping_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
-    cutoff = 795484800  # 1995-03-15 UTC
+    # NTZ literals (pushed to the scans); midnight alignment makes them ⟺
+    # the oracle's epoch comparisons
+    cut = "TIMESTAMP_NTZ '1995-03-15 00:00:00'"
     orders = _read(spark, sf_dir, "orders").where(
-        F.col("o_orderdate").cast("timestamp").cast("long") < cutoff
+        F.col("o_orderdate") < F.expr(cut)
     )
     li = _read(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").cast("timestamp").cast("long") > cutoff
+        F.col("l_shipdate") > F.expr(cut)
     )
     rev = (
         F.round(F.col("l_extendedprice") * 100, 0).cast("long")
@@ -1699,8 +1705,8 @@ WITH j AS (
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   WHERE c.c_mktsegment = 'BUILDING'
-    AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) < 795484800
-    AND CAST(floor(epoch(l.l_shipdate)) AS BIGINT) > 795484800
+    AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
 ),
 agg AS (
   SELECT l_orderkey, o_date, o_orderpriority,
@@ -1728,15 +1734,18 @@ def q_regional_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _read(spark, sf_dir, "supplier")
     nation = _read(spark, sf_dir, "nation")
     region = _read(spark, sf_dir, "region")
-    odate = F.col("o_orderdate").cast("timestamp").cast("long")
-    y96, y97 = 820454400, 852076800  # [1996-01-01, 1997-01-01) UTC
     rev = (
         F.round(F.col("l_extendedprice") * 100, 0).cast("long")
         * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
     )
+    # NTZ literals (pushed to the orders scan); ⟺ the oracle's epoch range
+    # because dates are midnight-aligned
+    in_1996 = (
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    ) & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
     return (
         li.join(
-            orders.where((odate >= y96) & (odate < y97)),
+            orders.where(in_1996),
             li["l_orderkey"] == orders["o_orderkey"],
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
