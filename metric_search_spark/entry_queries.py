@@ -1584,6 +1584,77 @@ def _fixture_windows() -> list[tuple[int, int, int]]:
     return wins
 
 
+def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax row per group: for each event_type, the event
+    with the highest value (scaled to exact int), ties broken by SMALLEST
+    event_id — via ONE max(struct) aggregate (max_by alone leaves ties
+    engine-defined; ordering the struct by (iv, −event_id) pins them), so
+    the plan is a map-side-combined aggregate, not a window over the
+    table. The oracle uses the equivalent row_number formulation."""
+    ev = _read(spark, sf_dir, "events")
+    iv = F.floor(F.col("value") * F.lit(65536.0)).cast("long")
+    best = F.max(
+        F.struct(
+            iv.alias("iv"), (-F.col("event_id")).alias("nid")
+        )
+    ).alias("b")
+    return (
+        ev.groupBy("event_type")
+        .agg(best)
+        .select(
+            "event_type",
+            (-F.col("b.nid")).alias("event_id"),
+            F.col("b.iv").alias("val_scaled"),
+        )
+    )
+
+
+O_ARGMAX_EVENTS = """
+WITH r AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 65536.0) AS BIGINT) AS val_scaled,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY floor(value * 65536.0) DESC, event_id)
+           AS rn
+  FROM events
+)
+SELECT event_type, event_id, val_scaled FROM r WHERE rn = 1
+"""
+
+
+def q_inactive_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: users with activity but NO purchase since
+    2024-01-25 (the churn-candidate cut), with their total event count —
+    left_anti against the recent-purchaser slice; the date predicate is an
+    NTZ literal pushed to the scan. The oracle uses NOT EXISTS."""
+    ev = _read(spark, sf_dir, "events")
+    recent = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-25 00:00:00'"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        ev.join(recent, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+O_INACTIVE_USERS = """
+SELECT user_id, count(*) AS n_events
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+    AND p.ts >= TIMESTAMP '2024-01-25 00:00:00'
+)
+GROUP BY user_id
+"""
+
+
 def q_pricing_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary over lineitem, in EXACT integer
     cents: quantities floor to longs, money rounds to cents, and the
@@ -4741,6 +4812,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary_lineitem": q_pricing_summary_lineitem,
     "shipping_priority_orders": q_shipping_priority_orders,
     "regional_revenue_orders": q_regional_revenue_orders,
+    "argmax_events": q_argmax_events,
+    "inactive_users_events": q_inactive_users_events,
     "pivot_events": q_pivot_events,
     "json_props_events": q_json_props_events,
     "pmi_pairs_documents": q_pmi_pairs_documents,
@@ -4828,6 +4901,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "pricing_summary_lineitem": O_PRICING_SUMMARY,
     "shipping_priority_orders": O_SHIPPING_PRIORITY,
     "regional_revenue_orders": O_REGIONAL_REVENUE,
+    "argmax_events": O_ARGMAX_EVENTS,
+    "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
     "pmi_pairs_documents": O_PMI_PAIRS,
