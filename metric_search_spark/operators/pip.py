@@ -844,7 +844,12 @@ def polygon_metrics(
         .alias("iy"),
     )
     w = Window.partitionBy("pid").orderBy("i")
-    wf = Window.partitionBy("pid")
+    # the ring-closing wrap vertex must be i=0 BY ORDER, not by arrival:
+    # first() over a partitionBy-only window reads whatever row order the
+    # exchange produced — an ordered full-frame first_value pins it
+    wf = Window.partitionBy("pid").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     nxt = verts.select(
         "pid",
         "ix",
