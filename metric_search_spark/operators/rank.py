@@ -12,7 +12,10 @@ Scale shape: tokenize → ONE map-side-combined (doc, tok) count restricted
 to the query terms (the hot path never materialises the full postings
 table), per-term document frequencies are a |q|-row broadcast, document
 lengths are one groupBy, and the final per-doc reduce is an exact int64
-sum — no joins beyond one broadcast and one doc-keyed merge.
+sum — no joins beyond one broadcast and one doc-keyed merge. The corpus
+text is tokenized three times (the n_toks scalar, dl, tf) — each a linear
+distributed scan; callers whose corpus scan dominates should materialize
+the exploded token table once and manage its lifecycle themselves.
 
 Determinism contract (the module family's recurring theme): every float
 input to a term score (idf, avgdl, dl ratio) is computed by identical
