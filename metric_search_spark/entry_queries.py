@@ -1584,6 +1584,34 @@ def _fixture_windows() -> list[tuple[int, int, int]]:
     return wins
 
 
+def q_skyline_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (operators/skyline.skyline_2d) of the
+    embeddings' 2-D projection, both axes maximize: per-partition frontier
+    prefilter then a tiny global refine — no all-pairs anywhere in the
+    engine. The oracle is the textbook quadratic NOT-EXISTS dominance
+    test, a fully independent formulation; coordinates quantize to ⌊v·2²⁰⌋
+    ints so dominance is exact in both engines."""
+    from metric_search_spark.operators.skyline import skyline_2d
+
+    return skyline_2d(_emb(spark, sf_dir), "x", "y", id_col="id")
+
+
+def _o_skyline_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT vec_id AS id,
+         CAST(floor({_EMB_X} * 1048576.0) AS BIGINT) AS ix,
+         CAST(floor({_EMB_Y} * 1048576.0) AS BIGINT) AS iy
+  FROM embeddings
+)
+SELECT id, ix, iy FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.ix >= a.ix AND b.iy >= a.iy AND (b.ix > a.ix OR b.iy > a.iy)
+)
+"""
+
+
 def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic argmax row per group: for each event_type, the event
     with the highest value (scaled to exact int), ties broken by SMALLEST
@@ -4813,6 +4841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority_orders": q_shipping_priority_orders,
     "regional_revenue_orders": q_regional_revenue_orders,
     "argmax_events": q_argmax_events,
+    "skyline_embeddings": q_skyline_embeddings,
     "inactive_users_events": q_inactive_users_events,
     "pivot_events": q_pivot_events,
     "json_props_events": q_json_props_events,
@@ -4902,6 +4931,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "shipping_priority_orders": O_SHIPPING_PRIORITY,
     "regional_revenue_orders": O_REGIONAL_REVENUE,
     "argmax_events": O_ARGMAX_EVENTS,
+    "skyline_embeddings": _o_skyline_sql(),
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
