@@ -77,7 +77,18 @@ def skyline_2d(
             yield _frontier(pdf)
 
     cand = pts.mapInPandas(local, schema=schema)
-    # global refine: candidates are tiny (union of local frontiers) —
-    # coalesce(1) + one more frontier pass is exact because dominance
-    # within the union decides the global skyline
-    return cand.coalesce(1).mapInPandas(local, schema=schema)
+    # The prefilter is sound per ARROW BATCH (a batch-dominated row is
+    # globally dominated), but the refine must see the ENTIRE candidate
+    # set at once — mapInPandas re-batches at ~10k rows, which would make
+    # a >10k-candidate "global" pass silently per-batch. applyInPandas
+    # over one constant group delivers the whole set in a single frame;
+    # candidates are the union of batch frontiers, tiny for real data.
+    return (
+        cand.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda pdf: _frontier(pdf.drop(columns=["_g"]))
+            if "_g" in pdf.columns
+            else _frontier(pdf),
+            schema=schema,
+        )
+    )
