@@ -42,6 +42,27 @@ def test_matches_brute_force_with_ties():
     assert {120, 121, 122} <= want  # duplicates co-survive; anti-chain holds
 
 
+def test_exact_when_candidates_span_many_arrow_batches():
+    # regression: the refine must see ALL candidates in one frame — with
+    # 7-row Arrow batches a mapInPandas "global" pass would be per-batch
+    spark = get_spark()
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        rng = np.random.default_rng(5)
+        rows = [
+            (i, float(x), float(y))
+            for i, (x, y) in enumerate(rng.uniform(0, 1, size=(300, 2)))
+        ]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+        pts = [(int(x * (1 << 20)), int(y * (1 << 20))) for _, x, y in rows]
+        assert got == _brute(pts)
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_partitioning_invariance():
     spark = get_spark()
     rng = np.random.default_rng(22)
