@@ -128,3 +128,34 @@ def test_read_schema_handles_nested_types(spark):
     )
     schemas = read_schema_columns(df)
     assert schemas and set(schemas[0]) == {"embedding", "label"}, schemas
+
+
+def test_tpch_date_filters_push_to_scan(spark):
+    # the NTZ-literal predicates must reach the parquet scans (a cast
+    # chain silently un-pushes them — the regression this pins)
+    from metric_search_spark.entry_queries import (
+        q_pricing_summary_lineitem,
+        q_regional_revenue_orders,
+        q_shipping_priority_orders,
+    )
+
+    for q, col in (
+        (q_pricing_summary_lineitem, "l_shipdate"),
+        (q_shipping_priority_orders, "l_shipdate"),
+        (q_regional_revenue_orders, "o_orderdate"),
+    ):
+        pf = pushed_filters(q(spark, SF))
+        assert any(
+            col in f and ("LessThan" in f or "GreaterThan" in f) for f in pf
+        ), (q.__name__, pf)
+
+
+def test_pivot_single_scan(spark):
+    # explicit value list ⇒ no extra distinct-values job and ONE scan of
+    # events in the plan
+    from metric_search_spark.entry_queries import q_pivot_events
+
+    plan = (
+        q_pivot_events(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
