@@ -1584,6 +1584,37 @@ def _fixture_windows() -> list[tuple[int, int, int]]:
     return wins
 
 
+def q_decile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function surface: per-event-type value deciles (ntile over the
+    (⌊v·2¹⁶⌋, event_id) total order — deterministic bucket boundaries even
+    under value ties) and cume_dist over the scaled value alone (tie
+    groups share one exact fraction: identical integer division in both
+    engines, rounded 9)."""
+    ev = _read(spark, sf_dir, "events")
+    iv = F.floor(F.col("value") * F.lit(65536.0)).cast("long")
+    d = ev.select("event_id", "event_type", iv.alias("iv"))
+    wt = Window.partitionBy("event_type").orderBy("iv", "event_id")
+    wc = Window.partitionBy("event_type").orderBy("iv")
+    return d.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(wt).cast("long").alias("decile"),
+        F.round(F.cume_dist().over(wc), 9).alias("cume"),
+    )
+
+
+O_DECILE_EVENTS = """
+SELECT event_id, event_type,
+       ntile(10) OVER (PARTITION BY event_type
+                       ORDER BY CAST(floor(value * 65536.0) AS BIGINT),
+                                event_id) AS decile,
+       round(cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY CAST(floor(value * 65536.0) AS BIGINT)),
+             9) AS cume
+FROM events
+"""
+
+
 def q_skyline_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto frontier (operators/skyline.skyline_2d) of the
     embeddings' 2-D projection, both axes maximize: per-partition frontier
@@ -4842,6 +4873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_revenue_orders": q_regional_revenue_orders,
     "argmax_events": q_argmax_events,
     "skyline_embeddings": q_skyline_embeddings,
+    "decile_events": q_decile_events,
     "inactive_users_events": q_inactive_users_events,
     "pivot_events": q_pivot_events,
     "json_props_events": q_json_props_events,
@@ -4932,6 +4964,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "regional_revenue_orders": O_REGIONAL_REVENUE,
     "argmax_events": O_ARGMAX_EVENTS,
     "skyline_embeddings": _o_skyline_sql(),
+    "decile_events": O_DECILE_EVENTS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
