@@ -1584,6 +1584,47 @@ def _fixture_windows() -> list[tuple[int, int, int]]:
     return wins
 
 
+def q_mode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mode: each (event_type, user_id)'s most frequent json-props
+    k value, ties to the SMALLEST k — two map-side-combined aggregates
+    (value counts, then one max(struct(count, −k)) per group; never a
+    window over the raw table). Exact integers end-to-end."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    cnt = (
+        ev.select("event_type", "user_id", k.alias("k"))
+        .groupBy("event_type", "user_id", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    best = F.max(F.struct(F.col("c").alias("c"), (-F.col("k")).alias("nk")))
+    return (
+        cnt.groupBy("event_type", "user_id")
+        .agg(best.alias("b"))
+        .select(
+            "event_type",
+            "user_id",
+            (-F.col("b.nk")).alias("mode_k"),
+            F.col("b.c").alias("mode_n"),
+        )
+    )
+
+
+O_MODE_EVENTS = """
+WITH cnt AS (
+  SELECT event_type, user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY c DESC, k) AS rn
+  FROM cnt
+)
+SELECT event_type, user_id, k AS mode_k, c AS mode_n FROM r WHERE rn = 1
+"""
+
+
 def q_decile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-function surface: per-event-type value deciles (ntile over the
     (⌊v·2¹⁶⌋, event_id) total order — deterministic bucket boundaries even
@@ -4874,6 +4915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "argmax_events": q_argmax_events,
     "skyline_embeddings": q_skyline_embeddings,
     "decile_events": q_decile_events,
+    "mode_events": q_mode_events,
     "inactive_users_events": q_inactive_users_events,
     "pivot_events": q_pivot_events,
     "json_props_events": q_json_props_events,
@@ -4965,6 +5007,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "argmax_events": O_ARGMAX_EVENTS,
     "skyline_embeddings": _o_skyline_sql(),
     "decile_events": O_DECILE_EVENTS,
+    "mode_events": O_MODE_EVENTS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
