@@ -1584,6 +1584,49 @@ def _fixture_windows() -> list[tuple[int, int, int]]:
     return wins
 
 
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health check (norm-collapse / outlier detection): per
+    label, min/max/sum of the exact integer squared norm Σ⌊vᵢ·2¹⁶⌋² —
+    computed as ONE in-array fold inside whole-stage codegen (F.aggregate,
+    no explode, no shuffle before the 10-key aggregate). All integers."""
+    emb = _read(spark, sf_dir, "embeddings")
+    nrm2 = F.aggregate(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: F.floor(v * F.lit(65536.0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    return (
+        emb.select("label", nrm2.alias("nrm2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("nrm2").alias("min_nrm2"),
+            F.max("nrm2").alias("max_nrm2"),
+            F.sum("nrm2").alias("sum_nrm2"),
+        )
+    )
+
+
+O_EMBEDDING_NORMS = """
+WITH t AS (
+  SELECT label,
+         list_sum(list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)
+                * CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)))
+           AS nrm2
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       CAST(min(nrm2) AS BIGINT) AS min_nrm2,
+       CAST(max(nrm2) AS BIGINT) AS max_nrm2,
+       CAST(sum(nrm2) AS BIGINT) AS sum_nrm2
+FROM t GROUP BY label
+"""
+
+
 def q_mode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped mode: each (event_type, user_id)'s most frequent json-props
     k value, ties to the SMALLEST k — two map-side-combined aggregates
@@ -4916,6 +4959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_embeddings": q_skyline_embeddings,
     "decile_events": q_decile_events,
     "mode_events": q_mode_events,
+    "embedding_norms": q_embedding_norms,
     "inactive_users_events": q_inactive_users_events,
     "pivot_events": q_pivot_events,
     "json_props_events": q_json_props_events,
@@ -5008,6 +5052,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "skyline_embeddings": _o_skyline_sql(),
     "decile_events": O_DECILE_EVENTS,
     "mode_events": O_MODE_EVENTS,
+    "embedding_norms": O_EMBEDDING_NORMS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),
     "json_props_events": O_JSON_PROPS_EVENTS,
