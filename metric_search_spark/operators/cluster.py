@@ -253,6 +253,7 @@ def nearest_centroid(
     label_col: str = "label",
     vec_col: str = "embedding",
     scale_bits: int = 16,
+    method: str = "arrow",
 ) -> DataFrame:
     """Nearest-centroid classification (Rocchio) over an embedding column:
     fit per-label mean centroids, then assign EVERY vector to its nearest
@@ -268,11 +269,25 @@ def nearest_centroid(
     exact values in both engines. Argmin ties break by label.
 
     Scale shape: ONE posexplode pass builds centroids (map-side combined,
-    L·D rows out), the assignment join broadcasts the tiny L·D centroid
-    table against the exploded components, and the per-(vector, label)
-    reduce is map-side combined on the id key — no all-pairs anything.
-    Returns (id, label, pred, dist) per vector.
+    L·D rows out); assignment then runs one of two parity-pinned paths
+    (tests/test_nearest_centroid.py):
+
+    - ``method="arrow"`` (default): the tiny (L, D) sums/counts broadcast
+      into ONE mapInPandas kernel that evaluates all L distances per
+      Arrow batch in numpy int64 — no exploded rows×dims×labels
+      intermediate, no shuffle after the centroid fit. Exactness needs
+      every |n_c·ix| and |s_c| < 2²⁷ (so no term of the expanded
+      int64 algebra can wrap); the kernel CHECKS the bound from the actual centroid state
+      and raises with the fix (lower scale_bits or method="relational").
+    - ``method="relational"``: the exploded broadcast-join + decimal(38,0)
+      reduce — ~2³⁰ wider envelope, same exact integers, the DuckDB-twin
+      shape.
+
+    Returns (id, label, pred, dist) per vector; argmin ties break by
+    label.
     """
+    if method not in ("arrow", "relational"):
+        raise ValueError(f"nearest_centroid: unknown method {method!r}")
     s = float(1 << scale_bits)
     comps = df.select(
         F.col(id_col).alias("id"),
@@ -287,12 +302,25 @@ def nearest_centroid(
     cent = comps.groupBy(F.col("label").alias("clabel"), "d").agg(
         F.sum("ix").alias("sc"), F.count(F.lit(1)).alias("nc")
     )
+    if method == "arrow":
+        out = _nearest_centroid_arrow(
+            df, cent, id_col=id_col, label_col=label_col, vec_col=vec_col,
+            scale_bits=scale_bits,
+        )
+        if out is not None:
+            return out
+        # envelope tripped (big per-label counts × scale): fall through to
+        # the decimal path, which carries ~2³⁰ more headroom
     dec = "decimal(38,0)"
     diff = F.col("nc") * F.col("ix") - F.col("sc")
+    # square in DECIMAL, not long — diff itself must fit int64 (n_c·ix),
+    # but diff² may not; the exact decimal product keeps the wide envelope
+    # this path exists for
+    dsq = diff.cast(dec) * diff.cast(dec)
     dist2 = (
         comps.join(F.broadcast(cent), "d")
         .groupBy("id", "label", "clabel", "nc")
-        .agg(F.sum((diff * diff).cast(dec)).alias("ss"))
+        .agg(F.sum(dsq).alias("ss"))
         .select(
             "id",
             "label",
@@ -319,4 +347,123 @@ def nearest_centroid(
             F.col("clabel").alias("pred"),
             "dist",
         )
+    )
+
+
+def _nearest_centroid_arrow(
+    df: DataFrame,
+    cent: DataFrame,
+    *,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    scale_bits: int,
+) -> DataFrame:
+    """Arrow assignment path: collect the tiny (L, D) centroid state,
+    broadcast it, and evaluate every label's EXACT integer distance per
+    batch — identical integers (and therefore identical doubles) to the
+    relational/decimal path. The int64 wrap bound (|n·ix|, |s| < 2²⁷,
+    D ≤ 64) is decided DRIVER-SIDE from the actual centroid state plus one
+    max-|component| aggregate; returns None when it trips so the caller
+    degrades to the decimal path instead of failing mid-job. The kernel
+    keeps a belt-and-braces re-check."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cent.collect()
+    if not rows:
+        return None  # empty input: the relational path returns empty cleanly
+    labels = sorted({r["clabel"] for r in rows})
+    lidx = {l: i for i, l in enumerate(labels)}
+    dim = max(r["d"] for r in rows) + 1
+    S = np.zeros((len(labels), dim), dtype=np.int64)
+    N = np.zeros(len(labels), dtype=np.int64)
+    for r in rows:
+        S[lidx[r["clabel"]], r["d"]] = r["sc"]
+        N[lidx[r["clabel"]]] = r["nc"]
+    s = float(1 << scale_bits)
+    spark = df.sparkSession
+    # driver-side envelope decision: worst |n_c·ix − s_c| from the true
+    # max component magnitude (one in-array fold, cheap single pass)
+    max_ix = (
+        df.agg(
+            F.max(
+                F.aggregate(
+                    F.transform(
+                        F.col(vec_col).cast("array<double>"),
+                        lambda v: F.abs(F.floor(v * F.lit(s)).cast("long")),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: F.greatest(a, x),
+                )
+            )
+        ).collect()[0][0]
+        or 0
+    )
+    worst = int(N.max()) * int(max_ix) + int(np.abs(S).max())
+    if worst >= (1 << 27) or dim > 64:
+        return None
+    bS, bN, bL = (
+        spark.sparkContext.broadcast(S),
+        spark.sparkContext.broadcast(N),
+        spark.sparkContext.broadcast(np.asarray(labels)),
+    )
+    qt = df.schema[id_col].dataType.simpleString()
+    lt = df.schema[label_col].dataType.simpleString()
+    out_schema = f"{id_col} {qt}, {label_col} {lt}, pred {lt}, dist double"
+
+    def assign(batches):
+        Sv, Nv, Lv = bS.value, bN.value, bL.value
+        inv = 1.0 / float(1 << (2 * scale_bits))
+        # expanded form: ss[b,c] = N_c²·Σix² − 2N_c·(ix·s_c) + Σs_c² — one
+        # (b, L) int64 matmul instead of the (L, b, D) diff tensor (which
+        # is D× the memory and killed 4096-label runs); every term is
+        # < 2^61 under the driver-checked |n·ix|,|s| < 2^27 bound, D ≤ 64,
+        # so the int64 algebra is exact
+        r_c = np.einsum("ld,ld->l", Sv, Sv)  # (L,)
+        n2 = Nv * Nv
+        # TRUE division by n² (a reciprocal-multiply differs in the last
+        # ulp for non-power-of-2 n and broke bit-parity with the decimal
+        # path); the 2^-2s un-scale IS exact as a multiply
+        n2f = n2.astype(np.float64)
+        CH = 2048  # rows per block: (CH, L) int64 stays tens of MB
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            ix = np.floor(X * s).astype(np.int64)  # (b, D)
+            lim = max(
+                int(Nv.max()) * int(np.abs(ix).max(initial=0))
+                + int(np.abs(Sv).max(initial=0)),
+                1,
+            )
+            if lim >= (1 << 27) or ix.shape[1] > 64:
+                raise ValueError(
+                    "nearest_centroid arrow path would overflow int64 "
+                    f"(worst |n·ix|+|s| {lim} >= 2^27 or dim "
+                    f"{ix.shape[1]} > 64): lower scale_bits or use "
+                    "method='relational'"
+                )
+            preds = np.empty(len(pdf), dtype=Lv.dtype)
+            dists = np.empty(len(pdf), dtype=np.float64)
+            for lo in range(0, len(pdf), CH):
+                blk = ix[lo : lo + CH]  # (c, D)
+                q = np.einsum("bd,bd->b", blk, blk)  # (c,)
+                P = blk @ Sv.T  # (c, L) int64 exact
+                ss = n2[None, :] * q[:, None] - 2 * Nv[None, :] * P + r_c[None, :]
+                dist = ss.astype(np.float64) / n2f[None, :] * inv
+                best = np.argmin(dist, axis=1)  # lowest label wins ties
+                preds[lo : lo + CH] = Lv[best]
+                dists[lo : lo + CH] = dist[np.arange(len(blk)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    label_col: pdf[label_col],
+                    "pred": preds,
+                    "dist": dists,
+                }
+            )
+
+    return df.select(id_col, label_col, vec_col).mapInPandas(
+        assign, schema=out_schema
     )

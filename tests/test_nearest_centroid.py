@@ -45,6 +45,38 @@ def test_partitioning_invariance_and_broadcast_plan():
     b = sorted(map(tuple, nearest_centroid(df.repartition(5)).collect()))
     assert a == b
     plan = (
-        nearest_centroid(df)._jdf.queryExecution().executedPlan().toString()
+        nearest_centroid(df, method="relational")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
     assert "BroadcastHashJoin" in plan  # centroids never shuffle the points
+
+
+def test_arrow_and_relational_paths_bit_identical():
+    import numpy as np
+
+    spark = get_spark()
+    rng = np.random.default_rng(31)
+    rows = [
+        (i, [float(v) for v in rng.uniform(-0.6, 0.6, 16)], int(i % 7))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a = sorted(map(tuple, nearest_centroid(df, method="arrow").collect()))
+    r = sorted(map(tuple, nearest_centroid(df, method="relational").collect()))
+    assert a == r  # same exact integers ⇒ bit-identical dist and argmin
+
+
+def test_arrow_envelope_degrades_to_relational():
+    # scale_bits=40 blows the 2^28 arrow diff bound DRIVER-SIDE: the call
+    # must degrade to the decimal path and still return correct argmins
+    # (the decimal path squares in decimal, so diff² beyond int64 is fine)
+    df = _df()
+    out = {
+        r["vec_id"]: r["pred"]
+        for r in nearest_centroid(df, method="arrow", scale_bits=40).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 1}
