@@ -4894,6 +4894,47 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_convex_hull_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label convex hull (operators/hull.convex_hull): shuffle-free
+    per-batch candidate hulls (Akl–Toussaint prefilter + monotone chain),
+    then an exact per-group hull over the tiny candidate union. Oracle:
+    DuckDB decides hull membership by the O(n³) directed-edge test —
+    (a, b) is a hull edge iff every other point of the label lies STRICTLY
+    left — a predicate disjoint from the engine's chain construction, so a
+    chain that keeps an interior point or drops a corner goes red."""
+    from metric_search_spark.operators.hull import convex_hull
+
+    emb = _emb(spark, sf_dir)
+    hull = convex_hull(emb, by=["label"], x_col="x", y_col="y", id_col="id")
+    w = Window.partitionBy("label")
+    return hull.select(
+        "label",
+        F.col("id").alias("vec_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hull_size"),
+    )
+
+
+O_CONVEX_HULL = f"""
+WITH pts AS (
+  SELECT label, vec_id, {_EMB_X} AS x, {_EMB_Y} AS y FROM embeddings
+),
+hv AS (
+  SELECT a.label, a.vec_id
+  FROM pts a JOIN pts b ON a.label = b.label AND a.vec_id <> b.vec_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts c
+    WHERE c.label = a.label
+      AND c.vec_id <> a.vec_id AND c.vec_id <> b.vec_id
+      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <= 0
+  )
+  GROUP BY a.label, a.vec_id
+)
+SELECT label, vec_id,
+       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS hull_size
+FROM hv
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4911,6 +4952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_topk_documents": q_token_topk_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "cube_orders": q_cube_orders,
+    "convex_hull_embeddings": q_convex_hull_embeddings,
     "edit_join_documents": q_edit_join_documents,
     "dedupe_threshold_embeddings": q_dedupe_threshold_embeddings,
     "bfs_grid4": q_bfs_grid4,
@@ -5016,6 +5058,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "token_topk_documents": O_TOKEN_TOPK,
     "heavy_hitters_documents": O_HEAVY_HITTERS,
     "cube_orders": O_CUBE_ORDERS,
+    "convex_hull_embeddings": O_CONVEX_HULL,
     "edit_join_documents": O_EDIT_JOIN,
     "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
     "bfs_grid4": O_BFS_GRID4,
