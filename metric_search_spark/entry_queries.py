@@ -4935,6 +4935,343 @@ FROM hv
 """
 
 
+def q_frechet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet distance (Eiter–Mannila) between each user's 2-D
+    event trajectory (x = 0.25·position, y = value, first 24 events by
+    event_id) and user 0's trajectory. Series assembly is relational;
+    the O(n·m) DP runs in operators/trajectory.frechet_many — sequential
+    over the recurrence, vectorized across the per-batch user stack, on
+    SQUARED distances (min/max commute with the final sqrt, so every DP
+    value is an exact copy of some pairwise d² — bit-stable vs the
+    oracle). Oracle: a DuckDB recursive CTE recomputes the whole DP from
+    raw events, carrying each user's current DP row as a list and
+    unrolling the row-internal sequential scan to the enter-at-k form
+    ca(i,j) = min_k max(entry(k), max_{t=k..j} d²(i,t))."""
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("event_id", "value"))),
+                    lambda s: s["value"],
+                ),
+                1,
+                24,
+            ).alias("vals")
+        )
+        .localCheckpoint(eager=True)  # anchor .first() must not re-run the
+        # full per-user aggregation when the main plan materializes
+    )
+    arow = series.orderBy("user_id").first()["vals"]
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        from metric_search_spark.operators.trajectory import frechet_many
+
+        nb = len(arow)
+        anchor = np.column_stack(
+            [np.arange(nb, dtype=np.float64) * 0.25, np.asarray(arow)]
+        )
+        for pdf in batches:
+            vals = np.empty(len(pdf))
+            arrs = [np.asarray(v, dtype=np.float64) for v in pdf["vals"]]
+            lens = np.asarray([len(v) for v in arrs])
+            for L in np.unique(lens):
+                rows = np.nonzero(lens == L)[0]
+                S = np.stack(
+                    [
+                        np.column_stack(
+                            [np.arange(L, dtype=np.float64) * 0.25, arrs[i]]
+                        )
+                        for i in rows
+                    ]
+                )
+                vals[rows] = np.round(frechet_many(S, anchor), 9)
+            pdf["frechet"] = vals
+            yield pdf[["user_id", "frechet"]]
+
+    return series.mapInPandas(fn, schema="user_id long, frechet double").orderBy(
+        "user_id"
+    )
+
+
+# DuckDB twin of the discrete-Fréchet DP, fully independent (recomputed
+# from the raw events view). Points are [0.25·(k−1), value]; d² is exact
+# the same expression both sides; the recursive CTE advances one user-
+# trajectory row per iteration. The engine's row-internal sequential scan
+# ca(i,j) = max(d²ij, min(prev[j], prev[j−1], ca(i,j−1))) unrolls to the
+# enter-at-column-k form (a path into (i,j) enters row i at some k ≤ j
+# from min(prev[k], prev[k−1]) — prev[1] alone for k = 1 — then walks
+# right through d²(i,k..j)), which list_transform can evaluate without
+# self-reference. Final cell: row i = len(a) (the user's own length),
+# column len(d) = the anchor's length.
+O_FRECHET_EVENTS = """
+WITH RECURSIVE
+series AS (
+  SELECT user_id, list_slice(list(value ORDER BY event_id), 1, 24) AS vals
+  FROM events GROUP BY user_id
+),
+anchor AS (
+  SELECT vals AS bv FROM series ORDER BY user_id LIMIT 1
+),
+dp AS (
+  SELECT s.user_id, s.vals AS a, 1 AS i,
+         list_transform(range(1, len(an.bv) + 1), j ->
+           list_max(list_transform(range(1, j + 1), t ->
+             (0.25 * 0 - 0.25 * (t - 1)) * (0.25 * 0 - 0.25 * (t - 1))
+             + (s.vals[1] - an.bv[t]) * (s.vals[1] - an.bv[t])))) AS d
+  FROM series s, anchor an
+  UNION ALL
+  SELECT user_id, a, i + 1,
+         list_transform(range(1, nb + 1), j ->
+           list_min(list_transform(range(1, j + 1), k ->
+             greatest(CASE WHEN k = 1 THEN d[1] ELSE least(d[k], d[k-1]) END,
+                      list_max(list_slice(ds, k, j)))))) AS d
+  FROM (
+    SELECT dp.user_id, dp.a, dp.i, dp.d, len(an.bv) AS nb,
+           list_transform(range(1, len(an.bv) + 1), t ->
+             (0.25 * dp.i - 0.25 * (t - 1)) * (0.25 * dp.i - 0.25 * (t - 1))
+             + (dp.a[dp.i + 1] - an.bv[t]) * (dp.a[dp.i + 1] - an.bv[t])) AS ds
+    FROM dp, anchor an
+    WHERE dp.i < len(dp.a)
+  )
+)
+SELECT user_id, round(sqrt(d[len(d)]), 9) AS frechet
+FROM dp WHERE i = len(a)
+"""
+
+
+_DP_EPS = 3.0
+
+
+def q_simplify_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker polyline simplification (operators/trajectory.
+    douglas_peucker_mask) of each user's 2-D event trajectory
+    (x = 0.25·position, y = value, first 40 events by event_id) with
+    tolerance eps = 3.0 — perpendicular-distance criterion, split at the
+    lowest-index argmax. Oracle: DuckDB precomputes every interval's
+    argmax deviation non-recursively (the O(n³) cand/best tables), then a
+    recursive CTE replays the split tree from (1, n); kept points are the
+    distinct interval endpoints. Both sides share only the d² expression
+    shape (bit-identical inputs ⇒ identical comparisons); the split
+    CONTROL FLOW is derived independently."""
+    ev = _read(spark, sf_dir, "events")
+    series = ev.groupBy("user_id").agg(
+        F.slice(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("event_id", "value"))),
+                lambda s: s["value"],
+            ),
+            1,
+            40,
+        ).alias("vals")
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from metric_search_spark.operators.trajectory import douglas_peucker_mask
+
+        for pdf in batches:
+            uids, poss, sizes = [], [], []
+            for uid, vals in zip(pdf["user_id"], pdf["vals"]):
+                y = np.asarray(vals, dtype=np.float64)
+                x = np.arange(len(y), dtype=np.float64) * 0.25
+                kept = np.nonzero(douglas_peucker_mask(x, y, _DP_EPS))[0] + 1
+                uids += [uid] * len(kept)
+                poss += kept.tolist()
+                sizes += [len(kept)] * len(kept)
+            yield pd.DataFrame(
+                {"user_id": uids, "pos": poss, "n_kept": sizes}
+            )
+
+    return series.mapInPandas(fn, schema="user_id long, pos long, n_kept long")
+
+
+O_SIMPLIFY_EVENTS = f"""
+WITH RECURSIVE
+series AS (
+  SELECT user_id, list_slice(list(value ORDER BY event_id), 1, 40) AS vals
+  FROM events GROUP BY user_id
+),
+idxs AS (
+  SELECT user_id, unnest(range(1, len(vals) + 1)) AS k FROM series
+),
+pts AS (
+  SELECT i.user_id, i.k AS idx, 0.25 * (i.k - 1) AS x, s.vals[i.k] AS y
+  FROM idxs i JOIN series s USING (user_id)
+),
+cand AS (
+  SELECT a.user_id, a.idx AS i, b.idx AS j, p.idx AS t,
+         ((p.x - a.x) * (b.y - a.y) - (p.y - a.y) * (b.x - a.x))
+         * ((p.x - a.x) * (b.y - a.y) - (p.y - a.y) * (b.x - a.x))
+         / ((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) AS d2
+  FROM pts a
+  JOIN pts b ON b.user_id = a.user_id AND b.idx > a.idx + 1
+  JOIN pts p ON p.user_id = a.user_id AND p.idx > a.idx AND p.idx < b.idx
+),
+best AS (
+  SELECT user_id, i, j, t AS k, d2 FROM (
+    SELECT user_id, i, j, t, d2,
+           row_number() OVER (PARTITION BY user_id, i, j
+                              ORDER BY d2 DESC, t) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+splits AS (
+  SELECT user_id, 1 AS i, len(vals) AS j FROM series
+  UNION ALL
+  SELECT sp.user_id,
+         CASE c.side WHEN 0 THEN sp.i ELSE b.k END AS i,
+         CASE c.side WHEN 0 THEN b.k ELSE sp.j END AS j
+  FROM splits sp
+  JOIN best b ON b.user_id = sp.user_id AND b.i = sp.i AND b.j = sp.j
+  CROSS JOIN (VALUES (0), (1)) c(side)
+  WHERE b.d2 > {_DP_EPS * _DP_EPS!r}
+),
+kept AS (
+  -- explicit DISTINCT: inside a WITH RECURSIVE block DuckDB does not
+  -- apply UNION's dedup to this non-recursive member, so spell it out
+  SELECT DISTINCT user_id, pos FROM (
+    SELECT user_id, i AS pos FROM splits
+    UNION ALL
+    SELECT user_id, j AS pos FROM splits
+  )
+)
+SELECT user_id, CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_kept
+FROM kept
+"""
+
+
+_SP_RADIUS = 25.0
+_SP_DWELL_US = 43_200_000_000  # 12 h in microseconds
+
+
+def q_staypoints_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (Li et al., GIS 2008 greedy anchor scan) over
+    each user's 2-D event trajectory — point k = (value_k, value_{k-1})
+    with y_1 = 0.0, timestamps as exact int64 microseconds, first 40
+    events by event_id; radius 25.0, min dwell 12 h. The greedy scan
+    (operators/trajectory.staypoints_one) is inherently sequential per
+    trajectory but vectorizes the all-points-in-radius reach; users are
+    batched through mapInPandas. Oracle: DuckDB precomputes each
+    anchor's reach non-recursively (first radius violation per anchor),
+    then a recursive CTE replays the greedy anchor walk one step per
+    iteration — emit + jump past the stay-point when the dwell test
+    passes, advance one point otherwise."""
+    ev = _read(spark, sf_dir, "events")
+    series = ev.groupBy("user_id").agg(
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "event_id",
+                            "value",
+                            # session tz is UTC, so NTZ→TZ cast is the
+                            # identity and unix_micros matches epoch_us
+                            F.unix_micros(
+                                F.col("ts").cast("timestamp")
+                            ).alias("us"),
+                        )
+                    )
+                ),
+                lambda s: F.struct(s["value"].alias("v"), s["us"].alias("us")),
+            ),
+            1,
+            40,
+        ).alias("pts")
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from metric_search_spark.operators.trajectory import staypoints_one
+
+        for pdf in batches:
+            uids, starts, ends = [], [], []
+            for uid, pts in zip(pdf["user_id"], pdf["pts"]):
+                x = np.asarray([p["v"] for p in pts], dtype=np.float64)
+                y = np.concatenate(([0.0], x[:-1]))
+                ts = np.asarray([p["us"] for p in pts], dtype=np.float64)
+                for i, j in staypoints_one(
+                    x, y, ts, radius=_SP_RADIUS, min_dwell=_SP_DWELL_US
+                ):
+                    uids.append(uid)
+                    starts.append(i + 1)
+                    ends.append(j + 1)
+            yield pd.DataFrame(
+                {"user_id": uids, "start_pos": starts, "end_pos": ends}
+            )
+
+    return series.mapInPandas(
+        fn, schema="user_id long, start_pos long, end_pos long"
+    )
+
+
+# DuckDB twin of the greedy stay-point scan. reach(i) = last index j with
+# every point i..j inside radius of point i (computed from the first
+# violating t per anchor — d² int-exact vs the kernel: identical float64
+# expression on identical inputs, compared to the same r²). The walk CTE
+# advances one anchor per iteration; `emit` marks a dwell-qualified stop,
+# whose interval [i, reach] is the output row. int64 µs timestamps keep
+# the dwell comparison exact.
+O_STAYPOINTS_EVENTS = f"""
+WITH RECURSIVE
+series AS (
+  SELECT user_id,
+         list_slice(list(value ORDER BY event_id), 1, 40) AS vals,
+         list_slice(list(epoch_us(ts) ORDER BY event_id), 1, 40) AS tss
+  FROM events GROUP BY user_id
+),
+pts AS (
+  SELECT s.user_id, k.k AS idx, s.vals[k.k] AS x,
+         CASE WHEN k.k = 1 THEN 0.0 ELSE s.vals[k.k - 1] END AS y,
+         s.tss[k.k] AS us, len(s.vals) AS n
+  FROM series s, LATERAL (SELECT unnest(range(1, len(s.vals) + 1)) AS k) k
+),
+viol AS (
+  SELECT a.user_id, a.idx AS i, min(t.idx) AS first_bad
+  FROM pts a JOIN pts t
+    ON t.user_id = a.user_id AND t.idx > a.idx
+   AND (t.x - a.x) * (t.x - a.x) + (t.y - a.y) * (t.y - a.y)
+       > {_SP_RADIUS * _SP_RADIUS!r}
+  GROUP BY a.user_id, a.idx
+),
+reach AS (
+  SELECT p.user_id, p.idx AS i, coalesce(v.first_bad - 1, p.n) AS r, p.n
+  FROM pts p LEFT JOIN viol v ON v.user_id = p.user_id AND v.i = p.idx
+),
+walk AS (
+  SELECT user_id, 1 AS i, CAST(NULL AS BIGINT) AS sp_start,
+         CAST(NULL AS BIGINT) AS sp_end
+  FROM series WHERE len(vals) >= 2
+  UNION ALL
+  SELECT user_id,
+         CASE WHEN ok THEN r + 1 ELSE i + 1 END AS i,
+         CASE WHEN ok THEN i END AS sp_start,
+         CASE WHEN ok THEN r END AS sp_end
+  FROM (
+    SELECT w.user_id, w.i, r.r,
+           r.r > w.i AND p2.us - p1.us >= {_SP_DWELL_US} AS ok
+    FROM walk w
+    JOIN reach r ON r.user_id = w.user_id AND r.i = w.i
+    JOIN pts p1 ON p1.user_id = w.user_id AND p1.idx = w.i
+    JOIN pts p2 ON p2.user_id = w.user_id AND p2.idx = r.r
+    WHERE w.i < r.n
+  )
+)
+SELECT user_id, sp_start AS start_pos, sp_end AS end_pos
+FROM walk WHERE sp_start IS NOT NULL
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4953,6 +5290,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "cube_orders": q_cube_orders,
     "convex_hull_embeddings": q_convex_hull_embeddings,
+    "frechet_events": q_frechet_events,
+    "simplify_events": q_simplify_events,
+    "staypoints_events": q_staypoints_events,
     "edit_join_documents": q_edit_join_documents,
     "dedupe_threshold_embeddings": q_dedupe_threshold_embeddings,
     "bfs_grid4": q_bfs_grid4,
@@ -5059,6 +5399,9 @@ _STATIC_ORACLES: dict[str, str] = {
     "heavy_hitters_documents": O_HEAVY_HITTERS,
     "cube_orders": O_CUBE_ORDERS,
     "convex_hull_embeddings": O_CONVEX_HULL,
+    "frechet_events": O_FRECHET_EVENTS,
+    "simplify_events": O_SIMPLIFY_EVENTS,
+    "staypoints_events": O_STAYPOINTS_EVENTS,
     "edit_join_documents": O_EDIT_JOIN,
     "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
     "bfs_grid4": O_BFS_GRID4,

@@ -1,0 +1,142 @@
+"""Trajectory operators: discrete Fréchet distance, Douglas–Peucker
+simplification, stay-point detection.
+
+The reference's elastic-measure family (TWED.cpp) warps 1-D series; the
+geospatial tier wants the 2-D path verbs. All three kernels here run
+batched inside Arrow frames: the DP/stack loops iterate over the SHORT
+sequence axis (≤ a few dozen points per trajectory) while every step is
+vectorized across the batch (Fréchet) or the point axis (DP/stay-points)
+— the same "loop over rows of the recurrence, vectorize the rest" shape
+as core.metrics.TWED.
+
+Numeric discipline: the Fréchet DP runs on SQUARED L2 (min/max commute
+with the monotone sqrt, applied once at the end), so every DP value is an
+exact copy of some pairwise d² — no accumulation, hence bit-stable across
+engines that compute d² with the same expression shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "frechet_one",
+    "frechet_many",
+    "douglas_peucker_mask",
+    "staypoints_one",
+]
+
+
+def frechet_one(a: np.ndarray, b: np.ndarray) -> float:
+    """Discrete Fréchet distance (Eiter–Mannila coupling measure) between
+    polylines a (nA, 2) and b (nB, 2) — plain O(nA·nB) scalar DP, the
+    test twin of frechet_many."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+    nA, nB = d2.shape
+    ca = np.empty((nA, nB))
+    ca[0, :] = np.maximum.accumulate(d2[0, :])
+    for i in range(1, nA):
+        ca[i, 0] = max(d2[i, 0], ca[i - 1, 0])
+        for j in range(1, nB):
+            ca[i, j] = max(
+                d2[i, j], min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1])
+            )
+    return float(np.sqrt(ca[-1, -1]))
+
+
+def frechet_many(P: np.ndarray, anchor: np.ndarray) -> np.ndarray:
+    """Discrete Fréchet distances of a stacked batch P (m, nA, 2) against
+    one anchor (nB, 2). The (i, j) recurrence loop is sequential; every
+    step is one vectorized op across the m batch rows."""
+    P = np.asarray(P, dtype=np.float64)
+    anchor = np.asarray(anchor, dtype=np.float64)
+    m, nA, _ = P.shape
+    nB = len(anchor)
+    # d2[r, i, j]: squared L2 between P[r, i] and anchor[j]
+    d2 = ((P[:, :, None, :] - anchor[None, None, :, :]) ** 2).sum(axis=3)
+    prev = np.maximum.accumulate(d2[:, 0, :], axis=1)
+    new = np.empty_like(prev)
+    for i in range(1, nA):
+        ds = d2[:, i, :]
+        new[:, 0] = np.maximum(ds[:, 0], prev[:, 0])
+        for j in range(1, nB):
+            new[:, j] = np.maximum(
+                ds[:, j],
+                np.minimum(np.minimum(prev[:, j], prev[:, j - 1]), new[:, j - 1]),
+            )
+        prev, new = new, prev
+    return np.sqrt(prev[:, -1])
+
+
+def _seg_dist2(px, py, ax, ay, bx, by):
+    """Squared perpendicular distance of points (px, py) to the LINE
+    through (a, b) — the classic Douglas–Peucker deviation (degenerate
+    a == b falls back to point distance). Vectorized over points."""
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    if len2 == 0.0:
+        return (px - ax) ** 2 + (py - ay) ** 2
+    cross = (px - ax) * dy - (py - ay) * dx
+    return cross * cross / len2
+
+
+def douglas_peucker_mask(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray:
+    """Boolean keep-mask of the Douglas–Peucker simplification of the
+    ordered polyline (x, y) with tolerance eps (perpendicular-distance
+    criterion, split at the UNIQUE argmax — ties broken by lowest index,
+    the convention the SQL twin replicates). Iterative interval stack;
+    the per-interval argmax is one vectorized pass."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    eps2 = float(eps) * float(eps)
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        px, py = x[i + 1 : j], y[i + 1 : j]
+        d2 = _seg_dist2(px, py, x[i], y[i], x[j], y[j])
+        k = i + 1 + int(np.argmax(d2))
+        if d2[k - i - 1] > eps2:
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def staypoints_one(
+    x: np.ndarray,
+    y: np.ndarray,
+    ts: np.ndarray,
+    *,
+    radius: float,
+    min_dwell: float,
+) -> list[tuple[int, int]]:
+    """Stay-point detection (Li et al., GIS 2008 greedy anchor scan) over
+    ONE time-ordered trajectory: advance an anchor i; let j be the last
+    index with EVERY point i..j within `radius` of point i; if
+    ts[j] − ts[i] ≥ min_dwell, emit (i, j) and restart at j + 1, else
+    advance to i + 1. Returns [(i, j)] index pairs. The all-points reach
+    is precomputed vectorized (first violation per anchor); the greedy
+    walk is O(n) over anchors."""
+    n = len(x)
+    r2 = float(radius) * float(radius)
+    out: list[tuple[int, int]] = []
+    i = 0
+    while i < n - 1:
+        d2 = (x[i:] - x[i]) ** 2 + (y[i:] - y[i]) ** 2
+        bad = np.nonzero(d2 > r2)[0]
+        j = i + (int(bad[0]) - 1 if len(bad) else n - 1 - i)
+        if j > i and ts[j] - ts[i] >= min_dwell:
+            out.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    return out
