@@ -5044,6 +5044,106 @@ FROM dp WHERE i = len(a)
 """
 
 
+def q_hausdorff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric Hausdorff distance between each user's 2-D event
+    trajectory (x = 0.25·position, y = value, first 24 events by
+    event_id) and user 0's trajectory — max(max_a min_b d, max_b min_a d).
+    Unlike Fréchet this is PURELY RELATIONAL (no recurrence): posexplode
+    user points, broadcast-join the 24 anchor points, and both directed
+    distances fall out of the same joined relation via two (min-then-max)
+    aggregation trees. Every aggregate value is an exact copy of some
+    pairwise d² (min/max select, never accumulate), so the oracle —
+    the identical SQL shape in DuckDB — matches bitwise; sqrt and a
+    round(9) apply once at the end."""
+    ev = _read(spark, sf_dir, "events")
+    pts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("event_id", "value"))),
+                    lambda s: s["value"],
+                ),
+                1,
+                24,
+            ).alias("vals")
+        )
+        .select(
+            "user_id",
+            F.posexplode("vals").alias("i", "a"),
+        )
+    )
+    # anchor = user with the smallest id (matches frechet's .first() pick)
+    amin = ev.agg(F.min("user_id")).first()[0]
+    anchor = pts.where(F.col("user_id") == amin).select(
+        F.col("i").alias("j"), F.col("a").alias("b")
+    )
+    d2 = (
+        (0.25 * F.col("i") - 0.25 * F.col("j"))
+        * (0.25 * F.col("i") - 0.25 * F.col("j"))
+        + (F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))
+    )
+    joined = pts.join(F.broadcast(anchor)).select(
+        "user_id", "i", "j", d2.alias("d2")
+    )
+    fwd = (
+        joined.groupBy("user_id", "i")
+        .agg(F.min("d2").alias("m"))
+        .groupBy("user_id")
+        .agg(F.max("m").alias("h_ab"))
+    )
+    bwd = (
+        joined.groupBy("user_id", "j")
+        .agg(F.min("d2").alias("m"))
+        .groupBy("user_id")
+        .agg(F.max("m").alias("h_ba"))
+    )
+    return (
+        fwd.join(bwd, "user_id")
+        .select(
+            "user_id",
+            F.round(
+                F.sqrt(F.greatest("h_ab", "h_ba")), 9
+            ).alias("hausdorff"),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_HAUSDORFF_EVENTS = """
+WITH series AS (
+  SELECT user_id, list_slice(list(value ORDER BY event_id), 1, 24) AS vals
+  FROM events GROUP BY user_id
+),
+pts AS (
+  SELECT s.user_id, k.k - 1 AS i, s.vals[k.k] AS a
+  FROM series s, LATERAL (SELECT unnest(range(1, len(s.vals) + 1)) AS k) k
+),
+anchor AS (
+  SELECT i AS j, a AS b FROM pts
+  WHERE user_id = (SELECT min(user_id) FROM events)
+),
+joined AS (
+  SELECT p.user_id, p.i, an.j,
+         (0.25 * p.i - 0.25 * an.j) * (0.25 * p.i - 0.25 * an.j)
+         + (p.a - an.b) * (p.a - an.b) AS d2
+  FROM pts p, anchor an
+),
+fwd AS (
+  SELECT user_id, max(m) AS h_ab
+  FROM (SELECT user_id, i, min(d2) AS m FROM joined GROUP BY user_id, i)
+  GROUP BY user_id
+),
+bwd AS (
+  SELECT user_id, max(m) AS h_ba
+  FROM (SELECT user_id, j, min(d2) AS m FROM joined GROUP BY user_id, j)
+  GROUP BY user_id
+)
+SELECT f.user_id, round(sqrt(greatest(f.h_ab, b.h_ba)), 9) AS hausdorff
+FROM fwd f JOIN bwd b USING (user_id)
+"""
+
+
 _DP_EPS = 3.0
 
 
@@ -5291,6 +5391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": q_cube_orders,
     "convex_hull_embeddings": q_convex_hull_embeddings,
     "frechet_events": q_frechet_events,
+    "hausdorff_events": q_hausdorff_events,
     "simplify_events": q_simplify_events,
     "staypoints_events": q_staypoints_events,
     "edit_join_documents": q_edit_join_documents,
@@ -5400,6 +5501,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "cube_orders": O_CUBE_ORDERS,
     "convex_hull_embeddings": O_CONVEX_HULL,
     "frechet_events": O_FRECHET_EVENTS,
+    "hausdorff_events": O_HAUSDORFF_EVENTS,
     "simplify_events": O_SIMPLIFY_EVENTS,
     "staypoints_events": O_STAYPOINTS_EVENTS,
     "edit_join_documents": O_EDIT_JOIN,

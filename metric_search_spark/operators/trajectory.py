@@ -22,9 +22,22 @@ import numpy as np
 __all__ = [
     "frechet_one",
     "frechet_many",
+    "hausdorff_one",
     "douglas_peucker_mask",
     "staypoints_one",
 ]
+
+
+def hausdorff_one(a: np.ndarray, b: np.ndarray) -> float:
+    """Symmetric Hausdorff distance between point sets a (nA, 2) and
+    b (nB, 2) = max(max_a min_b d, max_b min_a d). The numpy twin of the
+    fully-relational q_hausdorff_events plan (min/max SELECT exact d²
+    values — no accumulation); always ≤ the Fréchet distance on the same
+    polylines (Hausdorff ignores ordering, Fréchet couples it)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+    return float(np.sqrt(max(d2.min(axis=1).max(), d2.min(axis=0).max())))
 
 
 def frechet_one(a: np.ndarray, b: np.ndarray) -> float:

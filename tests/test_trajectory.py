@@ -17,6 +17,7 @@ from metric_search_spark.operators.trajectory import (
     douglas_peucker_mask,
     frechet_many,
     frechet_one,
+    hausdorff_one,
     staypoints_one,
 )
 
@@ -130,6 +131,21 @@ def test_frechet_lower_bound_endpoints():
             np.sqrt(((a[-1] - b[-1]) ** 2).sum()),
         )
         assert frechet_one(a, b) >= lb - 1e-12
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_hausdorff_vs_brute_and_frechet_bound(seed):
+    rng = np.random.default_rng(seed + 50)
+    a = rng.normal(size=(rng.integers(2, 15), 2))
+    b = rng.normal(size=(rng.integers(2, 15), 2))
+    # brute twin
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
+    want = max(d.min(axis=1).max(), d.min(axis=0).max())
+    got = hausdorff_one(a, b)
+    assert got == pytest.approx(want, abs=1e-12)
+    # Hausdorff drops the ordering constraint Fréchet keeps → always ≤
+    assert got <= frechet_one(a, b) + 1e-12
+    assert hausdorff_one(a, a) == 0.0
 
 
 @pytest.mark.parametrize("seed", range(8))
