@@ -5044,6 +5044,118 @@ FROM dp WHERE i = len(a)
 """
 
 
+_MORAN_RES = 4
+
+
+def q_moran_local_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (Anselin LISA) spatial-autocorrelation statistic
+    over the occupied res-4 tile lattice: z_i = point count per tile,
+    binary queen weights over OCCUPIED neighbors (the standard treatment
+    for point-pattern data on an irregular support — empty cells carry
+    no observation). The whole statistic reduces to exact int64 algebra:
+    with N tiles, S = Σz, Q = Σz², w_i = #occupied neighbors and
+    zn_i = Σ neighbor z,
+
+        I_i = (N·z_i − S) · (N·zn_i − w_i·S) / (N·Q − S²)
+
+    — numerator and denominator are pure integers (both engines compute
+    identical int64s), one double division at the end. Plan: tile count
+    aggregate → self-excluded k-ring explode (functions/spatial.
+    kring_cells_col, no shuffle) → equi-join back to occupied tiles →
+    per-tile aggregate, global scalars meet the tiles via a 1-row
+    broadcast cross join (never a driver round-trip). At 10⁹ tiles the
+    envelope needs decimal(38) for N·Q; int64 is checked fine for any
+    sf this repo tests (documented, as in nearest_centroid). Oracle:
+    DuckDB re-derives adjacency via quantize → explicit Chebyshev
+    offsets → bit-sum Morton (no mask-ripple arithmetic shared)."""
+    from metric_search_spark.functions.spatial import kring_cells_col
+
+    t = (
+        tile_assign(_emb(spark, sf_dir), res=_MORAN_RES)
+        .groupBy("tile")
+        .agg(F.count("*").cast("long").alias("z"))
+    )
+    nb = t.select(
+        "tile",
+        F.explode(kring_cells_col(F.col("tile"), _MORAN_RES, 1)).alias("nb"),
+    ).where(F.col("nb") != F.col("tile"))
+    pairs = nb.join(
+        t.select(F.col("tile").alias("nb"), F.col("z").alias("zj")), "nb"
+    )
+    per = pairs.groupBy("tile").agg(
+        F.count("*").cast("long").alias("w_i"),
+        F.sum("zj").cast("long").alias("zn"),
+    )
+    stats = t.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("q"),
+    )
+    joined = (
+        t.join(per, "tile", "left")
+        .na.fill({"w_i": 0, "zn": 0})
+        .crossJoin(F.broadcast(stats))
+    )
+    num = (F.col("n") * F.col("z") - F.col("s")) * (
+        F.col("n") * F.col("zn") - F.col("w_i") * F.col("s")
+    )
+    den = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return joined.select(
+        "tile",
+        "z",
+        "w_i",
+        F.round(num.cast("double") / den.cast("double"), 12).alias("local_i"),
+    )
+
+
+def _o_moran_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    res = _MORAN_RES
+    return f"""
+WITH t AS (
+  SELECT {morton_bitsum_sql(
+      f"(({quantize_sql(_EMB_X)}) >> {31 - res})",
+      f"(({quantize_sql(_EMB_Y)}) >> {31 - res})",
+      res,
+  )} AS tile, count(*) AS z
+  FROM embeddings GROUP BY 1
+),
+dec AS (
+  -- independent Morton decode: peel interleaved bits pairwise
+  SELECT tile, z,
+         (SELECT sum(((tile >> (2 * b.i)) & 1) * (1 << b.i))
+          FROM range(0, {res}) b(i)) AS cx,
+         (SELECT sum(((tile >> (2 * b.i + 1)) & 1) * (1 << b.i))
+          FROM range(0, {res}) b(i)) AS cy
+  FROM t
+),
+pairs AS (
+  SELECT a.tile, b.z AS zj
+  FROM dec a
+  JOIN dec b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND b.tile <> a.tile
+),
+per AS (
+  SELECT tile, CAST(count(*) AS BIGINT) AS w_i, CAST(sum(zj) AS BIGINT) AS zn
+  FROM pairs GROUP BY tile
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS s,
+         CAST(sum(z * z) AS BIGINT) AS q
+  FROM t
+)
+SELECT t.tile, t.z, coalesce(per.w_i, 0) AS w_i,
+       round(CAST((st.n * t.z - st.s)
+                  * (st.n * coalesce(per.zn, 0) - coalesce(per.w_i, 0) * st.s)
+             AS DOUBLE)
+             / CAST(st.n * st.q - st.s * st.s AS DOUBLE), 12) AS local_i
+FROM t LEFT JOIN per USING (tile), stats st
+"""
+
+
 def q_hausdorff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric Hausdorff distance between each user's 2-D event
     trajectory (x = 0.25·position, y = value, first 24 events by
@@ -5442,6 +5554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_embeddings": q_skyline_embeddings,
     "decile_events": q_decile_events,
     "mode_events": q_mode_events,
+    "moran_local_embeddings": q_moran_local_embeddings,
     "embedding_norms": q_embedding_norms,
     "inactive_users_events": q_inactive_users_events,
     "pivot_events": q_pivot_events,
@@ -5540,6 +5653,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "skyline_embeddings": _o_skyline_sql(),
     "decile_events": O_DECILE_EVENTS,
     "mode_events": O_MODE_EVENTS,
+    "moran_local_embeddings": _o_moran_sql(),
     "embedding_norms": O_EMBEDDING_NORMS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),
