@@ -1124,6 +1124,47 @@ def _o_kmv_sql() -> str:
     )
 
 
+def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (operators/sketch.hll_*): per
+    event_type, HLL-64 register estimates for two value columns chosen to
+    exercise BOTH estimator branches — user_id (≈150 distinct → the
+    linear-counting small-range correction fires) and event_id (≈2000
+    distinct → the raw αm²/Σ2^(−mj) path). Unlike KMV there is no
+    distinct pre-shuffle: max() is idempotent, so each sketch is one
+    partial aggregate shipping ≤64 register rows per task per group.
+    Σ2^(−mj) is carried as an exact scaled int64 (order-free dyadic sum);
+    the ln in the correction branch has a finite input set whose Spark ↔
+    DuckDB parity is pinned in tests/test_sketch.py. The DuckDB twin
+    recomputes hash → registers → estimator verbatim."""
+    from metric_search_spark.operators.sketch import hll_estimate, hll_sketch
+
+    ev = _read(spark, sf_dir, "events")
+    parts = []
+    for label, col in (("users", "user_id"), ("events", "event_id")):
+        est = hll_estimate(
+            hll_sketch(ev, ["event_type"], col, b=6, seed=7),
+            ["event_type"],
+            b=6,
+        )
+        parts.append(est.select(F.lit(label).alias("metric"), "*"))
+    return parts[0].unionByName(parts[1])
+
+
+def _o_hll_sql() -> str:
+    from metric_search_spark.operators.sketch import hll_estimate_sql
+
+    u = hll_estimate_sql(
+        "events", "event_type", "user_id", b=6, seed=7, group_name="event_type"
+    )
+    e = hll_estimate_sql(
+        "events", "event_type", "event_id", b=6, seed=7, group_name="event_type"
+    )
+    return (
+        f"SELECT 'users' AS metric, * FROM ({u}) "
+        f"UNION ALL SELECT 'events' AS metric, * FROM ({e})"
+    )
+
+
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling): exactly
     min(5, |stratum|) documents per (lang, source) stratum, chosen by the
@@ -5562,6 +5603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_pairs_documents": q_pmi_pairs_documents,
     "transitions_events": q_transitions_events,
     "histogram_events": q_histogram_events,
+    "hll_distinct_events": q_hll_distinct_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "kmv_distinct_events": q_kmv_distinct_events,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
@@ -5661,6 +5703,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "pmi_pairs_documents": O_PMI_PAIRS,
     "transitions_events": O_TRANSITIONS_EVENTS,
     "histogram_events": O_HISTOGRAM_EVENTS,
+    "hll_distinct_events": _o_hll_sql(),
     "kmeans_embeddings": _o_kmeans_sql(),
     "kmv_distinct_events": _o_kmv_sql(),
     "ivf_knn_embeddings": O_IVF_KNN,
