@@ -5085,6 +5085,64 @@ FROM dp WHERE i = len(a)
 """
 
 
+_QT_RES, _QT_QUOTA = 6, 64
+
+
+def q_quadtree_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree leaves (operators/tiling.adaptive_quadtree):
+    split every cell holding > 64 points until res 6 — the
+    mixed-resolution partition of the skewed embedding cloud. Executed
+    with NO recursion: per-level counts are monotone up the tree, so the
+    leaf set is a closed form over the tile_rollup pyramid (one
+    self-equi-join on the parent key of a ≤ Σ4^l-row table). Oracle:
+    DuckDB recounts every level DIRECTLY from raw coordinates (no
+    bottom-up pyramid, no parent-shift arithmetic) and applies the same
+    three leaf predicates with grid-coordinate shifts + bit-sum Morton
+    encode."""
+    from metric_search_spark.operators.tiling import adaptive_quadtree
+
+    emb = _emb(spark, sf_dir)
+    return adaptive_quadtree(emb, _QT_RES, _QT_QUOTA).select(
+        "tile", F.col("lvl").cast("int").alias("lvl"), "cnt"
+    )
+
+
+def _o_quadtree_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    res, quota = _QT_RES, _QT_QUOTA
+    return f"""
+WITH q AS (
+  SELECT ({quantize_sql(_EMB_X)}) AS qx, ({quantize_sql(_EMB_Y)}) AS qy
+  FROM embeddings
+),
+lv AS (
+  SELECT l.i AS lvl, qx >> (31 - l.i) AS cx, qy >> (31 - l.i) AS cy
+  FROM q, range(0, {res + 1}) l(i)
+),
+cnts AS (
+  SELECT lvl, cx, cy, count(*) AS cnt FROM lv GROUP BY 1, 2, 3
+),
+leaves AS (
+  SELECT c.lvl, c.cx, c.cy, c.cnt
+  FROM cnts c JOIN cnts p
+    ON p.lvl = c.lvl - 1 AND p.cx = c.cx >> 1 AND p.cy = c.cy >> 1
+  WHERE c.cnt <= {quota} AND p.cnt > {quota}
+  UNION ALL
+  SELECT lvl, cx, cy, cnt FROM cnts WHERE lvl = {res} AND cnt > {quota}
+  UNION ALL
+  SELECT lvl, cx, cy, cnt FROM cnts WHERE lvl = 0 AND cnt <= {quota}
+)
+SELECT (CAST(lvl AS BIGINT) << 56)
+       + CAST(coalesce(list_sum(list_transform(range(0, lvl),
+           b -> ((cx >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))
+              + ((cy >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))), 0)
+         AS BIGINT) AS tile,
+       CAST(lvl AS INT) AS lvl, cnt
+FROM leaves
+"""
+
+
 _MORAN_RES = 4
 
 
@@ -5556,6 +5614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components_events": q_connected_components_events,
     "flagship_images_knn": q_flagship_images_knn,
     "langid_documents": q_langid_documents,
+    "quadtree_embeddings": q_quadtree_embeddings,
     "quality_documents": q_quality_documents,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
@@ -5696,6 +5755,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "decile_events": O_DECILE_EVENTS,
     "mode_events": O_MODE_EVENTS,
     "moran_local_embeddings": _o_moran_sql(),
+    "quadtree_embeddings": _o_quadtree_sql(),
     "embedding_norms": O_EMBEDDING_NORMS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),

@@ -491,3 +491,59 @@ def uncompact_tiles(
         .withColumn("_i", F.explode(F.sequence(F.lit(0).cast("long"), hi)))
         .select(*others, child.alias(tile_col))
     )
+
+
+__all__.append("adaptive_quadtree")
+
+
+def adaptive_quadtree(
+    df: DataFrame,
+    max_res: int,
+    quota: int,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Data-adaptive quadtree tiling: split every cell holding more than
+    ``quota`` points until ``max_res`` — the mixed-resolution leaf
+    partition a tile server / spatial shuffle balancer builds over skewed
+    point data (dense downtown → res-``max_res`` leaves, empty desert →
+    one coarse leaf).
+
+    No top-down recursion is executed: per-level counts are MONOTONE up
+    the tree (cnt(parent) ≥ cnt(child)), so the leaf set has a closed
+    form over the :func:`tile_rollup` pyramid —
+
+      leaf ⇔ (cnt ≤ quota AND cnt(parent) > quota)       [settled leaf]
+           ∨ (lvl = max_res AND cnt > quota)             [forced leaf]
+           ∨ (lvl = 0 AND cnt ≤ quota)                   [root leaf]
+
+    — one self-equi-join of the pyramid on the parent key (the pyramid is
+    ≤ Σ4^l rows regardless of input size; the only full-data pass is the
+    rollup's finest aggregate). Leaves PARTITION the data: every point
+    lies under exactly one leaf (pinned in tests/test_quadtree.py).
+
+    Returns (tile, lvl, cnt) — tile ids carry their level in the high
+    byte (cell_from_cxy_col convention), so leaves compose directly with
+    compact_tiles / uncompact_tiles / tile k-ring."""
+    if max_res < 1:
+        raise ValueError(f"max_res {max_res} must be >= 1")
+    pyr = tile_rollup(df, max_res, x_col=x_col, y_col=y_col).select(
+        F.col("res").alias("lvl"), "tile", "cnt"
+    )
+    child = pyr.where(F.col("lvl") > 0).withColumn(
+        "_p", _tile_parent_col(F.col("tile"), F.col("lvl") - 1)
+    )
+    parents = pyr.select(F.col("tile").alias("_p"), F.col("cnt").alias("_pcnt"))
+    settled = (
+        child.join(parents, "_p")
+        .where((F.col("cnt") <= quota) & (F.col("_pcnt") > quota))
+        .select("tile", "lvl", "cnt")
+    )
+    forced = pyr.where(
+        (F.col("lvl") == max_res) & (F.col("cnt") > quota)
+    ).select("tile", "lvl", "cnt")
+    root = pyr.where((F.col("lvl") == 0) & (F.col("cnt") <= quota)).select(
+        "tile", "lvl", "cnt"
+    )
+    return settled.unionByName(forced).unionByName(root)
