@@ -5143,6 +5143,57 @@ FROM leaves
 """
 
 
+_REGIONS_RES = 7
+
+
+def q_regions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster region labeling (operators/tiling.label_regions): 4-connected
+    components over the occupied res-7 tile lattice of the embedding cloud —
+    contiguous hot-spot blobs, each labeled by its min tile id. The Spark
+    side builds adjacency as two Morton equi-joins and resolves regions with
+    the large-star/small-star component loop; the DuckDB twin recounts
+    occupancy directly from raw coordinates and resolves regions by a
+    recursive-CTE reachability closure (min reachable id) — a different
+    algorithm shape entirely."""
+    from metric_search_spark.operators.tiling import label_regions
+
+    emb = _emb(spark, sf_dir)
+    return label_regions(emb, _REGIONS_RES).select("tile", "region", "cnt")
+
+
+def _o_regions_sql() -> str:
+    from metric_search_spark.functions.spatial import (
+        morton_bitsum_sql,
+        quantize_sql,
+    )
+
+    res = _REGIONS_RES
+    return f"""
+WITH RECURSIVE occ AS (
+  SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy,
+         count(*) AS cnt
+  FROM embeddings GROUP BY 1, 2
+),
+ids AS (
+  SELECT cx, cy, cnt, {morton_bitsum_sql('cx', 'cy', res)} AS tile FROM occ
+),
+e AS (
+  SELECT a.tile AS src, b.tile AS dst
+  FROM ids a JOIN ids b
+    ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+),
+reach(tile, r) AS (
+  SELECT tile, tile FROM ids
+  UNION
+  SELECT e.src, reach.r FROM reach JOIN e ON e.dst = reach.tile
+)
+SELECT i.tile, m.region, i.cnt
+FROM ids i
+JOIN (SELECT tile, min(r) AS region FROM reach GROUP BY tile) m USING (tile)
+"""
+
+
 _MORAN_RES = 4
 
 
@@ -5615,6 +5666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_images_knn": q_flagship_images_knn,
     "langid_documents": q_langid_documents,
     "quadtree_embeddings": q_quadtree_embeddings,
+    "regions_embeddings": q_regions_embeddings,
     "quality_documents": q_quality_documents,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
@@ -5756,6 +5808,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "mode_events": O_MODE_EVENTS,
     "moran_local_embeddings": _o_moran_sql(),
     "quadtree_embeddings": _o_quadtree_sql(),
+    "regions_embeddings": _o_regions_sql(),
     "embedding_norms": O_EMBEDDING_NORMS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),

@@ -547,3 +547,80 @@ def adaptive_quadtree(
         "tile", "lvl", "cnt"
     )
     return settled.unionByName(forced).unionByName(root)
+
+
+__all__.append("label_regions")
+
+
+def label_regions(
+    df: DataFrame,
+    res: int,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    connectivity: int = 4,
+) -> DataFrame:
+    """Raster region labeling: connected components over the OCCUPIED tile
+    lattice at ``res`` — the tile-scale analog of an image segmentation
+    label pass (scikit-image ``label`` / GDAL ``sieve`` input), and the
+    standard way to turn a point cloud into contiguous zones (hot-spot
+    blobs, land-mass detection) without any polygon geometry.
+
+    100-TB shape: the ONLY full-data pass is the occupancy aggregate (one
+    map-side-combining groupBy); everything after runs on the occupied-cell
+    table, ≤ 4^res rows regardless of input size. Adjacency is built with
+    plain EQUI-joins — each occupied cell derives its right/down (and, for
+    ``connectivity=8``, down-right/down-left) neighbor *tile ids* as pure
+    Column Morton expressions and joins them against the occupied set — no
+    theta-join, no cross product, no UDF. Region resolution reuses
+    :func:`~metric_search_spark.operators.graph.connected_components`
+    (large-star/small-star, O(log n) rounds).
+
+    Returns (tile, region, cnt): region = min tile id in the 4-(or 8-)
+    connected region, cnt = points in that tile."""
+    from metric_search_spark.functions.spatial import (
+        cell_from_cxy_col,
+        quantize_col,
+    )
+    from metric_search_spark.operators.graph import connected_components
+
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity {connectivity} must be 4 or 8")
+    if not 1 <= res <= 27:
+        raise ValueError(f"resolution {res} out of [1, 27]")
+    shift = 31 - res
+    occ = (
+        df.select(
+            F.shiftright(quantize_col(F.col(x_col).cast("double")), shift).alias("cx"),
+            F.shiftright(quantize_col(F.col(y_col).cast("double")), shift).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("tile", cell_from_cxy_col(F.col("cx"), F.col("cy"), res))
+        # occ feeds the edge build (both join sides), the node set and the
+        # final count join — materialize once so the full-data aggregate
+        # does not recompute per consumer
+        .localCheckpoint(eager=True)
+    )
+    offsets = [(1, 0), (0, 1)]
+    if connectivity == 8:
+        offsets += [(1, 1), (1, -1)]
+    lim = 1 << res
+    cand = None
+    for dx, dy in offsets:
+        nx, ny = F.col("cx") + dx, F.col("cy") + dy
+        leg = occ.where(
+            (nx >= 0) & (nx < lim) & (ny >= 0) & (ny < lim)
+        ).select(
+            F.col("tile").alias("src"),
+            cell_from_cxy_col(nx, ny, res).alias("dst"),
+        )
+        cand = leg if cand is None else cand.unionByName(leg)
+    edges = cand.join(occ.select(F.col("tile").alias("dst")), "dst")
+    cc = connected_components(
+        edges, nodes=occ.select(F.col("tile").alias("node"))
+    )
+    return (
+        occ.join(cc, occ["tile"] == cc["node"])
+        .select("tile", F.col("component").alias("region"), "cnt")
+    )
