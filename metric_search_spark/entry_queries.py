@@ -5194,6 +5194,71 @@ JOIN (SELECT tile, min(r) AS region FROM reach GROUP BY tile) m USING (tile)
 """
 
 
+_IDW_RES, _IDW_K = 6, 2
+
+
+def q_idw_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW gap-fill (operators/tiling.idw_fill): every empty res-6 tile
+    within Chebyshev-2 of an occupied tile gets the Shepard p=2 estimate of
+    point density and label surface. Exact by construction — lcm-scaled
+    integer weights aggregate as longs with ONE double division per output
+    row, so the DuckDB twin (direct recount + offset cross join + NOT
+    EXISTS) matches with zero tolerance."""
+    from metric_search_spark.operators.tiling import idw_fill
+
+    emb = _emb(spark, sf_dir)
+    return idw_fill(emb, _IDW_RES, k=_IDW_K, value_col="label").select(
+        "tile", "est", "vest"
+    )
+
+
+def _o_idw_sql() -> str:
+    from math import lcm
+
+    from metric_search_spark.functions.spatial import (
+        morton_bitsum_sql,
+        quantize_sql,
+    )
+
+    res, k = _IDW_RES, _IDW_K
+    L = lcm(*{
+        dx * dx + dy * dy
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if (dx, dy) != (0, 0)
+    })
+    lim = (1 << res) - 1
+    return f"""
+WITH occ AS (
+  SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy,
+         count(*) AS cnt, sum(CAST(label AS BIGINT)) AS val
+  FROM embeddings GROUP BY 1, 2
+),
+offs AS (
+  SELECT x.i AS dx, y.i AS dy
+  FROM range({-k}, {k + 1}) x(i), range({-k}, {k + 1}) y(i)
+  WHERE NOT (x.i = 0 AND y.i = 0)
+),
+sc AS (
+  SELECT o.cx + f.dx AS tx, o.cy + f.dy AS ty,
+         {L} // (f.dx * f.dx + f.dy * f.dy) AS w, o.cnt, o.val
+  FROM occ o, offs f
+  WHERE o.cx + f.dx BETWEEN 0 AND {lim}
+    AND o.cy + f.dy BETWEEN 0 AND {lim}
+),
+g AS (
+  SELECT tx, ty, sum(w * cnt) AS num, sum(w) AS den, sum(w * val) AS vnum
+  FROM sc GROUP BY 1, 2
+  HAVING NOT EXISTS (SELECT 1 FROM occ WHERE occ.cx = tx AND occ.cy = ty)
+)
+SELECT {morton_bitsum_sql('tx', 'ty', res)} AS tile,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS est,
+       CAST(vnum AS DOUBLE) / CAST(den AS DOUBLE) AS vest
+FROM g
+"""
+
+
 _MORAN_RES = 4
 
 
@@ -5667,6 +5732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_documents": q_langid_documents,
     "quadtree_embeddings": q_quadtree_embeddings,
     "regions_embeddings": q_regions_embeddings,
+    "idw_embeddings": q_idw_embeddings,
     "quality_documents": q_quality_documents,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
@@ -5809,6 +5875,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "moran_local_embeddings": _o_moran_sql(),
     "quadtree_embeddings": _o_quadtree_sql(),
     "regions_embeddings": _o_regions_sql(),
+    "idw_embeddings": _o_idw_sql(),
     "embedding_norms": O_EMBEDDING_NORMS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),
