@@ -3457,6 +3457,85 @@ FROM sums GROUP BY tile
 """
 
 
+def q_sobel_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image Sobel edge statistics (functions/image.with_sobel_stats):
+    integer-grayscale 3×3 Sobel responses over the decoded payload, reduced
+    to exact int64 (edge_sum, edge_max, n_int) — the edge-density feature a
+    visual-quality classifier reads. Hand-off oracle (ipv-style): decoded
+    integer pixels land in a parquet and DuckDB recomputes the ENTIRE
+    convolution per interior pixel from the raw pixel list — different
+    formulation (per-pixel lateral ranges vs numpy slice algebra), same
+    exact integers. Fixed (n, seed) — the counter-keyed generator is
+    scale-independent."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_sobel_stats
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("sobel", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_sobel_stats(spark.createDataFrame(pdf)).select(
+        "image_id", "edge_sum", "edge_max", "n_int"
+    )
+
+
+def _o_sobel_sql() -> str:
+    path = _handoff_path("sobel", f"{_IPV_N}_{_IPV_SEED}")
+    # 0-based linear index (y*w+x) -> 1-based list access of the gray list
+    s = "p.g[({y}) * p.w + ({x}) + 1]"
+
+    def at(dy: str, dx: str) -> str:
+        return s.format(y=f"p.y + {dy}", x=f"p.x + {dx}")
+
+    gx = (
+        f"({at('-1', '1')} + 2*{at('0', '1')} + {at('1', '1')}"
+        f" - {at('-1', '-1')} - 2*{at('0', '-1')} - {at('1', '-1')})"
+    )
+    gy = (
+        f"({at('1', '-1')} + 2*{at('1', '0')} + {at('1', '1')}"
+        f" - {at('-1', '-1')} - 2*{at('-1', '0')} - {at('-1', '1')})"
+    )
+    return f"""
+WITH g AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+ys AS (
+  SELECT image_id, w, g, unnest(range(1, h - 1)) AS y FROM g
+),
+p AS (
+  SELECT image_id, w, g, y, unnest(range(1, w - 1)) AS x FROM ys
+)
+SELECT p.image_id,
+       CAST(sum(abs({gx}) + abs({gy})) AS BIGINT) AS edge_sum,
+       CAST(max(abs({gx}) + abs({gy})) AS BIGINT) AS edge_max,
+       count(*) AS n_int
+FROM p
+GROUP BY p.image_id
+"""
+
+
 _AV_AUDIO_N, _AV_VIDEO_N, _AV_K, _AV_SEED = 256, 64, 4, 42
 
 
@@ -5733,6 +5812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quadtree_embeddings": q_quadtree_embeddings,
     "regions_embeddings": q_regions_embeddings,
     "idw_embeddings": q_idw_embeddings,
+    "sobel_images": q_sobel_images,
     "quality_documents": q_quality_documents,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
@@ -5945,6 +6025,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["ssim_images"] = _o_ssim_sql()
     oracles["images_payload_verify"] = _o_ipv_sql()
     oracles["tile_mosaic_images"] = _o_mosaic_sql()
+    oracles["sobel_images"] = _o_sobel_sql()
     oracles["audio_stats"] = _o_audio_sql()
     oracles["video_frame_sample"] = _o_vframes_sql()
     oracles["index_level_histogram"] = _o_ilh_sql(tag)
