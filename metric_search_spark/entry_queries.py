@@ -5338,6 +5338,54 @@ FROM g
 """
 
 
+_OD_RES = 4
+
+
+def q_od_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (operators/transitions.od_matrix):
+    each user's 2-D event trajectory (the repo's trajectory convention —
+    point k = (value_k, value_{k-1})/512, y₁ = 0) tiled at res 4, counting
+    consecutive tile→tile hops including the dwell diagonal. One window
+    shuffle + one count aggregate; exact integer flows. The /512 scale is a
+    power of two, so the projection is exact in both engines."""
+    from metric_search_spark.operators.transitions import od_matrix
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") / 512.0).alias("x"),
+        (F.coalesce(F.lag("value").over(w), F.lit(0.0)) / 512.0).alias("y"),
+    )
+    return od_matrix(pts, _OD_RES)
+
+
+def _o_od_sql() -> str:
+    from metric_search_spark.functions.spatial import cell_from_xy_sql
+
+    tile = cell_from_xy_sql("x", "y", _OD_RES)
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, value / 512.0 AS x,
+         coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY event_id),
+                  0.0) / 512.0 AS y
+  FROM events
+),
+t AS (
+  SELECT user_id, event_id, {tile} AS tile FROM pts
+),
+hops AS (
+  SELECT tile AS o_tile,
+         lead(tile) OVER (PARTITION BY user_id ORDER BY event_id) AS d_tile
+  FROM t
+)
+SELECT o_tile, d_tile, count(*) AS flow
+FROM hops WHERE d_tile IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 _MORAN_RES = 4
 
 
@@ -5813,6 +5861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regions_embeddings": q_regions_embeddings,
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
+    "od_events": q_od_events,
     "quality_documents": q_quality_documents,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
@@ -5956,6 +6005,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quadtree_embeddings": _o_quadtree_sql(),
     "regions_embeddings": _o_regions_sql(),
     "idw_embeddings": _o_idw_sql(),
+    "od_events": _o_od_sql(),
     "embedding_norms": O_EMBEDDING_NORMS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),

@@ -53,3 +53,44 @@ def transition_counts(
         "n",
         (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
     )
+
+
+__all__.append("od_matrix")
+
+
+def od_matrix(
+    df: DataFrame,
+    res: int,
+    *,
+    by: str = "user_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Origin-destination flow matrix — the movement-analytics staple
+    (commute matrices, trip-chain analysis): per ``by`` entity, order the
+    trajectory by ``id_col``, assign every point its Morton tile at
+    ``res``, and count consecutive tile→tile hops. Self-loops (hops that
+    stay inside one tile) are kept — the dwell diagonal of the matrix.
+
+    Scale shape: the tile is a pure Column expression (no UDF), so the
+    whole operator is ONE per-entity window sort (lead over ``id_col``)
+    plus a map-side-combined count on the (o_tile, d_tile) key; the output
+    is at most |tiles|² rows regardless of input size. Counts are exact
+    integers under any partitioning — the successor of a point is a pure
+    function of the log.
+
+    Returns (o_tile, d_tile, flow)."""
+    from metric_search_spark.operators.tiling import tile_assign
+
+    tiled = tile_assign(df, res, x_col=x_col, y_col=y_col)
+    w = Window.partitionBy(by).orderBy(id_col)
+    return (
+        tiled.select(
+            F.col("tile").alias("o_tile"),
+            F.lead("tile").over(w).alias("d_tile"),
+        )
+        .where(F.col("d_tile").isNotNull())
+        .groupBy("o_tile", "d_tile")
+        .agg(F.count("*").alias("flow"))
+    )
