@@ -5338,6 +5338,52 @@ FROM g
 """
 
 
+def q_sssp_grid8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (operators/graph.sssp —
+    frontier-relaxation Bellman-Ford) from node 0 over the 10×10 Grid8
+    lattice (reference generator details/graph.cpp:473-528) with symmetric
+    deterministic integer weights w(a,b) = 1 + (a·b + a + b) mod 5. The
+    DuckDB twin enumerates ALL bounded-cost walks with a recursive CTE and
+    takes the min per node — a different algorithm shape; integer distances
+    make the match exact. Bound 60 is safe: the true eccentricity is ≤ 45
+    (9 Chebyshev hops × max weight 5)."""
+    from metric_search_spark.operators.graph import grid8_edges, sssp
+
+    e = grid8_edges(spark, 10, 10).withColumn(
+        "w",
+        (
+            F.lit(1)
+            + (F.col("src") * F.col("dst") + F.col("src") + F.col("dst")) % 5
+        ).cast("long"),
+    )
+    return sssp(e, 0)
+
+
+O_SSSP_GRID8 = """
+WITH RECURSIVE fwd AS (
+  SELECT i AS a, i + 1 AS b FROM range(100) t(i) WHERE i % 10 < 9
+  UNION ALL
+  SELECT i, i + 10 FROM range(100) t(i) WHERE i < 90
+  UNION ALL
+  SELECT i, i + 11 FROM range(100) t(i) WHERE i % 10 < 9 AND i < 90
+  UNION ALL
+  SELECT i, i + 9 FROM range(100) t(i) WHERE i % 10 > 0 AND i < 90
+),
+e AS (
+  SELECT a AS src, b AS dst, 1 + (a*b + a + b) % 5 AS w FROM fwd
+  UNION ALL
+  SELECT b, a, 1 + (a*b + a + b) % 5 FROM fwd
+),
+walk(node, d) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, walk.d + e.w FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.d + e.w <= 60
+)
+SELECT node, min(d) AS dist FROM walk GROUP BY node
+"""
+
+
 _OD_RES = 4
 
 
@@ -5862,6 +5908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
     "od_events": q_od_events,
+    "sssp_grid8": q_sssp_grid8,
     "quality_documents": q_quality_documents,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
@@ -6006,6 +6053,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "regions_embeddings": _o_regions_sql(),
     "idw_embeddings": _o_idw_sql(),
     "od_events": _o_od_sql(),
+    "sssp_grid8": O_SSSP_GRID8,
     "embedding_norms": O_EMBEDDING_NORMS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),

@@ -30,6 +30,7 @@ __all__ = [
     "bfs_neighborhood",
     "connected_components",
     "pagerank",
+    "sssp",
     "triangle_counts",
     "grid4_edges",
     "grid6_edges",
@@ -733,3 +734,78 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFra
     ).select(
         "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    *,
+    weight_col: str = "w",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Single-source shortest paths: distributed Bellman-Ford with
+    FRONTIER (delta) relaxation — each round relaxes only out-edges of
+    nodes whose distance improved last round, so settled regions stop
+    costing shuffle immediately (on a lattice the frontier is the wave
+    boundary, O(√n) of the graph). Edges are taken as DIRECTED with
+    non-negative integral weights; pass a symmetrized edge list (e.g. the
+    grid generators' output) for undirected graphs. Integer weights make
+    every tentative distance exact under any partitioning/merge order.
+
+    Rounds needed = the weighted-shortest-path hop diameter (≤ n−1 by
+    Bellman-Ford's invariant: after r rounds every node with a shortest
+    path of ≤ r hops is final). Per round: one equi-join of the frontier
+    against the persisted edges, one min-combine, and the improvement
+    count (the termination check, computed over already-checkpointed
+    blocks); superseded generations are released deterministically —
+    the BFS/CC lineage-hygiene pattern.
+
+    Returns (node, dist) for every node reachable from ``source``."""
+    spark = edges.sparkSession
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("w")
+    ).persist()
+    try:
+        dist = spark.createDataFrame(
+            [(source, 0)], "node long, dist long"
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        for _ in range(max_rounds):
+            cand = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (frontier["dist"] + e["w"]).alias("dist"),
+                )
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            merged = (
+                dist.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            improved = (
+                merged.join(
+                    dist.select("node", F.col("dist").alias("_old")),
+                    "node",
+                    "left",
+                )
+                .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+                .select("node", "dist")
+                .localCheckpoint(eager=True)
+            )
+            n_improved = improved.count()
+            # merged/improved are materialized — the old generations have
+            # no readers left
+            _release_checkpoint(dist)
+            if frontier is not dist:
+                _release_checkpoint(frontier)
+            dist, frontier = merged, improved
+            if n_improved == 0:
+                _release_checkpoint(frontier)
+                break
+        return dist
+    finally:
+        e.unpersist()

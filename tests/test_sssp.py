@@ -1,0 +1,64 @@
+"""SSSP: multi-hop-beats-direct-edge semantics, reachability, and parity
+with a python Dijkstra twin on a deterministic weighted lattice."""
+
+from __future__ import annotations
+
+import heapq
+
+from pyspark.sql import functions as F
+
+from metric_search_spark.operators.graph import grid8_edges, sssp
+from tests.sparkutil import get_spark
+
+
+def test_cheaper_long_path_wins():
+    spark = get_spark()
+    # direct 0->1 costs 10; the 2-hop detour 0->2->1 costs 2
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 1), (1, 3, 1)],
+        "src long, dst long, w long",
+    )
+    out = {r["node"]: r["dist"] for r in sssp(edges, 0).collect()}
+    assert out == {0: 0, 2: 1, 1: 2, 3: 3}
+
+
+def test_unreachable_nodes_absent():
+    spark = get_spark()
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (2, 3, 1)], "src long, dst long, w long"
+    )
+    out = {r["node"]: r["dist"] for r in sssp(edges, 0).collect()}
+    assert out == {0: 0, 1: 5}
+
+
+def _dijkstra(adj, source):
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_matches_dijkstra_on_weighted_grid8():
+    spark = get_spark()
+    e = grid8_edges(spark, 6, 6).withColumn(
+        "w",
+        (
+            F.lit(1)
+            + (F.col("src") * F.col("dst") + F.col("src") + F.col("dst")) % 5
+        ).cast("long"),
+    )
+    rows = e.collect()
+    adj = {}
+    for r in rows:
+        adj.setdefault(r["src"], []).append((r["dst"], r["w"]))
+    expect = _dijkstra(adj, 7)
+    got = {r["node"]: r["dist"] for r in sssp(e, 7).collect()}
+    assert got == expect
