@@ -859,6 +859,53 @@ FROM documents
 """
 
 
+_SEG_WORDS = 4
+
+
+def q_segment_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment dedup stats (operators/dedupe.segment_dedup):
+    consecutive non-overlapping 4-token segments, a segment is duplicate
+    when its text occurs in >1 distinct document; per-doc duplicate-segment
+    ratio — the C4/RefinedWeb boilerplate-filter signal, one level coarser
+    than exact-doc dedup and finer than MinHash near-dup. Segments shuffle
+    as md5 digests (never the text); the DuckDB twin re-derives the same
+    digests from raw text via its own md5 and an independent slicing
+    formulation (list_transform over a ceil-range vs transform+slice)."""
+    from metric_search_spark.operators.dedupe import segment_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_words=_SEG_WORDS)
+
+
+O_SEGMENT_DEDUP = f"""
+WITH seg AS (
+  SELECT doc_id, md5(array_to_string(g, ' ')) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CAST(ceil(len(string_split(text, ' ')) / {_SEG_WORDS}.0)
+                           AS BIGINT)),
+             j -> list_slice(string_split(text, ' '),
+                             j * {_SEG_WORDS} + 1,
+                             j * {_SEG_WORDS} + {_SEG_WORDS}))) AS g
+    FROM documents
+  )
+),
+nd AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM seg JOIN nd USING (h) GROUP BY doc_id
+)
+SELECT doc_id, n_segments, n_dup,
+       CAST(n_dup AS DOUBLE) / n_segments AS dup_ratio
+FROM per
+"""
+
+
 def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_search_spark.operators.dedupe import ngram_jaccard_pairs
 
@@ -5920,6 +5967,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_events": q_asof_purchase_events,
     "resample_locf_events": q_resample_locf_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "segment_dedup_documents": q_segment_dedup_documents,
     "tfidf_pairs_documents": q_tfidf_pairs_documents,
     "funnel_events": q_funnel_events,
     "minhash_lsh_documents": q_minhash_lsh_documents,
@@ -6022,6 +6070,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quality_documents": O_QUALITY,
     "bpeish_documents": O_BPEISH,
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
+    "segment_dedup_documents": O_SEGMENT_DEDUP,
     "tfidf_pairs_documents": O_TFIDF_PAIRS,
     "funnel_events": O_FUNNEL_EVENTS,
     "cosine_neardup_embeddings": O_COSINE_NEARDUP,

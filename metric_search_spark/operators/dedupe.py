@@ -39,6 +39,7 @@ __all__ = [
     "winnow_neardup_pairs",
     "image_neardup_pairs",
     "ngram_contamination",
+    "segment_dedup",
     "threshold_filter",
 ]
 
@@ -603,4 +604,63 @@ def ngram_contamination(
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .select(F.col("doc").alias(id_col), "shared_grams")
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    *,
+    seg_words: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level segment (line/paragraph analog) deduplication stats —
+    the C4/RefinedWeb-style pass that flags boilerplate shared across
+    documents, one level coarser than exact-doc dedup (dedup_exact) and one
+    finer than near-dup (minhash_lsh_pairs): chunk each document's token
+    stream into consecutive non-overlapping ``seg_words``-token segments
+    (trailing partial kept) and mark a segment DUPLICATE when its text
+    occurs in more than one distinct document. Returns per document
+    (doc_id, n_segments, n_dup, dup_ratio) — the ratio a filtering
+    pipeline thresholds on.
+
+    Scale shape: segments leave the scan as md5 digests (fixed 32-byte
+    shuffle keys — the segment text itself never shuffles), the
+    distinct-doc count per segment is a (digest, doc) distinct followed by
+    one count per digest (both map-side combined), and the digest→count
+    map re-joins the per-doc segment stream by digest equi-join. No
+    doc×doc product anywhere; genuinely viral segments make a hot digest
+    key, which AQE skew-split handles (values are 16-byte counts, not
+    text). md5 is deterministic and identical in DuckDB, so the oracle
+    twin reproduces the digests themselves, not just the counts."""
+    ts = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(ts) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda j: F.md5(
+            F.array_join(F.slice(ts, j * seg_words + 1, seg_words), " ")
+        ),
+    )
+    ex = docs.select(F.col(id_col).alias("doc"), F.explode(segs).alias("h"))
+    nd = (
+        ex.select("h", "doc")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    )
+    return (
+        ex.join(nd, "h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_segments",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_segments")).alias(
+                "dup_ratio"
+            ),
+        )
     )

@@ -355,3 +355,47 @@ def test_pmi_pairs_golden(spark):
         (r.tok_a, r.tok_b) for r in pmi_pairs(docs, min_count=1).collect()
     }
     assert ("x", "z") in all_pairs and ("w", "x") not in all_pairs
+
+
+def test_segment_dedup_golden(spark):
+    """seg_words=2 over 4 docs: doc0/doc1 share segment "a b"; doc2's
+    segments are unique; doc3 repeats "a b" twice intra-doc (multiplicity
+    counts in n_segments AND both copies flag duplicate since the segment
+    appears in other docs); trailing partial segments kept."""
+    from metric_search_spark.operators.dedupe import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),       # segs: "a b", "c d", "e"
+            (1, "a b x y"),         # segs: "a b", "x y"
+            (2, "p q r"),           # segs: "p q", "r"
+            (3, "a b a b"),         # segs: "a b", "a b"
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_dup, r.dup_ratio)
+        for r in segment_dedup(docs, seg_words=2).collect()
+    }
+    assert got[0] == (3, 1, 1 / 3)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+
+
+def test_segment_dedup_intra_doc_only_repeat_not_duplicate(spark):
+    """A segment repeated within ONE doc but absent elsewhere is not a
+    duplicate — the statistic is cross-document boilerplate, not intra-doc
+    repetition (quality_cols covers that)."""
+    from metric_search_spark.operators.dedupe import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "u v u v"), (1, "m n")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_dup)
+        for r in segment_dedup(docs, seg_words=2).collect()
+    }
+    assert got[0] == (2, 0)
+    assert got[1] == (1, 0)
