@@ -5431,6 +5431,60 @@ SELECT node, min(d) AS dist FROM walk GROUP BY node
 """
 
 
+_CATCH_SEEDS = (0, 47, 93)
+
+
+def q_catchments_grid8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph Voronoi catchments (operators/graph.catchments): every node of
+    the weighted 10×10 Grid8 lattice is claimed by the nearest of seeds
+    {0, 47, 93} under the sssp edge weights, ties broken to the smaller
+    seed id. One shared Bellman-Ford wave for all seeds. The DuckDB twin
+    enumerates bounded-cost walks from EACH seed independently and takes
+    the lexicographic (dist, seed) argmin per node — same bound-60 safety
+    argument as sssp_grid8 (true eccentricity ≤ 45)."""
+    from metric_search_spark.operators.graph import catchments, grid8_edges
+
+    e = grid8_edges(spark, 10, 10).withColumn(
+        "w",
+        (
+            F.lit(1)
+            + (F.col("src") * F.col("dst") + F.col("src") + F.col("dst")) % 5
+        ).cast("long"),
+    )
+    return catchments(e, list(_CATCH_SEEDS))
+
+
+O_CATCHMENTS_GRID8 = f"""
+WITH RECURSIVE fwd AS (
+  SELECT i AS a, i + 1 AS b FROM range(100) t(i) WHERE i % 10 < 9
+  UNION ALL
+  SELECT i, i + 10 FROM range(100) t(i) WHERE i < 90
+  UNION ALL
+  SELECT i, i + 11 FROM range(100) t(i) WHERE i % 10 < 9 AND i < 90
+  UNION ALL
+  SELECT i, i + 9 FROM range(100) t(i) WHERE i % 10 > 0 AND i < 90
+),
+e AS (
+  SELECT a AS src, b AS dst, 1 + (a*b + a + b) % 5 AS w FROM fwd
+  UNION ALL
+  SELECT b, a, 1 + (a*b + a + b) % 5 FROM fwd
+),
+walk(node, d, seed) AS (
+  SELECT CAST(s.i AS BIGINT), CAST(0 AS BIGINT), CAST(s.i AS BIGINT)
+  FROM (VALUES ({_CATCH_SEEDS[0]}), ({_CATCH_SEEDS[1]}),
+               ({_CATCH_SEEDS[2]})) s(i)
+  UNION
+  SELECT e.dst, walk.d + e.w, walk.seed FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.d + e.w <= 60
+)
+SELECT node, dist, seed FROM (
+  SELECT node, d AS dist, seed,
+         row_number() OVER (PARTITION BY node ORDER BY d, seed) AS rn
+  FROM walk
+) WHERE rn = 1
+"""
+
+
 _OD_RES = 4
 
 
@@ -5956,6 +6010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sobel_images": q_sobel_images,
     "od_events": q_od_events,
     "sssp_grid8": q_sssp_grid8,
+    "catchments_grid8": q_catchments_grid8,
     "quality_documents": q_quality_documents,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
@@ -6103,6 +6158,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "idw_embeddings": _o_idw_sql(),
     "od_events": _o_od_sql(),
     "sssp_grid8": O_SSSP_GRID8,
+    "catchments_grid8": O_CATCHMENTS_GRID8,
     "embedding_norms": O_EMBEDDING_NORMS,
     "inactive_users_events": O_INACTIVE_USERS,
     "pivot_events": _o_pivot_sql(),

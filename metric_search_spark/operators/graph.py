@@ -31,6 +31,7 @@ __all__ = [
     "connected_components",
     "pagerank",
     "sssp",
+    "catchments",
     "triangle_counts",
     "grid4_edges",
     "grid6_edges",
@@ -799,6 +800,81 @@ def sssp(
             n_improved = improved.count()
             # merged/improved are materialized — the old generations have
             # no readers left
+            _release_checkpoint(dist)
+            if frontier is not dist:
+                _release_checkpoint(frontier)
+            dist, frontier = merged, improved
+            if n_improved == 0:
+                _release_checkpoint(frontier)
+                break
+        return dist
+    finally:
+        e.unpersist()
+
+
+def catchments(
+    edges: DataFrame,
+    seeds: list[int],
+    *,
+    weight_col: str = "w",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Graph Voronoi / catchment assignment — multi-source SSSP where every
+    node is claimed by its nearest seed: the sssp frontier-relaxation loop
+    with state (dist, seed) ordered LEXICOGRAPHICALLY, so ties in distance
+    break to the smaller seed id deterministically in any partitioning /
+    merge order (the min-struct aggregate and the improvement predicate use
+    the same total order, which keeps the assignment globally consistent —
+    a node that flips seed at equal distance re-propagates to its
+    neighbors). One relaxation wave costs the same as sssp's: a frontier ×
+    edges equi-join, a min-struct combine, one improvement count; all
+    seeds' waves share the rounds, so k catchments cost ONE Bellman-Ford,
+    not k. Returns (node, dist, seed) for nodes reachable from any seed."""
+    spark = edges.sparkSession
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("w")
+    ).persist()
+    try:
+        dist = spark.createDataFrame(
+            [(int(s), 0, int(s)) for s in seeds],
+            "node long, dist long, seed long",
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        for _ in range(max_rounds):
+            cand = frontier.join(e, frontier["node"] == e["src"]).select(
+                F.col("dst").alias("node"),
+                (frontier["dist"] + e["w"]).alias("dist"),
+                frontier["seed"],
+            )
+            merged = (
+                dist.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min(F.struct("dist", "seed")).alias("m"))
+                .select("node", "m.dist", "m.seed")
+                .localCheckpoint(eager=True)
+            )
+            improved = (
+                merged.join(
+                    dist.select(
+                        "node",
+                        F.col("dist").alias("_od"),
+                        F.col("seed").alias("_os"),
+                    ),
+                    "node",
+                    "left",
+                )
+                .where(
+                    F.col("_od").isNull()
+                    | (F.col("dist") < F.col("_od"))
+                    | (
+                        (F.col("dist") == F.col("_od"))
+                        & (F.col("seed") < F.col("_os"))
+                    )
+                )
+                .select("node", "dist", "seed")
+                .localCheckpoint(eager=True)
+            )
+            n_improved = improved.count()
             _release_checkpoint(dist)
             if frontier is not dist:
                 _release_checkpoint(frontier)

@@ -62,3 +62,41 @@ def test_matches_dijkstra_on_weighted_grid8():
     expect = _dijkstra(adj, 7)
     got = {r["node"]: r["dist"] for r in sssp(e, 7).collect()}
     assert got == expect
+
+
+def test_catchments_tie_breaks_to_smaller_seed():
+    spark = get_spark()
+    # node 1 is distance 1 from both seeds 0 and 2 -> claimed by seed 0
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (2, 3, 4)],
+        "src long, dst long, w long",
+    )
+    from metric_search_spark.operators.graph import catchments
+
+    got = {r.node: (r.dist, r.seed) for r in catchments(edges, [0, 2]).collect()}
+    assert got == {0: (0, 0), 2: (0, 2), 1: (1, 0), 3: (4, 2)}
+
+
+def test_catchments_matches_per_seed_dijkstra_argmin():
+    spark = get_spark()
+    from metric_search_spark.operators.graph import catchments
+
+    e = grid8_edges(spark, 6, 6).withColumn(
+        "w",
+        (
+            F.lit(1)
+            + (F.col("src") * F.col("dst") + F.col("src") + F.col("dst")) % 5
+        ).cast("long"),
+    )
+    rows = e.collect()
+    adj = {}
+    for r in rows:
+        adj.setdefault(r["src"], []).append((r["dst"], r["w"]))
+    seeds = [3, 20, 35]
+    per = {s: _dijkstra(adj, s) for s in seeds}
+    expect = {}
+    for n in range(36):
+        best = min((per[s].get(n, 1 << 60), s) for s in seeds)
+        expect[n] = best
+    got = {r.node: (r.dist, r.seed) for r in catchments(e, seeds).collect()}
+    assert got == expect
