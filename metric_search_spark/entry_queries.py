@@ -5320,6 +5320,64 @@ JOIN (SELECT tile, min(r) AS region FROM reach GROUP BY tile) m USING (tile)
 """
 
 
+def q_region_boundaries_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector region outlines (operators/tiling.region_boundaries):
+    per 4-connected region of the occupied res-7 lattice — area, perimeter
+    (exposed unit edges, lattice border exposed), boundary-cell count and
+    cell-space bbox. The DuckDB twin resolves regions by recursive-CTE
+    reachability and recounts neighbor exposure from raw coordinates."""
+    from metric_search_spark.operators.tiling import region_boundaries
+
+    emb = _emb(spark, sf_dir)
+    return region_boundaries(emb, _REGIONS_RES)
+
+
+def _o_region_boundaries_sql() -> str:
+    from metric_search_spark.functions.spatial import (
+        morton_bitsum_sql,
+        quantize_sql,
+    )
+
+    res = _REGIONS_RES
+    return f"""
+WITH RECURSIVE occ AS (
+  SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy
+  FROM embeddings GROUP BY 1, 2
+),
+ids AS (
+  SELECT cx, cy, {morton_bitsum_sql('cx', 'cy', res)} AS tile FROM occ
+),
+e AS (
+  SELECT a.tile AS src, b.tile AS dst
+  FROM ids a JOIN ids b
+    ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+),
+reach(tile, r) AS (
+  SELECT tile, tile FROM ids
+  UNION
+  SELECT e.src, reach.r FROM reach JOIN e ON e.dst = reach.tile
+),
+reg AS (SELECT tile, min(r) AS region FROM reach GROUP BY tile),
+nbc AS (SELECT src AS tile, count(*) AS nbc FROM e GROUP BY 1),
+cell AS (
+  SELECT i.cx, i.cy, reg.region,
+         4 - coalesce(nbc.nbc, 0) AS exposed
+  FROM ids i JOIN reg USING (tile) LEFT JOIN nbc USING (tile)
+)
+SELECT region,
+       CAST(count(*) AS BIGINT) AS area,
+       CAST(sum(exposed) AS BIGINT) AS perimeter,
+       CAST(sum(CASE WHEN exposed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS boundary_cells,
+       CAST(min(cx) AS BIGINT) AS min_cx,
+       CAST(min(cy) AS BIGINT) AS min_cy,
+       CAST(max(cx) AS BIGINT) AS max_cx,
+       CAST(max(cy) AS BIGINT) AS max_cy
+FROM cell GROUP BY region
+"""
+
+
 _IDW_RES, _IDW_K = 6, 2
 
 
@@ -6006,6 +6064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_documents": q_langid_documents,
     "quadtree_embeddings": q_quadtree_embeddings,
     "regions_embeddings": q_regions_embeddings,
+    "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
     "od_events": q_od_events,
@@ -6155,6 +6214,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "moran_local_embeddings": _o_moran_sql(),
     "quadtree_embeddings": _o_quadtree_sql(),
     "regions_embeddings": _o_regions_sql(),
+    "region_boundaries_embeddings": _o_region_boundaries_sql(),
     "idw_embeddings": _o_idw_sql(),
     "od_events": _o_od_sql(),
     "sssp_grid8": O_SSSP_GRID8,

@@ -102,3 +102,54 @@ def test_validation():
         label_regions(df, _RES, connectivity=6)
     with pytest.raises(ValueError, match="resolution"):
         label_regions(df, 0)
+
+
+def test_region_boundaries_hand_computed():
+    """Same hand raster: per-region area/perimeter/boundary cells/bbox
+    against values computed by hand from the picture (every cell of every
+    region here touches free space or the lattice border, so
+    boundary_cells == area; perimeter = 4*area - 2*internal_adjacencies)."""
+    from metric_search_spark.operators.tiling import region_boundaries
+
+    spark = get_spark()
+    out = {
+        r.region: (r.area, r.perimeter, r.boundary_cells,
+                   r.min_cx, r.min_cy, r.max_cx, r.max_cy)
+        for r in region_boundaries(_points_df(spark), _RES).collect()
+    }
+    regions = _flood(_CELLS, 4)
+    assert len(out) == 3
+    # key regions by their cell sets, independent of the min-Morton label
+    by_cells = {}
+    for lab, stats in out.items():
+        # recover which flood region this label covers via bbox match
+        for fz in set(regions.values()):
+            xs = [c[0] for c in fz]
+            ys = [c[1] for c in fz]
+            if (min(xs), min(ys), max(xs), max(ys)) == stats[3:]:
+                by_cells[fz] = stats
+    a = frozenset({(1, 0), (2, 0), (0, 1), (1, 1)})  # the top L: 3 adjacencies
+    b = frozenset({(2, 2), (2, 3), (3, 3)})          # the bottom L: 2
+    c = frozenset({(0, 3)})                          # isolated
+    assert by_cells[a][:3] == (4, 4 * 4 - 2 * 3, 4)
+    assert by_cells[b][:3] == (3, 4 * 3 - 2 * 2, 3)
+    assert by_cells[c][:3] == (1, 4, 1)
+
+
+def test_region_boundaries_interior_cell():
+    """A 3x3 solid block has ONE interior cell: boundary_cells = 8 < area,
+    perimeter = 12 (the outline of a 3x3 square)."""
+    from metric_search_spark.operators.tiling import region_boundaries
+
+    spark = get_spark()
+    rows = [
+        ((cx + 0.5) / 8.0, (cy + 0.5) / 8.0)
+        for cx in range(3)
+        for cy in range(3)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = region_boundaries(df, 3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.area, r.perimeter, r.boundary_cells) == (9, 12, 8)
+    assert (r.min_cx, r.min_cy, r.max_cx, r.max_cy) == (0, 0, 2, 2)
