@@ -5591,6 +5591,81 @@ GROUP BY 1, 2
 """
 
 
+_GI_RES = 4
+
+
+def q_getis_ord_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot statistic over the occupied res-4 tile
+    lattice — the companion inferential statistic to local Moran's I
+    (same support, same binary queen weights over OCCUPIED cells, but
+    star form: the focal cell joins its own neighborhood). With N tiles,
+    S = Σz, Q = Σz², W_i = occupied queen neighbors + 1 (self) and
+    zn*_i = z_i + Σ neighbor z, the z-score reduces to
+
+        Gi* = (N·zn*_i − S·W_i) / sqrt((N·Q − S²)·(N·W_i − W_i²)/(N−1))
+
+    — numerator and both radicand factors are exact int64 in BOTH engines
+    (same Moran recipe: the only doubles are one multiply chain, one sqrt
+    and one division in identical order, so IEEE makes them bit-equal;
+    round(12) on top). Plan shape documented on operators/tiling.getis_ord."""
+    from metric_search_spark.operators.tiling import getis_ord
+
+    return getis_ord(_emb(spark, sf_dir), _GI_RES)
+
+
+def _o_getis_ord_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    res = _GI_RES
+    return f"""
+WITH t AS (
+  SELECT {morton_bitsum_sql(
+      f"(({quantize_sql(_EMB_X)}) >> {31 - res})",
+      f"(({quantize_sql(_EMB_Y)}) >> {31 - res})",
+      res,
+  )} AS tile, count(*) AS z
+  FROM embeddings GROUP BY 1
+),
+dec AS (
+  SELECT tile, z,
+         (SELECT sum(((tile >> (2 * b.i)) & 1) * (1 << b.i))
+          FROM range(0, {res}) b(i)) AS cx,
+         (SELECT sum(((tile >> (2 * b.i + 1)) & 1) * (1 << b.i))
+          FROM range(0, {res}) b(i)) AS cy
+  FROM t
+),
+pairs AS (
+  SELECT a.tile, b.z AS zj
+  FROM dec a
+  JOIN dec b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND b.tile <> a.tile
+),
+per AS (
+  SELECT tile, CAST(count(*) AS BIGINT) AS wn, CAST(sum(zj) AS BIGINT) AS zn
+  FROM pairs GROUP BY tile
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS s,
+         CAST(sum(z * z) AS BIGINT) AS q
+  FROM t
+)
+SELECT tile, z, w_star,
+       round(CAST(n * zn_star - s * w_star AS DOUBLE)
+             / sqrt(CAST(n * q - s * s AS DOUBLE)
+                    * CAST(n * w_star - w_star * w_star AS DOUBLE)
+                    / CAST(n - 1 AS DOUBLE)), 12) AS gi_star
+FROM (
+  SELECT t.tile, t.z,
+         coalesce(per.wn, 0) + 1 AS w_star,
+         coalesce(per.zn, 0) + t.z AS zn_star,
+         st.n, st.s, st.q
+  FROM t LEFT JOIN per USING (tile), stats st
+)
+"""
+
+
 _MORAN_RES = 4
 
 
@@ -6111,6 +6186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decile_events": q_decile_events,
     "mode_events": q_mode_events,
     "moran_local_embeddings": q_moran_local_embeddings,
+    "getis_ord_embeddings": q_getis_ord_embeddings,
     "embedding_norms": q_embedding_norms,
     "inactive_users_events": q_inactive_users_events,
     "pivot_events": q_pivot_events,
@@ -6212,6 +6288,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "decile_events": O_DECILE_EVENTS,
     "mode_events": O_MODE_EVENTS,
     "moran_local_embeddings": _o_moran_sql(),
+    "getis_ord_embeddings": _o_getis_ord_sql(),
     "quadtree_embeddings": _o_quadtree_sql(),
     "regions_embeddings": _o_regions_sql(),
     "region_boundaries_embeddings": _o_region_boundaries_sql(),

@@ -769,3 +769,77 @@ def region_boundaries(
         F.max("cx").cast("long").alias("max_cx"),
         F.max("cy").cast("long").alias("max_cy"),
     )
+
+
+__all__.append("getis_ord")
+
+
+def getis_ord(
+    df: DataFrame,
+    res: int,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-score over the occupied tile lattice —
+    the inferential companion to local Moran's I (same support, binary
+    queen weights over OCCUPIED cells, star form: the focal cell joins
+    its own neighborhood). With N occupied tiles, S = Σz, Q = Σz²,
+    W_i = occupied queen neighbors + 1 and zn*_i = z_i + Σ neighbor z:
+
+        Gi* = (N·zn*_i − S·W_i) / sqrt((N·Q − S²)·(N·W_i − W_i²)/(N−1))
+
+    Numerator and both radicand factors are exact int64, so any two
+    engines that evaluate the final multiply/divide/sqrt chain in the
+    same order produce bit-equal doubles (the entry_queries DuckDB twin
+    relies on this). Plan: one full-data tile-count aggregate, then a
+    self-excluded k-ring explode (pure Column math, no shuffle), one
+    equi-join back to occupied tiles, a per-tile aggregate, and a 1-row
+    broadcast cross join for the global scalars — the Moran plan shape.
+    Returns (tile, z, w_star, gi_star)."""
+    from metric_search_spark.functions.spatial import kring_cells_col
+
+    t = (
+        tile_assign(df, res=res, x_col=x_col, y_col=y_col)
+        .groupBy("tile")
+        .agg(F.count("*").cast("long").alias("z"))
+    )
+    nb = t.select(
+        "tile",
+        F.explode(kring_cells_col(F.col("tile"), res, 1)).alias("nb"),
+    ).where(F.col("nb") != F.col("tile"))
+    pairs = nb.join(
+        t.select(F.col("tile").alias("nb"), F.col("z").alias("zj")), "nb"
+    )
+    per = pairs.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("wn"),
+        F.sum("zj").cast("long").alias("zn"),
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("q"),
+    )
+    joined = (
+        t.join(per, "tile", "left")
+        .na.fill({"wn": 0, "zn": 0})
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tile",
+            "z",
+            (F.col("wn") + 1).alias("w_star"),
+            (F.col("zn") + F.col("z")).alias("zn_star"),
+            "n",
+            "s",
+            "q",
+        )
+    )
+    num = F.col("n") * F.col("zn_star") - F.col("s") * F.col("w_star")
+    d1 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    d2 = F.col("n") * F.col("w_star") - F.col("w_star") * F.col("w_star")
+    gi = num.cast("double") / F.sqrt(
+        d1.cast("double") * d2.cast("double") / (F.col("n") - 1).cast("double")
+    )
+    return joined.select(
+        "tile", "z", "w_star", F.round(gi, 12).alias("gi_star")
+    )
