@@ -5591,6 +5591,60 @@ GROUP BY 1, 2
 """
 
 
+_HILBERT_RES = 6
+
+
+def q_hilbert_tiles_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve tile keys (functions/spatial.hilbert_from_cxy_col):
+    occupancy of the res-6 lattice keyed by the locality-preserving
+    Hilbert index instead of Morton — consecutive Hilbert keys are always
+    4-adjacent cells, so range scans / quota splits over the key never
+    jump quadrant seams. Spark side is the unrolled xy2d quadrant walk in
+    pure Column math over the one full-data occupancy aggregate; the
+    DuckDB twin threads (x, y, d) through a genuinely iterative RECURSIVE
+    CTE — different formulation, same walk."""
+    from metric_search_spark.functions.spatial import (
+        hilbert_from_cxy_col,
+        quantize_col,
+    )
+
+    res = _HILBERT_RES
+    shift = 31 - res
+    emb = _emb(spark, sf_dir)
+    occ = (
+        emb.select(
+            F.shiftright(quantize_col(F.col("x").cast("double")), shift).alias("cx"),
+            F.shiftright(quantize_col(F.col("y").cast("double")), shift).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return occ.select(
+        hilbert_from_cxy_col(F.col("cx"), F.col("cy"), res).alias("hkey"),
+        "cx",
+        "cy",
+        "cnt",
+    )
+
+
+def _o_hilbert_sql() -> str:
+    from metric_search_spark.functions.spatial import hilbert_sql, quantize_sql
+
+    res = _HILBERT_RES
+    inner = hilbert_sql("cx", "cy", res, "occ")
+    return f"""
+WITH occ AS (
+  SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM embeddings GROUP BY 1, 2
+)
+SELECT h.hkey, h.cx, h.cy, o.cnt
+FROM ({inner}) h
+JOIN occ o USING (cx, cy)
+"""
+
+
 _GI_RES = 4
 
 
@@ -6187,6 +6241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mode_events": q_mode_events,
     "moran_local_embeddings": q_moran_local_embeddings,
     "getis_ord_embeddings": q_getis_ord_embeddings,
+    "hilbert_tiles_embeddings": q_hilbert_tiles_embeddings,
     "embedding_norms": q_embedding_norms,
     "inactive_users_events": q_inactive_users_events,
     "pivot_events": q_pivot_events,
@@ -6289,6 +6344,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "mode_events": O_MODE_EVENTS,
     "moran_local_embeddings": _o_moran_sql(),
     "getis_ord_embeddings": _o_getis_ord_sql(),
+    "hilbert_tiles_embeddings": _o_hilbert_sql(),
     "quadtree_embeddings": _o_quadtree_sql(),
     "regions_embeddings": _o_regions_sql(),
     "region_boundaries_embeddings": _o_region_boundaries_sql(),

@@ -49,6 +49,8 @@ __all__ = [
     "quantize_sql",
     "phash_sql",
     "cell_from_xy_sql",
+    "hilbert_from_cxy_col",
+    "hilbert_sql",
 ]
 
 
@@ -301,3 +303,69 @@ def coord_sql(phash_expr: str, axis: str) -> str:
     for shift, mask in ((1, _M2), (2, _M4), (4, _M8), (8, _M16), (16, _M32)):
         x = f"((({x}) | (({x}) // {2 ** shift})) & {mask})"
     return f"((({x}) + 0.5) / {float(1 << _COORD_BITS)})"
+
+
+def hilbert_from_cxy_col(cx: Column, cy: Column, res: int) -> Column:
+    """Hilbert-curve index of cell (cx, cy) on the 2^res × 2^res lattice —
+    the locality-preserving alternative to the Morton key: consecutive
+    Hilbert indices are ALWAYS 4-adjacent cells (Morton jumps at quadrant
+    seams), which makes Hilbert ranges the better bucketing for range
+    scans and quota clustering over spatial data.
+
+    The classic top-down quadrant walk (Hamilton/Wikipedia xy2d),
+    unrolled over the ``res`` bit levels as pure Column math. The
+    reflection step uses the all-ones identity n−1−v = (n−1) XOR v, so
+    complementing the full field is exact at every level regardless of
+    already-consumed high bits. Each level references the running (x, y)
+    a constant number of times, so the expression tree grows ~3^res —
+    fine through res 8 (≈ 6.5k nodes), guarded beyond (use several
+    narrower encodes or an aggregate-fold if a deeper lattice is ever
+    needed; tile keys in this engine are ≤ res 8 everywhere)."""
+    if not 1 <= res <= 8:
+        raise ValueError(f"hilbert res {res} out of [1, 8]")
+    n1 = F.lit((1 << res) - 1)
+    x, y = cx.cast("long"), cy.cast("long")
+    d = F.lit(0).cast("long")
+    for i in range(res - 1, -1, -1):
+        rx = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        d = d + F.lit(1 << (2 * i)) * (F.lit(3) * rx).bitwiseXOR(ry)
+        fx = F.when(rx == 1, n1 - x).otherwise(x)
+        fy = F.when(rx == 1, n1 - y).otherwise(y)
+        x, y = (
+            F.when(ry == 0, fy).otherwise(x),
+            F.when(ry == 0, fx).otherwise(y),
+        )
+    return d
+
+
+def hilbert_sql(cx_expr: str, cy_expr: str, res: int, src: str) -> str:
+    """The Hilbert xy2d walk as a DuckDB RECURSIVE CTE fragment — a
+    genuinely iterative formulation (one row per cell per level, state
+    (x, y, d, i) threaded through the recursion) against the Spark side's
+    unrolled expression. Returns a complete SELECT producing
+    (cx, cy, hkey) for every row of ``src`` (which must expose
+    ``cx_expr``/``cy_expr``). Bitwise ops: DuckDB ``&``/``>>``/``xor()``
+    on BIGINT match the JVM for non-negative inputs."""
+    n1 = (1 << res) - 1
+    return f"""
+WITH RECURSIVE hw(cx, cy, x, y, d, i) AS (
+  SELECT {cx_expr} AS cx, {cy_expr} AS cy,
+         CAST({cx_expr} AS BIGINT), CAST({cy_expr} AS BIGINT),
+         CAST(0 AS BIGINT), {res - 1}
+  FROM {src}
+  UNION ALL
+  SELECT cx, cy,
+         CASE WHEN ((y >> i) & 1) = 0
+              THEN CASE WHEN ((x >> i) & 1) = 1 THEN {n1} - y ELSE y END
+              ELSE x END,
+         CASE WHEN ((y >> i) & 1) = 0
+              THEN CASE WHEN ((x >> i) & 1) = 1 THEN {n1} - x ELSE x END
+              ELSE y END,
+         d + (CAST(1 AS BIGINT) << (2 * i))
+           * xor(3 * ((x >> i) & 1), (y >> i) & 1),
+         i - 1
+  FROM hw WHERE i >= 0
+)
+SELECT cx, cy, d AS hkey FROM hw WHERE i = -1
+"""
