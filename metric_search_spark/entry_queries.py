@@ -1498,6 +1498,65 @@ WHERE d.dev > 1.5 * mad.mad
 """
 
 
+_MK_LIMIT = 24
+
+
+def q_mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test (operators/regress.mann_kendall)
+    per user over the first 24 event values ordered by event_id: exact
+    int64 S statistic and tie-corrected variance numerator, z-score via
+    one identical double chain in both engines. The engine computes the
+    O(n²) pair scan and the tie weight INSIDE the collected per-group
+    array (zero joins); the DuckDB twin self-joins the numbered series on
+    i < j and groups ties directly — different formulations of both
+    statistics."""
+    from metric_search_spark.operators.regress import mann_kendall
+
+    ev = _read(spark, sf_dir, "events")
+    return mann_kendall(ev, limit=_MK_LIMIT)
+
+
+O_MANN_KENDALL = f"""
+WITH base AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS i
+  FROM events
+),
+ser AS (SELECT * FROM base WHERE i <= {_MK_LIMIT}),
+nn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY 1),
+s AS (
+  SELECT a.user_id,
+         CAST(coalesce(sum(CASE WHEN b.value > a.value THEN 1
+                                WHEN b.value < a.value THEN -1
+                                ELSE 0 END), 0) AS BIGINT) AS s_stat
+  FROM ser a JOIN ser b ON a.user_id = b.user_id AND b.i > a.i
+  GROUP BY 1
+),
+ties AS (
+  SELECT user_id, value, CAST(count(*) AS BIGINT) AS t
+  FROM ser GROUP BY 1, 2
+),
+tsum AS (
+  SELECT user_id, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t_sum
+  FROM ties GROUP BY 1
+)
+SELECT nn.user_id, nn.n,
+       coalesce(s.s_stat, 0) AS s_stat,
+       nn.n * (nn.n - 1) * (2 * nn.n + 5) - tsum.t_sum AS var_num,
+       round(CASE
+         WHEN coalesce(s.s_stat, 0) > 0 THEN
+           CAST(s.s_stat - 1 AS DOUBLE)
+           / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tsum.t_sum
+                       AS DOUBLE) / 18.0)
+         WHEN coalesce(s.s_stat, 0) < 0 THEN
+           CAST(s.s_stat + 1 AS DOUBLE)
+           / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tsum.t_sum
+                       AS DOUBLE) / 18.0)
+         ELSE 0.0 END, 12) AS z
+FROM nn JOIN tsum USING (user_id) LEFT JOIN s USING (user_id)
+"""
+
+
 def q_linreg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS drift line (operators/regress.linreg): slope and
     intercept of value over days-since-2024-01-01. The five sufficient
@@ -6222,6 +6281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_events": q_quantiles_events,
     "mad_outliers_events": q_mad_outliers_events,
     "linreg_events": q_linreg_events,
+    "mann_kendall_events": q_mann_kendall_events,
     "bm25_documents": q_bm25_documents,
     "acf_events": q_acf_events,
     "contamination_documents": q_contamination_documents,
@@ -6325,6 +6385,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quantiles_events": O_QUANTILES_EVENTS,
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
     "linreg_events": O_LINREG_EVENTS,
+    "mann_kendall_events": O_MANN_KENDALL,
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

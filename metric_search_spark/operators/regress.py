@@ -143,3 +143,95 @@ def acf(
         e.where((F.col("n") > F.col("lag")) & (den != 0.0))
         .select(*gc, "lag", "n", (num / den).alias("r"))
     )
+
+
+__all__.append("mann_kendall")
+
+
+def mann_kendall(
+    df: DataFrame,
+    *,
+    group_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    limit: int = 24,
+) -> DataFrame:
+    """Mann-Kendall trend test per group — the nonparametric drift
+    detector (monotone trend without assuming linearity; the statistic
+    behind ArcGIS emerging-hot-spot analysis), complementing linreg
+    (parametric slope) and acf (autocorrelation). Over each group's first
+    ``limit`` values ordered by ``order_col``:
+
+        S    = Σ_{i<j} sign(v_j − v_i)                 (exact int)
+        T    = Σ_ties t·(t−1)·(2t+5)                   (exact int)
+        varN = n·(n−1)·(2n+5) − T                      (Var_S = varN/18)
+        z    = (S∓1)/sqrt(varN/18), 0 when S = 0       (normal approx)
+
+    All statistics reduce to exact int64 per group, computed INSIDE one
+    collected array — the O(limit²) pair scan runs as nested Column
+    lambdas over the per-group series, so the whole operator is one
+    map-side-combined groupBy with zero joins and zero UDFs: the same
+    scale shape as linreg regardless of group count. Tie weight uses the
+    per-element identity Σ_k t(t−1)(2t+5) = Σ_i (c_i−1)(2c_i+5) with
+    c_i = #elements equal to v_i (the DuckDB twin groups ties directly —
+    algebraically equal, formulation-independent).
+
+    Returns (group, n, s_stat, var_num, z)."""
+    vals = F.slice(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+            ),
+            lambda s: s[value_col],
+        ),
+        1,
+        limit,
+    )
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(vals.alias("v"))
+    n = F.size("v")
+    idx = F.sequence(F.lit(1), n)
+    zero = F.lit(0).cast("long")
+
+    def sgn(w, v):
+        return (
+            F.when(w > v, 1).when(w < v, -1).otherwise(0).cast("long")
+        )
+
+    s_stat = F.aggregate(
+        idx,
+        zero,
+        lambda acc, i: acc
+        + F.aggregate(
+            F.slice(F.col("v"), i + 1, n - i),
+            zero,
+            lambda a, w: a + sgn(w, F.element_at("v", i)),
+        ),
+    )
+    c_i = lambda i: F.aggregate(  # noqa: E731
+        F.col("v"),
+        zero,
+        lambda a, w: a + (w == F.element_at("v", i)).cast("long"),
+    )
+    t_sum = F.aggregate(
+        idx,
+        zero,
+        lambda acc, i: acc + (c_i(i) - 1) * (2 * c_i(i) + 5),
+    )
+    out = g.select(
+        F.col("grp").alias(group_col),
+        n.cast("long").alias("n"),
+        s_stat.alias("s_stat"),
+        (
+            n.cast("long") * (n - 1).cast("long") * (2 * n + 5).cast("long")
+            - t_sum
+        ).alias("var_num"),
+    )
+    sd = F.sqrt(F.col("var_num").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        group_col, "n", "s_stat", "var_num", F.round(z, 12).alias("z")
+    )

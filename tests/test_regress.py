@@ -123,3 +123,64 @@ def test_acf_partitioning_invariance():
         )
     )
     assert a == b
+
+
+def test_mann_kendall_golden():
+    """Hand series: strictly increasing -> S = n(n-1)/2, var_num has no tie
+    correction; strictly decreasing mirrors to -S; constant series -> S=0,
+    var fully consumed by the tie term, z = 0."""
+    from metric_search_spark.operators.regress import mann_kendall
+
+    spark = get_spark()
+    rows = []
+    for i in range(6):  # user 0: increasing 0..5
+        rows.append((0, i, float(i)))
+    for i in range(6):  # user 1: decreasing
+        rows.append((1, i, float(-i)))
+    for i in range(6):  # user 2: constant
+        rows.append((2, i, 7.0))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    got = {
+        r.user_id: (r.n, r.s_stat, r.var_num, r.z)
+        for r in mann_kendall(df, limit=24).collect()
+    }
+    n = 6
+    vn = n * (n - 1) * (2 * n + 5)  # no ties
+    import math
+
+    z_up = round((15 - 1) / math.sqrt(vn / 18.0), 12)
+    assert got[0] == (6, 15, vn, z_up)
+    assert got[1] == (6, -15, vn, -z_up)
+    # constant: every element ties with all 6 -> T = 6*5*17 = vn -> var 0
+    assert got[2] == (6, 0, vn - 6 * 5 * 17, 0.0)
+    assert got[2][2] == 0
+
+
+def test_mann_kendall_scipy_free_reference():
+    """Random-ish deterministic series vs a direct python recomputation,
+    including the tie correction and the order/limit clipping."""
+    from metric_search_spark.operators.regress import mann_kendall
+
+    spark = get_spark()
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    rows = [(0, i, v) for i, v in enumerate(vals)]
+    # rows arrive shuffled; order_col must restore series order
+    rows = rows[::-1]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    limit = 8
+    ser = vals[:limit]
+    n = len(ser)
+    s = sum(
+        (ser[j] > ser[i]) - (ser[j] < ser[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    t_sum = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ser).values())
+    vn = n * (n - 1) * (2 * n + 5) - t_sum
+    import math
+
+    z = round((s - 1) / math.sqrt(vn / 18.0), 12) if s > 0 else 0.0
+    got = mann_kendall(df, limit=limit).collect()[0]
+    assert (got.n, got.s_stat, got.var_num, got.z) == (n, s, vn, z)
