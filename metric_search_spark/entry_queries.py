@@ -3105,6 +3105,102 @@ O_POLYLINE = _o_polyline_sql()
 _NEAREST_RES, _NEAREST_RADIUS = 6, 0.09
 
 
+_XING_LINES = _ROUTE_LINES + [
+    (
+        "lineC",
+        [(0.05, 0.50), (0.45, 0.28), (0.95, 0.55)],
+    ),
+    (
+        "lineD",
+        [(0.52, 0.05), (0.55, 0.95)],
+    ),
+]
+_XING_RES = 5
+
+
+def _xing_lines_df(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("line_id", StringType()),
+            StructField(
+                "path",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(
+        [(lid, [{"x": x, "y": y} for x, y in path]) for lid, path in _XING_LINES],
+        schema,
+    )
+
+
+def q_segment_intersections_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline proper-crossing join (operators/pip.
+    segment_intersections_join) over the 4-route crossing fixture: the
+    engine indexes both sides into the exact res-5 supercover and meets
+    candidates through ONE cell equi-join; the DuckDB twin brute-forces
+    EVERY cross-line segment pair with the same strict orientation
+    predicate and parametric point — so a supercover bug (a crossing
+    whose cell one side misses) goes red, not just slow."""
+    from metric_search_spark.operators.pip import segment_intersections_join
+
+    return segment_intersections_join(_xing_lines_df(spark), res=_XING_RES)
+
+
+def _o_segment_intersections_sql() -> str:
+    segs = []
+    for lid, path in _XING_LINES:
+        for i in range(len(path) - 1):
+            (axv, ayv), (bxv, byv) = path[i], path[i + 1]
+            # engine _seg_idx is the 0-based posexplode position
+            segs.append(
+                f"('{lid}', {i}, {axv!r}, {ayv!r}, {bxv!r}, {byv!r})"
+            )
+    values = ",\n    ".join(segs)
+    return f"""
+WITH seg(line_id, seg_idx, ax, ay, bx, by) AS (
+  VALUES
+    {values}
+),
+pair AS (
+  SELECT a.line_id AS line_a, a.seg_idx AS seg_a,
+         b.line_id AS line_b, b.seg_idx AS seg_b,
+         a.ax, a.ay, a.bx, a.by,
+         b.ax AS cx, b.ay AS cy, b.bx AS dx, b.by AS dy
+  FROM seg a, seg b WHERE a.line_id < b.line_id
+),
+o AS (
+  SELECT *,
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) AS d1,
+    (bx - ax) * (dy - ay) - (by - ay) * (dx - ax) AS d2,
+    (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx) AS d3,
+    (dx - cx) * (by - cy) - (dy - cy) * (bx - cx) AS d4
+  FROM pair
+)
+SELECT line_a, CAST(seg_a AS BIGINT) AS seg_a,
+       line_b, CAST(seg_b AS BIGINT) AS seg_b,
+       round(ax + ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx))
+                  / ((bx - ax) * (dy - cy) - (by - ay) * (dx - cx))
+                  * (bx - ax), 12) AS ix,
+       round(ay + ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx))
+                  / ((bx - ax) * (dy - cy) - (by - ay) * (dx - cx))
+                  * (by - ay), 12) AS iy
+FROM o WHERE d1 * d2 < 0 AND d3 * d4 < 0
+"""
+
+
 def q_nearest_route_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-matching join (operators/pip.nearest_route_join): every point
     snaps to its nearest fixture route within radius 0.09 — padded
@@ -6323,6 +6419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "buffer_polyfill_tiles": q_buffer_polyfill_tiles,
     "focal_tiles_embeddings": q_focal_tiles_embeddings,
     "polyline_tiles_routes": q_polyline_tiles_routes,
+    "segment_intersections_routes": q_segment_intersections_routes,
     "nearest_route_embeddings": q_nearest_route_embeddings,
     "kde_tiles_embeddings": q_kde_tiles_embeddings,
     "zonal_stats_embeddings": q_zonal_stats_embeddings,
@@ -6435,6 +6532,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "buffer_polyfill_tiles": O_BUFFER,
     "focal_tiles_embeddings": O_FOCAL,
     "polyline_tiles_routes": O_POLYLINE,
+    "segment_intersections_routes": _o_segment_intersections_sql(),
     "nearest_route_embeddings": O_NEAREST_ROUTE,
     "kde_tiles_embeddings": O_KDE,
     "zonal_stats_embeddings": O_ZONAL,

@@ -30,6 +30,7 @@ __all__ = [
     "point_in_polygon_join",
     "polygon_tiles",
     "polyline_tiles",
+    "segment_intersections_join",
     "nearest_route_join",
     "zonal_stats",
     "polygon_intersects_join",
@@ -882,4 +883,123 @@ def polygon_metrics(
         (F.abs(F.col("a2")).cast("double") * F.lit(0.5) / F.lit(s2)).alias("area"),
         (F.col("sx").cast("double") / a3 / F.lit(s1)).alias("cx"),
         (F.col("sy").cast("double") / a3 / F.lit(s1)).alias("cy"),
+    )
+
+
+def segment_intersections_join(
+    lines: DataFrame,
+    *,
+    res: int = 5,
+    line_id_col: str = "line_id",
+    path_col: str = "path",
+) -> DataFrame:
+    """Polyline × polyline PROPER-crossing join — where do routes cross?
+    (network conflation, trajectory conflict detection). A proper crossing
+    is strict double-straddling: each segment's endpoints lie strictly on
+    opposite sides of the other's supporting line (all four orientation
+    products < 0); touching endpoints and collinear overlaps are excluded
+    by definition — callers wanting touch semantics relax the strict
+    inequalities.
+
+    Plan: both sides index into the exact supercover (the polyline_tiles
+    candidate machinery: cell-length subdivision + padded bbox + exact
+    separating-axis keep, so a crossing's containing cell is provably in
+    BOTH segments' cell sets), then ONE cell equi-join (line_a < line_b —
+    distinct lines only), distinct on the segment-pair key, and the exact
+    orientation filter + parametric intersection point. Never a segment ×
+    segment product: candidates are co-located by cell exactly like every
+    other spatial join in the engine; the distinct bounds repeated cells
+    per pair. Intersection point: t = cross(c−a, d−c)/cross(b−a, d−c),
+    evaluated in the same IEEE order as the DuckDB twin.
+
+    Returns (line_a, seg_a, line_b, seg_b, ix, iy), round(12) points."""
+    s = 2.0 ** (-res)
+    cells = _segment_candidate_cells(lines, res, line_id_col, path_col, pad=1)
+    x_lo = F.col("_g.cx").cast("double") * s
+    y_lo = F.col("_g.cy").cast("double") * s
+    hit = _seg_square_hits(
+        F.col("_ax"),
+        F.col("_ay"),
+        F.col("_bx"),
+        F.col("_by"),
+        x_lo,
+        x_lo + s,
+        y_lo,
+        y_lo + s,
+    )
+    seg_cells = (
+        cells.where(hit)
+        .select(
+            "line_id",
+            "_seg_idx",
+            "_ax",
+            "_ay",
+            "_bx",
+            "_by",
+            F.col("_g.cx").alias("cx"),
+            F.col("_g.cy").alias("cy"),
+        )
+        .distinct()
+    )
+    a = seg_cells.select(
+        F.col("line_id").alias("line_a"),
+        F.col("_seg_idx").alias("seg_a"),
+        F.col("_ax").alias("ax"),
+        F.col("_ay").alias("ay"),
+        F.col("_bx").alias("bx"),
+        F.col("_by").alias("by"),
+        "cx",
+        "cy",
+    )
+    b = seg_cells.select(
+        F.col("line_id").alias("line_b"),
+        F.col("_seg_idx").alias("seg_b"),
+        F.col("_ax").alias("cx2x"),
+        F.col("_ay").alias("cx2y"),
+        F.col("_bx").alias("dx2x"),
+        F.col("_by").alias("dx2y"),
+        "cx",
+        "cy",
+    )
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("line_a") < F.col("line_b"))
+        .select(
+            "line_a",
+            "seg_a",
+            "line_b",
+            "seg_b",
+            "ax",
+            "ay",
+            "bx",
+            "by",
+            "cx2x",
+            "cx2y",
+            "dx2x",
+            "dx2y",
+        )
+        .distinct()
+    )
+
+    def cross2(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+    cx_, cy_ = F.col("cx2x"), F.col("cx2y")
+    dx_, dy_ = F.col("dx2x"), F.col("dx2y")
+    d1 = cross2(ax, ay, bx, by, cx_, cy_)
+    d2 = cross2(ax, ay, bx, by, dx_, dy_)
+    d3 = cross2(cx_, cy_, dx_, dy_, ax, ay)
+    d4 = cross2(cx_, cy_, dx_, dy_, bx, by)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    denom = (bx - ax) * (dy_ - cy_) - (by - ay) * (dx_ - cx_)
+    t = ((cx_ - ax) * (dy_ - cy_) - (cy_ - ay) * (dx_ - cx_)) / denom
+    return pairs.where(proper).select(
+        "line_a",
+        F.col("seg_a").cast("long").alias("seg_a"),
+        "line_b",
+        F.col("seg_b").cast("long").alias("seg_b"),
+        F.round(ax + t * (bx - ax), 12).alias("ix"),
+        F.round(ay + t * (by - ay), 12).alias("iy"),
     )
