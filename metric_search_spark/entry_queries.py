@@ -3738,6 +3738,66 @@ GROUP BY p.image_id
 """
 
 
+_CHIST_BINS = 8
+
+
+def q_channel_hist_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image per-channel intensity histograms (functions/image.
+    with_channel_hist): sparse (image_id, channel, bin, cnt) rows, bin =
+    v·8/256 by exact integer division, counts exact int64 — the exposure /
+    color-cast feature of a curation pipeline. Hand-off oracle
+    (sobel-style): decoded integer pixels land in a parquet and DuckDB
+    rebins every pixel of every channel from the raw pixel list (unnest ×
+    3-channel VALUES grid vs the engine's per-channel bincount)."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_channel_hist
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("chist", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_channel_hist(
+        spark.createDataFrame(pdf), bins=_CHIST_BINS
+    )
+
+
+def _o_channel_hist_sql() -> str:
+    path = _handoff_path("chist", f"{_IPV_N}_{_IPV_SEED}")
+    div = 256 // _CHIST_BINS
+    return f"""
+WITH px AS (
+  SELECT image_id, px, unnest(range(0, w * h)) AS i
+  FROM read_parquet('{path}')
+),
+b AS (
+  SELECT image_id, c.c AS channel,
+         px[3 * i + c.c + 1] // {div} AS bin
+  FROM px, (VALUES (0), (1), (2)) c(c)
+)
+SELECT image_id, CAST(channel AS INTEGER) AS channel,
+       CAST(bin AS INTEGER) AS bin, count(*) AS cnt
+FROM b GROUP BY 1, 2, 3
+"""
+
+
 _AV_AUDIO_N, _AV_VIDEO_N, _AV_K, _AV_SEED = 256, 64, 4, 42
 
 
@@ -6351,6 +6411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
+    "channel_hist_images": q_channel_hist_images,
     "od_events": q_od_events,
     "sssp_grid8": q_sssp_grid8,
     "catchments_grid8": q_catchments_grid8,
@@ -6581,6 +6642,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["images_payload_verify"] = _o_ipv_sql()
     oracles["tile_mosaic_images"] = _o_mosaic_sql()
     oracles["sobel_images"] = _o_sobel_sql()
+    oracles["channel_hist_images"] = _o_channel_hist_sql()
     oracles["audio_stats"] = _o_audio_sql()
     oracles["video_frame_sample"] = _o_vframes_sql()
     oracles["index_level_histogram"] = _o_ilh_sql(tag)

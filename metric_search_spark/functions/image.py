@@ -235,3 +235,50 @@ def with_sobel_stats(df: DataFrame) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
+
+
+__all__.append("with_channel_hist")
+
+
+def with_channel_hist(df: DataFrame, bins: int = 8) -> DataFrame:
+    """Per-image per-channel intensity histogram — the exposure /
+    color-cast / contrast feature a curation pipeline bins on (and the
+    input to histogram-equalization stats): counts of each channel's
+    pixels per equal-width bin (bin = v·bins/256, exact integer division).
+    Emits SPARSE rows (image_id, channel, bin, cnt) — empty bins are
+    absent, all counts exact int64, so a twin recounting raw pixels
+    matches bit-for-bit. Arrow-batched mapInPandas; per image the count
+    is one numpy bincount per channel, never per-pixel Python."""
+    import pandas as pd
+
+    if 256 % bins:
+        raise ValueError(f"bins {bins} must divide 256")
+    div = 256 // bins
+    schema = "image_id string, channel int, bin int, cnt long"
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids: list[str] = []
+            chs: list[int] = []
+            bns: list[int] = []
+            cts: list[int] = []
+            for payload, w, h, fmt, iid in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], pdf["image_id"]
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                for c in range(3):
+                    bc = np.bincount(
+                        img[:, :, c].ravel() // div, minlength=bins
+                    )
+                    nz = np.nonzero(bc)[0]
+                    ids.extend([iid] * len(nz))
+                    chs.extend([c] * len(nz))
+                    bns.extend(int(b) for b in nz)
+                    cts.extend(int(bc[b]) for b in nz)
+            yield pd.DataFrame(
+                {"image_id": ids, "channel": chs, "bin": bns, "cnt": cts}
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=schema
+    )

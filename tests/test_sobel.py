@@ -50,3 +50,46 @@ def test_too_small_image_yields_zeros():
     tiny = np.full((2, 2, 3), 200, dtype=np.uint8)
     (r,) = with_sobel_stats(_img_df(spark, [tiny])).collect()
     assert (r["edge_sum"], r["edge_max"], r["n_int"]) == (0, 0, 0)
+
+
+def test_channel_hist_matches_numpy_and_is_sparse():
+    """Histogram rows equal a direct numpy rebin of the decoded images;
+    zero bins are absent; per-channel counts sum to w*h."""
+    import numpy as np
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_channel_hist
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    spark = get_spark()
+    rows = generate_rows(64, seed=7)
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    got = {}
+    for r in with_channel_hist(spark.createDataFrame(pdf), bins=8).collect():
+        got[(r.image_id, r.channel, r.bin)] = r.cnt
+        assert r.cnt > 0
+    exp = {}
+    per_img_area = {}
+    for r in rows:
+        img = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+        per_img_area[r["image_id"]] = r["w"] * r["h"]
+        for c in range(3):
+            bc = np.bincount(img[:, :, c].ravel() // 32, minlength=8)
+            for b in np.nonzero(bc)[0]:
+                exp[(r["image_id"], c, int(b))] = int(bc[b])
+    assert got == exp
+    sums = {}
+    for (iid, c, _b), cnt in got.items():
+        sums[(iid, c)] = sums.get((iid, c), 0) + cnt
+    assert all(v == per_img_area[iid] for (iid, _c), v in sums.items())
+
+
+def test_channel_hist_bins_guard():
+    import pytest as _pytest
+
+    from metric_search_spark.functions.image import with_channel_hist
+
+    spark = get_spark()
+    df = spark.range(0)
+    with _pytest.raises(ValueError, match="divide 256"):
+        with_channel_hist(df, bins=7)
