@@ -1557,6 +1557,44 @@ FROM nn JOIN tsum USING (user_id) LEFT JOIN s USING (user_id)
 """
 
 
+def q_theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's slope (operators/regress.theil_sen) per user over the first
+    24 event values — the robust trend magnitude paired with
+    mann_kendall_events. Engine computes the O(n²) slope set and the
+    explicit avg-of-middles median inside the collected array; the DuckDB
+    twin self-joins the numbered series, ranks slopes with row_number and
+    applies the identical median formula."""
+    from metric_search_spark.operators.regress import theil_sen
+
+    ev = _read(spark, sf_dir, "events")
+    return theil_sen(ev, limit=_MK_LIMIT)
+
+
+O_THEIL_SEN = f"""
+WITH base AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS i
+  FROM events
+),
+ser AS (SELECT * FROM base WHERE i <= {_MK_LIMIT}),
+sl AS (
+  SELECT a.user_id, (b.value - a.value) / CAST(b.i - a.i AS DOUBLE) AS s
+  FROM ser a JOIN ser b ON a.user_id = b.user_id AND b.i > a.i
+),
+r AS (
+  SELECT user_id, s,
+         row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS m
+  FROM sl
+)
+SELECT user_id, CAST(max(m) AS BIGINT) AS n_pairs,
+       round((sum(CASE WHEN rn = (m + 1) // 2 THEN s END)
+              + sum(CASE WHEN rn = m // 2 + 1 THEN s END)) / 2, 12)
+         AS sen_slope
+FROM r GROUP BY user_id
+"""
+
+
 def q_linreg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS drift line (operators/regress.linreg): slope and
     intercept of value over days-since-2024-01-01. The five sufficient
@@ -6439,6 +6477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers_events": q_mad_outliers_events,
     "linreg_events": q_linreg_events,
     "mann_kendall_events": q_mann_kendall_events,
+    "theil_sen_events": q_theil_sen_events,
     "bm25_documents": q_bm25_documents,
     "acf_events": q_acf_events,
     "contamination_documents": q_contamination_documents,
@@ -6544,6 +6583,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
     "linreg_events": O_LINREG_EVENTS,
     "mann_kendall_events": O_MANN_KENDALL,
+    "theil_sen_events": O_THEIL_SEN,
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

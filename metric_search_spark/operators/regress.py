@@ -235,3 +235,71 @@ def mann_kendall(
     return out.select(
         group_col, "n", "s_stat", "var_num", F.round(z, 12).alias("z")
     )
+
+
+__all__.append("theil_sen")
+
+
+def theil_sen(
+    df: DataFrame,
+    *,
+    group_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    limit: int = 24,
+) -> DataFrame:
+    """Sen's slope estimator per group — the robust trend magnitude that
+    standardly pairs with the Mann-Kendall test (mann_kendall says
+    WHETHER there is a monotone trend; Theil-Sen says HOW STEEP,
+    unperturbed by up to ~29% outliers): the median of all pairwise
+    slopes (v_j − v_i)/(j − i) over the group's first ``limit`` values,
+    x being the 1-based series rank.
+
+    Same zero-join scale shape as mann_kendall: the O(limit²) slope set
+    is built, sorted and median-picked INSIDE the per-group collected
+    array with Column lambdas. The median uses the explicit
+    avg-of-middles formula (element ⌊(m+1)/2⌋ + element ⌊m/2⌋+1)/2 —
+    for odd m both indices coincide and (x+x)/2 = x exactly — so an
+    engine whose quantile interpolates differently (a + 0.5·(b−a) is NOT
+    the same IEEE double as (a+b)/2) cannot silently diverge: the DuckDB
+    twin ranks slopes with row_number and applies the identical formula.
+    Groups with fewer than 2 observations have no pairs and are dropped.
+
+    Returns (group, n_pairs, sen_slope)."""
+    vals = F.slice(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+            ),
+            lambda s: s[value_col],
+        ),
+        1,
+        limit,
+    )
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(vals.alias("v"))
+    n = F.size("v")
+    g = g.where(n >= 2)
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: (
+                        F.element_at("v", j.cast("int"))
+                        - F.element_at("v", i.cast("int"))
+                    )
+                    / (j - i).cast("double"),
+                ),
+            )
+        )
+    )
+    g = g.select("grp", slopes.alias("s"))
+    m = F.size("s")
+    lo = F.element_at("s", ((m + 1) / 2).cast("int"))
+    hi = F.element_at("s", (m / 2).cast("int") + 1)
+    return g.select(
+        F.col("grp").alias(group_col),
+        m.cast("long").alias("n_pairs"),
+        F.round((lo + hi) / 2, 12).alias("sen_slope"),
+    )
