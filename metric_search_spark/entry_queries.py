@@ -6413,6 +6413,131 @@ FROM walk WHERE sp_start IS NOT NULL
 """
 
 
+# ------------------------------------------------- bounding-box label ops
+
+# 400 images × 12 boxes; the second 6 of each image's boxes are jittered
+# clones of the first 6 (operators/boxes.synth_boxes), so high-IoU pairs are
+# guaranteed: NMS keeps 2,684 of 4,800 at 45%, the VOC match finds 2,312
+# pairs at 30%. All IoU tests are exact-integer (inter·100 vs pct·union) —
+# no float IoU anywhere in either engine.
+_BOX_N_IMG, _BOX_B, _BOX_SEED = 400, 12, 3
+_NMS_PCT, _MATCH_PCT = 45, 30
+
+
+def q_nms_boxes_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-image non-maximum suppression (operators/boxes.nms) over
+    deterministic synthetic detection labels — the duplicate-proposal
+    filter of a vision-corpus pipeline. The engine left-folds each image's
+    (score DESC, box_id)-sorted box array in pure Column algebra (one
+    groupBy shuffle, zero Python); the DuckDB twin regenerates the SAME
+    boxes from the shared MINSTD streams and replays the greedy scan as a
+    recursive CTE carrying the kept set as a LIST of STRUCTs — a fully
+    independent sequential formulation of the same suppression rule."""
+    from metric_search_spark.operators.boxes import nms, synth_boxes
+
+    b = synth_boxes(spark, _BOX_N_IMG, _BOX_B, seed=_BOX_SEED)
+    return nms(b, iou_pct=_NMS_PCT)
+
+
+def _o_nms_boxes_sql() -> str:
+    from metric_search_spark.operators.boxes import synth_boxes_sql
+
+    boxes = synth_boxes_sql(_BOX_N_IMG, _BOX_B, seed=_BOX_SEED)
+    iw = "greatest(least(k.x1, b.x1) - greatest(k.x0, b.x0), 0)"
+    ih = "greatest(least(k.y1, b.y1) - greatest(k.y0, b.y0), 0)"
+    inter = f"({iw}) * ({ih})"
+    union = (
+        "((k.x1 - k.x0) * (k.y1 - k.y0)"
+        f" + (b.x1 - b.x0) * (b.y1 - b.y0) - {inter})"
+    )
+    return f"""
+WITH RECURSIVE boxes AS ({boxes}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY image_id ORDER BY score DESC, box_id) AS r
+  FROM boxes
+),
+nms AS (
+  SELECT image_id,
+         CAST([] AS STRUCT(box_id BIGINT, x0 BIGINT, y0 BIGINT,
+                           x1 BIGINT, y1 BIGINT, score BIGINT)[]) AS kept,
+         0 AS r
+  FROM (SELECT DISTINCT image_id FROM ranked)
+  UNION ALL
+  SELECT n.image_id,
+         CASE WHEN len(list_filter(n.kept,
+                k -> {inter} * 100 > {_NMS_PCT} * {union})) = 0
+              THEN list_append(n.kept, {{'box_id': b.box_id, 'x0': b.x0,
+                   'y0': b.y0, 'x1': b.x1, 'y1': b.y1, 'score': b.score}})
+              ELSE n.kept END,
+         n.r + 1
+  FROM nms n JOIN ranked b ON b.image_id = n.image_id AND b.r = n.r + 1
+),
+final AS (SELECT image_id, kept FROM nms WHERE r = {_BOX_B})
+SELECT image_id, kept[i + 1].box_id AS box_id, kept[i + 1].x0 AS x0,
+       kept[i + 1].y0 AS y0, kept[i + 1].x1 AS x1, kept[i + 1].y1 AS y1,
+       kept[i + 1].score AS score, CAST(i + 1 AS BIGINT) AS keep_rank
+FROM (SELECT image_id, kept, unnest(range(0, len(kept))) AS i FROM final)
+"""
+
+
+def q_box_match_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASCAL-VOC greedy detection matching (operators/boxes.box_iou_match):
+    each image's seed boxes act as ground truth and their jittered clones as
+    predictions; every prediction claims its best-IoU ground truth, every
+    ground truth keeps its highest-scoring claimant — the 1:1 precision/
+    recall join of a label-QA pipeline. Exact-integer micro-IoU; the DuckDB
+    twin regenerates the boxes and replays both argmax stages with ranked
+    windows instead of the engine's max-struct aggregates."""
+    from metric_search_spark.operators.boxes import box_iou_match, synth_boxes
+
+    b = synth_boxes(spark, _BOX_N_IMG, _BOX_B, seed=_BOX_SEED)
+    half = _BOX_B // 2
+    gt = b.where(b.box_id % _BOX_B < half)
+    pred = b.where(b.box_id % _BOX_B >= half)
+    return box_iou_match(pred, gt, iou_pct=_MATCH_PCT)
+
+
+def _o_box_match_sql() -> str:
+    from metric_search_spark.operators.boxes import synth_boxes_sql
+
+    boxes = synth_boxes_sql(_BOX_N_IMG, _BOX_B, seed=_BOX_SEED)
+    half = _BOX_B // 2
+    return f"""
+WITH boxes AS ({boxes}),
+gt AS (SELECT * FROM boxes WHERE box_id % {_BOX_B} < {half}),
+pred AS (SELECT * FROM boxes WHERE box_id % {_BOX_B} >= {half}),
+geom AS (
+  SELECT p.image_id, p.box_id AS pred_id, g.box_id AS gt_id,
+         p.score AS pred_score,
+         greatest(least(p.x1, g.x1) - greatest(p.x0, g.x0), 0)
+           * greatest(least(p.y1, g.y1) - greatest(p.y0, g.y0), 0) AS inter,
+         (p.x1 - p.x0) * (p.y1 - p.y0)
+           + (g.x1 - g.x0) * (g.y1 - g.y0) AS areas
+  FROM pred p JOIN gt g USING (image_id)
+),
+cand AS (
+  SELECT image_id, pred_id, gt_id, pred_score,
+         inter * 1000000 // (areas - inter) AS iou_micro
+  FROM geom WHERE inter * 100 > {_MATCH_PCT} * (areas - inter)
+),
+claims AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY image_id, pred_id ORDER BY iou_micro DESC, gt_id) AS rk
+    FROM cand
+  ) WHERE rk = 1
+)
+SELECT image_id, pred_id, gt_id, iou_micro, pred_score FROM (
+  SELECT image_id, pred_id, gt_id, iou_micro, pred_score,
+         row_number() OVER (
+           PARTITION BY image_id, gt_id
+           ORDER BY pred_score DESC, pred_id) AS rk
+  FROM claims
+) WHERE rk = 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6478,6 +6603,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linreg_events": q_linreg_events,
     "mann_kendall_events": q_mann_kendall_events,
     "theil_sen_events": q_theil_sen_events,
+    "nms_boxes_images": q_nms_boxes_images,
+    "box_match_images": q_box_match_images,
     "bm25_documents": q_bm25_documents,
     "acf_events": q_acf_events,
     "contamination_documents": q_contamination_documents,
@@ -6584,6 +6711,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "linreg_events": O_LINREG_EVENTS,
     "mann_kendall_events": O_MANN_KENDALL,
     "theil_sen_events": O_THEIL_SEN,
+    "nms_boxes_images": _o_nms_boxes_sql(),
+    "box_match_images": _o_box_match_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,
