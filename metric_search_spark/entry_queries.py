@@ -3836,6 +3836,75 @@ FROM b GROUP BY 1, 2, 3
 """
 
 
+def q_glcm_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image GLCM texture statistics (functions/image.with_glcm_stats):
+    8-level integer-quantized grayscale, directed horizontal co-occurrence,
+    reduced to exact int64 (contrast, energy_num, homog_840, n_pairs) — the
+    texture/flatness feature of a visual curation pipeline. Hand-off oracle
+    (sobel-style): decoded integer pixels land in a parquet and DuckDB
+    requantizes every pixel, re-pairs every horizontal neighbor and
+    re-reduces the co-occurrence matrix with SQL GROUP BYs — different
+    formulation (relational pair table vs the engine's one bincount per
+    image), same exact integers."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_glcm_stats
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("glcm", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_glcm_stats(spark.createDataFrame(pdf), levels=8).select(
+        "image_id", "contrast", "energy_num", "homog_840", "n_pairs"
+    )
+
+
+def _o_glcm_sql() -> str:
+    path = _handoff_path("glcm", f"{_IPV_N}_{_IPV_SEED}")
+    return f"""
+WITH g AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT) // 96) AS q
+  FROM read_parquet('{path}')
+),
+ys AS (
+  SELECT image_id, w, q, unnest(range(0, h)) AS y FROM g
+),
+p AS (
+  SELECT image_id, q[y * w + x + 1] AS a, q[y * w + x + 2] AS b
+  FROM (SELECT image_id, w, q, y, unnest(range(0, w - 1)) AS x FROM ys)
+),
+c AS (
+  SELECT image_id, a, b, count(*) AS c FROM p GROUP BY 1, 2, 3
+)
+SELECT image_id,
+       CAST(sum(c * (a - b) * (a - b)) AS BIGINT) AS contrast,
+       CAST(sum(c * c) AS BIGINT) AS energy_num,
+       CAST(sum(c * (840 // (1 + abs(a - b)))) AS BIGINT) AS homog_840,
+       CAST(sum(c) AS BIGINT) AS n_pairs
+FROM c GROUP BY image_id
+"""
+
+
 _AV_AUDIO_N, _AV_VIDEO_N, _AV_K, _AV_SEED = 256, 64, 4, 42
 
 
@@ -6574,6 +6643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
+    "glcm_images": q_glcm_images,
     "channel_hist_images": q_channel_hist_images,
     "od_events": q_od_events,
     "sssp_grid8": q_sssp_grid8,
@@ -6811,6 +6881,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["images_payload_verify"] = _o_ipv_sql()
     oracles["tile_mosaic_images"] = _o_mosaic_sql()
     oracles["sobel_images"] = _o_sobel_sql()
+    oracles["glcm_images"] = _o_glcm_sql()
     oracles["channel_hist_images"] = _o_channel_hist_sql()
     oracles["audio_stats"] = _o_audio_sql()
     oracles["video_frame_sample"] = _o_vframes_sql()

@@ -282,3 +282,59 @@ def with_channel_hist(df: DataFrame, bins: int = 8) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         gen, schema=schema
     )
+
+__all__.append("with_glcm_stats")
+
+
+def with_glcm_stats(df: DataFrame, levels: int = 8) -> DataFrame:
+    """Gray-level co-occurrence (GLCM, Haralick et al. 1973) texture
+    statistics per image — the classic texture/flatness feature a visual
+    curation pipeline reads next to edge density: quantize the integer
+    grayscale (channel sum, 0..765) into ``levels`` bins by exact integer
+    division, count DIRECTED horizontal neighbor pairs (x, x+1), and
+    reduce the co-occurrence matrix to
+      contrast   = Σ c(a,b)·(a−b)²                    (high = busy texture)
+      energy_num = Σ c(a,b)²                          (high = uniform)
+      homog_840  = Σ c(a,b)·(840 // (1+|a−b|))        (840 = lcm(1..8), so
+                   the inverse-difference weights are EXACT integers for
+                   levels ≤ 8)
+      n_pairs    = h·(w−1)
+    Every statistic is an exact int64 — a twin recounting pairs from raw
+    pixels matches bit-for-bit. Arrow-batched mapInPandas; per image the
+    count is ONE bincount over a*levels+b, never per-pixel Python."""
+    if 768 % levels or levels > 8:
+        raise ValueError(f"levels {levels} must divide 768 and be <= 8")
+    div = 768 // levels
+    schema = df.schema.simpleString()[7:-1] + (
+        ", contrast long, energy_num long, homog_840 long, n_pairs long"
+    )
+    lv = np.arange(levels * levels, dtype=np.int64)
+    da, db = lv // levels, lv % levels
+    w_contrast = (da - db) ** 2
+    w_homog = 840 // (1 + np.abs(da - db))
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = np.zeros((len(pdf), 4), dtype=np.int64)
+            for i, (payload, w, h, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                q = img.astype(np.int64).sum(axis=2) // div
+                if q.shape[1] < 2:
+                    continue
+                idx = q[:, :-1].ravel() * levels + q[:, 1:].ravel()
+                bc = np.bincount(idx, minlength=levels * levels)
+                out[i] = (
+                    int((bc * w_contrast).sum()),
+                    int((bc * bc).sum()),
+                    int((bc * w_homog).sum()),
+                    int(bc.sum()),
+                )
+            for j, name in enumerate(
+                ("contrast", "energy_num", "homog_840", "n_pairs")
+            ):
+                pdf[name] = out[:, j]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
