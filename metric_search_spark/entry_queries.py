@@ -1595,6 +1595,53 @@ FROM r GROUP BY user_id
 """
 
 
+def q_spearman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/regress.spearman) of value vs
+    arrival order per user — the tie-correct monotone-association stat
+    next to mann_kendall (direction test) and theil_sen (magnitude).
+    Engine keeps the tie-averaged y-rank as the exact integer 2·rank() +
+    tie_cnt − 1; the DuckDB twin derives the same integer as min+max
+    row_number over the tie group — the identity the hash certifies."""
+    from metric_search_spark.operators.regress import spearman
+
+    ev = _read(spark, sf_dir, "events")
+    return spearman(ev, limit=_MK_LIMIT)
+
+
+O_SPEARMAN = f"""
+WITH base AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS i
+  FROM events
+),
+ser AS (SELECT * FROM base WHERE i <= {_MK_LIMIT}),
+rn AS (
+  SELECT user_id, i, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value, i) AS rv
+  FROM ser
+),
+yr AS (
+  SELECT user_id, i,
+         min(rv) OVER (PARTITION BY user_id, value)
+         + max(rv) OVER (PARTITION BY user_id, value) AS y2
+  FROM rn
+),
+s AS (
+  SELECT user_id, count(*) AS n, sum(2 * i) AS sx, sum(y2) AS sy,
+         sum(2 * i * y2) AS sxy, sum(4 * i * i) AS sxx,
+         sum(y2 * y2) AS syy
+  FROM yr GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy) / sqrt(
+                 CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)),
+                 12) END AS rho
+FROM s WHERE n >= 3
+"""
+
+
 def q_linreg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS drift line (operators/regress.linreg): slope and
     intercept of value over days-since-2024-01-01. The five sufficient
@@ -6673,6 +6720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linreg_events": q_linreg_events,
     "mann_kendall_events": q_mann_kendall_events,
     "theil_sen_events": q_theil_sen_events,
+    "spearman_events": q_spearman_events,
     "nms_boxes_images": q_nms_boxes_images,
     "box_match_images": q_box_match_images,
     "bm25_documents": q_bm25_documents,
@@ -6781,6 +6829,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "linreg_events": O_LINREG_EVENTS,
     "mann_kendall_events": O_MANN_KENDALL,
     "theil_sen_events": O_THEIL_SEN,
+    "spearman_events": O_SPEARMAN,
     "nms_boxes_images": _o_nms_boxes_sql(),
     "box_match_images": _o_box_match_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,

@@ -303,3 +303,72 @@ def theil_sen(
         m.cast("long").alias("n_pairs"),
         F.round((lo + hi) / 2, 12).alias("sen_slope"),
     )
+
+
+__all__.append("spearman")
+
+
+def spearman(
+    df: DataFrame,
+    *,
+    group_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    limit: int = 24,
+) -> DataFrame:
+    """Spearman rank correlation per group — the monotone-association
+    companion of linreg/mann_kendall: Pearson correlation of the series
+    RANKS, tie-correct (tied values take their average rank, the Spearman
+    convention; the shortcut 1 − 6Σd²/(n(n²−1)) is WRONG under ties, so
+    this is Pearson-on-ranks by construction).
+
+    Exactness design: x-rank is the 1-based series position (i), y-rank is
+    the average tie rank kept as the INTEGER 2·avg = 2·rank() + tie_count
+    − 1 (x doubles to 2i to match scale), so all five sufficient sums are
+    exact int64 (n ≤ limit ⇒ everything ≤ 2·limit³) and only the final
+    ρ = num / √(dx·dy) divides — correctly-rounded IEEE on identical
+    integers in both engines. The twin derives 2·avg rank a DIFFERENT way
+    (min+max row_number over the tie group) — the identity 2·rank()+cnt−1
+    = min_rn+max_rn is what the hash certifies. Groups shorter than 3 or
+    with zero rank variance (all-tied y) drop out / yield NULL rho.
+
+    Plan: two windows over the (group, ≤limit) slice + one aggregate —
+    the per-group slice is bounded so the windows never sort more than
+    ``limit`` rows per key. Returns (group, n, num, rho)."""
+    w_ord = Window.partitionBy(group_col).orderBy(order_col)
+    base = (
+        df.select(group_col, order_col, value_col)
+        .withColumn("_i", F.row_number().over(w_ord))
+        .where(F.col("_i") <= limit)
+    )
+    w_val = Window.partitionBy(group_col).orderBy(value_col)
+    w_tie = Window.partitionBy(group_col, value_col)
+    ranked = base.select(
+        F.col(group_col).alias("grp"),
+        (F.col("_i") * 2).cast("long").alias("x2"),
+        (F.rank().over(w_val) * 2 + F.count(F.lit(1)).over(w_tie) - 1)
+        .cast("long")
+        .alias("y2"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x2").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x2") * F.col("y2")).alias("sxy"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.when(
+        dx * dy > 0,
+        F.round(num.cast("double") / F.sqrt((dx * dy).cast("double")), 12),
+    )
+    return agg.where(n >= 3).select(
+        F.col("grp").alias(group_col),
+        n.cast("long").alias("n"),
+        num.cast("long").alias("num"),
+        rho.alias("rho"),
+    )

@@ -184,3 +184,34 @@ def test_mann_kendall_scipy_free_reference():
     z = round((s - 1) / math.sqrt(vn / 18.0), 12) if s > 0 else 0.0
     got = mann_kendall(df, limit=limit).collect()[0]
     assert (got.n, got.s_stat, got.var_num, got.z) == (n, s, vn, z)
+
+
+def test_spearman_hand_values():
+    from metric_search_spark.operators.regress import spearman
+
+    spark = get_spark()
+
+    rows = []
+    # user 0: perfectly increasing -> rho = 1
+    for i, v in enumerate([1.0, 2.0, 5.0, 9.0]):
+        rows.append((0, i, v))
+    # user 1: perfectly decreasing -> rho = -1
+    for i, v in enumerate([9.0, 5.0, 2.0, 1.0]):
+        rows.append((1, i, v))
+    # user 2: tie case [1, 2, 2, 3]: y avg-ranks (1, 2.5, 2.5, 4),
+    # Pearson([1,2,3,4], .) = 18/sqrt(20*18) = 3/sqrt(10)
+    for i, v in enumerate([1.0, 2.0, 2.0, 3.0]):
+        rows.append((2, i, v))
+    # user 3: constant -> zero rank variance -> rho NULL
+    for i in range(4):
+        rows.append((3, i, 7.0))
+    # user 4: too short (n=2) -> dropped
+    rows += [(4, 0, 1.0), (4, 1, 2.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = {r.user_id: r for r in spearman(df).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].rho == 1.0 and out[1].rho == -1.0
+    assert out[2].rho == round(18 / (20 * 18) ** 0.5, 12)
+    assert out[2].num == 72  # 4x the rank-scale numerator (both ranks doubled)
+    assert out[3].rho is None
+    assert out[0].n == 4
