@@ -224,6 +224,39 @@ SELECT vec_id AS id, {cell_from_xy_sql(_EMB_X, _EMB_Y, 4)} AS tile FROM embeddin
 """
 
 
+# non-grid-aligned bbox at res 7: 1,428 covering cells merge into 62 Morton
+# intervals (23× — the z-curve locality the range planner exists for)
+_RSCAN_BOX = (0.237, 0.181, 0.561, 0.444)
+_RSCAN_RES = 7
+
+
+def q_morton_range_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox lookup as SFC range planning (operators/tiling.morton_ranges +
+    range_lookup): the bbox decomposes into 62 contiguous Morton-key
+    intervals at res 7, the engine probes them with a broadcast left-semi
+    range join on the key (what prunes row groups on the z-ordered layout
+    of sources/layout at 100 TB) and refines boundary cells with the exact
+    coordinate test. The DuckDB twin
+    is the OPPOSITE formulation — a direct coordinate bbox filter with the
+    bit-sum Morton encode — so the hash certifies that range planning +
+    refine equals the plain spatial predicate exactly."""
+    from metric_search_spark.operators.tiling import range_lookup
+
+    x0, y0, x1, y1 = _RSCAN_BOX
+    emb = _emb(spark, sf_dir)
+    return range_lookup(emb, x0, y0, x1, y1, _RSCAN_RES).select("id", "tile")
+
+
+def _o_morton_range_scan_sql() -> str:
+    x0, y0, x1, y1 = _RSCAN_BOX
+    return f"""
+SELECT vec_id AS id, {cell_from_xy_sql(_EMB_X, _EMB_Y, _RSCAN_RES)} AS tile
+FROM embeddings
+WHERE {_EMB_X} >= {x0} AND {_EMB_X} <= {x1}
+  AND {_EMB_Y} >= {y0} AND {_EMB_Y} <= {y1}
+"""
+
+
 _ROLLUP_RES = 4
 
 
@@ -6664,6 +6697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pairwise_label0": q_pairwise_label0,
     "cluster_quota_embeddings": q_cluster_quota_embeddings,
     "tile_embeddings": q_tile_embeddings,
+    "morton_range_scan_embeddings": q_morton_range_scan_embeddings,
     "kring_embeddings": q_kring_embeddings,
     "tile_rollup_embeddings": q_tile_rollup_embeddings,
     "dedup_exact_documents": q_dedup_exact_documents,
@@ -6830,6 +6864,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "mann_kendall_events": O_MANN_KENDALL,
     "theil_sen_events": O_THEIL_SEN,
     "spearman_events": O_SPEARMAN,
+    "morton_range_scan_embeddings": _o_morton_range_scan_sql(),
     "nms_boxes_images": _o_nms_boxes_sql(),
     "box_match_images": _o_box_match_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,

@@ -843,3 +843,101 @@ def getis_ord(
     return joined.select(
         "tile", "z", "w_star", F.round(gi, 12).alias("gi_star")
     )
+
+
+__all__.append("morton_ranges")
+__all__.append("range_lookup")
+
+
+def morton_ranges(
+    x0: float, y0: float, x1: float, y1: float, res: int, *, max_cells: int = 1 << 20
+) -> list[tuple[int, int]]:
+    """Decompose a bbox query into the minimal sorted list of CONTIGUOUS
+    Morton cell-id intervals at ``res`` — the S2/geohash "range planning"
+    step that turns a spatial predicate into key-range scans: on a
+    z-ordered layout (sources/layout) each interval maps to a contiguous
+    run of row groups, so a 100 TB table answers the bbox from parquet
+    min/max pruning instead of a full scan. Driver-side numpy over the
+    bounded cover (≤ (span·2ʳ+1)² cells; guarded by ``max_cells``) — the
+    ranges are query constants, never data.
+
+    Merging is exact: cell ids at one res order like their 2r-bit Morton
+    prefixes, so ids are consecutive iff prefixes are. Z-curve locality is
+    what makes len(ranges) ≪ n_cells (a bbox decomposes into O(perimeter)
+    runs, not O(area) singletons)."""
+    import numpy as np
+
+    from metric_search_spark.cells import _pack, interleave_bits
+
+    if not (x0 <= x1 and y0 <= y1):
+        raise ValueError("bbox must satisfy x0 <= x1 and y0 <= y1")
+    n = 1 << res
+    cx0, cx1 = max(0, int(x0 * n)), min(n - 1, int(x1 * n))
+    cy0, cy1 = max(0, int(y0 * n)), min(n - 1, int(y1 * n))
+    n_cells = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+    if n_cells > max_cells:
+        raise ValueError(
+            f"bbox covers {n_cells} cells at res {res} > max_cells="
+            f"{max_cells}: lower res (ranges stay exact — the refine "
+            "filter handles the coarser boundary) or raise max_cells"
+        )
+    cx, cy = np.meshgrid(
+        np.arange(cx0, cx1 + 1, dtype=np.uint64),
+        np.arange(cy0, cy1 + 1, dtype=np.uint64),
+    )
+    keys = np.sort(
+        np.asarray(
+            _pack(res, interleave_bits(cx.ravel(), cy.ravel()).astype(np.int64))
+        )
+    )
+    cuts = np.nonzero(np.diff(keys) != 1)[0]
+    starts = np.concatenate(([0], cuts + 1))
+    ends = np.concatenate((cuts, [len(keys) - 1]))
+    return [(int(keys[s]), int(keys[e])) for s, e in zip(starts, ends)]
+
+
+def range_lookup(
+    df: DataFrame,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    res: int,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "tile",
+) -> DataFrame:
+    """Bbox lookup as Morton-range scan + exact refine — the two-phase
+    spatial filter of every SFC-indexed store: phase 1 keeps rows whose
+    res-cell falls in one of the ``morton_ranges`` intervals (on a
+    z-ordered layout this is what the parquet reader prunes row groups
+    with), phase 2 re-checks the exact coordinate bbox (closed on all
+    sides) for rows in boundary cells.
+
+    The interval test is a BROADCAST LEFT-SEMI range join against the
+    tiny (lo, hi) list: in whole-stage codegen the Morton key
+    materializes ONCE per row in the child Project and the nested-loop
+    probe compares a scalar long against ≤ len(ranges) broadcast rows.
+    The tempting alternatives are pathological — an OR-chain of BETWEENs
+    re-inlines the ~30-node encode into every term at plan time, and an
+    exists() higher-order lambda re-evaluates the encode INTERPRETED per
+    array element (the nested bit-spread tree explodes exponentially
+    without codegen CSE); both measured at minutes vs this plan's ~1 s.
+    No shuffle on the data side; returns the input plus the res-cell
+    key."""
+    ranges = morton_ranges(x0, y0, x1, y1, res)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    cell = cell_from_xy_col(x, y, res)
+    rdf = df.sparkSession.createDataFrame(ranges, "lo long, hi long")
+    refine = (x >= x0) & (x <= x1) & (y >= y0) & (y <= y1)
+    return (
+        df.withColumn(out_col, cell)
+        .join(
+            F.broadcast(rdf),
+            (F.col(out_col) >= F.col("lo")) & (F.col(out_col) <= F.col("hi")),
+            "leftsemi",
+        )
+        .where(refine)
+    )
