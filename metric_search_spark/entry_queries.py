@@ -969,6 +969,72 @@ HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.2
 """
 
 
+def q_neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus near-dedup END STEP (operators/dedupe.neardup_canonicalize):
+    exact n-gram Jaccard pairs at 0.5 → connected components → per-cluster
+    canonical election (max n_chars, ties to min doc_id) → a TOTAL
+    (cluster_id, canonical_id, is_canonical, cluster_size) assignment over
+    every document — the keep-one-of-each-dup-family filter a C4-style
+    pipeline ships. Fully independent oracle: DuckDB recomputes the pairs
+    from raw text (the inverted-index jaccard twin), closes them
+    transitively with a recursive CTE and replays the election with ranked
+    windows — no shared machinery with the engine's star CC or max-struct
+    argmax."""
+    from metric_search_spark.operators.dedupe import (
+        neardup_canonicalize,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    return neardup_canonicalize(docs, pairs)
+
+
+O_NEARDUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2] || ' ' ||
+                string_split(text, ' ')[i+3]
+         )) AS sh
+  FROM documents
+), inv AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id, a.n_sh, b.n_sh
+  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(n, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.n
+), comp AS (
+  SELECT n AS node, min(r) AS cluster_id FROM reach GROUP BY n
+), qual AS (
+  SELECT c.node, c.cluster_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+), best AS (
+  SELECT cluster_id, node AS canonical_id FROM (
+    SELECT cluster_id, node, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY n_chars DESC, node) AS rk
+    FROM qual
+  ) WHERE rk = 1
+), sz AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT q.node AS doc_id, q.cluster_id, b.canonical_id,
+       q.node = b.canonical_id AS is_canonical,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM comp q JOIN best b USING (cluster_id) JOIN sz s USING (cluster_id)
+"""
+
+
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase (operators/funnel.funnel):
     per user, the earliest strictly-(ts, event_id)-ordered completion —
@@ -6740,6 +6806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_events": q_asof_purchase_events,
     "resample_locf_events": q_resample_locf_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "neardup_clusters_documents": q_neardup_clusters_documents,
     "segment_dedup_documents": q_segment_dedup_documents,
     "tfidf_pairs_documents": q_tfidf_pairs_documents,
     "funnel_events": q_funnel_events,
@@ -6865,6 +6932,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "theil_sen_events": O_THEIL_SEN,
     "spearman_events": O_SPEARMAN,
     "morton_range_scan_embeddings": _o_morton_range_scan_sql(),
+    "neardup_clusters_documents": O_NEARDUP_CLUSTERS,
     "nms_boxes_images": _o_nms_boxes_sql(),
     "box_match_images": _o_box_match_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,

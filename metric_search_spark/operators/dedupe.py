@@ -664,3 +664,56 @@ def segment_dedup(
             ),
         )
     )
+
+
+__all__.append("neardup_canonicalize")
+
+
+def neardup_canonicalize(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """The END STEP of corpus near-dedup (what C4/RefinedWeb actually ship):
+    verified near-dup PAIRS become CLUSTERS (connected components over the
+    pair graph — transitive: A~B~C collapses even when A≁C directly), and
+    each cluster elects ONE canonical document to keep — highest
+    ``quality_col``, ties to the smallest id (the deterministic keep-longest
+    rule). Singleton documents are their own canonical cluster, so the
+    output is a total assignment: every input doc gets
+    (cluster_id, canonical_id, is_canonical, cluster_size) and the
+    training-set filter is ``WHERE is_canonical``.
+
+    Plan: operators/graph.connected_components (large-star/small-star,
+    O(log n) rounds) over the pairs + one max-struct aggregate per cluster
+    + one component-keyed join back — no step touches more than
+    |docs| + |pairs| rows, and the pair graph is the (already bucketed)
+    output of minhash/simhash/ngram-jaccard upstream. cluster_id is the
+    component's min doc id (the CC convention), so ids are stable under
+    any partitioning."""
+    from metric_search_spark.operators.graph import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = docs.select(F.col(id_col).alias("node"))
+    cc = connected_components(edges, nodes)
+    j = cc.join(
+        docs.select(
+            F.col(id_col).alias("node"), F.col(quality_col).alias("_q")
+        ),
+        "node",
+    )
+    best = j.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("_q"), (-F.col("node")).alias("_neg"), F.col("node"))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return j.join(best, "component").select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        F.col("m.node").alias("canonical_id"),
+        (F.col("node") == F.col("m.node")).alias("is_canonical"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )

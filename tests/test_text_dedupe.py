@@ -399,3 +399,28 @@ def test_segment_dedup_intra_doc_only_repeat_not_duplicate(spark):
     }
     assert got[0] == (2, 0)
     assert got[1] == (1, 0)
+
+
+def test_neardup_canonicalize_semantics(spark):
+    from metric_search_spark.operators.dedupe import neardup_canonicalize
+
+    docs = spark.createDataFrame(
+        [(i, q) for i, q in [(0, 10), (1, 30), (2, 30), (3, 5), (4, 99)]],
+        "doc_id long, n_chars long",
+    )
+    # chain 0-1, 1-2 (transitive cluster {0,1,2}); 3 pairs with nobody;
+    # 4 isolated — total assignment must cover all five docs
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in neardup_canonicalize(docs, pairs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    # cluster id is the component min; canonical is max quality then min id
+    # (1 and 2 tie at 30 -> 1 wins)
+    for d in (0, 1, 2):
+        assert out[d].cluster_id == 0 and out[d].canonical_id == 1
+        assert out[d].cluster_size == 3
+    assert out[1].is_canonical and not out[0].is_canonical
+    for d in (3, 4):
+        assert out[d].cluster_id == d and out[d].canonical_id == d
+        assert out[d].is_canonical and out[d].cluster_size == 1
