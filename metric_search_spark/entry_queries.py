@@ -4051,6 +4051,78 @@ FROM c GROUP BY image_id
 """
 
 
+_PYR_LEVELS = 3
+
+
+def q_pyramid_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview pyramid (functions/image.with_pyramid_sums): levels 0..3 of
+    the exact 2×2 integer box filter per image, each level reduced to dims
+    + exact per-channel int64 sums — raster overviews (COG-style) next to
+    the tile-rollup pyramid. Hand-off oracle: decoded integer pixels land
+    in a parquet and DuckDB REPLAYS the whole halving recurrence as a
+    recursive CTE over pixel lists (⌊(p00+p01+p10+p11)/4⌋ per cell per
+    level — iterative flooring can't be shortcut), then re-sums every
+    channel at every level."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_pyramid_sums
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("pyr", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_pyramid_sums(spark.createDataFrame(pdf), levels=_PYR_LEVELS)
+
+
+def _o_pyramid_sql() -> str:
+    path = _handoff_path("pyr", f"{_IPV_N}_{_IPV_SEED}")
+    # 0-based cell math over the 1-based interleaved-RGB pixel list:
+    # out j -> channel j%3, cell j//3 at (ox, oy) in the (w//2)-wide grid
+    pos = "(j // 3)"
+    ox = f"({pos} % (w // 2))"
+    oy = f"({pos} // (w // 2))"
+
+    def at(dy: str, dx: str) -> str:
+        return f"px[(({oy} * 2 + {dy}) * w + {ox} * 2 + {dx}) * 3 + j % 3 + 1]"
+
+    quad = f"({at('0','0')} + {at('0','1')} + {at('1','0')} + {at('1','1')}) // 4"
+    return f"""
+WITH RECURSIVE pyr AS (
+  SELECT image_id, 0 AS level, w, h, px FROM read_parquet('{path}')
+  UNION ALL
+  SELECT image_id, level + 1, w // 2, h // 2,
+         list_transform(range(0, (w // 2) * (h // 2) * 3), j -> {quad})
+  FROM pyr WHERE level < {_PYR_LEVELS} AND w >= 2 AND h >= 2
+)
+SELECT image_id, CAST(level AS INTEGER) AS level,
+       CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+       CAST(list_sum(list_transform(range(0, w * h), p -> px[3 * p + 1]))
+            AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range(0, w * h), p -> px[3 * p + 2]))
+            AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(0, w * h), p -> px[3 * p + 3]))
+            AS BIGINT) AS sum_b
+FROM pyr
+"""
+
+
 _AV_AUDIO_N, _AV_VIDEO_N, _AV_K, _AV_SEED = 256, 64, 4, 42
 
 
@@ -6791,6 +6863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
     "glcm_images": q_glcm_images,
+    "pyramid_images": q_pyramid_images,
     "channel_hist_images": q_channel_hist_images,
     "od_events": q_od_events,
     "sssp_grid8": q_sssp_grid8,
@@ -7034,6 +7107,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["tile_mosaic_images"] = _o_mosaic_sql()
     oracles["sobel_images"] = _o_sobel_sql()
     oracles["glcm_images"] = _o_glcm_sql()
+    oracles["pyramid_images"] = _o_pyramid_sql()
     oracles["channel_hist_images"] = _o_channel_hist_sql()
     oracles["audio_stats"] = _o_audio_sql()
     oracles["video_frame_sample"] = _o_vframes_sql()

@@ -338,3 +338,73 @@ def with_glcm_stats(df: DataFrame, levels: int = 8) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
+
+__all__.append("with_pyramid_sums")
+
+
+def with_pyramid_sums(df: DataFrame, levels: int = 3) -> DataFrame:
+    """Overview pyramid per image — the raster analogue of the tile-rollup
+    pyramid (and what COG/GeoTIFF overviews are): level L+1 halves level L
+    by the EXACT 2×2 integer box filter p' = (p00+p01+p10+p11) // 4,
+    cropping odd edges (the standard truncation convention). Iterative
+    flooring is the DEFINED semantic (⌊⌊·⌋/4⌋ ≠ ⌊·/4^L⌋ — a twin must
+    replay the recurrence, not shortcut it). Emits one row per (image,
+    level) with the level's dims and exact int64 per-channel sums —
+    the thumbnail/AB-test signal a curation pipeline reads without ever
+    shipping pixels. Levels stop early when a dimension would hit zero.
+    Arrow-batched mapInPandas; per level ONE numpy slice-sum per image."""
+    import pandas as pd
+
+    schema = (
+        "image_id string, level int, w int, h int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids: list[str] = []
+            lvls: list[int] = []
+            ws: list[int] = []
+            hs: list[int] = []
+            s0: list[int] = []
+            s1: list[int] = []
+            s2: list[int] = []
+            for payload, w, h, fmt, iid in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], pdf["image_id"]
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt)).astype(
+                    np.int64
+                )
+                for lvl in range(levels + 1):
+                    hh, ww = img.shape[:2]
+                    ids.append(iid)
+                    lvls.append(lvl)
+                    ws.append(ww)
+                    hs.append(hh)
+                    sums = img.sum(axis=(0, 1))
+                    s0.append(int(sums[0]))
+                    s1.append(int(sums[1]))
+                    s2.append(int(sums[2]))
+                    if lvl == levels or hh < 2 or ww < 2:
+                        break
+                    img = (
+                        img[0 : hh - hh % 2 : 2, 0 : ww - ww % 2 : 2]
+                        + img[1 : hh - hh % 2 : 2, 0 : ww - ww % 2 : 2]
+                        + img[0 : hh - hh % 2 : 2, 1 : ww - ww % 2 : 2]
+                        + img[1 : hh - hh % 2 : 2, 1 : ww - ww % 2 : 2]
+                    ) // 4
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "level": lvls,
+                    "w": ws,
+                    "h": hs,
+                    "sum_r": s0,
+                    "sum_g": s1,
+                    "sum_b": s2,
+                }
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=schema
+    )

@@ -53,3 +53,44 @@ def test_partitioning_invariance_and_mean_consistency():
     sums = with_channel_sums(df).collect()
     for r in sums:
         assert abs(r["sum_r"] / r["npx"] - stats[r["image_id"]]) < 1e-9
+
+
+def test_pyramid_golden_hand_computed():
+    from metric_search_spark.functions.image import with_pyramid_sums
+
+    spark = get_spark()
+    # 2x2 image, equal channels: level 1 is the single pixel
+    # ((10+20+30+40)//4) = 25 per channel
+    import numpy as np
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0], img[0, 1], img[1, 0], img[1, 1] = 10, 20, 30, 40
+    df = spark.createDataFrame(
+        [("i0", bytes(img.ravel()), 2, 2, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {r.level: r for r in with_pyramid_sums(df, levels=3).collect()}
+    # stops at level 1 (1x1 cannot halve again)
+    assert set(rows) == {0, 1}
+    assert (rows[0].w, rows[0].h, rows[0].sum_r) == (2, 2, 100)
+    assert (rows[1].w, rows[1].h) == (1, 1)
+    assert rows[1].sum_r == rows[1].sum_g == rows[1].sum_b == 25
+
+
+def test_pyramid_odd_dims_crop_and_floor():
+    from metric_search_spark.functions.image import with_pyramid_sums
+
+    spark = get_spark()
+    import numpy as np
+
+    # 3x3: level 1 crops to 1x1 over the top-left 2x2 block;
+    # values 1,2,4,8 -> (1+2+4+8)//4 = 3 (floor, not round)
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    img[0, 0], img[0, 1], img[1, 0], img[1, 1] = 1, 2, 4, 8
+    img[2, :], img[:, 2] = 255, 255
+    df = spark.createDataFrame(
+        [("i0", bytes(img.ravel()), 3, 3, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {r.level: r for r in with_pyramid_sums(df, levels=2).collect()}
+    assert (rows[1].w, rows[1].h, rows[1].sum_r) == (1, 1, 3)
