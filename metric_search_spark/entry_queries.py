@@ -1741,6 +1741,49 @@ FROM s WHERE n >= 3
 """
 
 
+def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per user (operators/regress.cusum_changepoint):
+    the split index maximizing the exact-integer criterion |n·S_t − t·S_n|
+    over micro-scaled values — WHERE the metric shifted, next to
+    mann_kendall (whether) and theil_sen (how fast). Engine does prefix
+    sums and the argmax inside the collected array; the DuckDB twin
+    rebuilds both with window functions and a ranked tie-break — identical
+    integers, no float anywhere."""
+    from metric_search_spark.operators.regress import cusum_changepoint
+
+    ev = _read(spark, sf_dir, "events")
+    return cusum_changepoint(ev, limit=_MK_LIMIT)
+
+
+O_CUSUM = f"""
+WITH base AS (
+  SELECT user_id, CAST(floor(value * 1000000) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS i
+  FROM events
+),
+ser AS (SELECT * FROM base WHERE i <= {_MK_LIMIT}),
+pre AS (
+  SELECT user_id, i, sum(v) OVER (PARTITION BY user_id ORDER BY i) AS s,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(v) OVER (PARTITION BY user_id) AS sn
+  FROM ser
+),
+cand AS (
+  SELECT user_id, n, i AS t, n * s - i * sn AS gap,
+         abs(n * s - i * sn) AS d
+  FROM pre WHERE i < n AND n >= 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY d DESC, t) AS rk
+  FROM cand
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS t_star,
+       CAST(d AS BIGINT) AS d_star, CAST(gap AS BIGINT) AS gap_signed
+FROM r WHERE rk = 1
+"""
+
+
 def q_linreg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS drift line (operators/regress.linreg): slope and
     intercept of value over days-since-2024-01-01. The five sufficient
@@ -6895,6 +6938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mann_kendall_events": q_mann_kendall_events,
     "theil_sen_events": q_theil_sen_events,
     "spearman_events": q_spearman_events,
+    "cusum_events": q_cusum_events,
     "nms_boxes_images": q_nms_boxes_images,
     "box_match_images": q_box_match_images,
     "bm25_documents": q_bm25_documents,
@@ -7004,6 +7048,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "mann_kendall_events": O_MANN_KENDALL,
     "theil_sen_events": O_THEIL_SEN,
     "spearman_events": O_SPEARMAN,
+    "cusum_events": O_CUSUM,
     "morton_range_scan_embeddings": _o_morton_range_scan_sql(),
     "neardup_clusters_documents": O_NEARDUP_CLUSTERS,
     "nms_boxes_images": _o_nms_boxes_sql(),

@@ -372,3 +372,101 @@ def spearman(
         num.cast("long").alias("num"),
         rho.alias("rho"),
     )
+
+
+__all__.append("cusum_changepoint")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    *,
+    group_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    limit: int = 24,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Single change-point detection per group by the CUSUM criterion: the
+    split index t maximizing |n·S_t − t·S_n| (S_t = prefix sum), i.e. the
+    point where the mean before/after differs most — the drift-localizer
+    that tells a pipeline WHEN a metric shifted (mann_kendall says whether,
+    theil_sen how fast, this one where).
+
+    Exactness: values integer-scale to ⌊v·scale⌋ first (the linreg move),
+    so prefix sums and the criterion D_t = |n·S_t − t·S_n| are EXACT int64
+    under any partitioning (|D| ≤ n²·scale·max|v|; n ≤ limit keeps it far
+    inside the envelope) and the argmax (max D, ties to the SMALLEST t) is
+    the same in any engine — no float appears anywhere until the optional
+    mean gap output. t ranges over 1..n−1 (a split needs both sides
+    non-empty); groups with n < 2 drop.
+
+    Plan: zero-join — one collect_list per group, prefix sums and the
+    argmax fold INSIDE the array with Column lambdas (aggregate over a
+    bounded array), one shuffle total. Returns
+    (group, n, t_star, d_star, gap_signed) where gap_signed is the exact
+    integer n·S_t − t·S_n at t_star (positive = the early segment's mean
+    is higher; divide by t·(n−t)·scale/n for the plain mean difference)."""
+    vals = F.slice(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+            ),
+            lambda s: F.floor(s[value_col] * scale).cast("long"),
+        ),
+        1,
+        limit,
+    )
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(vals.alias("v"))
+    n = F.size("v")
+    g = g.where(n >= 2)
+    # prefix sums S_1..S_n as an array fold (exact longs)
+    pref = F.aggregate(
+        F.col("v"),
+        F.array().cast("array<bigint>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) > 0, F.element_at(acc, F.size(acc))
+                ).otherwise(F.lit(0).cast("bigint"))
+                + x
+            ),
+        ),
+    )
+    g = g.select("grp", F.size("v").alias("n"), pref.alias("s"))
+    sn = F.element_at("s", F.col("n").cast("int"))
+    # argmax over t = 1..n-1 of |n*S_t - t*S_n|, ties to smallest t:
+    # max over structs (d, -t) then re-read the signed value at t*
+    cand = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        lambda t: F.struct(
+            F.abs(
+                F.col("n").cast("bigint") * F.element_at("s", t.cast("int"))
+                - t.cast("bigint") * sn
+            ).alias("d"),
+            (-t).cast("bigint").alias("negt"),
+            t.cast("bigint").alias("t"),
+        ),
+    )
+    best = F.array_max(cand)
+    signed = (
+        F.col("n").cast("bigint")
+        * F.element_at("s", F.col("t_star").cast("int"))
+        - F.col("t_star") * sn
+    )
+    return (
+        g.select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            best["t"].alias("t_star"),
+            best["d"].alias("d_star"),
+            "s",
+        )
+        .select(
+            group_col,
+            "n",
+            "t_star",
+            "d_star",
+            signed.alias("gap_signed"),
+        )
+    )

@@ -215,3 +215,25 @@ def test_spearman_hand_values():
     assert out[2].num == 72  # 4x the rank-scale numerator (both ranks doubled)
     assert out[3].rho is None
     assert out[0].n == 4
+
+
+def test_cusum_changepoint_hand_values():
+    from metric_search_spark.operators.regress import cusum_changepoint
+
+    spark = get_spark()
+    rows = []
+    # user 0: clean step 1,1,1,9,9,9 -> split at t=3; S3=3, S6=30 (scaled
+    # by 1e6): D = |6*3 - 3*30| * 1e6 = 72e6, gap negative (early lower)
+    for i, v in enumerate([1.0, 1.0, 1.0, 9.0, 9.0, 9.0]):
+        rows.append((0, i, v))
+    # user 1: constant -> all D = 0, tie broken to t = 1
+    for i in range(4):
+        rows.append((1, i, 5.0))
+    # user 2: n = 1 -> dropped
+    rows.append((2, 0, 3.0))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = {r.user_id: r for r in cusum_changepoint(df).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].t_star, out[0].d_star) == (3, 72_000_000)
+    assert out[0].gap_signed == -72_000_000
+    assert (out[1].t_star, out[1].d_star, out[1].gap_signed) == (1, 0, 0)
