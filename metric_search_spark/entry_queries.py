@@ -4094,6 +4094,86 @@ FROM c GROUP BY image_id
 """
 
 
+def q_otsu_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu adaptive threshold per image (functions/image.
+    with_otsu_threshold): the exact-integer floored-quotient objective over
+    the mean-gray histogram, argmax with smallest-t ties. Hand-off oracle:
+    DuckDB rebuilds the histogram from raw pixels, expands each cumulative
+    run into its threshold interval with lead()+range(), scores every t
+    with the same integer quotient and re-ranks — a fully relational replay
+    of the kernel's bincount/cumsum/argmax."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_otsu_threshold
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("otsu", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_otsu_threshold(spark.createDataFrame(pdf))
+
+
+def _o_otsu_sql() -> str:
+    path = _handoff_path("otsu", f"{_IPV_N}_{_IPV_SEED}")
+    return f"""
+WITH px AS (
+  SELECT image_id, w * h AS n,
+         unnest(list_transform(range(0, w * h),
+                i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3] AS BIGINT)
+                     // 3)) AS gv
+  FROM read_parquet('{path}')
+),
+hist AS (
+  SELECT image_id, n, gv, count(*) AS c, sum(gv) AS sv
+  FROM px GROUP BY 1, 2, 3
+),
+tot AS (SELECT image_id, sum(c * gv) AS s FROM hist GROUP BY 1),
+cum AS (
+  SELECT image_id, n, gv,
+         sum(c)  OVER (PARTITION BY image_id ORDER BY gv) AS cc,
+         sum(sv) OVER (PARTITION BY image_id ORDER BY gv) AS cs,
+         lead(gv, 1, 256) OVER (PARTITION BY image_id ORDER BY gv) AS nx
+  FROM hist
+),
+tt AS (
+  SELECT image_id, n, cc AS wb, cs AS sb,
+         unnest(range(gv + 1, least(nx + 1, 256))) AS t
+  FROM cum
+),
+scored AS (
+  SELECT tt.image_id, t, wb, n,
+         (sb * n - s * wb) * (sb * n - s * wb) // (wb * (n - wb)) AS score
+  FROM tt JOIN tot ON tot.image_id = tt.image_id
+  WHERE wb > 0 AND wb < n
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY image_id ORDER BY score DESC, t) AS rk
+  FROM scored
+)
+SELECT image_id, CAST(t AS BIGINT) AS t_star, CAST(score AS BIGINT) AS score_star,
+       CAST(wb AS BIGINT) AS w_b, CAST(n AS BIGINT) AS n_px
+FROM r WHERE rk = 1
+"""
+
+
 _PYR_LEVELS = 3
 
 
@@ -6907,6 +6987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sobel_images": q_sobel_images,
     "glcm_images": q_glcm_images,
     "pyramid_images": q_pyramid_images,
+    "otsu_images": q_otsu_images,
     "channel_hist_images": q_channel_hist_images,
     "od_events": q_od_events,
     "sssp_grid8": q_sssp_grid8,
@@ -7153,6 +7234,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["sobel_images"] = _o_sobel_sql()
     oracles["glcm_images"] = _o_glcm_sql()
     oracles["pyramid_images"] = _o_pyramid_sql()
+    oracles["otsu_images"] = _o_otsu_sql()
     oracles["channel_hist_images"] = _o_channel_hist_sql()
     oracles["audio_stats"] = _o_audio_sql()
     oracles["video_frame_sample"] = _o_vframes_sql()

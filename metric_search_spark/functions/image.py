@@ -408,3 +408,83 @@ def with_pyramid_sums(df: DataFrame, levels: int = 3) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         gen, schema=schema
     )
+
+__all__.append("with_otsu_threshold")
+
+
+def with_otsu_threshold(df: DataFrame) -> DataFrame:
+    """Otsu adaptive binarization threshold per image (Otsu 1979) — the
+    foreground/background split a document-scan or mask-generation
+    pipeline derives per image: over the mean-grayscale histogram
+    (g = (r+g+b)//3 ∈ 0..255), pick the threshold t (pixels < t are
+    "background") maximizing the between-class separation.
+
+    EXACT integer objective: with N pixels, total gray sum S, and
+    cumulative (w_t, s_t) below t, the between-class variance orders like
+    (s_t·N − S·w_t)² / (w_t·(N−w_t)); this operator DEFINES the score as
+    the floored integer quotient of exactly that fraction (numerator
+    ≤ (255·N)² < 2⁶³ for N ≤ 3·10⁵ pixels, so everything is int64), and
+    the argmax breaks ties to the smallest t — bit-reproducible in any
+    engine, no float anywhere. Images with constant grayscale have no
+    valid split and are dropped. One bincount + cumsum per image,
+    Arrow-batched. Returns (image_id, t_star, score_star, w_b, n_px)."""
+    import pandas as pd
+
+    schema = "image_id string, t_star long, score_star long, w_b long, n_px long"
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids: list[str] = []
+            ts: list[int] = []
+            sc: list[int] = []
+            wb: list[int] = []
+            npx: list[int] = []
+            for payload, w, h, fmt, iid in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], pdf["image_id"]
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                g = img.astype(np.int64).sum(axis=2).ravel() // 3
+                n = g.size
+                hist = np.bincount(g, minlength=256)
+                cc = np.cumsum(hist)[:255]          # w_t for t = 1..255
+                cs = np.cumsum(hist * np.arange(256))[:255]
+                s = int(cs[-1] + (hist[255] * 255))
+                valid = (cc > 0) & (cc < n)
+                if not valid.any():
+                    continue
+                if n <= 3400:
+                    num = cs * n - s * cc
+                    den = cc * (n - cc)
+                    score = np.where(
+                        valid, num * num // np.where(den > 0, den, 1), -1
+                    )
+                else:  # exact int128-equivalent path, 255 ops per image
+                    score = np.array(
+                        [
+                            (int(cs[t]) * n - s * int(cc[t])) ** 2
+                            // (int(cc[t]) * (n - int(cc[t])))
+                            if valid[t]
+                            else -1
+                            for t in range(255)
+                        ],
+                        dtype=object,
+                    )
+                i = int(np.argmax(score))           # first max = smallest t
+                ids.append(iid)
+                ts.append(i + 1)
+                sc.append(int(score[i]))
+                wb.append(int(cc[i]))
+                npx.append(int(n))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "t_star": ts,
+                    "score_star": sc,
+                    "w_b": wb,
+                    "n_px": npx,
+                }
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=schema
+    )

@@ -53,3 +53,38 @@ def test_glcm_rejects_bad_levels(spark):
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     with pytest.raises(ValueError):
         with_glcm_stats(_raw_df(spark, img), levels=7)
+
+
+def test_otsu_bimodal_and_constant(spark):
+    from metric_search_spark.functions.image import with_otsu_threshold
+
+    # bimodal: half the pixels gray 10, half gray 200 -> any t in (10, 200]
+    # scores identically (same split), tie-break picks t = 11
+    img = np.zeros((2, 4, 3), dtype=np.uint8)
+    img[:, :2] = 10
+    img[:, 2:] = 200
+    rows = with_otsu_threshold(_raw_df(spark, img)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.t_star == 11 and r.w_b == 4 and r.n_px == 8
+    # exact score: num = (sb*n - s*wb) = (40*8 - 840*4) = -3040;
+    # score = 3040^2 // (4*4) = 577600
+    assert r.score_star == 3040 * 3040 // 16
+
+    # constant image: no valid split -> dropped
+    flat = np.full((3, 3, 3), 77, dtype=np.uint8)
+    assert with_otsu_threshold(_raw_df(spark, flat, "i1")).count() == 0
+
+
+def test_otsu_large_image_exact_path(spark):
+    from metric_search_spark.functions.image import with_otsu_threshold
+
+    # 60x60 = 3600 px > 3400 forces the arbitrary-precision branch;
+    # same bimodal structure, same split semantics
+    img = np.zeros((60, 60, 3), dtype=np.uint8)
+    img[:, :30] = 10
+    img[:, 30:] = 200
+    r = with_otsu_threshold(_raw_df(spark, img)).collect()[0]
+    assert r.t_star == 11 and r.w_b == 1800 and r.n_px == 3600
+    n, s, wb, sb = 3600, 1800 * 10 + 1800 * 200, 1800, 1800 * 10
+    assert r.score_star == (sb * n - s * wb) ** 2 // (wb * (n - wb))
