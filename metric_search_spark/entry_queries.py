@@ -6703,6 +6703,57 @@ _SP_RADIUS = 25.0
 _SP_DWELL_US = 43_200_000_000  # 12 h in microseconds
 
 
+_FENCE = (4.0, 4.0, 9.0, 9.0)
+
+
+def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit stream (operators/trajectory.geofence_transitions)
+    over each user's 2-D event track (the staypoints convention: point_k =
+    (value_k, value_{k−1}), y_1 = 0.0): one row per crossing of the closed
+    fence [4,9]², 'enter'/'exit' by direction, seq numbering per user —
+    the telemetry primitive behind zone-dwell and alerting pipelines.
+    Exact by construction (four double comparisons + lag); the twin replays
+    it with SQL windows."""
+    from pyspark.sql import Window as W
+
+    from metric_search_spark.operators.trajectory import geofence_transitions
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("x"),
+        F.coalesce(F.lag("value").over(w), F.lit(0.0)).alias("y"),
+    )
+    x0, y0, x1, y1 = _FENCE
+    return geofence_transitions(pts, x0, y0, x1, y1)
+
+
+O_GEOFENCE = f"""
+WITH pts AS (
+  SELECT user_id, event_id, value AS x,
+         coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY event_id),
+                  0.0) AS y
+  FROM events
+),
+tr AS (
+  SELECT user_id, event_id,
+         (x >= {_FENCE[0]} AND x <= {_FENCE[2]}
+          AND y >= {_FENCE[1]} AND y <= {_FENCE[3]}) AS ins,
+         lag((x >= {_FENCE[0]} AND x <= {_FENCE[2]}
+              AND y >= {_FENCE[1]} AND y <= {_FENCE[3]}))
+           OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM pts
+)
+SELECT user_id, event_id,
+       CASE WHEN ins THEN 'enter' ELSE 'exit' END AS kind,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+            AS BIGINT) AS seq
+FROM tr WHERE prev IS NOT NULL AND ins <> prev
+"""
+
+
 def q_staypoints_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stay-point detection (Li et al., GIS 2008 greedy anchor scan) over
     each user's 2-D event trajectory — point k = (value_k, value_{k-1})
@@ -7020,6 +7071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen_events": q_theil_sen_events,
     "spearman_events": q_spearman_events,
     "cusum_events": q_cusum_events,
+    "geofence_events": q_geofence_events,
     "nms_boxes_images": q_nms_boxes_images,
     "box_match_images": q_box_match_images,
     "bm25_documents": q_bm25_documents,
@@ -7130,6 +7182,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "theil_sen_events": O_THEIL_SEN,
     "spearman_events": O_SPEARMAN,
     "cusum_events": O_CUSUM,
+    "geofence_events": O_GEOFENCE,
     "morton_range_scan_embeddings": _o_morton_range_scan_sql(),
     "neardup_clusters_documents": O_NEARDUP_CLUSTERS,
     "nms_boxes_images": _o_nms_boxes_sql(),

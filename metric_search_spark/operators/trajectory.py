@@ -153,3 +153,57 @@ def staypoints_one(
         else:
             i += 1
     return out
+
+
+__all__.append("geofence_transitions")
+
+
+def geofence_transitions(
+    df,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    *,
+    group_col: str = "user_id",
+    order_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Geofence enter/exit detection — the fleet/telemetry primitive: for
+    each group's (order_col)-ordered 2-D track, emit a row at every
+    CROSSING of the closed bbox fence [x0,x1]×[y0,y1]: 'enter' when the
+    point is inside and its predecessor was not, 'exit' for the reverse.
+    The first point of a track emits nothing (no predecessor — a track
+    that STARTS inside is not an "entry event", the standard geofencing
+    convention). Inside-ness is four double comparisons — exact in any
+    engine, no epsilon.
+
+    Plan: one window (lag over the group key) — a single shuffle by
+    group, no self-join; 10⁹ tracks is 10⁹ independent partitions.
+    Returns (group, order, kind, seq) where seq numbers the group's
+    transitions in track order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    inside = (
+        (F.col(x_col) >= x0)
+        & (F.col(x_col) <= x1)
+        & (F.col(y_col) >= y0)
+        & (F.col(y_col) <= y1)
+    )
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    t = (
+        df.select(group_col, order_col, inside.alias("_in"))
+        .withColumn("_prev", F.lag("_in").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("_in") != F.col("_prev")))
+    )
+    return t.select(
+        group_col,
+        order_col,
+        F.when(F.col("_in"), F.lit("enter")).otherwise(F.lit("exit")).alias("kind"),
+        F.row_number()
+        .over(Window.partitionBy(group_col).orderBy(order_col))
+        .cast("long")
+        .alias("seq"),
+    )

@@ -100,3 +100,31 @@ def test_catchments_matches_per_seed_dijkstra_argmin():
         expect[n] = best
     got = {r.node: (r.dist, r.seed) for r in catchments(e, seeds).collect()}
     assert got == expect
+
+
+def test_geofence_transitions_semantics():
+    from metric_search_spark.operators.trajectory import geofence_transitions
+
+    spark = get_spark()
+    # track: out, in, in, out, in  -> enter@2, exit@4, enter@5; a track
+    # STARTING inside (user 1) emits nothing until it leaves
+    rows = [
+        (0, 1, 0.0, 0.0), (0, 2, 5.0, 5.0), (0, 3, 6.0, 6.0),
+        (0, 4, 20.0, 5.0), (0, 5, 4.0, 9.0),
+        (1, 1, 5.0, 5.0), (1, 2, 5.0, 5.0), (1, 3, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, x double, y double")
+    out = geofence_transitions(df, 4.0, 4.0, 9.0, 9.0)
+    got = [(r.user_id, r.event_id, r.kind, r.seq) for r in
+           out.orderBy("user_id", "event_id").collect()]
+    assert got == [
+        (0, 2, "enter", 1), (0, 4, "exit", 2), (0, 5, "enter", 3),
+        (1, 3, "exit", 1),
+    ]
+    # boundary is closed: landing exactly on the corner is inside
+    df2 = spark.createDataFrame(
+        [(0, 1, 0.0, 0.0), (0, 2, 4.0, 9.0)],
+        "user_id long, event_id long, x double, y double",
+    )
+    r = geofence_transitions(df2, 4.0, 4.0, 9.0, 9.0).collect()
+    assert len(r) == 1 and r[0].kind == "enter"
