@@ -1707,6 +1707,45 @@ def q_spearman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman(ev, limit=_MK_LIMIT)
 
 
+def q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift per user (operators/regress.ks_two_sample):
+    'view' vs 'click' value distributions compared by the exact-integer
+    D·n_a·n_b = max|n_b·C_a − n_a·C_b| over the pooled distinct support —
+    the drift alarm a metrics pipeline runs per segment. The twin replays
+    the cumulative-count algebra with SQL windows on identical integers."""
+    from metric_search_spark.operators.regress import ks_two_sample
+
+    ev = _read(spark, sf_dir, "events")
+    return ks_two_sample(ev, "view", "click")
+
+
+O_KS_DRIFT = """
+WITH f AS (
+  SELECT user_id AS grp, value AS v,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+  FROM events WHERE event_type IN ('view', 'click')
+),
+per_v AS (
+  SELECT grp, v, sum(ia) AS ca, sum(1 - ia) AS cb FROM f GROUP BY grp, v
+),
+cum AS (
+  SELECT grp,
+         sum(ca) OVER (PARTITION BY grp ORDER BY v) AS Ca,
+         sum(cb) OVER (PARTITION BY grp ORDER BY v) AS Cb,
+         sum(ca) OVER (PARTITION BY grp) AS na,
+         sum(cb) OVER (PARTITION BY grp) AS nb
+  FROM per_v
+)
+SELECT grp AS user_id, CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(max(abs(nb * Ca - na * Cb)) AS BIGINT) AS d_int,
+       CAST(max(abs(nb * Ca - na * Cb)) * 1000000
+            // (max(na) * max(nb)) AS BIGINT) AS d_micro
+FROM cum WHERE na > 0 AND nb > 0
+GROUP BY grp
+"""
+
+
 O_SPEARMAN = f"""
 WITH base AS (
   SELECT user_id, value,
@@ -7072,6 +7111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_events": q_spearman_events,
     "cusum_events": q_cusum_events,
     "geofence_events": q_geofence_events,
+    "ks_drift_events": q_ks_drift_events,
     "nms_boxes_images": q_nms_boxes_images,
     "box_match_images": q_box_match_images,
     "bm25_documents": q_bm25_documents,
@@ -7183,6 +7223,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "spearman_events": O_SPEARMAN,
     "cusum_events": O_CUSUM,
     "geofence_events": O_GEOFENCE,
+    "ks_drift_events": O_KS_DRIFT,
     "morton_range_scan_embeddings": _o_morton_range_scan_sql(),
     "neardup_clusters_documents": O_NEARDUP_CLUSTERS,
     "nms_boxes_images": _o_nms_boxes_sql(),

@@ -470,3 +470,71 @@ def cusum_changepoint(
             signed.alias("gap_signed"),
         )
     )
+
+
+__all__.append("ks_two_sample")
+
+
+def ks_two_sample(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    *,
+    group_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance per group — the
+    distribution-drift detector (did 'click' values drift from 'view'
+    values for this user/segment?): D = max_v |F_a(v) − F_b(v)| over the
+    pooled support.
+
+    Exact-integer formulation (the CUSUM move): with sample sizes
+    (n_a, n_b) and cumulative counts (C_a, C_b) at each DISTINCT pooled
+    value, D·n_a·n_b = max |n_b·C_a − n_a·C_b| — an exact int64 under any
+    partitioning (counts only, values never summed), evaluated AFTER each
+    tie group so equal values in both samples cancel correctly. Groups
+    missing either sample drop.
+
+    Plan: groupBy (group, value, [type counts]) → one cumulative window
+    per group ordered by value → max aggregate; shuffle keys are (group)
+    — no self-join, no pooled sort wider than a group. Returns
+    (group, n_a, n_b, d_int, d_micro) with d_micro = ⌊d_int·10⁶/(n_a·n_b)⌋."""
+    f = df.where(F.col(type_col).isin([type_a, type_b])).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.when(F.col(type_col) == type_a, 1).otherwise(0).alias("ia"),
+    )
+    per_v = f.groupBy("grp", "v").agg(
+        F.sum("ia").alias("ca"),
+        F.sum(F.lit(1) - F.col("ia")).alias("cb"),
+    )
+    w = Window.partitionBy("grp").orderBy("v")
+    wt = Window.partitionBy("grp")
+    cum = per_v.select(
+        "grp",
+        F.sum("ca").over(w).alias("Ca"),
+        F.sum("cb").over(w).alias("Cb"),
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    agg = (
+        cum.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .groupBy("grp")
+        .agg(
+            F.max(
+                F.abs(F.col("nb") * F.col("Ca") - F.col("na") * F.col("Cb"))
+            ).alias("d_int"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("d_int").cast("long").alias("d_int"),
+        F.floor(F.col("d_int") * 1_000_000 / (F.col("na") * F.col("nb")))
+        .cast("long")
+        .alias("d_micro"),
+    )

@@ -237,3 +237,26 @@ def test_cusum_changepoint_hand_values():
     assert (out[0].t_star, out[0].d_star) == (3, 72_000_000)
     assert out[0].gap_signed == -72_000_000
     assert (out[1].t_star, out[1].d_star, out[1].gap_signed) == (1, 0, 0)
+
+
+def test_ks_two_sample_hand_values():
+    from metric_search_spark.operators.regress import ks_two_sample
+
+    spark = get_spark()
+    rows = [
+        # user 0: a=[1,2,3] vs b=[2.5,4] -> D = |F_a - F_b| max = 2/3 at v=2
+        (0, "view", 1.0), (0, "view", 2.0), (0, "view", 3.0),
+        (0, "click", 2.5), (0, "click", 4.0),
+        # user 1: identical samples -> D = 0 (ties cancel inside the group)
+        (1, "view", 5.0), (1, "click", 5.0),
+        # user 2: only views -> dropped
+        (2, "view", 1.0),
+        # other event types must be ignored
+        (0, "error", 999.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = {r.user_id: r for r in ks_two_sample(df, "view", "click").collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].n_a, out[0].n_b, out[0].d_int) == (3, 2, 4)
+    assert out[0].d_micro == 4 * 1_000_000 // 6
+    assert (out[1].d_int, out[1].d_micro) == (0, 0)
