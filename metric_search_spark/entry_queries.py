@@ -2760,6 +2760,42 @@ ORDER BY score_micro DESC, doc LIMIT 100
 """
 
 
+def q_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality filter (operators/rank.
+    unigram_surprisal): per-document tf-weighted −ln(f/T) in exact
+    micro-nats — the CCNet-style perplexity proxy next to the heuristic
+    quality score. The twin recomputes the corpus LM and every per-token
+    cost in SQL; both engines round each token's cost to integer
+    micro-nats BEFORE the order-free per-doc sum (the bm25 determinism
+    contract)."""
+    from metric_search_spark.operators.rank import unigram_surprisal
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+O_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id AS doc, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+tf AS (SELECT doc, tok, count(*) AS tf FROM toks GROUP BY doc, tok),
+freq AS (SELECT tok, sum(tf) AS f FROM tf GROUP BY tok),
+consts AS (SELECT count(*) AS t FROM toks),
+per_tok AS (
+  SELECT tf.doc, tf.tf,
+         CAST(round(-ln(CAST(f AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS smicro
+  FROM tf JOIN freq USING (tok), consts
+)
+SELECT doc AS doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+       CAST(sum(tf * smicro) AS BIGINT) AS surprisal_micro,
+       CAST(sum(tf * smicro) // sum(tf) AS BIGINT) AS avg_micro
+FROM per_tok GROUP BY doc
+"""
+
+
 def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.sample_weighted — Efraimidis–Spirakis A-ES):
@@ -7115,6 +7151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nms_boxes_images": q_nms_boxes_images,
     "box_match_images": q_box_match_images,
     "bm25_documents": q_bm25_documents,
+    "surprisal_documents": q_surprisal_documents,
     "acf_events": q_acf_events,
     "contamination_documents": q_contamination_documents,
     "rolling_events": q_rolling_events,
@@ -7224,6 +7261,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "cusum_events": O_CUSUM,
     "geofence_events": O_GEOFENCE,
     "ks_drift_events": O_KS_DRIFT,
+    "surprisal_documents": O_SURPRISAL,
     "morton_range_scan_embeddings": _o_morton_range_scan_sql(),
     "neardup_clusters_documents": O_NEARDUP_CLUSTERS,
     "nms_boxes_images": _o_nms_boxes_sql(),

@@ -93,3 +93,59 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         F.col("doc").alias(id_col), "score_micro", "rank"
     )
+
+
+__all__.append("unigram_surprisal")
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM surprisal per document — the perplexity-style quality
+    filter of CCNet-family pipelines (docs whose tokens are improbable
+    under the corpus unigram distribution are boilerplate/garble; docs of
+    all-stopwords are trivially probable): with corpus token count T and
+    per-token frequency f(t), each token costs −ln(f(t)/T) nats, a
+    document scores the tf-weighted sum, and the filter reads the
+    per-token average.
+
+    Determinism: the bm25 contract — f(t) and T are exact integers, so
+    −ln(f/T) is one correctly-rounded IEEE op on identical inputs in any
+    engine; each token's cost rounds to integer MICRO-NATS before the
+    per-document reduction, which is then an order-free exact int64 sum;
+    the average is exact floor division. No float ever crosses an
+    aggregation boundary.
+
+    Scale shape: ONE tokenize scan → (doc, tok) counts; the corpus LM is a
+    re-aggregation of those counts (vocab-sized, tok-keyed); one tok-keyed
+    equi-join back (broadcastable when the vocab fits) and one doc-keyed
+    sum. Returns (doc_id, dl, surprisal_micro, avg_micro), docs with no
+    tokens drop."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("tok").agg(F.sum("tf").alias("f"))
+    n_toks = toks.count()
+    smicro = F.round(
+        -F.log(F.col("f").cast("double") / F.lit(float(n_toks))) * 1e6
+    ).cast("long")
+    per_tok = tf.join(freq, "tok").select(
+        "doc", "tf", smicro.alias("smicro")
+    )
+    agg = per_tok.groupBy("doc").agg(
+        F.sum("tf").alias("dl"),
+        F.sum(F.col("tf") * F.col("smicro")).alias("surprisal_micro"),
+    )
+    return agg.select(
+        F.col("doc").alias(id_col),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("surprisal_micro").cast("long").alias("surprisal_micro"),
+        F.floor(F.col("surprisal_micro") / F.col("dl"))
+        .cast("long")
+        .alias("avg_micro"),
+    )

@@ -78,3 +78,20 @@ def test_partitioning_invariance_and_plan():
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
     plan = out1._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_surprisal_hand_corpus():
+    import math
+
+    from metric_search_spark.operators.rank import unigram_surprisal
+
+    spark = get_spark()
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+    # corpus: T=4, f(a)=f(b)=2 -> every token costs round(ln(2)*1e6)
+    s = round(math.log(2) * 1e6)
+    assert set(out) == {0, 1}  # empty doc drops
+    assert (out[0].dl, out[0].surprisal_micro, out[0].avg_micro) == (3, 3 * s, s)
+    assert (out[1].dl, out[1].surprisal_micro) == (1, s)
