@@ -4249,6 +4249,67 @@ FROM r WHERE rk = 1
 """
 
 
+_PATCH = 8
+
+
+def q_patch_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchify (functions/image.with_patch_sums): 8×8
+    non-overlapping patches per image, one row per patch with grid coords
+    + exact per-channel int64 sums — the image-tokenizer step of a
+    multimodal pipeline. Hand-off oracle: DuckDB re-derives every patch
+    membership from raw pixel indices (i → (y, x) → (y//8, x//8)) and
+    re-sums channels relationally — different formulation (per-pixel
+    GROUP BY vs the kernel's reshape), same exact integers."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_patch_sums
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("patch", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_patch_sums(spark.createDataFrame(pdf), patch=_PATCH)
+
+
+def _o_patch_sql() -> str:
+    path = _handoff_path("patch", f"{_IPV_N}_{_IPV_SEED}")
+    p = _PATCH
+    return f"""
+WITH px AS (
+  SELECT image_id, w, h, px, unnest(range(0, w * h)) AS i
+  FROM read_parquet('{path}')
+),
+cells AS (
+  SELECT image_id,
+         (i // w) // {p} AS py, (i % w) // {p} AS px_g,
+         CAST(px[3*i + 1] AS BIGINT) AS r, CAST(px[3*i + 2] AS BIGINT) AS g,
+         CAST(px[3*i + 3] AS BIGINT) AS b
+  FROM px
+  WHERE (i // w) < (h // {p}) * {p} AND (i % w) < (w // {p}) * {p}
+)
+SELECT image_id, CAST(py AS INTEGER) AS py, CAST(px_g AS INTEGER) AS px,
+       sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
+FROM cells GROUP BY 1, 2, 3
+"""
+
+
 _PYR_LEVELS = 3
 
 
@@ -7114,6 +7175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "glcm_images": q_glcm_images,
     "pyramid_images": q_pyramid_images,
     "otsu_images": q_otsu_images,
+    "patch_images": q_patch_images,
     "channel_hist_images": q_channel_hist_images,
     "od_events": q_od_events,
     "sssp_grid8": q_sssp_grid8,
@@ -7367,6 +7429,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["glcm_images"] = _o_glcm_sql()
     oracles["pyramid_images"] = _o_pyramid_sql()
     oracles["otsu_images"] = _o_otsu_sql()
+    oracles["patch_images"] = _o_patch_sql()
     oracles["channel_hist_images"] = _o_channel_hist_sql()
     oracles["audio_stats"] = _o_audio_sql()
     oracles["video_frame_sample"] = _o_vframes_sql()

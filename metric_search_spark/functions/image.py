@@ -488,3 +488,67 @@ def with_otsu_threshold(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         gen, schema=schema
     )
+
+__all__.append("with_patch_sums")
+
+
+def with_patch_sums(df: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patchify: cut each image into non-overlapping
+    ``patch``×``patch`` tiles (row-major grid, odd edges cropped — the
+    standard ViT convention) and emit one row per patch with its grid
+    coordinates and exact int64 per-channel sums — the "image tokenizer"
+    a multimodal training pipeline runs before embedding; the sums are
+    the exact linear-patch-projection input statistic. Images smaller
+    than one patch emit nothing. Arrow-batched mapInPandas; per image the
+    reduction is ONE reshape+sum, never per-pixel Python. Returns
+    (image_id, py, px, sum_r, sum_g, sum_b)."""
+    import pandas as pd
+
+    if patch < 1:
+        raise ValueError(f"patch {patch} must be >= 1")
+    schema = (
+        "image_id string, py int, px int, sum_r long, sum_g long, sum_b long"
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids: list[str] = []
+            pys: list[int] = []
+            pxs: list[int] = []
+            s0: list[int] = []
+            s1: list[int] = []
+            s2: list[int] = []
+            for payload, w, h, fmt, iid in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], pdf["image_id"]
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                gh, gw = int(h) // patch, int(w) // patch
+                if gh == 0 or gw == 0:
+                    continue
+                crop = img[: gh * patch, : gw * patch].astype(np.int64)
+                # (gh, patch, gw, patch, 3) -> per-patch channel sums
+                sums = crop.reshape(gh, patch, gw, patch, 3).sum(axis=(1, 3))
+                n = gh * gw
+                ids.extend([iid] * n)
+                yy, xx = np.meshgrid(
+                    np.arange(gh), np.arange(gw), indexing="ij"
+                )
+                pys.extend(yy.ravel().tolist())
+                pxs.extend(xx.ravel().tolist())
+                s0.extend(sums[:, :, 0].ravel().tolist())
+                s1.extend(sums[:, :, 1].ravel().tolist())
+                s2.extend(sums[:, :, 2].ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "py": pys,
+                    "px": pxs,
+                    "sum_r": s0,
+                    "sum_g": s1,
+                    "sum_b": s2,
+                }
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=schema
+    )

@@ -94,3 +94,35 @@ def test_pyramid_odd_dims_crop_and_floor():
     )
     rows = {r.level: r for r in with_pyramid_sums(df, levels=2).collect()}
     assert (rows[1].w, rows[1].h, rows[1].sum_r) == (1, 1, 3)
+
+
+def test_patch_sums_golden_and_crop():
+    from metric_search_spark.functions.image import with_patch_sums
+
+    spark = get_spark()
+    import numpy as np
+
+    # 5x9 image with patch=4: grid 1x2, right column (x=8) and bottom row
+    # (y=4) cropped; all channels = x so patch sums are analytic
+    h, w = 5, 9
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for x in range(w):
+        img[:, x] = x
+    df = spark.createDataFrame(
+        [("i0", bytes(img.ravel()), w, h, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {(r.py, r.px): r for r in with_patch_sums(df, patch=4).collect()}
+    assert set(rows) == {(0, 0), (0, 1)}
+    # patch (0,0): x in 0..3 over 4 rows -> sum = 4*(0+1+2+3) = 24
+    # patch (0,1): x in 4..7 over 4 rows -> sum = 4*(4+5+6+7) = 88
+    assert rows[(0, 0)].sum_r == 24 and rows[(0, 1)].sum_r == 88
+    assert rows[(0, 0)].sum_g == 24  # channels identical
+
+    # image smaller than one patch emits nothing
+    tiny = np.zeros((3, 3, 3), dtype=np.uint8)
+    df2 = spark.createDataFrame(
+        [("i1", bytes(tiny.ravel()), 3, 3, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    assert with_patch_sums(df2, patch=4).count() == 0
