@@ -2760,6 +2760,50 @@ ORDER BY score_micro DESC, doc LIMIT 100
 """
 
 
+_PACK_BUDGET, _PACK_SHARDS = 2048, 64
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_sequences): greedy
+    first-fit-in-order fill of documents (by n_chars) into 2048-char
+    context bins within 64 deterministic hash shards — the GPT-style
+    packing step that turns a filtered corpus into training rows. Engine
+    packs with a zero-join array fold per shard; the DuckDB twin replays
+    the greedy walk as a recursive CTE stepping one ranked document at a
+    time — identical (bin, fill) integers or the hash goes red."""
+    from metric_search_spark.operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, _PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+O_PACK = f"""
+WITH RECURSIVE r AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(n_chars AS BIGINT) AS len,
+         row_number() OVER (
+           PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id) AS rk
+  FROM documents
+),
+walk AS (
+  SELECT shard, rk, doc_id, len, CAST(1 AS BIGINT) AS bin, len AS fill
+  FROM r WHERE rk = 1
+  UNION ALL
+  SELECT r.shard, r.rk, r.doc_id, r.len,
+         CASE WHEN w.fill + r.len <= {_PACK_BUDGET}
+              THEN w.bin ELSE w.bin + 1 END,
+         CASE WHEN w.fill + r.len <= {_PACK_BUDGET}
+              THEN w.fill + r.len ELSE r.len END
+  FROM walk w JOIN r ON r.shard = w.shard AND r.rk = w.rk + 1
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin AS bin_local,
+       fill AS fill_after
+FROM walk
+"""
+
+
 def q_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM surprisal quality filter (operators/rank.
     unigram_surprisal): per-document tf-weighted −ln(f/T) in exact
@@ -7214,6 +7258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "box_match_images": q_box_match_images,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
+    "pack_documents": q_pack_documents,
     "acf_events": q_acf_events,
     "contamination_documents": q_contamination_documents,
     "rolling_events": q_rolling_events,
@@ -7324,6 +7369,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "geofence_events": O_GEOFENCE,
     "ks_drift_events": O_KS_DRIFT,
     "surprisal_documents": O_SURPRISAL,
+    "pack_documents": O_PACK,
     "morton_range_scan_embeddings": _o_morton_range_scan_sql(),
     "neardup_clusters_documents": O_NEARDUP_CLUSTERS,
     "nms_boxes_images": _o_nms_boxes_sql(),
