@@ -7179,6 +7179,64 @@ SELECT image_id, pred_id, gt_id, iou_micro, pred_score FROM (
 """
 
 
+_RASTER_CELL = 16
+
+
+def q_box_raster_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box→tile rasterization (operators/boxes.box_raster): burn every
+    image's bounding boxes onto its 16×16-px tile lattice — per occupied
+    tile the covering-box count and the exact covered-pixel mass, with a
+    Morton tile key. The label-side twin of the polygon polyfill: object-
+    density rasters for crop planning / hard-example mining without
+    decoding a pixel. The DuckDB twin regenerates the boxes from the
+    shared MINSTD streams, lateral-unnests the covered cell ranges, and
+    recomputes both aggregates and the bit-sum Morton key independently."""
+    from metric_search_spark.operators.boxes import box_raster, synth_boxes
+
+    b = synth_boxes(spark, _BOX_N_IMG, _BOX_B, seed=_BOX_SEED)
+    return box_raster(b, cell=_RASTER_CELL)
+
+
+def _o_box_raster_sql() -> str:
+    from metric_search_spark.operators.boxes import synth_boxes_sql
+
+    boxes = synth_boxes_sql(_BOX_N_IMG, _BOX_B, seed=_BOX_SEED)
+    c = _RASTER_CELL
+    morton = " + ".join(
+        f"(((cell_x >> {b}) & 1) << {2 * b})"
+        f" + (((cell_y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    )
+    return f"""
+WITH boxes AS ({boxes}),
+xcells AS (
+  SELECT image_id, x0, y0, x1, y1,
+         unnest(range(x0 // {c}, (x1 - 1) // {c} + 1)) AS cell_x
+  FROM boxes
+),
+cells AS (
+  SELECT image_id, x0, y0, x1, y1, cell_x,
+         unnest(range(y0 // {c}, (y1 - 1) // {c} + 1)) AS cell_y
+  FROM xcells
+),
+agg AS (
+  SELECT image_id, cell_x, cell_y,
+         COUNT(*) AS n_boxes,
+         CAST(SUM(
+           (least(x1, (cell_x + 1) * {c}) - greatest(x0, cell_x * {c}))
+           * (least(y1, (cell_y + 1) * {c}) - greatest(y0, cell_y * {c}))
+         ) AS BIGINT) AS covered_px
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT image_id,
+       CAST({morton} AS BIGINT) AS tile,
+       CAST(cell_x AS BIGINT) AS cell_x,
+       CAST(cell_y AS BIGINT) AS cell_y,
+       n_boxes, covered_px
+FROM agg
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7256,6 +7314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift_events": q_ks_drift_events,
     "nms_boxes_images": q_nms_boxes_images,
     "box_match_images": q_box_match_images,
+    "box_raster_images": q_box_raster_images,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
     "pack_documents": q_pack_documents,
@@ -7374,6 +7433,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "neardup_clusters_documents": O_NEARDUP_CLUSTERS,
     "nms_boxes_images": _o_nms_boxes_sql(),
     "box_match_images": _o_box_match_sql(),
+    "box_raster_images": _o_box_raster_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from metric_search_spark.operators.sampling import hash_col, sample_hash_sql
 
-__all__ = ["synth_boxes", "synth_boxes_sql", "nms", "box_iou_match"]
+__all__ = [
+    "synth_boxes",
+    "synth_boxes_sql",
+    "nms",
+    "box_iou_match",
+    "box_raster",
+]
 
 # fixture geometry: 128×128 canvas; seed boxes 8..39 px a side anchored in
 # [0, 96)²; the second half of each image's boxes are ±jitter clones of the
@@ -331,4 +337,107 @@ def box_iou_match(
         "gt_id",
         F.col("m.iou_micro").alias("iou_micro"),
         F.col("m.pred_score").alias("pred_score"),
+    )
+
+
+def _morton8(cx: Column, cy: Column) -> Column:
+    """Interleave the low 8 bits of (cx, cy) into a Morton key — pure
+    Column fold over the bit positions, so the same arithmetic is
+    re-expressible verbatim in ANSI SQL (see box_raster's oracle)."""
+    expr: Column = F.lit(0).cast("long")
+    for b in range(8):
+        expr = (
+            expr
+            + F.shiftleft(
+                F.shiftright(cx, b).bitwiseAND(F.lit(1)), 2 * b
+            ).cast("long")
+            + F.shiftleft(
+                F.shiftright(cy, b).bitwiseAND(F.lit(1)), 2 * b + 1
+            ).cast("long")
+        )
+    return expr
+
+
+def box_raster(
+    boxes: DataFrame,
+    *,
+    cell: int = 16,
+    group_col: str = "image_id",
+) -> DataFrame:
+    """Box→tile rasterization: burn each image's bounding boxes onto the
+    image's tile lattice (cell×cell pixel tiles), producing per occupied
+    tile the number of boxes covering it and the EXACT total covered-pixel
+    mass (sum over boxes of the box∩tile overlap area). This is the label-
+    side twin of the polygon polyfill (operators/pip.polygon_tiles): a
+    detection-corpus pipeline uses it to build per-tile object-density
+    rasters (crop/mosaic planning, hard-example mining, label heatmaps)
+    without decoding a single pixel.
+
+    Scale shape: boxes are integer half-open rectangles, so the covered
+    tile range per axis is [x0 // cell, (x1-1) // cell] — a bounded
+    sequence-explode (≤ (canvas/cell)² cells/box, a constant), then ONE
+    shuffle keyed by (image_id, tile) for the aggregate. No Python, no
+    joins; the per-box fan-out is data-independent so there is no skew
+    beyond the image-id distribution itself. covered_px can exceed the
+    tile area when boxes overlap — it is a mass, not a coverage fraction;
+    the exact integer makes the cross-engine hash bit-stable.
+
+    Returns (image_id, tile, cell_x, cell_y, n_boxes, covered_px) with
+    tile the 8-bit-per-axis Morton interleave of (cell_x, cell_y)."""
+    c = F.lit(cell)
+    b = boxes.select(
+        group_col,
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        F.floor(F.col("x0") / c).cast("int").alias("cx0"),
+        F.floor((F.col("x1") - 1) / c).cast("int").alias("cx1"),
+        F.floor(F.col("y0") / c).cast("int").alias("cy0"),
+        F.floor((F.col("y1") - 1) / c).cast("int").alias("cy1"),
+    )
+    e = b.select(
+        group_col,
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        F.explode(F.sequence("cx0", "cx1")).alias("cell_x"),
+        "cy0",
+        "cy1",
+    ).select(
+        group_col,
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        "cell_x",
+        F.explode(F.sequence("cy0", "cy1")).alias("cell_y"),
+    )
+    ov_w = F.least(F.col("x1"), (F.col("cell_x") + 1) * c) - F.greatest(
+        F.col("x0"), F.col("cell_x") * c
+    )
+    ov_h = F.least(F.col("y1"), (F.col("cell_y") + 1) * c) - F.greatest(
+        F.col("y0"), F.col("cell_y") * c
+    )
+    out = (
+        e.select(
+            group_col,
+            "cell_x",
+            "cell_y",
+            (ov_w * ov_h).cast("long").alias("ov"),
+        )
+        .groupBy(group_col, "cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_boxes"),
+            F.sum("ov").alias("covered_px"),
+        )
+    )
+    return out.select(
+        group_col,
+        _morton8(F.col("cell_x"), F.col("cell_y")).alias("tile"),
+        F.col("cell_x").cast("long").alias("cell_x"),
+        F.col("cell_y").cast("long").alias("cell_y"),
+        "n_boxes",
+        "covered_px",
     )

@@ -119,3 +119,59 @@ def test_nms_plan_single_exchange(spark):
     # fold: any second exchange means a join or window crept in
     b = synth_boxes(spark, 20, 6, seed=1)
     assert count_exchanges(nms(b, iou_pct=45)) == 1
+
+
+def test_box_raster_hand_computed(spark):
+    from metric_search_spark.operators.boxes import box_raster
+
+    # one image, two boxes on a 16-px lattice:
+    #   A = [4,4)..[20,12): spans cells (0,0) and (1,0)
+    #   B = [12,0)..[36,20): spans cells (0..2) × (0..1)
+    rows = [(7, 0, 4, 4, 20, 12, 99), (7, 1, 12, 0, 36, 20, 50)]
+    df = spark.createDataFrame(
+        rows, "image_id long, box_id long, x0 long, y0 long, x1 long, y1 long, score long"
+    )
+    got = {
+        (r.cell_x, r.cell_y): (r.n_boxes, r.covered_px, r.tile)
+        for r in box_raster(df, cell=16).collect()
+    }
+    # cell (0,0): A gives (16-4)*(12-4)=96; B gives (16-12)*(16-0)=64
+    assert got[(0, 0)] == (2, 160, 0)
+    # cell (1,0): A gives (20-16)*8=32; B gives 16*16=256 → 288; morton(1,0)=1
+    assert got[(1, 0)] == (2, 288, 1)
+    # cell (2,0): B only, (36-32)*16=64; morton(2,0)=4
+    assert got[(2, 0)] == (1, 64, 4)
+    # cell (0,1): B only, (16-12)*(20-16)=16; morton(0,1)=2
+    assert got[(0, 1)] == (1, 16, 2)
+    # cell (1,1): B only, 16*4=64; morton(1,1)=3
+    assert got[(1, 1)] == (1, 64, 3)
+    # cell (2,1): B only, 4*4=16; morton(2,1)=6
+    assert got[(2, 1)] == (1, 16, 6)
+    assert len(got) == 6
+
+
+def test_box_raster_plan_single_exchange(spark):
+    from metric_search_spark.operators.boxes import box_raster
+
+    # explode is pipeline-local; the only shuffle is the (image_id, cell)
+    # aggregate — a second exchange means a join or window crept in
+    b = synth_boxes(spark, 20, 6, seed=1)
+    assert count_exchanges(box_raster(b, cell=16)) == 1
+
+
+def test_box_raster_mass_conservation(spark):
+    from metric_search_spark.operators.boxes import box_raster
+
+    # summing covered_px over all cells of an image must equal the sum of
+    # its box areas exactly (the raster partitions each box)
+    b = synth_boxes(spark, 30, 8, seed=3)
+    area = b.groupBy("image_id").agg(
+        F.sum((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))).alias("a")
+    )
+    mass = (
+        box_raster(b, cell=16)
+        .groupBy("image_id")
+        .agg(F.sum("covered_px").alias("m"))
+    )
+    bad = area.join(mass, "image_id").where(F.col("a") != F.col("m")).count()
+    assert bad == 0
