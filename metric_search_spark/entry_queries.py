@@ -7179,6 +7179,40 @@ SELECT image_id, pred_id, gt_id, iou_micro, pred_score FROM (
 """
 
 
+_GEO_N, _GEO_R_M, _GEO_SEED = 4000, 500.0, 7
+
+
+def q_haversine_pairs_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic geodesy (operators/geo.haversine_radius_join): all
+    place pairs within 500 m great-circle distance over a 4,000-point
+    hotspot fixture in integer microdegrees. Trig is PINNED to fixed
+    Taylor/Horner polynomials evaluated with only IEEE ops from ONE shared
+    expression string, so Spark and DuckDB produce bit-identical doubles —
+    the exported hav_e18/dist_mm BIGINTs hash-match across engines. The
+    engine plans a 3×5 µdeg-grid window join (one bounded-fan-out shuffle,
+    window guarantee proven for |lat| ≤ 60°); the DuckDB twin brute-forces
+    all 16M pairs with the same pinned predicate — fully independent of
+    the grid."""
+    from metric_search_spark.operators.geo import (
+        haversine_radius_join,
+        synth_places,
+    )
+
+    p = synth_places(spark, _GEO_N, seed=_GEO_SEED)
+    return haversine_radius_join(p, _GEO_R_M)
+
+
+def _o_haversine_pairs_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        haversine_pairs_sql,
+        synth_places_sql,
+    )
+
+    return haversine_pairs_sql(
+        synth_places_sql(_GEO_N, seed=_GEO_SEED), _GEO_R_M
+    )
+
+
 _RASTER_CELL = 16
 
 
@@ -7315,6 +7349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nms_boxes_images": q_nms_boxes_images,
     "box_match_images": q_box_match_images,
     "box_raster_images": q_box_raster_images,
+    "haversine_pairs_places": q_haversine_pairs_places,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
     "pack_documents": q_pack_documents,
@@ -7434,6 +7469,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "nms_boxes_images": _o_nms_boxes_sql(),
     "box_match_images": _o_box_match_sql(),
     "box_raster_images": _o_box_raster_sql(),
+    "haversine_pairs_places": _o_haversine_pairs_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

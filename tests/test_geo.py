@@ -1,0 +1,141 @@
+"""Deterministic geodesy pins: the pinned-polynomial trig matches libm to
+stated tolerance, the 3x5 grid-window join finds exactly the brute-force
+pair set, the >60-degree latitude guard trips, and the plan carries one
+bounded-fan-out join (no cartesian)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metric_search_spark.operators.geo import (
+    EARTH_R_M,
+    hav_sql,
+    hav_threshold,
+    haversine_radius_join,
+    sin_poly_sql,
+    synth_places,
+)
+from tests.sparkutil import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def test_sin_poly_matches_libm(spark):
+    """Pinned sine within 5e-10 of libm for |x| <= 1.05 rad (the range any
+    |lat| <= 60 degree coordinate can reach)."""
+    xs = [i / 100.0 for i in range(-105, 106)]
+    rows = spark.createDataFrame([(x,) for x in xs], "x double").select(
+        "x", F.expr(sin_poly_sql("x")).alias("s")
+    ).collect()
+    for r in rows:
+        assert abs(r.s - math.sin(r.x)) < 5e-10, r.x
+
+
+def test_hav_matches_libm_haversine(spark):
+    """Pinned haversine vs a libm recomputation on real coordinate pairs:
+    agreement to 1e-9 relative (the polynomials' stated envelope)."""
+    pairs = [
+        (48_856_600, 2_352_200, 48_860_000, 2_337_000),   # Paris ~1.2 km
+        (40_712_800, -74_006_000, 40_748_400, -73_985_700),  # NYC ~4.3 km
+        (-33_868_800, 151_209_300, -33_865_100, 151_209_900),  # Sydney
+        (59_437_000, 24_753_600, 59_437_000, 24_753_600),  # identical
+    ]
+    df = spark.createDataFrame(
+        pairs, "alat long, alon long, blat long, blon long"
+    ).select(F.expr(hav_sql("alat", "alon", "blat", "blon")).alias("h"))
+    got = [r.h for r in df.collect()]
+    for (alat, alon, blat, blon), h in zip(pairs, got):
+        c = math.pi / 180.0 / 1e6
+        want = (
+            math.sin((blat - alat) * c / 2) ** 2
+            + math.cos(alat * c)
+            * math.cos(blat * c)
+            * math.sin((blon - alon) * c / 2) ** 2
+        )
+        assert abs(h - want) <= 1e-9 * max(want, 1e-12), (h, want)
+
+
+def test_grid_join_equals_brute_force(spark):
+    """The 3x5-window grid join returns EXACTLY the brute-force pair set
+    (same predicate, all n^2 pairs) on a 600-point hotspot fixture."""
+    p = synth_places(spark, 600, seed=3).cache()
+    r = 500.0
+    got = {
+        (x.a_id, x.b_id, x.hav_e18, x.dist_mm)
+        for x in haversine_radius_join(p, r).collect()
+    }
+    a = p.select(
+        F.col("place_id").alias("a_id"),
+        F.col("lat_udeg").alias("alat"),
+        F.col("lon_udeg").alias("alon"),
+    )
+    b = p.select(
+        F.col("place_id").alias("b_id"),
+        F.col("lat_udeg").alias("blat"),
+        F.col("lon_udeg").alias("blon"),
+    )
+    hav = hav_sql("alat", "alon", "blat", "blon")
+    brute = (
+        a.crossJoin(b)
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & F.expr(f"({hav}) < CAST('{hav_threshold(r)!r}' AS DOUBLE)")
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(
+                f"CAST(FLOOR(({hav}) * CAST('1e+18' AS DOUBLE)) AS BIGINT)"
+            ).alias("hav_e18"),
+        )
+        .collect()
+    )
+    p.unpersist()
+    assert len(got) > 50  # the fixture is dense enough to be a real test
+    assert {(x.a_id, x.b_id) for x in brute} == {(g[0], g[1]) for g in got}
+    want_h = {(x.a_id, x.b_id): x.hav_e18 for x in brute}
+    for a_id, b_id, hav_e18, _ in got:
+        assert want_h[(a_id, b_id)] == hav_e18
+
+
+def test_polar_latitude_guard(spark):
+    """|lat| > 60 degrees breaks the fixed 3x5 window guarantee; the
+    operator must raise, not silently drop pairs."""
+    bad = spark.createDataFrame(
+        [(0, 75_000_000, 0), (1, 75_000_100, 100)],
+        "place_id long, lat_udeg long, lon_udeg long",
+    )
+    with pytest.raises(Exception, match="60 deg"):
+        haversine_radius_join(bad, 500.0).collect()
+
+
+def test_plan_has_no_cartesian(spark):
+    """The join is an equi-join on grid cells: no CartesianProduct /
+    BroadcastNestedLoopJoin in the physical plan."""
+    p = synth_places(spark, 200, seed=3)
+    plan = (
+        haversine_radius_join(p, 500.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dist_mm_is_metric_scale(spark):
+    """dist_mm really is great-circle millimeters: a pure north-south pair
+    at 100 udeg apart is ~11.12 m."""
+    p = spark.createDataFrame(
+        [(0, 10_000_000, 0), (1, 10_000_100, 0)],
+        "place_id long, lat_udeg long, lon_udeg long",
+    )
+    row = haversine_radius_join(p, 500.0).collect()[0]
+    want_mm = 100e-6 * math.pi / 180.0 * EARTH_R_M * 1000.0
+    assert abs(row.dist_mm - want_mm) < 10.0  # within 1 cm
