@@ -7213,6 +7213,68 @@ def _o_haversine_pairs_sql() -> str:
     )
 
 
+_GEO_KNN_N, _GEO_KNN_K = 2500, 5
+
+
+def q_haversine_knn_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodetic kNN (operators/geo.haversine_knn_join): each place's 5
+    nearest other places by pinned-polynomial great-circle distance,
+    ties by b_id. The engine runs doubling-radius rounds — re-grid at
+    cell ceil(9*r_t) udeg, constant 3x5-window fan-out-15 equi-join over
+    only the still-unresolved probes, resolve when >= k candidates sit
+    strictly inside r_t (window-cover proof makes the (hav, b_id) top-k
+    exact). The DuckDB twin brute-force ranks all n^2 ordered pairs with
+    the same pinned expression — independent of grid and rounds; exported
+    hav_e18/dist_mm BIGINTs hash-match bit-exactly."""
+    from metric_search_spark.operators.geo import (
+        haversine_knn_join,
+        synth_places,
+    )
+
+    p = synth_places(spark, _GEO_KNN_N, seed=_GEO_SEED)
+    return haversine_knn_join(p, _GEO_KNN_K, r0_m=250.0)
+
+
+def _o_haversine_knn_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        haversine_knn_sql,
+        synth_places_sql,
+    )
+
+    return haversine_knn_sql(
+        synth_places_sql(_GEO_KNN_N, seed=_GEO_SEED), _GEO_KNN_K
+    )
+
+
+_GEO_RADII_M = [100.0, 250.0, 500.0, 1000.0]
+
+
+def q_ripley_pairs_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley-K point-pattern summary (operators/geo.pair_counts_by_
+    radius): exact unordered-pair counts and exact BIGINT dist_mm sums
+    strictly inside each of four radii (100/250/500/1000 m great-circle,
+    pinned polynomials). ONE grid join at r_max serves all radii; the
+    DuckDB twin brute-forces all 8M pairs per radius arm."""
+    from metric_search_spark.operators.geo import (
+        pair_counts_by_radius,
+        synth_places,
+    )
+
+    p = synth_places(spark, _GEO_N, seed=_GEO_SEED)
+    return pair_counts_by_radius(p, _GEO_RADII_M)
+
+
+def _o_ripley_pairs_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        pair_counts_sql,
+        synth_places_sql,
+    )
+
+    return pair_counts_sql(
+        synth_places_sql(_GEO_N, seed=_GEO_SEED), _GEO_RADII_M
+    )
+
+
 _RASTER_CELL = 16
 
 
@@ -7350,6 +7412,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "box_match_images": q_box_match_images,
     "box_raster_images": q_box_raster_images,
     "haversine_pairs_places": q_haversine_pairs_places,
+    "haversine_knn_places": q_haversine_knn_places,
+    "ripley_pairs_places": q_ripley_pairs_places,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
     "pack_documents": q_pack_documents,
@@ -7470,6 +7534,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "box_match_images": _o_box_match_sql(),
     "box_raster_images": _o_box_raster_sql(),
     "haversine_pairs_places": _o_haversine_pairs_sql(),
+    "haversine_knn_places": _o_haversine_knn_sql(),
+    "ripley_pairs_places": _o_ripley_pairs_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

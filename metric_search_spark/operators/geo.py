@@ -49,6 +49,10 @@ __all__ = [
     "synth_places_sql",
     "haversine_radius_join",
     "haversine_pairs_sql",
+    "haversine_knn_join",
+    "haversine_knn_sql",
+    "pair_counts_by_radius",
+    "pair_counts_sql",
 ]
 
 EARTH_R_M = 6_371_000.0  # spherical model radius (the haversine sphere)
@@ -261,3 +265,247 @@ SELECT a.place_id AS a_id, b.place_id AS b_id,
 FROM places a JOIN places b ON a.place_id < b.place_id
 WHERE ({hav}) < {thr}
 """
+
+
+# ------------------------------------------------------- geodetic kNN
+
+
+def _guarded(places: DataFrame, op: str) -> DataFrame:
+    guard = F.when(
+        F.abs(F.col("lat_udeg")) > _MAX_ABS_LAT_UDEG,
+        F.raise_error(
+            F.lit(f"{op}: |lat| > 60 deg breaks the lon-window guarantee")
+        ).cast("long"),
+    ).otherwise(F.col("lat_udeg"))
+    return places.select(
+        "place_id", guard.alias("lat_udeg"), F.col("lon_udeg")
+    )
+
+
+def _window_halves(cover_m: float, cell: int) -> tuple[int, int]:
+    """Smallest (lat, lon) cell half-widths whose window provably covers
+    every pair within cover_m meters, for |lat| <= 60 deg: |dlat| <=
+    cover*U udeg spans at most floor(cover*U/cell)+1 cell indices either
+    way; |dlon| <= cover*U/cos(lat) <= 2*cover*U likewise."""
+    du = cover_m * _UDEG_PER_M
+    return int(du / cell) + 1, int(2.0 * du / cell) + 1
+
+
+def _window_candidates(
+    probes: DataFrame, build: DataFrame, cell: int, a_half: int, b_half: int
+) -> DataFrame:
+    """Equi-join probes (replicated to their (2a+1)x(2b+1) cell window at
+    grid size `cell`) against build rows keyed by their single cell.
+    Columns out: a_id, alat, alon, b_id, blat, blon. Each (a, b) pair
+    appears at most once (window keys are distinct; b has one cell).
+    The window enumerates via sequence() explodes, so the plan size is
+    constant in the window width."""
+    left = (
+        probes.select(
+            F.col("place_id").alias("a_id"),
+            F.col("lat_udeg").alias("alat"),
+            F.col("lon_udeg").alias("alon"),
+            F.floor(F.col("lat_udeg") / F.lit(cell)).alias("lc0"),
+            F.floor(F.col("lon_udeg") / F.lit(cell)).alias("mc0"),
+        )
+        .withColumn(
+            "di", F.explode(F.sequence(F.lit(-a_half), F.lit(a_half)))
+        )
+        .withColumn(
+            "dj", F.explode(F.sequence(F.lit(-b_half), F.lit(b_half)))
+        )
+        .select(
+            "a_id",
+            "alat",
+            "alon",
+            (F.col("lc0") + F.col("di")).alias("lc"),
+            (F.col("mc0") + F.col("dj")).alias("mc"),
+        )
+    )
+    right = build.select(
+        F.col("place_id").alias("b_id"),
+        F.col("lat_udeg").alias("blat"),
+        F.col("lon_udeg").alias("blon"),
+        F.floor(F.col("lat_udeg") / F.lit(cell)).alias("lc"),
+        F.floor(F.col("lon_udeg") / F.lit(cell)).alias("mc"),
+    )
+    return left.join(right, ["lc", "mc"]).drop("lc", "mc")
+
+
+def haversine_knn_join(
+    places: DataFrame,
+    k: int,
+    *,
+    r0_m: float = 250.0,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """For every place, its k nearest OTHER places by pinned-polynomial
+    great-circle distance, ties broken by b_id — (a_id, rnk, b_id,
+    hav_e18, dist_mm), exactly k rows per place.
+
+    Doubling-radius rounds (the geodetic twin of the flagship planar
+    kNN): round t re-grids at cell_t = ceil(9 * r0 * 2^t) udeg and joins
+    only the still-unresolved probes through the constant 3x5 window
+    that provably covers radius r_t (same guarantee as
+    haversine_radius_join). A probe resolves in round t iff >= k
+    candidates lie STRICTLY inside r_t: the window covers everything
+    within r_t, so all k true nearest are then candidates and the
+    (hav, b_id) top-k is exact (any point closer than the k-th candidate
+    is < r_t away, hence itself a candidate). Per round: one constant
+    fan-out-15 shuffle over the unresolved set only; the resolved
+    survivors rank in a per-probe window. At 10^12 rows round 0 resolves
+    the dense mass and the doubling tail touches a geometrically
+    vanishing residual — no brute-force escape hatch that would scan the
+    build side per straggler. (On a real cluster the build side of the
+    late rounds is first semi-joined to the residual's cell set; AQE's
+    size stats broadcast the shrunken probe side here.)
+
+    Raises if k probes remain unresolved after max_rounds (r_max =
+    r0 * 2^(max_rounds-1); callers pick r0 near the expected kNN radius).
+    """
+    if k < 1:
+        raise ValueError("haversine_knn_join: k must be >= 1")
+    from pyspark.sql import Window
+
+    p = _guarded(places, "haversine_knn_join")
+    build = p
+    probes = p
+    hav = hav_sql("alat", "alon", "blat", "blon")
+    hav_e18, dist_mm = _pair_cols_sql(hav)
+    w_rank = Window.partitionBy("a_id").orderBy("hav", "b_id")
+    parts: list[DataFrame] = []
+    for t in range(max_rounds):
+        r_t = r0_m * (2.0 ** t)
+        cell_t = int(math.ceil(9.0 * r_t))
+        cand = (
+            _window_candidates(probes, build, cell_t, 1, 2)
+            .where(F.col("a_id") != F.col("b_id"))
+            .withColumn("hav", F.expr(hav))
+        )
+        scored = cand.withColumn(
+            "n_in",
+            F.sum(
+                (F.col("hav") < F.lit(hav_threshold(r_t))).cast("long")
+            ).over(Window.partitionBy("a_id")),
+        ).localCheckpoint(eager=False)
+        resolved = (
+            scored.where(F.col("n_in") >= k)
+            .withColumn("rnk", F.row_number().over(w_rank))
+            .where(F.col("rnk") <= k)
+            .select(
+                "a_id",
+                F.col("rnk").cast("long").alias("rnk"),
+                "b_id",
+                F.expr(hav_e18).alias("hav_e18"),
+                F.expr(dist_mm).alias("dist_mm"),
+            )
+        )
+        parts.append(resolved)
+        # a probe with ZERO window candidates never appears in `scored`,
+        # so "still unresolved" is anti-join against the RESOLVED set
+        probes = probes.join(
+            resolved.select("a_id").distinct(),
+            probes["place_id"] == F.col("a_id"),
+            "left_anti",
+        ).localCheckpoint(eager=False)
+        n_left = probes.count()
+        if n_left == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"haversine_knn_join: {n_left} probes unresolved after "
+            f"{max_rounds} rounds (r_max={r0_m * 2.0 ** (max_rounds - 1)} m)"
+            " — raise r0_m or max_rounds"
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def haversine_knn_sql(places_sql: str, k: int) -> str:
+    """Brute-force DuckDB twin: rank ALL ordered pairs per probe by the
+    same pinned (hav, b_id) order — fully independent of grid and rounds."""
+    hav = hav_sql("a.lat_udeg", "a.lon_udeg", "b.lat_udeg", "b.lon_udeg")
+    hav_e18, dist_mm = _pair_cols_sql(hav)
+    return f"""
+WITH places AS ({places_sql}),
+ranked AS (
+  SELECT a.place_id AS a_id, b.place_id AS b_id,
+         {hav_e18} AS hav_e18, {dist_mm} AS dist_mm,
+         row_number() OVER (
+           PARTITION BY a.place_id ORDER BY ({hav}), b.place_id
+         ) AS rnk
+  FROM places a JOIN places b ON a.place_id <> b.place_id
+)
+SELECT a_id, CAST(rnk AS BIGINT) AS rnk, b_id, hav_e18, dist_mm
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+# -------------------------------------------- point-pattern pair counts
+
+
+def pair_counts_by_radius(
+    places: DataFrame, radii_m: list[float]
+) -> DataFrame:
+    """Ripley-K-style point-pattern summary: for each radius r in
+    radii_m, the EXACT number of unordered place pairs with great-circle
+    distance (pinned polynomials) strictly inside r, plus the exact
+    BIGINT sum of their dist_mm — (radius_mm, pairs, sum_dist_mm), one
+    row per radius. (The classical K-hat divides by intensity*n; that is
+    a driver-side scalar — the distributed work is these counts.)
+
+    One grid join at r_max serves every radius: the window that covers
+    r_max covers all smaller radii, and each pair lands in the CASE
+    bins. Same single-shuffle shape at any scale."""
+    if not radii_m:
+        raise ValueError("pair_counts_by_radius: radii_m must be non-empty")
+    r_max = max(radii_m)
+    p = _guarded(places, "pair_counts_by_radius")
+    cell = int(math.ceil(9.0 * r_max))
+    a_half, b_half = _window_halves(r_max, cell)
+    hav = hav_sql("alat", "alon", "blat", "blon")
+    _, dist_mm = _pair_cols_sql(hav)
+    cand = (
+        _window_candidates(p, p, cell, a_half, b_half)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("hav", F.expr(hav))
+        .withColumn("dmm", F.expr(dist_mm))
+    )
+    per_radius = [
+        F.struct(
+            F.lit(int(round(r * 1000.0))).cast("long").alias("radius_mm"),
+            F.when(F.col("hav") < F.lit(hav_threshold(r)), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("hit"),
+            F.when(F.col("hav") < F.lit(hav_threshold(r)), F.col("dmm"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dmm"),
+        )
+        for r in radii_m
+    ]
+    return (
+        cand.select(F.explode(F.array(*per_radius)).alias("s"))
+        .groupBy(F.col("s.radius_mm").alias("radius_mm"))
+        .agg(
+            F.sum("s.hit").alias("pairs"),
+            F.sum("s.dmm").alias("sum_dist_mm"),
+        )
+    )
+
+
+def pair_counts_sql(places_sql: str, radii_m: list[float]) -> str:
+    """Brute-force DuckDB twin over all n^2/2 unordered pairs."""
+    hav = hav_sql("a.lat_udeg", "a.lon_udeg", "b.lat_udeg", "b.lon_udeg")
+    _, dist_mm = _pair_cols_sql(hav)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({int(round(r * 1000.0))} AS BIGINT) AS radius_mm,
+       CAST(COALESCE(SUM(CASE WHEN ({hav}) < {_d(hav_threshold(r))} THEN 1 ELSE 0 END), 0) AS BIGINT) AS pairs,
+       CAST(COALESCE(SUM(CASE WHEN ({hav}) < {_d(hav_threshold(r))} THEN {dist_mm} ELSE 0 END), 0) AS BIGINT) AS sum_dist_mm
+FROM places a JOIN places b ON a.place_id < b.place_id"""
+        for r in radii_m
+    )
+    return f"WITH places AS ({places_sql})\n{arms}"

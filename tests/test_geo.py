@@ -139,3 +139,82 @@ def test_dist_mm_is_metric_scale(spark):
     row = haversine_radius_join(p, 500.0).collect()[0]
     want_mm = 100e-6 * math.pi / 180.0 * EARTH_R_M * 1000.0
     assert abs(row.dist_mm - want_mm) < 10.0  # within 1 cm
+
+
+def test_knn_equals_brute_force(spark):
+    """Doubling-round geodetic kNN returns EXACTLY the brute-force
+    (hav, b_id)-ranked top-5 on a 500-point fixture, including probes
+    that need multiple rounds (r0 is set tiny to force escalation)."""
+    from pyspark.sql import Window
+
+    from metric_search_spark.operators.geo import haversine_knn_join
+
+    p = synth_places(spark, 500, seed=3).cache()
+    out = haversine_knn_join(p, 5, r0_m=30.0, max_rounds=12)
+    a = p.select(
+        F.col("place_id").alias("a_id"),
+        F.col("lat_udeg").alias("alat"),
+        F.col("lon_udeg").alias("alon"),
+    )
+    b = p.select(
+        F.col("place_id").alias("b_id"),
+        F.col("lat_udeg").alias("blat"),
+        F.col("lon_udeg").alias("blon"),
+    )
+    hav = hav_sql("alat", "alon", "blat", "blon")
+    w = Window.partitionBy("a_id").orderBy(F.expr(hav), "b_id")
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("a_id") != F.col("b_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("a_id", F.col("rnk").cast("long").alias("rnk"), "b_id")
+    )
+    got = out.select("a_id", "rnk", "b_id")
+    p.unpersist()
+    assert got.count() == 2500
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+
+
+def test_knn_raises_when_rounds_exhausted(spark):
+    """Two far-apart points can't find k=1 neighbors inside r0*2^0: with
+    max_rounds=1 the operator must raise, not return partial results."""
+    from metric_search_spark.operators.geo import haversine_knn_join
+
+    p = spark.createDataFrame(
+        [(0, 10_000_000, 0), (1, 10_000_000, 10_000_000)],  # ~1000 km apart
+        "place_id long, lat_udeg long, lon_udeg long",
+    )
+    with pytest.raises(RuntimeError, match="unresolved"):
+        haversine_knn_join(p, 1, r0_m=100.0, max_rounds=1)
+
+
+def test_pair_counts_match_radius_join(spark):
+    """pair_counts_by_radius at a single radius equals haversine_radius_
+    join's pair count and exact dist_mm sum."""
+    from metric_search_spark.operators.geo import pair_counts_by_radius
+
+    p = synth_places(spark, 700, seed=3).cache()
+    r = 500.0
+    row = pair_counts_by_radius(p, [r]).collect()[0]
+    pairs = haversine_radius_join(p, r)
+    want_n = pairs.count()
+    want_sum = pairs.agg(F.sum("dist_mm")).collect()[0][0]
+    p.unpersist()
+    assert row.radius_mm == 500_000
+    assert row.pairs == want_n
+    assert row.sum_dist_mm == want_sum
+
+
+def test_pair_counts_monotone_radii(spark):
+    """Counts are cumulative in r: each larger radius dominates."""
+    from metric_search_spark.operators.geo import pair_counts_by_radius
+
+    p = synth_places(spark, 700, seed=3)
+    rows = sorted(
+        pair_counts_by_radius(p, [100.0, 300.0, 900.0]).collect(),
+        key=lambda x: x.radius_mm,
+    )
+    assert rows[0].pairs <= rows[1].pairs <= rows[2].pairs
+    assert rows[2].pairs > 0
