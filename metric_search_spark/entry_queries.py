@@ -7275,6 +7275,35 @@ def _o_ripley_pairs_sql() -> str:
     )
 
 
+_GEO_ZOOMS = [7, 12, 16]
+
+
+def q_slippy_tiles_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator slippy z/x/y tile occupancy (operators/geo.slippy_
+    tiles) at zooms 7/12/16 over the places fixture. Mercator y =
+    atanh(sin lat) evaluates as a STAGED pinned-polynomial dataflow
+    (banded atanh argument reduction; every stage a small shared
+    expression, so it stays inside codegen and both engines add the same
+    bits); xtile is an exact sub-2^53 integer-product floor. Pure
+    projection + ONE aggregate shuffle on (z, x, y) — the natural
+    write-partitioning for a tile-pyramid sink at 10^12 rows."""
+    from metric_search_spark.operators.geo import slippy_tiles, synth_places
+
+    p = synth_places(spark, _GEO_N, seed=_GEO_SEED)
+    return slippy_tiles(p, _GEO_ZOOMS)
+
+
+def _o_slippy_tiles_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        slippy_tiles_sql,
+        synth_places_sql,
+    )
+
+    return slippy_tiles_sql(
+        synth_places_sql(_GEO_N, seed=_GEO_SEED), _GEO_ZOOMS
+    )
+
+
 _RASTER_CELL = 16
 
 
@@ -7414,6 +7443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "haversine_pairs_places": q_haversine_pairs_places,
     "haversine_knn_places": q_haversine_knn_places,
     "ripley_pairs_places": q_ripley_pairs_places,
+    "slippy_tiles_places": q_slippy_tiles_places,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
     "pack_documents": q_pack_documents,
@@ -7536,6 +7566,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "haversine_pairs_places": _o_haversine_pairs_sql(),
     "haversine_knn_places": _o_haversine_knn_sql(),
     "ripley_pairs_places": _o_ripley_pairs_sql(),
+    "slippy_tiles_places": _o_slippy_tiles_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

@@ -53,6 +53,12 @@ __all__ = [
     "haversine_knn_sql",
     "pair_counts_by_radius",
     "pair_counts_sql",
+    "atanh_poly_sql",
+    "mercator_y_sql",
+    "xtile_sql",
+    "ytile_sql",
+    "slippy_tiles",
+    "slippy_tiles_sql",
 ]
 
 EARTH_R_M = 6_371_000.0  # spherical model radius (the haversine sphere)
@@ -509,3 +515,145 @@ FROM places a JOIN places b ON a.place_id < b.place_id"""
         for r in radii_m
     )
     return f"WITH places AS ({places_sql})\n{arms}"
+
+
+# ----------------------------------------------- Web-Mercator slippy tiles
+
+# banded argument reduction for atanh(s), s = sin(lat): band edges and
+# centers chosen so the residual |(s-c)/(1-s*c)| stays <= 0.3 and the
+# 8-term odd series truncates below 2e-10; with the sin stage the whole
+# y is within 2e-9 of libm (measured 1.14e-9) — the band CONSTANTS atanh(c)
+# are computed once driver-side and inlined as shared literals, so both
+# engines take the same branch (edges are shared literals too) and add
+# the same bits.
+_ATANH_BANDS = [(0.30, 0.0), (0.55, 0.425), (0.75, 0.65), (0.87, 0.81)]
+
+
+def atanh_poly_sql(x: str) -> str:
+    """Pinned atanh series for |x| <= 0.3: 8 odd terms, Horner form —
+    truncation < 2e-10 at 0.3, < 1e-13 at 0.21."""
+    x2 = f"(({x}) * ({x}))"
+    return f"(({x}) * {_horner(x2, [1.0, 1.0 / 3, 1.0 / 5, 1.0 / 7, 1.0 / 9, 1.0 / 11, 1.0 / 13, 1.0 / 15])})"
+
+
+def mercator_y_stages(lat_udeg: str) -> list[tuple[str, str]]:
+    """Pinned Web-Mercator y = atanh(sin lat) for |lat| <= 60 deg as a
+    STAGED dataflow: (column_name, sql_expr) pairs where each expr
+    references earlier stage names. Textual substitution of the full
+    polynomial everywhere blows Spark's whole-stage-codegen 64 KB method
+    limit (and balloons the oracle SQL), so both engines instead
+    evaluate the SAME small expressions over the SAME named
+    intermediates — the IEEE op sequence, and therefore every bit, is
+    unchanged. Spark folds these through withColumn; the SQL twin nests
+    one subquery per stage. The final stage is named _merc_y.
+
+    CAVEAT: do not put a Spark FILTER directly over a bare projection of
+    these stages — predicate pushdown re-inlines the stages into the
+    predicate multiplicatively (mag references sa ~30x, sa references
+    the sin tree, ...) and the optimizer OOMs. slippy_tiles is safe: its
+    explode + aggregate block pushdown. If you need to filter on tile
+    columns, aggregate (or localCheckpoint) first."""
+    sa = "_merc_sa"
+
+    def arm(c: float) -> str:
+        if c == 0.0:
+            return atanh_poly_sql(sa)
+        resid = f"((({sa}) - {_d(c)}) / ({_d(1.0)} - ({sa}) * {_d(c)}))"
+        return f"({_d(math.atanh(c))} + {atanh_poly_sql(resid)})"
+
+    cases = " ".join(
+        f"WHEN ({sa}) < {_d(edge)} THEN {arm(c)}" for edge, c in _ATANH_BANDS
+    )
+    return [
+        ("_merc_s", sin_poly_sql(f"(({lat_udeg}) * {_d(_RAD_PER_UDEG)})")),
+        ("_merc_sa", "ABS(_merc_s)"),
+        ("_merc_mag", f"(CASE {cases} ELSE {arm(_ATANH_BANDS[-1][1])} END)"),
+        (
+            "_merc_y",
+            f"(CASE WHEN (_merc_s) < {_d(0.0)} THEN -(_merc_mag)"
+            f" ELSE (_merc_mag) END)",
+        ),
+    ]
+
+
+def xtile_sql(lon_udeg: str, z: int) -> str:
+    """Slippy x tile floor(2^z * (lon+180deg)/360deg) as
+    FLOOR(CAST((lon_udeg + 180e6) * 2^z AS DOUBLE) / 360e6): the int64
+    product is < 2^53 for z <= 22 so the cast is exact, and IEEE
+    division + floor is bit-identical in both engines."""
+    if z > 22:
+        raise ValueError("xtile_sql: z > 22 exceeds the exact-double range")
+    return (
+        f"CAST(FLOOR(CAST((({lon_udeg}) + 180000000) * {1 << z} AS DOUBLE)"
+        f" / CAST(360000000 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def ytile_from_y_sql(merc_y: str, z: int) -> str:
+    """Slippy y tile floor(2^z * (pi - merc_y) / (2 pi)) from a computed
+    Mercator-y column — every constant a shared literal."""
+    return (
+        f"CAST(FLOOR(CAST({1 << z} AS DOUBLE) * ({_d(math.pi)} - ({merc_y}))"
+        f" / {_d(2.0 * math.pi)}) AS BIGINT)"
+    )
+
+
+def slippy_tiles(places: DataFrame, zooms: list[int]) -> DataFrame:
+    """Web-Mercator tile occupancy: assign every place its slippy z/x/y
+    tile at each zoom and aggregate — (z, xtile, ytile, n_places,
+    min_place) rows. Tile math is a pure projection (x exact-integer in
+    spirit, y via the staged pinned Mercator polynomial; every stage
+    small enough to stay inside whole-stage codegen), so the only
+    shuffle is the final aggregate on (z, x, y) — the same plan at 10^12
+    rows, and the natural write-partitioning for a tile-pyramid sink."""
+    if not zooms:
+        raise ValueError("slippy_tiles: zooms must be non-empty")
+    p = _guarded(places, "slippy_tiles")
+    for name, expr in mercator_y_stages("lat_udeg"):
+        p = p.withColumn(name, F.expr(expr))
+    arms = [
+        F.struct(
+            F.lit(z).cast("long").alias("z"),
+            F.expr(xtile_sql("lon_udeg", z)).alias("xtile"),
+            F.expr(ytile_from_y_sql("_merc_y", z)).alias("ytile"),
+        )
+        for z in zooms
+    ]
+    return (
+        p.select("place_id", F.explode(F.array(*arms)).alias("t"))
+        .groupBy(
+            F.col("t.z").alias("z"),
+            F.col("t.xtile").alias("xtile"),
+            F.col("t.ytile").alias("ytile"),
+        )
+        .agg(
+            F.count("*").alias("n_places"),
+            F.min("place_id").alias("min_place"),
+        )
+    )
+
+
+def slippy_tiles_sql(places_sql: str, zooms: list[int]) -> str:
+    """DuckDB twin: the same staged Mercator dataflow (one nested
+    subquery per stage), then the same tile expressions per zoom arm."""
+    inner = "places"
+    for name, expr in mercator_y_stages("lat_udeg"):
+        inner = f"(SELECT *, {expr} AS {name} FROM {inner})"
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({z} AS BIGINT) AS z,
+       {xtile_sql("lon_udeg", z)} AS xtile,
+       {ytile_from_y_sql("_merc_y", z)} AS ytile,
+       place_id
+FROM staged"""
+        for z in zooms
+    )
+    return f"""
+WITH places AS ({places_sql}),
+staged AS (SELECT * FROM {inner})
+SELECT z, xtile, ytile,
+       CAST(COUNT(*) AS BIGINT) AS n_places,
+       CAST(MIN(place_id) AS BIGINT) AS min_place
+FROM (
+{arms}
+) GROUP BY z, xtile, ytile
+"""

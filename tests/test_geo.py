@@ -218,3 +218,67 @@ def test_pair_counts_monotone_radii(spark):
     )
     assert rows[0].pairs <= rows[1].pairs <= rows[2].pairs
     assert rows[2].pairs > 0
+
+
+def test_mercator_y_matches_libm(spark):
+    """Staged pinned Mercator y within 2e-9 of libm atanh(sin lat)
+    across the full legal band, including band edges."""
+    from metric_search_spark.operators.geo import mercator_y_stages
+
+    lats = [int(v * 1e5) for v in range(-599, 600, 3)]
+    lats += [0, 17_457_000, 33_367_000, 48_590_000, 59_999_999]  # band edges
+    df = spark.createDataFrame([(v,) for v in lats], "lat_udeg long")
+    for name, expr in mercator_y_stages("lat_udeg"):
+        df = df.withColumn(name, F.expr(expr))
+    for r in df.collect():
+        want = math.atanh(math.sin(r.lat_udeg / 1e6 * math.pi / 180.0))
+        assert abs(r._merc_y - want) < 2e-9, r.lat_udeg
+
+
+def test_slippy_known_tiles(spark):
+    """Known slippy tiles (OSM convention): Paris center at z12 is
+    (2074, 1409); equator/prime-meridian at z1 is (1, 0) (south-east
+    quadrant boundary belongs to the next tile down/right)."""
+    from metric_search_spark.operators.geo import slippy_tiles
+
+    p = spark.createDataFrame(
+        [(0, 48_856_600, 2_352_200), (1, 0, 0)],
+        "place_id long, lat_udeg long, lon_udeg long",
+    )
+    rows = {
+        r.min_place: (r.xtile, r.ytile)
+        for r in slippy_tiles(p, [12]).collect()
+        if r.z == 12
+    }
+    assert rows[0] == (2074, 1409)
+    z1 = {
+        r.min_place: (r.xtile, r.ytile)
+        for r in slippy_tiles(p, [1]).collect()
+    }
+    assert z1[1] == (1, 1)
+
+
+def test_slippy_zoom_nesting(spark):
+    """Tile pyramid invariant: the z16 tile of every place nests inside
+    its z12 tile (x_16 DIV 2^4 == x_12, same for y). Asserted over
+    collected rows: a Spark-side filter on these columns would push the
+    predicate below the staged-Mercator projection and re-inline the
+    polynomial multiplicatively (documented in mercator_y_stages)."""
+    from metric_search_spark.operators.geo import (
+        mercator_y_stages,
+        xtile_sql,
+        ytile_from_y_sql,
+    )
+
+    df = synth_places(spark, 400, seed=7)
+    for name, expr in mercator_y_stages("lat_udeg"):
+        df = df.withColumn(name, F.expr(expr))
+    rows = df.select(
+        F.expr(xtile_sql("lon_udeg", 12)).alias("x12"),
+        F.expr(ytile_from_y_sql("_merc_y", 12)).alias("y12"),
+        F.expr(xtile_sql("lon_udeg", 16)).alias("x16"),
+        F.expr(ytile_from_y_sql("_merc_y", 16)).alias("y16"),
+    ).collect()
+    assert len(rows) == 400
+    for r in rows:
+        assert r.x16 // 16 == r.x12 and r.y16 // 16 == r.y12, r
