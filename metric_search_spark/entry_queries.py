@@ -7304,6 +7304,30 @@ def _o_slippy_tiles_sql() -> str:
     )
 
 
+_HEX_W_UDEG = 20_000
+
+
+def q_hex_bin_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-lattice binning (operators/geo.hex_bin): nearest offset-hex
+    center by EXACT integer squared L2, ties by (r, q) — the auditable
+    planar analog of H3 cell assignment (true H3 is icosahedral and
+    lib-bound; the container has no h3). The engine evaluates only the
+    provably-sufficient 2x2 bracketing candidates in pure Column math
+    (zero shuffle before the occupancy aggregate); the DuckDB twin
+    argmins over a WIDER 4x4 candidate ring, so any non-nearest engine
+    pick flips the hash — a certifying oracle."""
+    from metric_search_spark.operators.geo import hex_bin, synth_places
+
+    p = synth_places(spark, _GEO_N, seed=_GEO_SEED)
+    return hex_bin(p, _HEX_W_UDEG)
+
+
+def _o_hex_bin_sql() -> str:
+    from metric_search_spark.operators.geo import hex_bin_sql, synth_places_sql
+
+    return hex_bin_sql(synth_places_sql(_GEO_N, seed=_GEO_SEED), _HEX_W_UDEG)
+
+
 _RASTER_CELL = 16
 
 
@@ -7444,6 +7468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "haversine_knn_places": q_haversine_knn_places,
     "ripley_pairs_places": q_ripley_pairs_places,
     "slippy_tiles_places": q_slippy_tiles_places,
+    "hex_bin_places": q_hex_bin_places,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
     "pack_documents": q_pack_documents,
@@ -7567,6 +7592,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "haversine_knn_places": _o_haversine_knn_sql(),
     "ripley_pairs_places": _o_ripley_pairs_sql(),
     "slippy_tiles_places": _o_slippy_tiles_sql(),
+    "hex_bin_places": _o_hex_bin_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

@@ -54,11 +54,14 @@ __all__ = [
     "pair_counts_by_radius",
     "pair_counts_sql",
     "atanh_poly_sql",
-    "mercator_y_sql",
+    "mercator_y_stages",
     "xtile_sql",
-    "ytile_sql",
+    "ytile_from_y_sql",
     "slippy_tiles",
     "slippy_tiles_sql",
+    "hex_assign",
+    "hex_bin",
+    "hex_bin_sql",
 ]
 
 EARTH_R_M = 6_371_000.0  # spherical model radius (the haversine sphere)
@@ -656,4 +659,134 @@ SELECT z, xtile, ytile,
 FROM (
 {arms}
 ) GROUP BY z, xtile, ytile
+"""
+
+
+# --------------------------------------------------------- hex binning
+
+# row/col index shift so integer division sees positive operands (both
+# engines then agree: truncating and flooring division coincide)
+_HEX_SHIFT = 20_000
+
+
+def _hex_h(w_udeg: int) -> int:
+    """Row pitch: round(w * sqrt(3)/2) — the nearest-integer regular-hex
+    ratio. The lattice is 'almost regular': Voronoi cells are hexagons,
+    within 1 part in w of regular, and EXACTLY specified by integers."""
+    return int(round(w_udeg * math.sqrt(3.0) / 2.0))
+
+
+def hex_assign(places: DataFrame, w_udeg: int) -> DataFrame:
+    """Assign every place the nearest center of an offset hex lattice
+    (H3-flavored planar binning; true H3 is icosahedral and needs the
+    h3 lib, absent in this container — this is the exactly-auditable
+    integer analog). Centers: (q*w + (r odd ? w/2 : 0), r*h) with
+    h = round(w*sqrt(3)/2); nearest by EXACT integer squared L2, ties by
+    (r, q). Output: (place_id, hex_q, hex_r, d2).
+
+    The engine evaluates only the 2x2 bracketing candidates — provably
+    sufficient: the best bracketing candidate is within
+    sqrt((w/2)^2 + (h/2)^2) ~ 0.66*w, while any center outside the two
+    bracketing rows / columns is >= h ~ 0.87*w away. Pure Column math,
+    zero shuffle. The DuckDB twin argmins over a WIDER 4x4 ring, so a
+    wrong engine pick (a candidate that is not the true nearest center)
+    flips the oracle hash — a certifying oracle, not an echo."""
+    if w_udeg % 2 or w_udeg <= 0:
+        raise ValueError("hex_assign: w_udeg must be positive and even")
+    h = _hex_h(w_udeg)
+    x, y = F.col("lon_udeg"), F.col("lat_udeg")
+    rf = F.expr(
+        f"((lat_udeg + {_HEX_SHIFT}L * {h}) div {h}) - {_HEX_SHIFT}"
+    )
+    cands = []
+    for dr in (0, 1):
+        r = rf + F.lit(dr)
+        off = F.when(F.pmod(r, F.lit(2)) == 1, F.lit(w_udeg // 2)).otherwise(
+            F.lit(0)
+        )
+        qf = (
+            F.floor(
+                (x - off + F.lit(_HEX_SHIFT) * F.lit(w_udeg)) / F.lit(w_udeg)
+            )
+            - F.lit(_HEX_SHIFT)
+        )
+        for dq in (0, 1):
+            q = qf + F.lit(dq)
+            dx = x - (q * F.lit(w_udeg) + off)
+            dy = y - r * F.lit(h)
+            cands.append(
+                F.struct(
+                    (dx * dx + dy * dy).alias("d2"),
+                    r.alias("r"),
+                    q.alias("q"),
+                )
+            )
+    best = F.array_min(F.array(*cands))
+    return places.withColumn("_b", best).select(
+        "place_id",
+        F.col("_b.q").alias("hex_q"),
+        F.col("_b.r").alias("hex_r"),
+        F.col("_b.d2").alias("d2"),
+    )
+
+
+def hex_bin(places: DataFrame, w_udeg: int) -> DataFrame:
+    """Hex occupancy histogram: (hex_q, hex_r, n_places, min_place,
+    sum_d2). ONE aggregate shuffle on the hex key — the hex analog of
+    tile_assign + rollup, and a skew-aware shuffle key for downstream
+    per-cell joins."""
+    return (
+        hex_assign(places, w_udeg)
+        .groupBy("hex_q", "hex_r")
+        .agg(
+            F.count("*").alias("n_places"),
+            F.min("place_id").alias("min_place"),
+            F.sum("d2").alias("sum_d2"),
+        )
+    )
+
+
+def hex_bin_sql(places_sql: str, w_udeg: int) -> str:
+    """Certifying DuckDB twin: candidates from the WIDER 4x4 (dr, dq in
+    -1..2) ring, exact-integer argmin by (d2, r, q) via row_number —
+    independent of the engine's 2x2 sufficiency argument."""
+    h = _hex_h(w_udeg)
+    half = w_udeg // 2
+    return f"""
+WITH places AS ({places_sql}),
+base AS (
+  SELECT place_id, lat_udeg, lon_udeg,
+         ((lat_udeg + {_HEX_SHIFT} * {h}) // {h}) - {_HEX_SHIFT} AS rf
+  FROM places
+),
+cand AS (
+  SELECT place_id, lat_udeg, lon_udeg, rf + dr.d AS r,
+         (CASE WHEN ((rf + dr.d) % 2 + 2) % 2 = 1 THEN {half} ELSE 0 END) AS off
+  FROM base,
+       (SELECT unnest(range(-1, 3)) AS d) dr
+),
+cand2 AS (
+  SELECT place_id, lat_udeg, lon_udeg, r, off,
+         ((lon_udeg - off + {_HEX_SHIFT} * {w_udeg}) // {w_udeg})
+           - {_HEX_SHIFT} + dq.d AS q
+  FROM cand,
+       (SELECT unnest(range(-1, 3)) AS d) dq
+),
+scored AS (
+  SELECT place_id, q, r,
+         (lon_udeg - (q * {w_udeg} + off)) * (lon_udeg - (q * {w_udeg} + off))
+         + (lat_udeg - r * {h}) * (lat_udeg - r * {h}) AS d2,
+         row_number() OVER (
+           PARTITION BY place_id ORDER BY
+             (lon_udeg - (q * {w_udeg} + off)) * (lon_udeg - (q * {w_udeg} + off))
+             + (lat_udeg - r * {h}) * (lat_udeg - r * {h}), r, q
+         ) AS rn
+  FROM cand2
+)
+SELECT CAST(q AS BIGINT) AS hex_q, CAST(r AS BIGINT) AS hex_r,
+       CAST(COUNT(*) AS BIGINT) AS n_places,
+       CAST(MIN(place_id) AS BIGINT) AS min_place,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM scored WHERE rn = 1
+GROUP BY q, r
 """

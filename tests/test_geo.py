@@ -282,3 +282,51 @@ def test_slippy_zoom_nesting(spark):
     assert len(rows) == 400
     for r in rows:
         assert r.x16 // 16 == r.x12 and r.y16 // 16 == r.y12, r
+
+
+def test_hex_assign_is_true_nearest(spark):
+    """The 2x2-candidate hex assignment equals a brute-force argmin over
+    a 7x7 center ring (exact integer d2, ties by (r, q)) — certifies the
+    bracketing-candidates sufficiency proof."""
+    from metric_search_spark.operators.geo import _hex_h, hex_assign
+
+    W = 20_000
+    H = _hex_h(W)
+    got = {
+        r.place_id: (r.hex_q, r.hex_r, r.d2)
+        for r in hex_assign(synth_places(spark, 300, seed=7), W).collect()
+    }
+    pts = synth_places(spark, 300, seed=7).collect()
+    for p in pts:
+        x, y = p.lon_udeg, p.lat_udeg
+        rf = (y + 20_000 * H) // H - 20_000
+        best = None
+        for r in range(rf - 3, rf + 4):
+            off = W // 2 if r % 2 else 0
+            qf = (x - off + 20_000 * W) // W - 20_000
+            for q in range(qf - 3, qf + 4):
+                d2 = (x - (q * W + off)) ** 2 + (y - r * H) ** 2
+                key = (d2, r, q)
+                if best is None or key < best:
+                    best = key
+        assert got[p.place_id] == (best[2], best[1], best[0]), p
+
+
+def test_hex_assign_zero_shuffle(spark):
+    """Hex assignment is pure Column math — no Exchange in the plan."""
+    from metric_search_spark.operators.geo import hex_assign
+
+    plan = (
+        hex_assign(synth_places(spark, 100, seed=7), 20_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_hex_assign_rejects_odd_width(spark):
+    from metric_search_spark.operators.geo import hex_assign
+
+    with pytest.raises(ValueError, match="even"):
+        hex_assign(synth_places(spark, 10, seed=7), 1001)
