@@ -7328,6 +7328,31 @@ def _o_hex_bin_sql() -> str:
     return hex_bin_sql(synth_places_sql(_GEO_N, seed=_GEO_SEED), _HEX_W_UDEG)
 
 
+_S2_LEVEL = 12
+
+
+def q_s2_cells_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style cube-face quadratic cell occupancy at level 12
+    (operators/geo.s2_cells): unit vector via full-circle BANDED pinned
+    sin/cos (30-degree bands, angle-addition with shared literal band
+    constants — machine-epsilon accurate, so this is the one geo index
+    valid at ALL latitudes including the poles), s2geometry's face
+    argmax + per-face (u,v) ratios + quadratic st transform, leaf
+    (si,ti) by floor. Engine packs cell_pos with the spread-mask Morton
+    interleave; the DuckDB twin re-derives every stage AND packs with
+    the independent per-bit-sum Morton — hash-exact."""
+    from metric_search_spark.operators.geo import s2_cells, synth_places
+
+    p = synth_places(spark, _GEO_N, seed=_GEO_SEED)
+    return s2_cells(p, _S2_LEVEL)
+
+
+def _o_s2_cells_sql() -> str:
+    from metric_search_spark.operators.geo import s2_cells_sql, synth_places_sql
+
+    return s2_cells_sql(synth_places_sql(_GEO_N, seed=_GEO_SEED), _S2_LEVEL)
+
+
 _RASTER_CELL = 16
 
 
@@ -7469,6 +7494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ripley_pairs_places": q_ripley_pairs_places,
     "slippy_tiles_places": q_slippy_tiles_places,
     "hex_bin_places": q_hex_bin_places,
+    "s2_cells_places": q_s2_cells_places,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
     "pack_documents": q_pack_documents,
@@ -7593,6 +7619,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "ripley_pairs_places": _o_ripley_pairs_sql(),
     "slippy_tiles_places": _o_slippy_tiles_sql(),
     "hex_bin_places": _o_hex_bin_sql(),
+    "s2_cells_places": _o_s2_cells_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

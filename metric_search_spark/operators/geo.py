@@ -62,6 +62,10 @@ __all__ = [
     "hex_assign",
     "hex_bin",
     "hex_bin_sql",
+    "sincos_stages",
+    "s2_stages",
+    "s2_cells",
+    "s2_cells_sql",
 ]
 
 EARTH_R_M = 6_371_000.0  # spherical model radius (the haversine sphere)
@@ -789,4 +793,174 @@ SELECT CAST(q AS BIGINT) AS hex_q, CAST(r AS BIGINT) AS hex_r,
        CAST(SUM(d2) AS BIGINT) AS sum_d2
 FROM scored WHERE rn = 1
 GROUP BY q, r
+"""
+
+
+# -------------------------------------- S2-style cube-face quad cells
+
+# full-circle banded range reduction for sin/cos: 30-degree bands, band
+# constants sin/cos(center) inlined once as shared literals, residual
+# |delta| <= 15 deg = 0.262 rad where the pinned polynomials are exact
+# to ~1e-13 — lifts the |lat| <= 60 deg restriction of the haversine
+# operators (S2 cells are the pole-safe index).
+_BAND_UDEG = 30_000_000
+
+
+def sincos_stages(angle_udeg: str, prefix: str) -> list[tuple[str, str]]:
+    """Staged pinned sin AND cos of an arbitrary integer-microdegree
+    angle in [-180e6, 180e6]: band b = floor((a+15e6)/30e6), delta =
+    (a - b*30e6) rad, then the angle-addition identities with
+    sin/cos(30 deg * b) as shared driver-side literals. Stage names are
+    {prefix}_sin / {prefix}_cos (plus internals)."""
+    b, d, sd, cd, sc, cc = (
+        f"{prefix}_b",
+        f"{prefix}_d",
+        f"{prefix}_sd",
+        f"{prefix}_cd",
+        f"{prefix}_sc",
+        f"{prefix}_cc",
+    )
+    half = _BAND_UDEG // 2
+    sin_arms = " ".join(
+        f"WHEN ({b}) = {k} THEN {_d(math.sin(k * math.pi / 6.0))}"
+        for k in range(-6, 7)
+    )
+    cos_arms = " ".join(
+        f"WHEN ({b}) = {k} THEN {_d(math.cos(k * math.pi / 6.0))}"
+        for k in range(-6, 7)
+    )
+    return [
+        (
+            b,
+            f"CAST(FLOOR(CAST((({angle_udeg}) + {half}) AS DOUBLE)"
+            f" / CAST({_BAND_UDEG} AS DOUBLE)) AS BIGINT)",
+        ),
+        (d, f"((({angle_udeg}) - ({b}) * {_BAND_UDEG}) * {_d(_RAD_PER_UDEG)})"),
+        (sd, sin_poly_sql(d)),
+        (cd, cos_poly_sql(d)),
+        (sc, f"(CASE {sin_arms} ELSE {_d(0.0)} END)"),
+        (cc, f"(CASE {cos_arms} ELSE {_d(1.0)} END)"),
+        (f"{prefix}_sin", f"(({sc}) * ({cd}) + ({cc}) * ({sd}))"),
+        (f"{prefix}_cos", f"(({cc}) * ({cd}) - ({sc}) * ({sd}))"),
+    ]
+
+
+def s2_stages(lat_udeg: str, lon_udeg: str, level: int) -> list[tuple[str, str]]:
+    """Staged S2 quadratic cube-face cell math (public s2geometry
+    semantics, s2coords.h): unit vector from banded pinned sin/cos, face
+    = argmax |component| with (x, y, z) priority, the standard per-face
+    (u, v) ratio table, the quadratic st transform
+    s = u >= 0 ? 0.5*sqrt(1+3u) : 1 - 0.5*sqrt(1-3u), and leaf indices
+    si = clamp(floor(s * 2^level)). Every op is IEEE +-*/ sqrt over
+    shared literals, so both engines produce identical integers at ALL
+    latitudes — no 60-degree guard. Final stages: _s2_face, _s2_si,
+    _s2_ti."""
+    if not 0 <= level <= 28:
+        raise ValueError("s2_stages: level must be in [0, 28]")
+    stages = sincos_stages(lat_udeg, "_la") + sincos_stages(lon_udeg, "_lo")
+    stages += [
+        ("_s2_x", "((_la_cos) * (_lo_cos))"),
+        ("_s2_y", "((_la_cos) * (_lo_sin))"),
+        ("_s2_z", "(_la_sin)"),
+        (
+            "_s2_face",
+            "(CASE WHEN ABS(_s2_x) >= ABS(_s2_y) AND ABS(_s2_x) >= ABS(_s2_z)"
+            f" THEN (CASE WHEN (_s2_x) > {_d(0.0)} THEN 0 ELSE 3 END)"
+            " WHEN ABS(_s2_y) >= ABS(_s2_z)"
+            f" THEN (CASE WHEN (_s2_y) > {_d(0.0)} THEN 1 ELSE 4 END)"
+            f" ELSE (CASE WHEN (_s2_z) > {_d(0.0)} THEN 2 ELSE 5 END) END)",
+        ),
+        (
+            "_s2_u",
+            "(CASE (_s2_face)"
+            " WHEN 0 THEN ((_s2_y) / (_s2_x))"
+            " WHEN 1 THEN (-(_s2_x) / (_s2_y))"
+            " WHEN 2 THEN (-(_s2_x) / (_s2_z))"
+            " WHEN 3 THEN ((_s2_z) / (_s2_x))"
+            " WHEN 4 THEN ((_s2_z) / (_s2_y))"
+            " ELSE (-(_s2_y) / (_s2_z)) END)",
+        ),
+        (
+            "_s2_v",
+            "(CASE (_s2_face)"
+            " WHEN 0 THEN ((_s2_z) / (_s2_x))"
+            " WHEN 1 THEN ((_s2_z) / (_s2_y))"
+            " WHEN 2 THEN (-(_s2_y) / (_s2_z))"
+            " WHEN 3 THEN ((_s2_y) / (_s2_x))"
+            " WHEN 4 THEN (-(_s2_x) / (_s2_y))"
+            " ELSE (-(_s2_x) / (_s2_z)) END)",
+        ),
+        (
+            "_s2_s",
+            f"(CASE WHEN (_s2_u) >= {_d(0.0)}"
+            f" THEN {_d(0.5)} * SQRT({_d(1.0)} + {_d(3.0)} * (_s2_u))"
+            f" ELSE {_d(1.0)} - {_d(0.5)} * SQRT({_d(1.0)} - {_d(3.0)} * (_s2_u)) END)",
+        ),
+        (
+            "_s2_t",
+            f"(CASE WHEN (_s2_v) >= {_d(0.0)}"
+            f" THEN {_d(0.5)} * SQRT({_d(1.0)} + {_d(3.0)} * (_s2_v))"
+            f" ELSE {_d(1.0)} - {_d(0.5)} * SQRT({_d(1.0)} - {_d(3.0)} * (_s2_v)) END)",
+        ),
+        (
+            "_s2_si",
+            f"LEAST(GREATEST(CAST(FLOOR((_s2_s) * {_d(float(1 << level))})"
+            f" AS BIGINT), 0), {(1 << level) - 1})",
+        ),
+        (
+            "_s2_ti",
+            f"LEAST(GREATEST(CAST(FLOOR((_s2_t) * {_d(float(1 << level))})"
+            f" AS BIGINT), 0), {(1 << level) - 1})",
+        ),
+    ]
+    return stages
+
+
+def s2_cells(places: DataFrame, level: int) -> DataFrame:
+    """S2-style cell occupancy at `level`: (face, cell_pos, n_places,
+    min_place) where cell_pos packs (si, ti) with the engine's
+    spread-mask Morton interleave (level tag << 56, as everywhere else
+    in this engine; true S2 orders positions along a per-face Hilbert
+    curve — Morton keeps the same prefix-nesting property, documented
+    difference). Pure staged Column math then ONE aggregate shuffle —
+    and valid at every latitude, including the poles the haversine grid
+    operators refuse."""
+    from metric_search_spark.functions.spatial import cell_from_cxy_col
+
+    p = places
+    for name, expr in s2_stages("lat_udeg", "lon_udeg", level):
+        p = p.withColumn(name, F.expr(expr))
+    return (
+        p.select(
+            "place_id",
+            F.col("_s2_face").cast("long").alias("face"),
+            cell_from_cxy_col(
+                F.col("_s2_si"), F.col("_s2_ti"), level
+            ).alias("cell_pos"),
+        )
+        .groupBy("face", "cell_pos")
+        .agg(
+            F.count("*").alias("n_places"),
+            F.min("place_id").alias("min_place"),
+        )
+    )
+
+
+def s2_cells_sql(places_sql: str, level: int) -> str:
+    """DuckDB twin: the same staged dataflow, but the Morton pack is the
+    INDEPENDENT per-bit sum (morton_bitsum_sql) rather than the engine's
+    spread-mask interleave."""
+    from metric_search_spark.functions.spatial import morton_bitsum_sql
+
+    inner = "places"
+    for name, expr in s2_stages("lat_udeg", "lon_udeg", level):
+        inner = f"(SELECT *, {expr} AS {name} FROM {inner})"
+    return f"""
+WITH places AS ({places_sql})
+SELECT CAST(_s2_face AS BIGINT) AS face,
+       {morton_bitsum_sql("_s2_si", "_s2_ti", level)} AS cell_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_places,
+       CAST(MIN(place_id) AS BIGINT) AS min_place
+FROM {inner}
+GROUP BY 1, 2
 """

@@ -330,3 +330,131 @@ def test_hex_assign_rejects_odd_width(spark):
 
     with pytest.raises(ValueError, match="even"):
         hex_assign(synth_places(spark, 10, seed=7), 1001)
+
+
+def test_banded_sincos_machine_epsilon(spark):
+    """Full-circle banded sin/cos within 5e-15 of libm — including band
+    edges and the antimeridian."""
+    from metric_search_spark.operators.geo import sincos_stages
+
+    angs = [int(a * 1e6) for a in range(-180, 181, 7)]
+    angs += [-179_999_999, -15_000_001, 14_999_999, 15_000_000, 179_999_999]
+    df = spark.createDataFrame([(a,) for a in angs], "a long")
+    for name, expr in sincos_stages("a", "_t"):
+        df = df.withColumn(name, F.expr(expr))
+    for r in df.collect():
+        th = r.a / 1e6 * math.pi / 180.0
+        assert abs(r._t_sin - math.sin(th)) < 5e-15, r.a
+        assert abs(r._t_cos - math.cos(th)) < 5e-15, r.a
+
+
+def test_s2_matches_python_everywhere(spark):
+    """Staged S2 face/s/t equals a libm python recompute of the public
+    s2geometry math on scattered points, poles, equator, and face
+    corners."""
+    from metric_search_spark.operators.geo import s2_stages
+
+    pts = [
+        (i, (i * 7919) % 180_000_001 - 90_000_000,
+         (i * 104729) % 360_000_001 - 180_000_000)
+        for i in range(300)
+    ]
+    pts += [
+        (300, 90_000_000, 0), (301, -90_000_000, 123_000_000),
+        (302, 0, 0), (303, 0, 45_000_000), (304, 45_000_000, 45_000_000),
+        (305, 0, 180_000_000), (306, 0, -180_000_000),
+    ]
+    df = spark.createDataFrame(
+        pts, "place_id long, lat_udeg long, lon_udeg long"
+    )
+    for name, expr in s2_stages("lat_udeg", "lon_udeg", 10):
+        df = df.withColumn(name, F.expr(expr))
+
+    def py_s2(lat, lon):
+        phi = lat / 1e6 * math.pi / 180.0
+        lam = lon / 1e6 * math.pi / 180.0
+        x = math.cos(phi) * math.cos(lam)
+        y = math.cos(phi) * math.sin(lam)
+        z = math.sin(phi)
+        ax, ay, az = abs(x), abs(y), abs(z)
+        if ax >= ay and ax >= az:
+            face, u, v = (0 if x > 0 else 3), y / x, z / x
+        elif ay >= az:
+            face, u, v = (1 if y > 0 else 4), -x / y, z / y
+        else:
+            face, u, v = (2 if z > 0 else 5), -x / z, -y / z
+        if face == 3:
+            u, v = z / x, y / x
+        if face == 4:
+            u, v = z / y, -x / y
+        if face == 5:
+            u, v = -y / z, -x / z
+        if face == 2:
+            u, v = -x / z, -y / z
+
+        def st(w):
+            return (
+                0.5 * math.sqrt(1 + 3 * w)
+                if w >= 0
+                else 1 - 0.5 * math.sqrt(1 - 3 * w)
+            )
+
+        return face, st(u), st(v)
+
+    for r in df.select(
+        "place_id", "lat_udeg", "lon_udeg", "_s2_face", "_s2_s", "_s2_t"
+    ).collect():
+        face, s, t = py_s2(r.lat_udeg, r.lon_udeg)
+        assert face == r._s2_face, r
+        assert abs(s - r._s2_s) < 1e-8 and abs(t - r._s2_t) < 1e-8, r
+
+
+def test_s2_cell_roundtrip_contains_point(spark):
+    """Geometric certification: mapping each assigned (face, si, ti)
+    CELL CENTER back to a unit vector (inverse quadratic transform,
+    python/libm) lands within the cell's circumradius of the original
+    point — the assignment is geometrically consistent, not just
+    self-consistent."""
+    from metric_search_spark.operators.geo import s2_stages
+
+    lv = 8
+    df = synth_places(spark, 200, seed=11)
+    for name, expr in s2_stages("lat_udeg", "lon_udeg", lv):
+        df = df.withColumn(name, F.expr(expr))
+    rows = df.select(
+        "lat_udeg", "lon_udeg", "_s2_face", "_s2_si", "_s2_ti"
+    ).collect()
+
+    def uv_from_st(s):
+        return (4 * s * s - 1) / 3.0 if s >= 0.5 else (1 - 4 * (1 - s) * (1 - s)) / 3.0
+
+    def xyz_from_fuv(face, u, v):
+        if face == 0:
+            p = (1.0, u, v)
+        elif face == 1:
+            p = (-u, 1.0, v)
+        elif face == 2:
+            p = (-u, -v, 1.0)
+        elif face == 3:
+            p = (-1.0, -v, -u)
+        elif face == 4:
+            p = (v, -1.0, -u)
+        else:
+            p = (v, u, -1.0)
+        n = math.sqrt(p[0] ** 2 + p[1] ** 2 + p[2] ** 2)
+        return tuple(c / n for c in p)
+
+    for r in rows:
+        s = (r._s2_si + 0.5) / (1 << lv)
+        t = (r._s2_ti + 0.5) / (1 << lv)
+        cx = xyz_from_fuv(r._s2_face, uv_from_st(s), uv_from_st(t))
+        phi = r.lat_udeg / 1e6 * math.pi / 180.0
+        lam = r.lon_udeg / 1e6 * math.pi / 180.0
+        px = (
+            math.cos(phi) * math.cos(lam),
+            math.cos(phi) * math.sin(lam),
+            math.sin(phi),
+        )
+        chord = math.sqrt(sum((a - b) ** 2 for a, b in zip(cx, px)))
+        # max cell diagonal at level 8: ~ (pi/2)/2^8 * sqrt2 * distortion<2
+        assert chord < 2.0 * math.sqrt(2.0) * (math.pi / 2) / (1 << lv), r
