@@ -7353,6 +7353,65 @@ def _o_s2_cells_sql() -> str:
     return s2_cells_sql(synth_places_sql(_GEO_N, seed=_GEO_SEED), _S2_LEVEL)
 
 
+_GEOIMG_MOD, _GEOIMG_K, _GEOIMG_R0 = 7, 5, 400_000.0
+
+
+def _geo_centroid_cols():
+    """Integer-microdegree centroid from a phash column: the 31-bit
+    quantized (qx, qy) map to lon in [-80e6, 80e6) and lat in
+    [-50e6, 50e6) via exact int64 products and shifts — no float
+    anywhere, so the DuckDB twin (qcoord_sql + // arithmetic) lands on
+    identical integers."""
+    from metric_search_spark.functions.spatial import xq_col, yq_col
+
+    qx, qy = xq_col(F.col("phash")), yq_col(F.col("phash"))
+    lat = F.shiftright(qy * F.lit(100_000_000), 31) - F.lit(50_000_000)
+    lon = F.shiftright(qx * F.lit(160_000_000), 31) - F.lit(80_000_000)
+    return lat.cast("long"), lon.cast("long")
+
+
+def q_geo_knn_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition: great-circle kNN over PHASH-DERIVED
+    image centroids. Decode each image's quantized (qx, qy) from its
+    phash, map to exact integer microdegrees (world-scale footprint,
+    |lat| <= 50 deg), deterministically subsample 1-in-7 by id, and run
+    the doubling-round geodetic kNN (k=5, r0=150 km — the points are
+    world-sparse). The DuckDB twin re-derives the centroids from the
+    SAME deterministic (image_id, phash) projection the flagship oracle
+    uses (lite_rows_for_ids hand-off) and brute-force ranks all pairs
+    with the shared pinned haversine — grid- and round-independent."""
+    from metric_search_spark.operators.geo import haversine_knn_join
+
+    n = images_n_for_sf(sf_dir)
+    if _handoff_enabled():
+        _flagship_oracle_parquet(n)
+    imgs = images_df(spark, sf_dir)
+    lat, lon = _geo_centroid_cols()
+    places = imgs.select(
+        F.substring("image_id", 4, 12).cast("long").alias("place_id"),
+        lat.alias("lat_udeg"),
+        lon.alias("lon_udeg"),
+    ).where(F.col("place_id") % _GEOIMG_MOD == 0)
+    return haversine_knn_join(places, _GEOIMG_K, r0_m=_GEOIMG_R0)
+
+
+def _o_geo_knn_images_sql(n: int) -> str:
+    from metric_search_spark.functions.spatial import qcoord_sql
+    from metric_search_spark.operators.geo import haversine_knn_sql
+
+    path = _handoff_path("flagship_oracle", f"{n}_42")
+    qx, qy = qcoord_sql("phash", "x"), qcoord_sql("phash", "y")
+    places_sql = f"""
+SELECT place_id,
+       (({qy}) * 100000000) // 2147483648 - 50000000 AS lat_udeg,
+       (({qx}) * 160000000) // 2147483648 - 80000000 AS lon_udeg
+FROM (SELECT CAST(substring(image_id, 4, 12) AS BIGINT) AS place_id, phash
+      FROM read_parquet('{path}'))
+WHERE place_id % {_GEOIMG_MOD} = 0
+"""
+    return haversine_knn_sql(places_sql, _GEOIMG_K)
+
+
 _RASTER_CELL = 16
 
 
@@ -7495,6 +7554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "slippy_tiles_places": q_slippy_tiles_places,
     "hex_bin_places": q_hex_bin_places,
     "s2_cells_places": q_s2_cells_places,
+    "geo_knn_images": q_geo_knn_images,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
     "pack_documents": q_pack_documents,
@@ -7707,6 +7767,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     tag = _sf_tag(sf_dir)
     oracles = dict(_STATIC_ORACLES)
     oracles["flagship_images_knn"] = _o_flagship_sql(images_n_for_sf(sf_dir))
+    oracles["geo_knn_images"] = _o_geo_knn_images_sql(images_n_for_sf(sf_dir))
     oracles["minhash_lsh_documents"] = _o_minhash_sql(tag)
     oracles["simhash_documents"] = _o_simhash_sql(tag)
     oracles["image_neardup_phash"] = _o_image_neardup_sql(tag)

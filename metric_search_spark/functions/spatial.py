@@ -292,16 +292,24 @@ def cell_sql(phash_expr: str, res: int) -> str:
     return f"(({res} * 72057594037927936) + ({phash_expr} // {2 ** shift}))"
 
 
+def qcoord_sql(phash_expr: str, axis: str) -> str:
+    """INTEGER quantized coordinate decode (the 31-bit q before
+    normalization) as DuckDB SQL — the twin of xq_col/yq_col, used where
+    downstream math must stay in exact integers (geo centroids)."""
+    v = phash_expr if axis == "x" else f"(({phash_expr}) // 2)"
+    x = f"(({v}) & {_M1})"
+    for shift, mask in ((1, _M2), (2, _M4), (4, _M8), (8, _M16), (16, _M32)):
+        x = f"((({x}) | (({x}) // {2 ** shift})) & {mask})"
+    return x
+
+
 def coord_sql(phash_expr: str, axis: str) -> str:
     """Normalized coordinate decode as DuckDB SQL. axis in {'x','y'}.
 
     Mirrors compact_bits via 5 mask/shift rounds; DuckDB's ``&``/``|``/``>>``
     on BIGINT behave like the JVM's for non-negative inputs.
     """
-    v = phash_expr if axis == "x" else f"(({phash_expr}) // 2)"
-    x = f"(({v}) & {_M1})"
-    for shift, mask in ((1, _M2), (2, _M4), (4, _M8), (8, _M16), (16, _M32)):
-        x = f"((({x}) | (({x}) // {2 ** shift})) & {mask})"
+    x = qcoord_sql(phash_expr, axis)
     return f"((({x}) + 0.5) / {float(1 << _COORD_BITS)})"
 
 
