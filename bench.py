@@ -150,6 +150,33 @@ def main() -> None:
         n_tiles = tile_assign(tbl, res=8).groupBy("tile").count().count()
         timings["tile_scan"] = round(time.time() - t0, 3)
 
+    n_geo = geo_pps = None
+    if not only or "geo_knn" in only:
+        # geodetic wave headline: doubling-round great-circle kNN (k=5)
+        # over the hotspot places fixture at n/5 points (pinned-polynomial
+        # haversine, constant fan-out-15 grid rounds)
+        from metric_search_spark.operators.geo import (
+            haversine_knn_join,
+            synth_places,
+        )
+
+        n_geo = max(n // 5, 10_000)
+        # density-matched r0: the hotspot fixture spreads n_geo points over
+        # ~2136 km^2 (12 boxes of (13.34 km)^2), so the expected 5-NN radius
+        # is sqrt(6/(pi*density)); r0 at 2x that resolves the bulk in round
+        # 0-1 instead of paying ~log2(r_true/r0) doubling rounds of fixed
+        # per-round job overhead (the 72s/10k-places pathology)
+        import math as _math
+
+        r0 = 2.0 * _math.sqrt(6.0 * 2.136e9 / (_math.pi * n_geo))
+        t0 = time.time()
+        pl = synth_places(spark, n_geo, seed=7).localCheckpoint(eager=True)
+        gk = haversine_knn_join(pl, 5, r0_m=r0)
+        n_gk = gk.count()
+        timings["geo_knn5"] = round(time.time() - t0, 3)
+        geo_pps = round(n_geo / timings["geo_knn5"], 1)
+        assert n_gk == n_geo * 5, (n_gk, n_geo)
+
     total = round(
         sum(v for v in timings.values() if isinstance(v, (int, float))), 3
     )
@@ -168,6 +195,8 @@ def main() -> None:
                 "knn10_tile_spread_med_pct": spread_med_pct,
                 "knn_rounds": stats.rounds,
                 "knn_resolution": stats.resolution,
+                "geo_places": n_geo,
+                "geo_places_per_sec": geo_pps,
                 "range_rows": n_rj,
                 "tiles": n_tiles,
             }

@@ -384,38 +384,54 @@ def haversine_knn_join(
     build = p
     probes = p
     hav = hav_sql("alat", "alon", "blat", "blon")
-    hav_e18, dist_mm = _pair_cols_sql(hav)
+    # output columns from the hav COLUMN (not a textual re-expansion of the
+    # polynomial): same doubles, tiny expressions
+    hav_e18_col = f"CAST(FLOOR(hav * {_d(1e18)}) AS BIGINT)"
+    dist_mm_col = (
+        f"CAST(FLOOR({asin_poly_sql('SQRT(hav)')}"
+        f" * {_d(2.0 * EARTH_R_M * 1000.0)}) AS BIGINT)"
+    )
     w_rank = Window.partitionBy("a_id").orderBy("hav", "b_id")
+    w_a = Window.partitionBy("a_id")
     parts: list[DataFrame] = []
     for t in range(max_rounds):
         r_t = r0_m * (2.0 ** t)
         cell_t = int(math.ceil(9.0 * r_t))
+        # hav is a PROJECTED column only — never a filter predicate on the
+        # raw candidates: a WHERE on the polynomial drops the operator out
+        # of whole-stage codegen and evaluates the mega-expression
+        # interpreted (measured 19.4s vs 3.5s for the same 10.8M
+        # candidates at 100k places). The window sorts all candidates and
+        # the k-cut happens on the tiny ranked output instead.
         cand = (
             _window_candidates(probes, build, cell_t, 1, 2)
             .where(F.col("a_id") != F.col("b_id"))
             .withColumn("hav", F.expr(hav))
         )
-        scored = cand.withColumn(
-            "n_in",
-            F.sum(
-                (F.col("hav") < F.lit(hav_threshold(r_t))).cast("long")
-            ).over(Window.partitionBy("a_id")),
-        ).localCheckpoint(eager=False)
-        resolved = (
-            scored.where(F.col("n_in") >= k)
-            .withColumn("rnk", F.row_number().over(w_rank))
+        # ONE pass of the big window, cut to k rows per probe immediately;
+        # only those k*|probes| rows are checkpointed and re-read
+        ranked = (
+            cand.withColumn("rnk", F.row_number().over(w_rank))
             .where(F.col("rnk") <= k)
-            .select(
-                "a_id",
-                F.col("rnk").cast("long").alias("rnk"),
-                "b_id",
-                F.expr(hav_e18).alias("hav_e18"),
-                F.expr(dist_mm).alias("dist_mm"),
-            )
+            .select("a_id", "rnk", "b_id", "hav")
+            .localCheckpoint(eager=False)
+        )
+        # resolved iff the k-th candidate exists AND sits strictly inside
+        # r_t (then the window provably contains the true top-k); comparing
+        # the cached hav column is cheap
+        flagged = ranked.withColumn(
+            "_ok",
+            (F.count("*").over(w_a) == k)
+            & (F.max("hav").over(w_a) < F.lit(hav_threshold(r_t))),
+        )
+        resolved = flagged.where("_ok").select(
+            "a_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "b_id",
+            F.expr(hav_e18_col).alias("hav_e18"),
+            F.expr(dist_mm_col).alias("dist_mm"),
         )
         parts.append(resolved)
-        # a probe with ZERO window candidates never appears in `scored`,
-        # so "still unresolved" is anti-join against the RESOLVED set
         probes = probes.join(
             resolved.select("a_id").distinct(),
             probes["place_id"] == F.col("a_id"),
