@@ -168,7 +168,10 @@ def main() -> None:
         # per-round job overhead (the 72s/10k-places pathology)
         import math as _math
 
-        r0 = 2.0 * _math.sqrt(6.0 * 2.136e9 / (_math.pi * n_geo))
+        # factor 1.4, not 2.0: round-0 candidates scale ~factor^2 and the
+        # window sort is bandwidth-bound (BENCH/geo_knn_scaling_r4.jsonl:
+        # 2.0 -> 0.639 scaling eff; 1.4 -> 0.905 and ~2x absolute)
+        r0 = 1.4 * _math.sqrt(6.0 * 2.136e9 / (_math.pi * n_geo))
         t0 = time.time()
         pl = synth_places(spark, n_geo, seed=7).localCheckpoint(eager=True)
         gk = haversine_knn_join(pl, 5, r0_m=r0)
