@@ -7353,6 +7353,31 @@ def _o_s2_cells_sql() -> str:
     return s2_cells_sql(synth_places_sql(_GEO_N, seed=_GEO_SEED), _S2_LEVEL)
 
 
+_GH_PRECISION = 8
+
+
+def q_geohash_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-32 geohash per place at precision 8 (operators/geo.
+    geohash_cells) — the SFC key family whose string-PREFIX property maps
+    onto object-store path sharding (gh4 = the coarse directory key).
+    Exact integer quantizers (udeg + span/2) * 2^20 DIV span feed the
+    spread-mask Morton interleave and an array-literal alphabet lookup —
+    pure Column projection, zero shuffle. The DuckDB twin recomputes the
+    interleave as an independent per-bit SUM and indexes the alphabet by
+    substring; the published u4pruydqqvj example and a classic
+    float-bisection twin are pinned in tests/test_geohash.py."""
+    from metric_search_spark.operators.geo import geohash_cells, synth_places
+
+    p = synth_places(spark, _GEO_N, seed=_GEO_SEED)
+    return geohash_cells(p, _GH_PRECISION)
+
+
+def _o_geohash_sql() -> str:
+    from metric_search_spark.operators.geo import geohash_sql, synth_places_sql
+
+    return geohash_sql(synth_places_sql(_GEO_N, seed=_GEO_SEED), _GH_PRECISION)
+
+
 _GEOIMG_MOD, _GEOIMG_K, _GEOIMG_R0 = 7, 5, 400_000.0
 
 
@@ -7554,6 +7579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "slippy_tiles_places": q_slippy_tiles_places,
     "hex_bin_places": q_hex_bin_places,
     "s2_cells_places": q_s2_cells_places,
+    "geohash_places": q_geohash_places,
     "geo_knn_images": q_geo_knn_images,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
@@ -7680,6 +7706,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "slippy_tiles_places": _o_slippy_tiles_sql(),
     "hex_bin_places": _o_hex_bin_sql(),
     "s2_cells_places": _o_s2_cells_sql(),
+    "geohash_places": _o_geohash_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

@@ -980,3 +980,96 @@ SELECT CAST(_s2_face AS BIGINT) AS face,
 FROM {inner}
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------------------------ geohash
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cells(places: DataFrame, precision: int = 8) -> DataFrame:
+    """Standard base-32 geohash of each place at the given (even)
+    ``precision`` — the third SFC key family next to Morton/Hilbert tile
+    ids and S2 cell ids, and the one whose STRING PREFIX property maps
+    directly onto object-store path partitioning (`gh[:4]/` prefixes are
+    how a 10^12-row corpus shards into ~1.7M balanced directories).
+
+    Semantics (the public geohash definition, Niemeyer 2008): interleave
+    the binary expansions of lon over [-180, 180) and lat over [-90, 90),
+    longitude first, and emit 5-bit groups through the base-32 alphabet
+    ``0123456789bcdefghjkmnpqrstuvwxyz``. With even ``precision`` both
+    axes carry exactly ``5*precision/2`` bits, so the quantizers are
+    exact integer floors over the microdegree inputs (no float division
+    anywhere): q = (udeg + span/2) * 2^bits DIV span, every intermediate
+    < 2^53. The interleave is the same spread-mask Morton the tiling
+    layer uses (functions/spatial.spread_bits_col); the DuckDB twin
+    (geohash_sql) recomputes it as an independent per-bit sum and indexes
+    the alphabet by substring — no shared arithmetic shape.
+
+    Pure Column projection — zero shuffles, zero Python; stays inside
+    whole-stage codegen. Emits (place_id, gh, gh4) with gh4 the 4-char
+    prefix (the coarse shard key). Precision is capped at 12 (30 bits
+    per axis, the spread-mask input width); odd precisions would split
+    bits unevenly across axes and are rejected for auditability.
+    """
+    from metric_search_spark.functions.spatial import spread_bits_col
+
+    if precision % 2 or not 2 <= precision <= 12:
+        raise ValueError(
+            f"geohash_cells: precision {precision} must be even and in [2, 12]"
+        )
+    bits = 5 * precision // 2
+    lon_q = F.least(
+        F.lit((1 << bits) - 1),
+        F.expr(f"(lon_udeg + 180000000) * {1 << bits} DIV 360000000"),
+    )
+    lat_q = F.least(
+        F.lit((1 << bits) - 1),
+        F.expr(f"(lat_udeg + 90000000) * {1 << bits} DIV 180000000"),
+    )
+    v = F.shiftleft(spread_bits_col(lon_q), 1).bitwiseOR(spread_bits_col(lat_q))
+    alph = F.array(*[F.lit(c) for c in _GH_ALPHABET])
+    chars = [
+        F.element_at(
+            alph,
+            (F.shiftright(v, 5 * (precision - 1 - j)).bitwiseAND(F.lit(31)) + 1)
+            .cast("int"),
+        )
+        for j in range(precision)
+    ]
+    return places.select(
+        "place_id",
+        F.concat(*chars).alias("gh"),
+        F.concat(*chars[:4]).alias("gh4"),
+    )
+
+
+def geohash_sql(places_sql: str, precision: int = 8) -> str:
+    """DuckDB twin of geohash_cells: same public definition, independent
+    arithmetic — `//` integer division, per-bit-sum interleave (the
+    morton_bitsum shape, not the engine's spread-mask ripple), and
+    substring indexing into the alphabet instead of an array literal."""
+    if precision % 2 or not 2 <= precision <= 12:
+        raise ValueError(
+            f"geohash_sql: precision {precision} must be even and in [2, 12]"
+        )
+    bits = 5 * precision // 2
+    lon_q = f"LEAST({(1 << bits) - 1}, (lon_udeg + 180000000) * {1 << bits} // 360000000)"
+    lat_q = f"LEAST({(1 << bits) - 1}, (lat_udeg + 90000000) * {1 << bits} // 180000000)"
+    v = (
+        f"CAST(list_sum(list_transform(range(0, {bits}),"
+        f" b -> ((lonq >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1))"
+        f" + ((latq >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b)))) AS BIGINT)"
+    )
+    gh = (
+        f"array_to_string(list_transform(range(0, {precision}),"
+        f" j -> substr('{_GH_ALPHABET}',"
+        f" CAST(((v >> (5 * ({precision} - 1 - j))) & 31) AS INTEGER) + 1, 1)), '')"
+    )
+    return f"""
+WITH places AS ({places_sql}),
+q AS (SELECT place_id, {lon_q} AS lonq, {lat_q} AS latq FROM places),
+iv AS (SELECT place_id, {v} AS v FROM q),
+g AS (SELECT place_id, {gh} AS gh FROM iv)
+SELECT place_id, gh, substr(gh, 1, 4) AS gh4 FROM g
+"""
