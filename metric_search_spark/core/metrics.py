@@ -56,6 +56,7 @@ __all__ = [
     "PNorm",
     "Cosine",
     "TWED",
+    "DTW",
     "Edit",
     "SSIM",
     "get_metric",
@@ -436,6 +437,49 @@ class TWED(Metric):
         return D0[:, -1]
 
 
+class DTW(Metric):
+    """Classic dynamic time warping over 1-D sequences with L1 local cost
+    (Sakoe–Chiba 1978, unconstrained window) — the third member of the
+    elastic-distance family next to TWED (reference TWED.cpp) and discrete
+    Fréchet (operators/trajectory): DTW charges every matched pair and
+    allows unlimited stutter, where TWED adds stiffness/edit penalties and
+    Fréchet takes the bottleneck max instead of the sum.
+
+    Recurrence: D[i][j] = |A_i − B_j| + min(D[i−1][j], D[i][j−1],
+    D[i−1][j−1]); first row/column are running sums (only one path). The
+    same-row D[i][j−1] dependency makes the inner loop a sequential
+    min-scan (exactly TWED's shape); ``many`` vectorizes every cell op
+    across the batch rows and the DuckDB twin (entry_queries.O_DTW_EVENTS)
+    unrolls the scan to prefix-sum + prefix-min, the TWED-oracle technique.
+    """
+
+    name = "dtw"
+
+    def one(self, a, b) -> float:
+        return float(self.many(np.asarray(a, dtype=np.float64)[None, :], b)[0])
+
+    def many(self, S, b) -> np.ndarray:
+        """Batched DTW: distances from every row of ``S`` (n, m) to the
+        anchor ``b`` — the DP loops over (m × |b|) once with every cell op
+        vectorized across the n rows (callers group series by length)."""
+        S = np.asarray(S, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64).ravel()
+        if S.ndim == 1:
+            S = S[None, :]
+        n, nA = S.shape
+        nB = len(b)
+        D0 = np.cumsum(np.abs(S[:, [0]] - b[None, :]), axis=1)  # row 0: all-left
+        for i in range(1, nA):
+            cost = np.abs(S[:, [i]] - b[None, :])  # (n, nB)
+            Di = np.empty((n, nB))
+            Di[:, 0] = D0[:, 0] + cost[:, 0]  # col 0: only the up-move
+            m = np.minimum(D0[:, 1:], D0[:, :-1])  # min(up, diag), j >= 1
+            for j in range(1, nB):
+                Di[:, j] = cost[:, j] + np.minimum(Di[:, j - 1], m[:, j - 1])
+            D0 = Di
+        return D0[:, -1]
+
+
 class Edit(Metric):
     """Levenshtein (Edit.cpp:11-64). The Spark path uses built-in F.levenshtein;
     this python twin is the oracle for unit tests."""
@@ -676,6 +720,7 @@ METRICS: dict[str, type[Metric]] = {
         PNorm,
         Cosine,
         TWED,
+        DTW,
         Edit,
         SSIM,
         EMD,

@@ -5345,6 +5345,108 @@ FROM dp WHERE i = len(a)
 """
 
 
+def q_dtw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic dynamic time warping (Sakoe–Chiba 1978; core.metrics.DTW)
+    between each user's event-value series and user 0's series — the third
+    elastic distance next to TWED (twed_events) and discrete Fréchet
+    (frechet_events): sum of L1 costs over the best monotone alignment,
+    unlimited stutter, no stiffness penalty. Same relational series
+    assembly as twed_events (sort_array over collect_list, slice 32); the
+    O(n·m) DP runs vectorized across rows in mapInPandas with per-length
+    batching (DTW.many). The DuckDB twin recomputes the ENTIRE DP from raw
+    events via a recursive CTE — the same-row left dependency unrolls to
+    prefix-sum + prefix-min exactly as in O_TWED_EVENTS."""
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("event_id", "value"))),
+                    lambda s: s["value"],
+                ),
+                1,
+                32,
+            ).alias("series")
+        )
+    ).localCheckpoint(eager=True)  # anchor .first() would re-run the agg
+    anchor = series.orderBy("user_id").first()["series"]
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        from metric_search_spark.core.metrics import DTW
+
+        dtw = DTW()
+        for pdf in batches:
+            vals = np.empty(len(pdf))
+            arrs = [np.asarray(s, dtype=np.float64) for s in pdf["series"]]
+            lens = np.asarray([len(a) for a in arrs])
+            for L in np.unique(lens):
+                rows = np.nonzero(lens == L)[0]
+                S = np.vstack([arrs[i] for i in rows])
+                vals[rows] = np.round(dtw.many(S, anchor), 6)
+            pdf["dtw"] = vals
+            yield pdf[["user_id", "dtw"]]
+
+    return series.mapInPandas(fn, schema="user_id long, dtw double").orderBy(
+        "user_id"
+    )
+
+
+# DuckDB twin of the DTW dynamic program (fully independent — recomputes the
+# whole DP from the raw events view, no hand-off). Engine recurrence
+# Di[j] = c[j] + min(Di[j-1], D0[j], D0[j-1]) unrolls via P[j] = Σ_{2<=t<=j}
+# c[t] to Di[j] = P[j] + min_{k<=j}(M[k] − P[k]) with M[1] := Di[1] =
+# D0[1] + c[1] and M[k] = min(D0[k], D0[k-1]) + c[k] — the O_TWED_EVENTS
+# technique with a per-iteration prefix-sum (DTW's step cost depends on the
+# current series element, TWED's only on the anchor). Row 1 is the all-left
+# running sum. Both sides round to 6: event values have 2 decimals, so exact
+# DTW values are multiples of 0.01, far from any 1e-6 rounding boundary.
+O_DTW_EVENTS = """
+WITH RECURSIVE
+series AS (
+  SELECT user_id, list_slice(list(value ORDER BY event_id), 1, 32) AS a
+  FROM events GROUP BY user_id
+),
+anchor AS (SELECT a AS b FROM series ORDER BY user_id LIMIT 1),
+dp AS (
+  SELECT s.user_id, s.a, 1 AS i,
+         list_transform(range(1, len(an.b) + 1), j ->
+           list_sum(list_transform(range(1, j + 1),
+                    t -> abs(s.a[1] - an.b[t])))) AS d
+  FROM series s, anchor an
+  UNION ALL
+  SELECT user_id, a, i + 1,
+         list_transform(range(1, nb + 1),
+                        j -> p[j] + list_min(list_slice(mm, 1, j))) AS d
+  FROM (
+    SELECT user_id, a, i, nb, p,
+           list_transform(range(1, nb + 1), k -> (CASE WHEN k = 1
+             THEN d[1] + c[1]
+             ELSE least(d[k], d[k-1]) + c[k]
+             END) - p[k]) AS mm
+    FROM (
+      SELECT user_id, a, i, d, nb, c,
+             list_transform(range(1, nb + 1), j ->
+               coalesce(list_sum(list_transform(range(2, j + 1),
+                        t -> c[t])), 0.0)) AS p
+      FROM (
+        SELECT dp.user_id, dp.a, dp.i, dp.d, len(an.b) AS nb,
+               list_transform(range(1, len(an.b) + 1),
+                              j -> abs(dp.a[dp.i + 1] - an.b[j])) AS c
+        FROM dp, anchor an
+        WHERE dp.i < len(dp.a)
+      )
+    )
+  )
+)
+SELECT user_id, round(d[len(d)], 6) AS dtw
+FROM dp WHERE i = len(a)
+"""
+
+
 def q_ssim_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSIM distance (reference SSIM.cpp:57-169, incl. the size_t-underflow
     gaussian-window quirk) between same-size image pairs of the full
@@ -7639,6 +7741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_rerank_knn_embeddings": q_ivfpq_rerank_knn_embeddings,
     "index_level_histogram": q_index_level_histogram,
     "twed_events": q_twed_events,
+    "dtw_events": q_dtw_events,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
@@ -7764,6 +7867,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "knn_after_update_embeddings": O_KNN_AFTER_UPDATE,
     "twed_events": O_TWED_EVENTS,
+    "dtw_events": O_DTW_EVENTS,
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }
