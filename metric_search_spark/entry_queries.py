@@ -4819,6 +4819,38 @@ WHERE wst + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def q_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join run as a REAL streaming job
+    (streaming/joins.stream_interval_join: two file-source streams →
+    availableNow → append-mode memory sink): every even-event_id event
+    joins each odd-event_id event of the same user within the trailing
+    6 hours — the attribution shape, with BOTH sides watermarked (1 h) so
+    join state is bounded by rate × window, never stream length (Spark
+    rejects the unbounded variant outright). For an in-order finite replay
+    the inner join's emitted set is exactly the batch interval join, so the
+    DuckDB twin is the plain SQL range join; output is integer-exact
+    (ids + whole-second delta). Cross-micro-batch match emission is pinned
+    separately in tests/test_stream_join.py with maxFilesPerTrigger=1."""
+    from metric_search_spark.streaming.joins import stream_interval_join
+
+    return stream_interval_join(spark, f"{sf_dir}/events.parquet")
+
+
+O_STREAM_JOIN_EVENTS = """
+SELECT a.user_id AS user_id,
+       a.event_id AS a_id,
+       b.event_id AS b_id,
+       epoch_us(a.ts) // 1000000 - epoch_us(b.ts) // 1000000 AS delta_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id % 2 = 0
+ AND b.event_id % 2 = 1
+ AND b.ts >= a.ts - INTERVAL 6 HOUR
+ AND b.ts <= a.ts
+"""
+
+
 def q_stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user gap-based SESSION windows as a real streaming job
     (streaming/windows.session_event_stats, native F.session_window state
@@ -7647,6 +7679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_documents": q_winnow_documents,
     "winnow_neardup_documents": q_winnow_neardup_documents,
     "stream_window_events": q_stream_window_events,
+    "stream_join_events": q_stream_join_events,
     "stream_session_events": q_stream_session_events,
     "stream_ewma_events": q_stream_ewma_events,
     "stream_dedup_events": q_stream_dedup_events,
@@ -7879,6 +7912,7 @@ _STATIC_ORACLES["langid_documents"] = langid_sql("text")
 _STATIC_ORACLES["winnow_documents"] = winnow_sql("text")
 _STATIC_ORACLES["winnow_neardup_documents"] = _o_winnow_neardup_sql()
 _STATIC_ORACLES["stream_window_events"] = O_STREAM_WINDOW_EVENTS
+_STATIC_ORACLES["stream_join_events"] = O_STREAM_JOIN_EVENTS
 _STATIC_ORACLES["stream_session_events"] = O_STREAM_SESSION_EVENTS
 _STATIC_ORACLES["stream_ewma_events"] = O_STREAM_EWMA_EVENTS
 _STATIC_ORACLES["stream_dedup_events"] = O_STREAM_DEDUP_EVENTS
