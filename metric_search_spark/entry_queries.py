@@ -6581,8 +6581,8 @@ def q_hilbert_tiles_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin threads (x, y, d) through a genuinely iterative RECURSIVE
     CTE — different formulation, same walk."""
     from metric_search_spark.functions.spatial import (
-        hilbert_from_cxy_col,
         quantize_col,
+        with_hilbert,
     )
 
     res = _HILBERT_RES
@@ -6596,11 +6596,11 @@ def q_hilbert_tiles_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cx", "cy")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    return occ.select(
-        hilbert_from_cxy_col(F.col("cx"), F.col("cy"), res).alias("hkey"),
-        "cx",
-        "cy",
-        "cnt",
+    # staged per-level walk (with_hilbert): the inline Column's ~4^res tree
+    # blew the hash-aggregate's generated method past Janino's 64 KB limit
+    # and dropped the stage to interpreted execution
+    return with_hilbert(occ, F.col("cx"), F.col("cy"), res).select(
+        "hkey", "cx", "cy", "cnt"
     )
 
 

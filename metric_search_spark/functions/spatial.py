@@ -40,6 +40,7 @@ __all__ = [
     "cell_col",
     "cell_from_xy_col",
     "cell_from_cxy_col",
+    "with_xy_cell",
     "morton_bitsum_sql",
     "cell_xy_cols",
     "kring_cells_col",
@@ -50,6 +51,7 @@ __all__ = [
     "phash_sql",
     "cell_from_xy_sql",
     "hilbert_from_cxy_col",
+    "with_hilbert",
     "hilbert_sql",
 ]
 
@@ -134,6 +136,38 @@ def cell_from_cxy_col(cx: Column, cy: Column, res: int) -> Column:
         F.lit(res << 56)
         + spread_bits_col(cx).bitwiseOR(F.shiftleft(spread_bits_col(cy), 1))
     ).cast("long")
+
+
+def with_xy_cell(df, x: Column, y: Column, res: int, out: str = "cell"):
+    """Append the Morton cell of normalized (x, y) as column ``out`` via a
+    STAGED plan: one projection binds the res-bit quantized grid indices to
+    real attributes, a second runs the interleave ripple over those bound
+    attributes.
+
+    Why not ``cell_from_xy_col`` inline: Catalyst substitutes, it does not
+    let-bind — each of the 5 mask-ripple rounds references its input twice,
+    so the quantize subtree (floor/least/greatest/multiply) is re-inlined
+    2^5 times per axis. That tree pushed fused scan stages past Janino's
+    64 KB generated-method limit (index build: 'Code grows beyond 64 KB'),
+    silently dropping the WHOLE stage to interpreted execution — a 100-TB
+    hot-path regression invisible at test scale. Staging keeps every
+    generated method small; CollapseProject cannot re-merge the two
+    projections because the quantize aliases are non-cheap and referenced
+    2^5 times downstream. Output is bit-identical to ``cell_from_xy_col``
+    (pinned in tests/test_spatial_cols.py)."""
+    if not 0 <= res <= 27:
+        raise ValueError(f"resolution {res} out of [0, 27]")
+    shift = _COORD_BITS - res
+    cxn, cyn = f"__{out}_cx", f"__{out}_cy"
+    staged = df.withColumns(
+        {
+            cxn: F.shiftright(quantize_col(x), shift),
+            cyn: F.shiftright(quantize_col(y), shift),
+        }
+    )
+    return staged.withColumn(
+        out, cell_from_cxy_col(F.col(cxn), F.col(cyn), res)
+    ).drop(cxn, cyn)
 
 
 def cell_xy_cols(cell: Column) -> tuple[Column, Column]:
@@ -345,6 +379,47 @@ def hilbert_from_cxy_col(cx: Column, cy: Column, res: int) -> Column:
             F.when(ry == 0, fx).otherwise(y),
         )
     return d
+
+
+def with_hilbert(df, cx: Column, cy: Column, res: int, out: str = "hkey"):
+    """Append the Hilbert index of grid cell (cx, cy) as column ``out`` via
+    a STAGED plan: one projection per xy2d level, each binding the walk
+    state (x, y, d) to real attributes.
+
+    Why not ``hilbert_from_cxy_col`` inline: each level references the
+    running (x, y) ~4 times, so Catalyst's substitution grows the single
+    expression tree ~4^res — at res 6 the generated hash-aggregate method
+    crossed Janino's 64 KB limit ('Code grows beyond 64 KB') and the whole
+    stage silently fell back to interpreted execution. Staged, the fused
+    whole-stage method emits each level's expressions once (linear in res);
+    CollapseProject cannot re-merge because every level's non-cheap aliases
+    are referenced several times by the next. Bit-identical to the inline
+    Column (pinned in tests/test_hilbert.py)."""
+    if not 1 <= res <= 16:
+        raise ValueError(f"hilbert res {res} out of [1, 16]")
+    xn, yn, dn = f"__{out}_x", f"__{out}_y", f"__{out}_d"
+    n1 = F.lit((1 << res) - 1)
+    cur = df.withColumns(
+        {
+            xn: cx.cast("long"),
+            yn: cy.cast("long"),
+            dn: F.lit(0).cast("long"),
+        }
+    )
+    for i in range(res - 1, -1, -1):
+        x, y, d = F.col(xn), F.col(yn), F.col(dn)
+        rx = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        fx = F.when(rx == 1, n1 - x).otherwise(x)
+        fy = F.when(rx == 1, n1 - y).otherwise(y)
+        cur = cur.withColumns(
+            {
+                dn: d + F.lit(1 << (2 * i)) * (F.lit(3) * rx).bitwiseXOR(ry),
+                xn: F.when(ry == 0, fy).otherwise(x),
+                yn: F.when(ry == 0, fx).otherwise(y),
+            }
+        )
+    return cur.withColumn(out, F.col(dn)).drop(xn, yn, dn)
 
 
 def hilbert_sql(cx_expr: str, cy_expr: str, res: int, src: str) -> str:

@@ -83,3 +83,38 @@ def test_duckdb_recursive_twin_matches():
 def test_res_guard():
     with pytest.raises(ValueError, match="out of"):
         hilbert_from_cxy_col(F.lit(0), F.lit(0), 9)
+
+
+def test_with_hilbert_staged_matches_inline_and_codegens():
+    """The staged per-level walk (with_hilbert) is bit-identical to the
+    inline Column, and — the regression this exists for — its plan
+    COMPILES under whole-stage codegen: the inline tree grows ~4^res and
+    blew the res-6 hash-aggregate past Janino's 64 KB method limit,
+    silently dropping the stage to interpreted execution. codegen.fallback
+    =false makes any compile failure fatal instead of silent."""
+    from metric_search_spark.functions.spatial import with_hilbert
+
+    spark = get_spark()
+    res = 6
+    n = 1 << res
+    cells = [(cx, cy) for cx in range(0, n, 3) for cy in range(0, n, 5)]
+    df = spark.createDataFrame(cells, "cx long, cy long")
+    want = {
+        (r.cx, r.cy): r.h
+        for r in df.select(
+            "cx", "cy",
+            hilbert_from_cxy_col(F.col("cx"), F.col("cy"), res).alias("h"),
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        got = {
+            (r.cx, r.cy): r.hkey
+            for r in with_hilbert(
+                df, F.col("cx"), F.col("cy"), res
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+    assert got == want

@@ -83,3 +83,43 @@ def test_cell_sql_matches_numpy(coords):
     wx, wy = cells.coords_from_phash(p)
     np.testing.assert_allclose(gx.to_numpy(), wx, rtol=0, atol=0)
     np.testing.assert_allclose(gy.to_numpy(), wy, rtol=0, atol=0)
+
+
+def test_with_xy_cell_staged_matches_inline_and_codegens(spark):
+    """The staged quantize→interleave (with_xy_cell) is bit-identical to
+    inline cell_from_xy_col across resolutions, and its plan COMPILES
+    under whole-stage codegen (fallback=false makes failure fatal) — the
+    inline tree re-inlined quantize 2^5 times per axis and pushed the
+    fused index-build scan past Janino's 64 KB method limit."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from metric_search_spark.functions.spatial import (
+        cell_from_xy_col,
+        with_xy_cell,
+    )
+
+    rng = random.Random(11)
+    pts = [(i, rng.random(), rng.random()) for i in range(300)]
+    pts += [(300, 0.0, 0.0), (301, 0.9999999999, 0.9999999999)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    for res in (0, 1, 3, 8, 27):
+        want = {
+            r.id: r.c
+            for r in df.select(
+                "id", cell_from_xy_col(F.col("x"), F.col("y"), res).alias("c")
+            ).collect()
+        }
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            got = {
+                r.id: r.cell
+                for r in with_xy_cell(
+                    df, F.col("x"), F.col("y"), res
+                ).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old)
+        assert got == want, res
