@@ -5479,6 +5479,47 @@ FROM dp WHERE i = len(a)
 """
 
 
+def q_fuzzy_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Jaro–Winkler fuzzy-name join (operators/fuzzy.fuzzy_join) —
+    the entity-resolution staple: each document's 'name' is its first five
+    tokens, candidates are pairs sharing the FIRST token (the blocking key
+    — one hash-shuffle equi-join, never all-pairs), and every candidate is
+    scored. No threshold filter: JW values the data attains are engine-
+    dependent at the ulp level, so the query emits all blocked candidates
+    with round-6 scores (min distance to a rounding boundary measured
+    3e-10 — 5 orders above cross-engine fp noise). The DuckDB twin
+    recomputes names, blocks, the join AND the similarity via its NATIVE
+    jaro_winkler_similarity — an independent C++ implementation of the
+    same public definition (Winkler 1990; boost only when jaro > 0.7,
+    prefix cap 4, p = 0.1 — semantics pinned in tests/test_fuzzy.py)."""
+    from metric_search_spark.operators.fuzzy import fuzzy_join
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    names = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("name"),
+        F.element_at(toks, 1).alias("blk"),
+    )
+    return fuzzy_join(names).select(
+        "id_a", "id_b", F.round(F.col("jw"), 6).alias("jw")
+    )
+
+
+O_FUZZY_PAIRS_DOCUMENTS = """
+WITH names AS (
+  SELECT doc_id,
+         array_to_string((string_split(text, ' '))[1:5], ' ') AS name,
+         (string_split(text, ' '))[1] AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+FROM names a
+JOIN names b ON a.blk = b.blk AND a.doc_id < b.doc_id
+"""
+
+
 def q_ssim_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSIM distance (reference SSIM.cpp:57-169, incl. the size_t-underflow
     gaussian-window quirk) between same-size image pairs of the full
@@ -7775,6 +7816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_level_histogram": q_index_level_histogram,
     "twed_events": q_twed_events,
     "dtw_events": q_dtw_events,
+    "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
@@ -7901,6 +7943,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "knn_after_update_embeddings": O_KNN_AFTER_UPDATE,
     "twed_events": O_TWED_EVENTS,
     "dtw_events": O_DTW_EVENTS,
+    "fuzzy_pairs_documents": O_FUZZY_PAIRS_DOCUMENTS,
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }
