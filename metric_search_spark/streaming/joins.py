@@ -42,7 +42,7 @@ __all__ = ["stream_interval_join", "interval_join_batch"]
 _sink_counter = itertools.count()
 
 
-def _sides(src: DataFrame, lookback: str, delay: str):
+def _sides(src: DataFrame, lookback: str, delay: str, how: str = "inner"):
     """Split one event source into the two join sides (even event_id =
     probes, odd = clicks), each with its OWN watermark (a stream-stream
     join requires one per input), renamed apart so the join condition is
@@ -75,7 +75,7 @@ def _sides(src: DataFrame, lookback: str, delay: str):
         & (right["b_ts"] <= left["a_ts"])
     )
     return (
-        left.join(right, cond, "inner")
+        left.join(right, cond, how)
         .select(
             "user_id",
             "a_id",
@@ -94,6 +94,7 @@ def stream_interval_join(
     lookback: str = "6 hours",
     delay: str = "1 hour",
     max_files_per_trigger: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Run the watermarked stream-stream interval join as a real streaming
     job (file source ×2 → availableNow → memory sink) and return the
@@ -101,11 +102,22 @@ def stream_interval_join(
     of the same user with ``a_ts − lookback <= b_ts <= a_ts``. Output is
     (user_id, a_id, b_id, delta_s) with delta_s in whole epoch seconds
     (timestamps are cast to long — microsecond fixtures floor identically
-    in Spark and the DuckDB twin's epoch()//1).
+    in Spark and the DuckDB twin's epoch_us // 1e6).
 
     ``max_files_per_trigger`` forces multi-batch replay (tests pin that a
     match whose sides arrive in DIFFERENT micro-batches still emits — the
-    join state genuinely carries across triggers)."""
+    join state genuinely carries across triggers).
+
+    ``how='left_outer'``: unmatched left rows emit with NULL b_id once the
+    watermark EVICTS their state (watermark > a_ts, since no future right
+    row can have b_ts <= a_ts after that). Eviction runs at the START of a
+    subsequent micro-batch, so a NULL row needs a LATER batch to carry it
+    out — with availableNow, unmatched rows in the final batch are
+    withheld forever (probed empirically: a single-batch run emits ZERO
+    null rows — exactly how an unbounded stream behaves, where 'no more
+    data' never happens). Multi-batch replay semantics are pinned in
+    tests/test_stream_join.py; this withholding is why the driver query
+    uses the inner join, whose emitted set is batch-deterministic."""
     if not os.path.isdir(events_path):  # see streaming/windows
         events_path = f"{events_path[:-1]}[{events_path[-1]}]"
 
@@ -115,7 +127,7 @@ def stream_interval_join(
             r = r.option("maxFilesPerTrigger", max_files_per_trigger)
         return r.parquet(events_path)
 
-    joined = _sides(reader(), lookback, delay)
+    joined = _sides(reader(), lookback, delay, how)
     name = f"msk_sjoin_events_{next(_sink_counter)}"
     ckpt = tempfile.mkdtemp(prefix="msk_stream_ckpt_")
     q = (
@@ -131,9 +143,13 @@ def stream_interval_join(
 
 
 def interval_join_batch(
-    events: DataFrame, *, lookback: str = "6 hours", delay: str = "1 hour"
+    events: DataFrame,
+    *,
+    lookback: str = "6 hours",
+    delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Batch twin: the same plan over a bounded DataFrame (watermarks are
     no-ops in batch). The streaming inner join's emitted set must equal
     this exactly for an in-order finite replay."""
-    return _sides(events, lookback, delay)
+    return _sides(events, lookback, delay, how)

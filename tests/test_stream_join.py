@@ -117,6 +117,48 @@ def test_window_boundaries(spark):
     assert _key(got) == [(7, 10, 1, 0), (7, 10, 3, 21600)]
 
 
+def test_left_outer_null_emission_needs_eviction_batch(spark):
+    """left_outer semantics (pinned empirically): an unmatched left row
+    emits (…, NULL, NULL) only in a batch AFTER the watermark — computed at
+    the END of an earlier batch — passes its a_ts and evicts its state.
+    Batch 1: unmatched left at t0 (user 5) + a matched pair (user 6).
+    Batch 2: a row at t0+3h — advances the post-batch watermark to t0+2h,
+    but eviction hasn't run yet. Batch 3: a dummy row — processed with the
+    t0+2h watermark, evicting user 5's left row → NULL emission. Rows in
+    the final batch are withheld forever (the unbounded-stream behavior)."""
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    d = tempfile.mkdtemp(prefix="msk_sjoin_fix_")
+    _write_file(
+        d,
+        "f0.parquet",
+        [
+            (10, t0, 5, "probe", 1.0, "{}"),                       # no match
+            (12, t0, 6, "probe", 1.0, "{}"),
+            (11, t0 - dt.timedelta(minutes=10), 6, "click", 1.0, "{}"),
+        ],
+        0,
+    )
+    _write_file(
+        d, "f1.parquet", [(13, t0 + dt.timedelta(hours=3), 7, "c", 1.0, "{}")], 1
+    )
+    _write_file(
+        d,
+        "f2.parquet",
+        [(16, t0 + dt.timedelta(hours=3, minutes=30), 8, "p", 1.0, "{}")],
+        2,
+    )
+    got = stream_interval_join(
+        spark, d, max_files_per_trigger=1, how="left_outer"
+    ).toPandas()
+    rows = {
+        (r.user_id, r.a_id, None if pd.isna(r.b_id) else int(r.b_id))
+        for r in got.itertuples()
+    }
+    # user 6's match (batch 1), user 5's NULL row (batch 3 eviction);
+    # a_id=16 (final batch, never evicted) is withheld
+    assert rows == {(6, 12, 11), (5, 10, None)}
+
+
 def test_driver_query_matches_duckdb_oracle(spark):
     from metric_search_spark.entry_queries import O_STREAM_JOIN_EVENTS, QUERIES
 
