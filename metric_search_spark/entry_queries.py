@@ -5520,6 +5520,41 @@ JOIN names b ON a.blk = b.blk AND a.doc_id < b.doc_id
 """
 
 
+def q_dl_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Damerau–Levenshtein distance over the same blocked name pairs
+    as fuzzy_pairs_documents (operators/fuzzy.fuzzy_join(scorer='dl') —
+    Lowrance–Wagner with alphabet bookkeeping: DL('CA','ABC')=2 where the
+    restricted OSA variant gives 3). Complements the built-in-Levenshtein
+    edit join (edit_join_documents) with the transposition-aware variant
+    record linkage actually wants. Integer distances → the oracle compare
+    is exact; the DuckDB twin scores with its NATIVE damerau_levenshtein
+    (verified full-variant, tests/test_fuzzy.py)."""
+    from metric_search_spark.operators.fuzzy import fuzzy_join
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    names = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("name"),
+        F.element_at(toks, 1).alias("blk"),
+    )
+    return fuzzy_join(names, scorer="dl").select("id_a", "id_b", "dl")
+
+
+O_DL_PAIRS_DOCUMENTS = """
+WITH names AS (
+  SELECT doc_id,
+         array_to_string((string_split(text, ' '))[1:5], ' ') AS name,
+         (string_split(text, ' '))[1] AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(damerau_levenshtein(a.name, b.name) AS BIGINT) AS dl
+FROM names a
+JOIN names b ON a.blk = b.blk AND a.doc_id < b.doc_id
+"""
+
+
 def q_ssim_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSIM distance (reference SSIM.cpp:57-169, incl. the size_t-underflow
     gaussian-window quirk) between same-size image pairs of the full
@@ -7817,6 +7852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twed_events": q_twed_events,
     "dtw_events": q_dtw_events,
     "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
+    "dl_pairs_documents": q_dl_pairs_documents,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
@@ -7944,6 +7980,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "twed_events": O_TWED_EVENTS,
     "dtw_events": O_DTW_EVENTS,
     "fuzzy_pairs_documents": O_FUZZY_PAIRS_DOCUMENTS,
+    "dl_pairs_documents": O_DL_PAIRS_DOCUMENTS,
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }

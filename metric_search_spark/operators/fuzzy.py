@@ -30,7 +30,54 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["jaro_similarity", "jaro_winkler", "jw_score_pairs", "fuzzy_join"]
+__all__ = [
+    "jaro_similarity",
+    "jaro_winkler",
+    "damerau_levenshtein",
+    "jw_score_pairs",
+    "dl_score_pairs",
+    "fuzzy_join",
+]
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """FULL Damerau–Levenshtein (Lowrance–Wagner 1975, with the
+    last-occurrence alphabet bookkeeping) — transpositions may later be
+    edited across, unlike the restricted OSA variant: DL('CA','ABC') = 2
+    where OSA gives 3. DuckDB's native ``damerau_levenshtein`` is this
+    full variant (calibrated empirically in tests/test_fuzzy.py), which is
+    what makes it an independent oracle for the engine's kernel. Integer
+    output — the driver query's hash compare is exact with no fp story."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[maxdist] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            last = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute / match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                d[k][last] + (i - k - 1) + 1 + (j - last - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
 
 
 def jaro_similarity(a: str, b: str) -> float:
@@ -119,6 +166,36 @@ def jw_score_pairs(
     return cand.mapInPandas(score, schema=schema)
 
 
+def dl_score_pairs(
+    cand: DataFrame,
+    *,
+    a_col: str = "name_a",
+    b_col: str = "name_b",
+    out_col: str = "dl",
+) -> DataFrame:
+    """Score candidate pairs with full Damerau–Levenshtein in mapInPandas
+    (blocking-bounded candidate set, same envelope as jw_score_pairs).
+    Appends ``out_col`` (long)."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields
+    )
+    schema = f"{fields}, {out_col} long"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            av = pdf[a_col].to_numpy()
+            bv = pdf[b_col].to_numpy()
+            pdf[out_col] = np.asarray(
+                [damerau_levenshtein(av[i], bv[i]) for i in range(len(pdf))],
+                dtype=np.int64,
+            )
+            yield pdf
+
+    return cand.mapInPandas(score, schema=schema)
+
+
 def fuzzy_join(
     names: DataFrame,
     *,
@@ -126,6 +203,7 @@ def fuzzy_join(
     name_col: str = "name",
     block_col: str = "blk",
     threshold: float | None = None,
+    scorer: str = "jw",
 ) -> DataFrame:
     """Blocked Jaro–Winkler self-join: every (id_a < id_b) pair sharing the
     blocking key, scored. ``threshold`` filters jw >= threshold when set —
@@ -144,7 +222,17 @@ def fuzzy_join(
         F.col(block_col).alias("_blk"),
     )
     cand = a.join(b, "_blk").where(F.col("id_a") < F.col("id_b")).drop("_blk")
-    scored = jw_score_pairs(cand)
+    if scorer == "jw":
+        scored = jw_score_pairs(cand)
+        metric_col = "jw"
+    elif scorer == "dl":
+        scored = dl_score_pairs(cand)
+        metric_col = "dl"
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}; use 'jw' or 'dl'")
     if threshold is not None:
-        scored = scored.where(F.col("jw") >= threshold)
+        op = F.col(metric_col) >= threshold if scorer == "jw" else (
+            F.col(metric_col) <= threshold  # DL is a distance: keep close pairs
+        )
+        scored = scored.where(op)
     return scored

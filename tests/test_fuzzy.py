@@ -126,3 +126,49 @@ def test_driver_query_matches_duckdb_oracle():
     assert (got["id_a"] == want["id_a"]).all()
     assert (got["id_b"] == want["id_b"]).all()
     assert (got["jw"] == want["jw"]).all()  # round-6, exact equality
+
+
+def test_damerau_levenshtein_goldens_and_native_parity():
+    from metric_search_spark.operators.fuzzy import damerau_levenshtein
+
+    # the full-variant discriminator: OSA would give 3
+    assert damerau_levenshtein("CA", "ABC") == 2
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("", "abc") == 3
+    assert damerau_levenshtein("", "") == 0
+    assert damerau_levenshtein("kitten", "sitting") == 3
+    con = duckdb.connect()
+    rng = random.Random(7)
+    vocab = "abcde"
+    for _ in range(300):
+        a = "".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        want = con.sql(
+            "SELECT damerau_levenshtein(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+
+
+def test_dl_driver_query_matches_duckdb_oracle():
+    from metric_search_spark.entry_queries import O_DL_PAIRS_DOCUMENTS, QUERIES
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    got = (
+        QUERIES["dl_pairs_documents"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = (
+        con.sql(O_DL_PAIRS_DOCUMENTS)
+        .df()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 100
+    assert (got["dl"].to_numpy() == want["dl"].to_numpy()).all()
