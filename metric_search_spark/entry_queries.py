@@ -7588,6 +7588,31 @@ def _o_geohash_sql() -> str:
     return geohash_sql(synth_places_sql(_GEO_N, seed=_GEO_SEED), _GH_PRECISION)
 
 
+def q_geohash_kring_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 geohash neighborhood per place at precision 8
+    (operators/geo.geohash_kring) — the radius-query primitive over
+    geohash-sharded storage: candidates within one cell size live in the 9
+    prefix buckets, never a scan. Longitude wraps (cylinder), latitude
+    clamps (polar cells drop). Staged pure-Column plan, zero shuffles; the
+    DuckDB twin recomputes quantize / additive-mod wrap / BETWEEN clamp /
+    per-bit-sum interleave / substring alphabet independently."""
+    from metric_search_spark.operators.geo import geohash_kring, synth_places
+
+    p = synth_places(spark, _GEO_N, seed=_GEO_SEED)
+    return geohash_kring(p, _GH_PRECISION)
+
+
+def _o_geohash_kring_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        geohash_kring_sql,
+        synth_places_sql,
+    )
+
+    return geohash_kring_sql(
+        synth_places_sql(_GEO_N, seed=_GEO_SEED), _GH_PRECISION
+    )
+
+
 _GEOIMG_MOD, _GEOIMG_K, _GEOIMG_R0 = 7, 5, 400_000.0
 
 
@@ -7791,6 +7816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hex_bin_places": q_hex_bin_places,
     "s2_cells_places": q_s2_cells_places,
     "geohash_places": q_geohash_places,
+    "geohash_kring_places": q_geohash_kring_places,
     "geo_knn_images": q_geo_knn_images,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
@@ -7921,6 +7947,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "hex_bin_places": _o_hex_bin_sql(),
     "s2_cells_places": _o_s2_cells_sql(),
     "geohash_places": _o_geohash_sql(),
+    "geohash_kring_places": _o_geohash_kring_sql(),
     "bm25_documents": O_BM25_DOCUMENTS,
     "acf_events": O_ACF_EVENTS,
     "contamination_documents": O_CONTAMINATION_DOCUMENTS,

@@ -1073,3 +1073,131 @@ iv AS (SELECT place_id, {v} AS v FROM q),
 g AS (SELECT place_id, {gh} AS gh FROM iv)
 SELECT place_id, gh, substr(gh, 1, 4) AS gh4 FROM g
 """
+
+
+def _gh_string(v: Column, precision: int) -> Column:
+    """Base-32 string from a BOUND interleaved-bits column (each of the
+    ``precision`` 5-bit groups references ``v`` once — keep ``v`` a real
+    attribute, not an inline tree, per the staged-codegen rule
+    functions/spatial.with_xy_cell documents)."""
+    alph = F.array(*[F.lit(c) for c in _GH_ALPHABET])
+    return F.concat(
+        *[
+            F.element_at(
+                alph,
+                (
+                    F.shiftright(v, 5 * (precision - 1 - j)).bitwiseAND(F.lit(31))
+                    + 1
+                ).cast("int"),
+            )
+            for j in range(precision)
+        ]
+    )
+
+
+def geohash_kring(places: DataFrame, precision: int = 8) -> DataFrame:
+    """The 3×3 geohash neighborhood of each place — the canonical
+    radius-query primitive over geohash-sharded storage: a point's
+    in-radius candidates (radius ≤ one cell size) live in its own cell
+    plus the 8 neighbors, so the probe is 9 prefix lookups, never a scan.
+
+    Neighbor semantics (the public definition): longitude WRAPS (the grid
+    is a cylinder — east of the 'z…' column is the '0…' column), latitude
+    CLAMPS (cells past a pole do not exist and are dropped, so polar
+    points emit 6). Engine shape: STAGED pure-Column plan — one projection
+    binds the quantized (lonq, latq), one binds the 9 interleaved
+    neighbor codes (wrap via two's-complement & mask; clamp via validity
+    flag), one renders strings from the bound codes (geohash_kring never
+    re-inlines a quantizer into the spread ripple — the 64 KB-method
+    lesson of functions/spatial.with_xy_cell). Zero shuffles, zero Python.
+
+    Emits (place_id, dx, dy, gh) including the center (0, 0). The DuckDB
+    twin (geohash_kring_sql) recomputes quantize / wrap / clamp / per-bit
+    interleave / substring alphabet independently."""
+    from metric_search_spark.functions.spatial import spread_bits_col
+
+    if precision % 2 or not 2 <= precision <= 12:
+        raise ValueError(
+            f"geohash_kring: precision {precision} must be even and in [2, 12]"
+        )
+    bits = 5 * precision // 2
+    mask = (1 << bits) - 1
+    lon_q = F.least(
+        F.lit(mask), F.expr(f"(lon_udeg + 180000000) * {1 << bits} DIV 360000000")
+    )
+    lat_q = F.least(
+        F.lit(mask), F.expr(f"(lat_udeg + 90000000) * {1 << bits} DIV 180000000")
+    )
+    staged = places.withColumns({"__ghk_lonq": lon_q, "__ghk_latq": lat_q})
+
+    vcols = {}
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nlon = (F.col("__ghk_lonq") + F.lit(dx)).bitwiseAND(F.lit(mask))
+            nlat = F.col("__ghk_latq") + F.lit(dy)
+            ok = (nlat >= 0) & (nlat <= mask)
+            v = F.shiftleft(spread_bits_col(nlon), 1).bitwiseOR(
+                spread_bits_col(nlat)
+            )
+            vcols[f"__ghk_v_{dx}_{dy}"] = F.when(ok, v).otherwise(F.lit(None))
+    staged = staged.withColumns(vcols)
+
+    ring = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.col(f"__ghk_v_{dx}_{dy}").alias("v"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    exploded = (
+        staged.select("place_id", F.explode(ring).alias("n"))
+        .where(F.col("n.v").isNotNull())
+        .select("place_id", "n.dx", "n.dy", F.col("n.v").alias("__ghk_v"))
+    )
+    return exploded.select(
+        "place_id",
+        "dx",
+        "dy",
+        _gh_string(F.col("__ghk_v"), precision).alias("gh"),
+    )
+
+
+def geohash_kring_sql(places_sql: str, precision: int = 8) -> str:
+    """DuckDB twin of geohash_kring: independent arithmetic — `//` floor
+    division, additive modular wrap ((q + d + 2^bits) % 2^bits), BETWEEN
+    clamp, per-bit-sum interleave, substring alphabet."""
+    if precision % 2 or not 2 <= precision <= 12:
+        raise ValueError(
+            f"geohash_kring_sql: precision {precision} must be even and in [2, 12]"
+        )
+    bits = 5 * precision // 2
+    n = 1 << bits
+    lon_q = f"LEAST({n - 1}, (lon_udeg + 180000000) * {n} // 360000000)"
+    lat_q = f"LEAST({n - 1}, (lat_udeg + 90000000) * {n} // 180000000)"
+    v = (
+        f"CAST(list_sum(list_transform(range(0, {bits}),"
+        f" b -> ((nlon >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1))"
+        f" + ((nlat >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b)))) AS BIGINT)"
+    )
+    gh = (
+        f"array_to_string(list_transform(range(0, {precision}),"
+        f" j -> substr('{_GH_ALPHABET}',"
+        f" CAST(((v >> (5 * ({precision} - 1 - j))) & 31) AS INTEGER) + 1, 1)), '')"
+    )
+    return f"""
+WITH places AS ({places_sql}),
+q AS (SELECT place_id, {lon_q} AS lonq, {lat_q} AS latq FROM places),
+offs AS (SELECT dx, dy FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
+n AS (
+  SELECT place_id, dx, dy,
+         (lonq + dx + {n}) % {n} AS nlon, latq + dy AS nlat
+  FROM q, offs
+  WHERE latq + dy BETWEEN 0 AND {n - 1}
+),
+iv AS (SELECT place_id, dx, dy, {v} AS v FROM n)
+SELECT place_id, dx, dy, {gh} AS gh FROM iv
+"""

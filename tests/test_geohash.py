@@ -139,3 +139,82 @@ def test_boundary_clamp(spark):
     out = {r["place_id"]: r["gh"] for r in geohash_cells(df, 8).collect()}
     assert out[0] == "z" * 8
     assert out[1] == "0" * 8
+
+
+def test_kring_semantics(spark):
+    """Neighbor grid: a mid-grid point emits 9 cells whose decoded
+    quantized coords are exactly the ±1 offsets; each neighbor's gh is the
+    geohash of the offset cell (checked against the bisection twin via
+    cell-center coordinates); lon wraps at the antimeridian; lat clamps at
+    the poles (6 cells, not 9)."""
+    from metric_search_spark.operators.geo import geohash_kring
+
+    prec = 8
+    bits = 5 * prec // 2  # 20 per axis
+    df = spark.createDataFrame(
+        [
+            (0, 10_000_000, 20_000_000),     # mid-grid
+            (1, 89_999_999, 179_999_999),    # near north pole + antimeridian
+            (2, -90_000_000, -180_000_000),  # exact south-west corner
+        ],
+        "place_id long, lat_udeg long, lon_udeg long",
+    )
+    out = geohash_kring(df, prec).collect()
+    by_place = {}
+    for r in out:
+        by_place.setdefault(r["place_id"], {})[(r["dx"], r["dy"])] = r["gh"]
+    # mid-grid: full 9-ring, center equals the plain geohash
+    from metric_search_spark.operators.geo import geohash_cells
+
+    g0 = geohash_cells(df, prec).collect()
+    center = {r["place_id"]: r["gh"] for r in g0}
+    assert len(by_place[0]) == 9
+    assert by_place[0][(0, 0)] == center[0]
+    # each neighbor decodes to the offset cell: recompute via bisection on
+    # the neighbor cell's center coordinates
+    n = 1 << bits
+    latq0 = (10_000_000 + 90_000_000) * n // 180_000_000
+    lonq0 = (20_000_000 + 180_000_000) * n // 360_000_000
+    for (dx, dy), gh in by_place[0].items():
+        clat = ((latq0 + dy) + 0.5) * 180.0 / n - 90.0
+        clon = ((lonq0 + dx) + 0.5) * 360.0 / n - 180.0
+        assert gh == _bisect_geohash(clat, clon, prec), (dx, dy)
+    # north pole: dy=+1 rows drop (clamp) -> 6 cells; antimeridian wraps
+    assert len(by_place[1]) == 6
+    assert all(dy <= 0 for (dx, dy) in by_place[1])
+    east = by_place[1][(1, 0)]
+    # lon wrap: (max lonq + 1) % n == 0 -> the '0...' column, i.e. lon bits
+    # all zero -> decoded center lon is just west of -180 + half cell
+    assert east == _bisect_geohash(
+        (( (89_999_999 + 90_000_000) * n // 180_000_000) + 0.5) * 180.0 / n - 90.0,
+        -180.0 + 0.5 * 360.0 / n,
+        prec,
+    )
+    # south-west corner: dy=-1 drops, dx=-1 wraps -> 6 cells
+    assert len(by_place[2]) == 6
+    assert all(dy >= 0 for (dx, dy) in by_place[2])
+
+
+def test_kring_duckdb_twin_parity(spark):
+    from metric_search_spark.operators.geo import (
+        geohash_kring,
+        geohash_kring_sql,
+    )
+
+    got = (
+        geohash_kring(synth_places(spark, 300, seed=7), 8)
+        .toPandas()
+        .sort_values(["place_id", "dx", "dy"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(geohash_kring_sql(synth_places_sql(300, seed=7), 8))
+        .df()
+        .sort_values(["place_id", "dx", "dy"])
+        .reset_index(drop=True)
+    )
+    want["dx"] = want["dx"].astype("int32")
+    want["dy"] = want["dy"].astype("int32")
+    pd.testing.assert_frame_equal(
+        got.astype({"dx": "int32", "dy": "int32"}), want
+    )
