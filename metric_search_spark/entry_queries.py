@@ -5541,6 +5541,55 @@ def q_dl_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(names, scorer="dl").select("id_a", "id_b", "dl")
 
 
+_STR_CAPACITY = 64
+
+
+def q_str_pack_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-Tile-Recursive R-tree bulk packing (operators/rtree.str_pack,
+    Leutenegger 1997) of the embeddings' 2-D projection into capacity-64
+    leaf pages: x-sorted ⌈√P⌉ slabs, y-sorted runs of 64 per slab, one MBR
+    row per page — the classic spatial bulk-load next to the cover-tree
+    bulk ctor. Global x-rank runs range-partitioned (no single-partition
+    window — the cluster_quota scale plan); per-slab y-rank is a
+    hash-partitioned window; MBRs are actual data values, so the DuckDB
+    twin (plain row_number windows + identical integer slab/page DIV
+    arithmetic, float-sqrt S vs the engine's exact isqrt — equal for any
+    sane page count) matches with zero tolerance."""
+    from metric_search_spark.operators.rtree import str_pack
+
+    emb = _emb(spark, sf_dir)
+    return str_pack(emb, capacity=_STR_CAPACITY)
+
+
+def _o_str_pack_sql() -> str:
+    b = _STR_CAPACITY
+    return f"""
+WITH pts AS (
+  SELECT vec_id AS id, {_EMB_X} AS x, {_EMB_Y} AS y FROM embeddings
+),
+geo AS (
+  SELECT count(*) AS total,
+         CAST(ceil(sqrt(CAST((count(*) + {b - 1}) // {b} AS DOUBLE))) AS BIGINT)
+           AS s
+  FROM pts
+),
+geo2 AS (SELECT total, s, (total + s - 1) // s AS slab_rows FROM geo),
+r0 AS (
+  SELECT id, x, y, row_number() OVER (ORDER BY x, id) - 1 AS rn0 FROM pts
+),
+sl AS (SELECT id, x, y, rn0 // slab_rows AS slab FROM r0, geo2),
+r1 AS (
+  SELECT slab, x, y,
+         (row_number() OVER (PARTITION BY slab ORDER BY y, id) - 1) // {b}
+           AS page
+  FROM sl
+)
+SELECT slab, page, count(*) AS n,
+       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+FROM r1 GROUP BY 1, 2
+"""
+
+
 O_DL_PAIRS_DOCUMENTS = """
 WITH names AS (
   SELECT doc_id,
@@ -7879,6 +7928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dtw_events": q_dtw_events,
     "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
     "dl_pairs_documents": q_dl_pairs_documents,
+    "str_pack_embeddings": q_str_pack_embeddings,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
@@ -8008,6 +8058,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "dtw_events": O_DTW_EVENTS,
     "fuzzy_pairs_documents": O_FUZZY_PAIRS_DOCUMENTS,
     "dl_pairs_documents": O_DL_PAIRS_DOCUMENTS,
+    "str_pack_embeddings": _o_str_pack_sql(),
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }
