@@ -5541,6 +5541,86 @@ def q_dl_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(names, scorer="dl").select("id_a", "id_b", "dl")
 
 
+_KCORE_N, _KCORE_K = 256, 5
+
+
+def q_kcore_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.kcore, Seidman 1983) at k=5
+    over a deterministic 256-node closed-form graph: the divisor maps
+    i→i//2, i//3, i//5 plus the ring map i→(2i+1)%256 (a sparse tree-ish
+    gradient that peels over SIX cascading rounds) plus a planted K16
+    clique on nodes 0..15 (degree 15 — the surviving dense core). The
+    k-core is UNIQUE and peeling-order-independent, so no tie-break
+    contract is needed anywhere. The DuckDB twin re-peels from scratch: a
+    recursive CTE carries the survivor list, per-node induced degree comes
+    from a prebuilt adjacency list (the pagerank-oracle technique), and
+    UNION-dedup termination stops the recursion at the fixpoint. Returns
+    (node, deg) — in-core members with their in-core degree."""
+    from metric_search_spark.operators.graph import kcore
+
+    n = _KCORE_N
+    ids = spark.range(n).select(F.col("id"))
+    maps = [
+        F.expr("id DIV 2"),
+        F.expr("id DIV 3"),
+        F.expr("id DIV 5"),
+        (F.col("id") * 2 + 1) % n,
+    ]
+    edges = None
+    for m in maps:
+        part = ids.select(F.col("id").alias("src"), m.cast("long").alias("dst"))
+        edges = part if edges is None else edges.unionByName(part)
+    c = spark.range(16)
+    clique = (
+        c.select(F.col("id").alias("src"))
+        .crossJoin(c.select(F.col("id").alias("dst")))
+        .where(F.col("src") < F.col("dst"))
+    )
+    edges = edges.unionByName(clique)
+    return kcore(edges, _KCORE_K).orderBy("node")
+
+
+O_KCORE_FUNCTIONAL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT i AS src, i // 2 AS dst FROM range({_KCORE_N}) t(i)
+  UNION ALL SELECT i, i // 3 FROM range({_KCORE_N}) t(i)
+  UNION ALL SELECT i, i // 5 FROM range({_KCORE_N}) t(i)
+  UNION ALL SELECT i, (2 * i + 1) % {_KCORE_N} FROM range({_KCORE_N}) t(i)
+  UNION ALL SELECT a.i, b.j FROM range(16) a(i), range(16) b(j) WHERE a.i < b.j
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+sym AS (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+),
+inl AS (
+  SELECT n.node, coalesce(l.nbrs, CAST([] AS BIGINT[])) AS nbrs
+  FROM (SELECT unnest(range({_KCORE_N})) AS node) n
+  LEFT JOIN (SELECT u, list(v ORDER BY v) AS nbrs FROM sym GROUP BY u) l
+    ON l.u = n.node
+),
+adj AS (SELECT list(nbrs ORDER BY node) AS A FROM inl),
+peel AS (
+  SELECT list_transform(range({_KCORE_N}), x -> CAST(x AS BIGINT)) AS L
+  UNION
+  SELECT list_filter(
+           L,
+           n -> len(list_filter(A[CAST(n + 1 AS INT)],
+                                m -> list_contains(L, m))) >= {_KCORE_K})
+  FROM peel, adj
+),
+fix AS (SELECT L FROM peel ORDER BY len(L) ASC LIMIT 1)
+SELECT n AS node,
+       CAST(len(list_filter(A[CAST(n + 1 AS INT)],
+                            m -> list_contains(L, m))) AS BIGINT) AS deg
+FROM fix, adj, unnest((SELECT L FROM fix)) t(n)
+ORDER BY node
+"""
+
+
 _STR_CAPACITY = 64
 
 
@@ -7929,6 +8009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
     "dl_pairs_documents": q_dl_pairs_documents,
     "str_pack_embeddings": q_str_pack_embeddings,
+    "kcore_functional": q_kcore_functional,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
@@ -8059,6 +8140,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "fuzzy_pairs_documents": O_FUZZY_PAIRS_DOCUMENTS,
     "dl_pairs_documents": O_DL_PAIRS_DOCUMENTS,
     "str_pack_embeddings": _o_str_pack_sql(),
+    "kcore_functional": O_KCORE_FUNCTIONAL,
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }

@@ -885,3 +885,66 @@ def catchments(
         return dist
     finally:
         e.unpersist()
+
+
+def kcore(edges: DataFrame, k: int, *, max_iters: int = 256) -> DataFrame:
+    """k-core decomposition for a fixed ``k`` (Seidman 1983): the maximal
+    induced subgraph in which every node has degree ≥ k, computed by
+    iterative peeling — drop all nodes of induced degree < k, re-derive
+    degrees, repeat to the fixpoint. The k-core is UNIQUE and
+    order-independent (peeling in any order reaches the same maximal
+    subgraph), which is what makes it exactly reproducible across engines
+    with no tie-break contract at all.
+
+    Input: undirected edge list (src, dst) — symmetrized, deduped, and
+    self-loop-stripped here, so callers may pass directed/multi edges.
+
+    Scale shape: each round is one map-side-combined degree aggregate over
+    the SURVIVING edges plus two broadcast-or-hash semi-joins shrinking the
+    edge set; rounds ≤ the peeling depth (typically ≪ |V|). Convergence is
+    a driver count() per round — the survivor count is strictly monotone
+    decreasing, so an unchanged count IS the fixpoint (no digest needed).
+    Per-round results are eager localCheckpoints (the CC/BFS lineage
+    pattern) with superseded generations released deterministically.
+
+    Returns (node, deg) — the members of the k-core with their in-core
+    degree (deg ≥ k by construction).
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k={k} must be >= 1")
+    sym = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    # directed-both-ways view: degree = count of rows per src
+    e = sym.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        sym.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=True)
+    n_prev = None
+    for _ in range(max_iters):
+        deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+        surv = deg.where(F.col("deg") >= k).localCheckpoint(eager=True)
+        n = surv.count()
+        if n == 0:
+            _release_checkpoint(e)
+            schema = "node long, deg long"
+            return e.sparkSession.createDataFrame([], schema)
+        if n_prev is not None and n == n_prev:
+            out = surv.select(F.col("u").alias("node"), "deg")
+            _release_checkpoint(e)
+            return out
+        n_prev = n
+        keep = surv.select("u")
+        e2 = (
+            e.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(e)
+        e = e2
+    raise RuntimeError(f"kcore did not converge in {max_iters} rounds")

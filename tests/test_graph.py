@@ -352,3 +352,80 @@ def test_triangle_counts_paley_regular_and_zero(spark):
     )
     got2 = {r.node: r.triangles for r in triangle_counts(c4).collect()}
     assert set(got2.values()) == {0} and len(got2) == 4
+
+
+def _py_kcore(n, edges, k):
+    nodes = set(range(n))
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = {x: 0 for x in nodes}
+        for a, b in E:
+            if a in nodes and b in nodes:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {x for x in nodes if deg[x] < k}
+        if not drop:
+            return {x: deg[x] for x in nodes}
+        nodes -= drop
+
+
+def test_kcore_matches_python_twin_and_is_order_independent():
+    """kcore vs an independent python peeler on a random graph, at several
+    k; shuffling the edge list (peeling order bait) changes nothing —
+    the k-core is unique."""
+    import random
+
+    from metric_search_spark.operators.graph import kcore
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    rng = random.Random(5)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    for k in (2, 3, 4):
+        want = _py_kcore(n, edges, k)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["deg"] for r in kcore(df, k).collect()}
+        assert got == want, k
+    shuf = edges[:]
+    rng.shuffle(shuf)
+    df2 = spark.createDataFrame(shuf, "src long, dst long")
+    got2 = {r["node"]: r["deg"] for r in kcore(df2, 3).collect()}
+    assert got2 == _py_kcore(n, edges, 3)
+
+
+def test_kcore_empty_and_validation():
+    from metric_search_spark.operators.graph import kcore
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    # a path graph has no 2-core
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    assert kcore(path, 2).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=0"):
+        kcore(path, 0)
+
+
+def test_kcore_driver_query_matches_duckdb_oracle():
+    import duckdb
+
+    from metric_search_spark.entry_queries import O_KCORE_FUNCTIONAL, QUERIES
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    got = (
+        QUERIES["kcore_functional"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(O_KCORE_FUNCTIONAL).df().sort_values("node").reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 16
+    assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
+    assert (got["deg"].to_numpy() == want["deg"].to_numpy()).all()
