@@ -5541,6 +5541,54 @@ def q_dl_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(names, scorer="dl").select("id_a", "id_b", "dl")
 
 
+def q_isotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user isotonic regression (operators/regress.isotonic — PAVA,
+    Ayer 1955) over the first 32 events' integer milli-values in event_id
+    order: the closest nondecreasing sequence in L2, i.e. the calibration
+    curve a ranking pipeline fits over scores. The engine's O(n) pool
+    stack decides violations by integer cross-multiplication (exact); the
+    DuckDB twin recomputes every fitted value through the independent
+    minimax closed form ŷᵢ = max_{j≤i} min_{l≥i} avg(y_j..y_l) over prefix
+    sums — no stack, no pooling — and matches bit-for-bit because pool
+    means are small-denominator rationals (identical IEEE quotients,
+    distinct values separated far above fp noise)."""
+    from metric_search_spark.operators.regress import isotonic
+
+    ev = _read(spark, sf_dir, "events")
+    return isotonic(
+        ev,
+        group_col="user_id",
+        order_col="event_id",
+        y_col=F.floor(F.col("value") * 1000).cast("long"),
+    ).orderBy("user_id", "event_id")
+
+
+O_ISOTONIC_EVENTS = """
+WITH series AS (
+  SELECT user_id,
+         list_slice(list(event_id ORDER BY event_id), 1, 32) AS eid,
+         list_slice(list(CAST(floor(value * 1000) AS BIGINT)
+                         ORDER BY event_id), 1, 32) AS y
+  FROM events GROUP BY user_id
+),
+pref AS (
+  SELECT user_id, eid, y, len(y) AS n,
+         list_transform(range(0, len(y) + 1),
+                        i -> coalesce(list_sum(y[1:i]), 0)) AS P
+  FROM series
+),
+iso AS (
+  SELECT user_id, eid,
+         list_transform(range(1, n + 1), i ->
+           list_max(list_transform(range(1, i + 1), j ->
+             list_min(list_transform(range(i, n + 1), l ->
+               CAST(P[l + 1] - P[j] AS DOUBLE) / (l - j + 1)))))) AS v
+  FROM pref
+)
+SELECT user_id, unnest(eid) AS event_id, unnest(v) AS iso FROM iso
+"""
+
+
 _KCORE_N, _KCORE_K = 256, 5
 
 
@@ -8010,6 +8058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dl_pairs_documents": q_dl_pairs_documents,
     "str_pack_embeddings": q_str_pack_embeddings,
     "kcore_functional": q_kcore_functional,
+    "isotonic_events": q_isotonic_events,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
@@ -8141,6 +8190,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "dl_pairs_documents": O_DL_PAIRS_DOCUMENTS,
     "str_pack_embeddings": _o_str_pack_sql(),
     "kcore_functional": O_KCORE_FUNCTIONAL,
+    "isotonic_events": O_ISOTONIC_EVENTS,
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }

@@ -538,3 +538,92 @@ def ks_two_sample(
         .cast("long")
         .alias("d_micro"),
     )
+
+
+__all__.append("isotonic")
+
+
+def pava_ints(y: "list[int]") -> "list[tuple[int, int]]":
+    """Pool-adjacent-violators over integer observations: returns the pool
+    list as (sum, count) pairs covering the sequence in order. Violation
+    tests are INTEGER cross-multiplications (s_prev·c_cur > s_cur·c_prev),
+    so the pooling decision is exact — no float enters until the final
+    per-pool mean division."""
+    pools: list[list[int]] = []
+    for v in y:
+        pools.append([int(v), 1])
+        while len(pools) > 1 and (
+            pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]
+        ):
+            s, c = pools.pop()
+            pools[-1][0] += s
+            pools[-1][1] += c
+    return [(p[0], p[1]) for p in pools]
+
+
+def isotonic(
+    df,
+    *,
+    group_col: str = "user_id",
+    order_col: str = "event_id",
+    y_col,
+    max_len: int = 32,
+) -> "DataFrame":
+    """Per-group isotonic (nondecreasing) regression — PAVA (Ayer 1955 /
+    Barlow 1972), the probability-calibration staple: replace each group's
+    ``order_col``-sorted integer observations with the closest
+    nondecreasing sequence in L2, which PAVA produces as consecutive-pool
+    means. Series assembly is relational (sort_array over collect_list,
+    first ``max_len`` rows per group — the TWED envelope); the O(n) stack
+    runs per group in one mapInPandas pass with exact integer violation
+    tests.
+
+    Fitted values are rationals S/c with c ≤ max_len: distinct such
+    rationals differ by ≥ 1/c₁c₂ — astronomically above double noise — and
+    equal rationals divide to IDENTICAL doubles in any IEEE engine, which
+    is why the DuckDB twin (the independent minimax closed form
+    ŷᵢ = max_{j≤i} min_{l≥i} avg(y_j..y_l), prefix-sum quotients, no PAVA
+    stack at all) hash-matches with zero tolerance.
+
+    ``y_col``: a Column producing an INTEGER (long) observation.
+    Returns (group, order, iso) exploded back to one row per observation.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    series = df.groupBy(group_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), y_col.alias("y")))
+            ),
+            1,
+            max_len,
+        ).alias("rows")
+    )
+    gt = series.schema[group_col].dataType.simpleString()
+
+    def fn(batches):
+        for pdf in batches:
+            gids, orders, isos = [], [], []
+            for gid, rows in zip(pdf[group_col], pdf["rows"]):
+                y = [int(r["y"]) for r in rows]
+                pos = 0
+                for s, c in pava_ints(y):
+                    mean = s / c  # one IEEE division per pool
+                    for _ in range(c):
+                        gids.append(gid)
+                        orders.append(rows[pos]["o"])
+                        isos.append(mean)
+                        pos += 1
+            yield pd.DataFrame(
+                {
+                    group_col: np.asarray(gids),
+                    order_col: np.asarray(orders),
+                    "iso": np.asarray(isos, dtype=np.float64),
+                }
+            )
+
+    return series.mapInPandas(
+        fn, schema=f"{group_col} {gt}, {order_col} long, iso double"
+    )
