@@ -5541,6 +5541,70 @@ def q_dl_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(names, scorer="dl").select("id_a", "id_b", "dl")
 
 
+def q_apriori_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemsets (operators/itemsets.apriori — level-wise Apriori,
+    Agrawal & Srikant 1994) over (user, day) baskets of event types, min
+    support 1/20 of baskets, itemsets up to size 3. The 5 % threshold
+    genuinely discriminates on this data (triples straddle it at both
+    graded sfs) and compares as an INTEGER cross-multiplication
+    (support·20 ≥ n·1 — no float fraction). The DuckDB twin shares no
+    algorithm shape: it enumerates the ≤2^|vocab| candidate subsets by
+    BITMASK over the global item vocabulary and counts containment
+    directly — feasible precisely because the fixture vocabulary is small,
+    where the engine's level-wise broadcast join is the shape that scales
+    to real vocabularies."""
+    from metric_search_spark.operators.itemsets import apriori
+
+    ev = _read(spark, sf_dir, "events")
+    items = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.col("event_type").alias("item"),
+    )
+    return apriori(
+        items,
+        basket_cols=["user_id", "d"],
+        item_col="item",
+        min_support_num=1,
+        min_support_den=20,
+        max_size=3,
+    ).orderBy("k", "itemset")
+
+
+O_APRIORI_EVENTS = """
+WITH items AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d, event_type AS it
+  FROM events
+),
+b AS (
+  SELECT user_id, d, list(it ORDER BY it) AS bl FROM items GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS c FROM b),
+vocab AS (SELECT list(DISTINCT it ORDER BY it) AS V FROM items),
+masks AS (
+  -- scalar range() (list-returning) instead of the table function: DuckDB
+  -- rejects lateral column parameters to table-function range
+  SELECT V, unnest(range(1, (CAST(1 AS BIGINT) << len(V)))) AS m FROM vocab
+),
+subs AS (
+  SELECT list_transform(
+           list_filter(range(0, len(V)), i -> ((m >> i) & 1) = 1),
+           i -> V[CAST(i + 1 AS INT)]) AS s
+  FROM masks
+  WHERE len(list_filter(range(0, len(V)), i -> ((m >> i) & 1) = 1))
+        BETWEEN 1 AND 3
+),
+cnt AS (
+  SELECT array_to_string(s, ',') AS itemset, CAST(len(s) AS INT) AS k,
+         count(*) AS support
+  FROM subs, b
+  WHERE len(list_filter(s, x -> NOT list_contains(bl, x))) = 0
+  GROUP BY 1, 2
+)
+SELECT itemset, k, support FROM cnt, n WHERE support * 20 >= c
+"""
+
+
 def q_isotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user isotonic regression (operators/regress.isotonic — PAVA,
     Ayer 1955) over the first 32 events' integer milli-values in event_id
@@ -8059,6 +8123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "str_pack_embeddings": q_str_pack_embeddings,
     "kcore_functional": q_kcore_functional,
     "isotonic_events": q_isotonic_events,
+    "apriori_events": q_apriori_events,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
@@ -8191,6 +8256,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "str_pack_embeddings": _o_str_pack_sql(),
     "kcore_functional": O_KCORE_FUNCTIONAL,
     "isotonic_events": O_ISOTONIC_EVENTS,
+    "apriori_events": O_APRIORI_EVENTS,
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }
