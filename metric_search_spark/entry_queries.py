@@ -3929,6 +3929,91 @@ FROM ps GROUP BY fmt, phash_ok
 """
 
 
+def q_augment_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact geometric augmentation (functions/image.augmented — the
+    dihedral ops of a training-data pipeline: flips, 90°/180°/270°
+    rotations, transpose) over the full procedural image table: decode →
+    permute pixels → RE-ENCODE to real raw payloads → verify with exact
+    integer grayscale moments (with_gray_moments: s=Σv, sx=Σcol·v,
+    sy=Σrow·v — any wrong geometry moves sx/sy). Oracle: ORIGINAL decoded
+    pixels land in a hand-off parquet; DuckDB computes the original
+    moments from raw pixels and derives every op's transformed moments
+    through the independent AFFINE remap algebra (fliph: sx'=(w−1)s−sx …)
+    — it never permutes a pixel, so it cross-checks the engine's actual
+    pixel shuffling + encode round-trip from a different formulation
+    entirely. All int64, zero fp risk."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import augmented, with_gray_moments
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("aug", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    aug = augmented(spark.createDataFrame(pdf))
+    return with_gray_moments(aug).select(
+        "image_id", "op", "w", "h", "s", "sx", "sy"
+    )
+
+
+def _o_augment_sql() -> str:
+    path = _handoff_path("aug", f"{_IPV_N}_{_IPV_SEED}")
+    return f"""
+WITH imgs AS (SELECT image_id, w, h, px FROM read_parquet('{path}')),
+m AS (
+  SELECT image_id, w, h,
+    CAST(list_sum(list_transform(range(0, w*h),
+      i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3] AS BIGINT))) AS BIGINT)
+      AS s,
+    CAST(list_sum(list_transform(range(0, w*h),
+      i -> (i % w) * CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3] AS BIGINT)))
+      AS BIGINT) AS sx,
+    CAST(list_sum(list_transform(range(0, w*h),
+      i -> (i // w) * CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3] AS BIGINT)))
+      AS BIGINT) AS sy
+  FROM imgs
+),
+ops AS (SELECT unnest(['fliph','flipv','rot90','rot180','rot270','transpose'])
+          AS op)
+SELECT image_id, op,
+  CAST(CASE WHEN op IN ('rot90','rot270','transpose') THEN h ELSE w END
+       AS INTEGER) AS w,
+  CAST(CASE WHEN op IN ('rot90','rot270','transpose') THEN w ELSE h END
+       AS INTEGER) AS h,
+  s,
+  CASE op WHEN 'fliph'     THEN (w-1)*s - sx
+          WHEN 'flipv'     THEN sx
+          WHEN 'rot90'     THEN sy
+          WHEN 'rot180'    THEN (w-1)*s - sx
+          WHEN 'rot270'    THEN (h-1)*s - sy
+          WHEN 'transpose' THEN sy END AS sx,
+  CASE op WHEN 'fliph'     THEN sy
+          WHEN 'flipv'     THEN (h-1)*s - sy
+          WHEN 'rot90'     THEN (w-1)*s - sx
+          WHEN 'rot180'    THEN (h-1)*s - sy
+          WHEN 'rot270'    THEN sx
+          WHEN 'transpose' THEN sx END AS sy
+FROM m, ops
+"""
+
+
 _MOSAIC_RES = 3
 
 
@@ -8109,6 +8194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "square_overlap_embeddings": q_square_overlap_embeddings,
     "images_payload_verify": q_images_payload_verify,
     "tile_mosaic_images": q_tile_mosaic_images,
+    "augment_images": q_augment_images,
     "audio_stats": q_audio_stats,
     "video_frame_sample": q_video_frame_sample,
     "pq_knn_embeddings": q_pq_knn_embeddings,
@@ -8299,6 +8385,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["ssim_images"] = _o_ssim_sql()
     oracles["images_payload_verify"] = _o_ipv_sql()
     oracles["tile_mosaic_images"] = _o_mosaic_sql()
+    oracles["augment_images"] = _o_augment_sql()
     oracles["sobel_images"] = _o_sobel_sql()
     oracles["glcm_images"] = _o_glcm_sql()
     oracles["pyramid_images"] = _o_pyramid_sql()

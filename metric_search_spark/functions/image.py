@@ -552,3 +552,99 @@ def with_patch_sums(df: DataFrame, patch: int = 8) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         gen, schema=schema
     )
+
+
+__all__.append("augmented")
+
+_AUG_OPS = ("fliph", "flipv", "rot90", "rot180", "rot270", "transpose")
+
+
+def augmented(df: DataFrame, ops: tuple[str, ...] = _AUG_OPS) -> DataFrame:
+    """Exact geometric augmentation — the training-pipeline staple: decode
+    each payload, apply lossless pixel permutations (horizontal/vertical
+    flip, 90°/180°/270° rotation, transpose — the dihedral-group ops data
+    augmentation uses), and RE-ENCODE to the lossless 'raw' codec, so the
+    output rows are first-class image rows every downstream operator
+    (phash, sobel, mosaic, …) consumes unchanged. Emits one row per
+    (image, op): (image_id, op, bytes, w, h, fmt) with dims swapped for the
+    odd rotations/transpose. One mapInPandas decode→permute→encode pass."""
+    import pandas as pd
+
+    from metric_search_spark.sources.synth import encode_image
+
+    bad = set(ops) - set(_AUG_OPS)
+    if bad:
+        raise ValueError(f"unknown augmentation ops {sorted(bad)}; known: {_AUG_OPS}")
+
+    def transform(img: np.ndarray, op: str) -> np.ndarray:
+        if op == "fliph":
+            return img[:, ::-1]
+        if op == "flipv":
+            return img[::-1, :]
+        if op == "rot90":
+            return np.rot90(img, 1)
+        if op == "rot180":
+            return np.rot90(img, 2)
+        if op == "rot270":
+            return np.rot90(img, 3)
+        return img.transpose(1, 0, 2)  # transpose
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids, opsc, bts, ws, hs = [], [], [], [], []
+            for payload, w, h, fmt, iid in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], pdf["image_id"]
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                for op in ops:
+                    t = np.ascontiguousarray(transform(img, op))
+                    th, tw = t.shape[:2]
+                    ids.append(iid)
+                    opsc.append(op)
+                    bts.append(encode_image(t, "raw"))
+                    ws.append(tw)
+                    hs.append(th)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "op": opsc,
+                    "bytes": bts,
+                    "w": np.asarray(ws, dtype=np.int32),
+                    "h": np.asarray(hs, dtype=np.int32),
+                    "fmt": ["raw"] * len(ids),
+                }
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema="image_id string, op string, bytes binary, w int, h int, fmt string",
+    )
+
+
+__all__.append("with_gray_moments")
+
+
+def with_gray_moments(df: DataFrame) -> DataFrame:
+    """EXACT integer grayscale raw moments per image: v(x, y) = r+g+b,
+    s = Σv, sx = Σ col·v, sy = Σ row·v — fully geometry-sensitive (any
+    wrong flip/rotation moves sx/sy) and pure int64, so cross-engine
+    comparison needs no epsilon. One decode pass, numpy outer products."""
+    schema = df.schema.simpleString()[7:-1] + ", s long, sx long, sy long"
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = np.empty((len(pdf), 3), dtype=np.int64)
+            for i, (payload, w, h, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                v = img.sum(axis=2, dtype=np.int64)  # (h, w)
+                out[i, 0] = v.sum()
+                out[i, 1] = (v.sum(axis=0) * np.arange(int(w), dtype=np.int64)).sum()
+                out[i, 2] = (v.sum(axis=1) * np.arange(int(h), dtype=np.int64)).sum()
+            pdf["s"] = out[:, 0]
+            pdf["sx"] = out[:, 1]
+            pdf["sy"] = out[:, 2]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
