@@ -5818,6 +5818,89 @@ ORDER BY node
 """
 
 
+def q_mst_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning tree by Borůvka (operators/graph.boruvka_mst) over
+    the kcore fixture graph (divisor + ring maps + planted K16, 965 edges)
+    with bijectively scrambled DISTINCT integer weights
+    w = ((a·256+b)·40503) mod 2¹⁶ (odd multiplier → bijective → no ties →
+    the MST is unique and needs no tie-break contract). The engine runs
+    the parallel-native algorithm: per-round min-outgoing-edge aggregates
+    + large-star/small-star contraction, ≤ ⌈log₂ V⌉ rounds; the DuckDB
+    twin runs KRUSKAL — a global weight-ordered scan with union-find by
+    full relabel in a recursive CTE — a fully independent algorithm that
+    must produce the identical 255-edge set."""
+    from metric_search_spark.operators.graph import boruvka_mst
+
+    n = _KCORE_N
+    ids = spark.range(n).select(F.col("id"))
+    maps = [
+        F.expr("id DIV 2"),
+        F.expr("id DIV 3"),
+        F.expr("id DIV 5"),
+        (F.col("id") * 2 + 1) % n,
+    ]
+    edges = None
+    for m in maps:
+        part = ids.select(F.col("id").alias("src"), m.cast("long").alias("dst"))
+        edges = part if edges is None else edges.unionByName(part)
+    c = spark.range(16)
+    clique = (
+        c.select(F.col("id").alias("src"))
+        .crossJoin(c.select(F.col("id").alias("dst")))
+        .where(F.col("src") < F.col("dst"))
+    )
+    edges = edges.unionByName(clique)
+    weighted = edges.select(
+        "src",
+        "dst",
+        (
+            (
+                (F.least("src", "dst") * n + F.greatest("src", "dst")) * 40503
+            )
+            % 65536
+        ).alias("w"),
+    )
+    return boruvka_mst(weighted).orderBy("a", "b")
+
+
+O_MST_FUNCTIONAL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT i AS src, i // 2 AS dst FROM range({_KCORE_N}) t(i)
+  UNION ALL SELECT i, i // 3 FROM range({_KCORE_N}) t(i)
+  UNION ALL SELECT i, i // 5 FROM range({_KCORE_N}) t(i)
+  UNION ALL SELECT i, (2 * i + 1) % {_KCORE_N} FROM range({_KCORE_N}) t(i)
+  UNION ALL SELECT a.i, b.j FROM range(16) a(i), range(16) b(j) WHERE a.i < b.j
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+ew AS (SELECT a, b, ((a * {_KCORE_N} + b) * 40503) % 65536 AS w FROM e),
+el AS (SELECT list(struct_pack(a := a, b := b, w := w) ORDER BY w) AS E FROM ew),
+kr AS (
+  SELECT 0 AS it,
+         list_transform(range(0, {_KCORE_N}), x -> CAST(x AS BIGINT)) AS lab,
+         CAST([] AS STRUCT(a BIGINT, b BIGINT, w BIGINT)[]) AS chosen
+  UNION ALL
+  SELECT it + 1,
+         list_transform(lab, l -> CASE WHEN l = lab[CAST(p.b + 1 AS INT)]
+                                       THEN lab[CAST(p.a + 1 AS INT)]
+                                       ELSE l END),
+         list_append(chosen, p)
+  FROM (
+    SELECT it, lab, chosen,
+           list_filter(E, s -> lab[CAST(s.a + 1 AS INT)]
+                               <> lab[CAST(s.b + 1 AS INT)])[1] AS p
+    FROM kr, el
+  )
+  WHERE p IS NOT NULL
+),
+fin AS (SELECT chosen FROM kr ORDER BY len(chosen) DESC LIMIT 1)
+SELECT u.a AS a, u.b AS b, u.w AS w FROM fin, unnest(chosen) t(u) ORDER BY a, b
+"""
+
+
 _STR_CAPACITY = 64
 
 
@@ -8210,6 +8293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore_functional": q_kcore_functional,
     "isotonic_events": q_isotonic_events,
     "apriori_events": q_apriori_events,
+    "mst_functional": q_mst_functional,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
@@ -8343,6 +8427,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "kcore_functional": O_KCORE_FUNCTIONAL,
     "isotonic_events": O_ISOTONIC_EVENTS,
     "apriori_events": O_APRIORI_EVENTS,
+    "mst_functional": O_MST_FUNCTIONAL,
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }

@@ -948,3 +948,79 @@ def kcore(edges: DataFrame, k: int, *, max_iters: int = 256) -> DataFrame:
         _release_checkpoint(e)
         e = e2
     raise RuntimeError(f"kcore did not converge in {max_iters} rounds")
+
+
+def boruvka_mst(edges: DataFrame, *, max_rounds: int = 64) -> DataFrame:
+    """Minimum spanning forest by Borůvka's algorithm (1926) — the
+    parallel-native MST: every round, each component selects its
+    minimum-weight outgoing edge (one map-side-combined min-struct
+    aggregate), all selections join the forest at once, and components
+    contract (the existing large-star/small-star connected_components over
+    the forest edges). Component count at least halves per round, so
+    rounds ≤ ⌈log₂ |V|⌉ — the textbook reason Borůvka is the MST of choice
+    on data-parallel engines, vs Kruskal's inherently sequential global
+    sort-scan (which is exactly what the DuckDB twin runs, making the two
+    formulations fully independent).
+
+    REQUIRES pairwise-distinct weights: then the MST/forest is UNIQUE and
+    both engines must produce the identical edge set with no tie-break
+    contract (duplicate weights raise). Input (src, dst, w) is
+    symmetrized/canonicalized here; self-loops dropped; multi-edges keep
+    the lightest.
+
+    Returns the forest edges (a, b, w), a < b.
+    """
+    sym = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    ndup = sym.groupBy("w").count().where(F.col("count") > 1).count()
+    if ndup:
+        raise ValueError(
+            f"boruvka_mst: {ndup} duplicate edge weights — the MST is only "
+            "unique (and cross-engine reproducible) under distinct weights; "
+            "disambiguate the weight column first"
+        )
+    spark = edges.sparkSession
+    nodes = (
+        sym.select(F.col("a").alias("node"))
+        .unionByName(sym.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = nodes.select("node", F.col("node").alias("component"))
+    mst = spark.createDataFrame([], "a long, b long, w long")
+    for _ in range(max_rounds):
+        ca = comp.select(F.col("node").alias("a"), F.col("component").alias("_ca"))
+        cb = comp.select(F.col("node").alias("b"), F.col("component").alias("_cb"))
+        live = (
+            sym.join(ca, "a").join(cb, "b").where(F.col("_ca") != F.col("_cb"))
+        )
+        # min outgoing edge per component: struct order = (w, a, b), w distinct
+        pick = (
+            live.select(F.col("_ca").alias("c"), F.struct("w", "a", "b").alias("e"))
+            .unionByName(
+                live.select(F.col("_cb").alias("c"), F.struct("w", "a", "b").alias("e"))
+            )
+            .groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.a", "e.b", "e.w")
+            .distinct()
+        )
+        new_mst = mst.unionByName(pick).distinct().localCheckpoint(eager=True)
+        if new_mst.count() == mst.count():
+            break  # no component found an outgoing edge: forest complete
+        _release_checkpoint(mst)  # best-effort no-op on the empty seed
+        mst = new_mst
+        comp = connected_components(
+            mst.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            nodes=nodes,
+        )
+    return mst

@@ -429,3 +429,82 @@ def test_kcore_driver_query_matches_duckdb_oracle():
     assert len(got) == len(want) == 16
     assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
     assert (got["deg"].to_numpy() == want["deg"].to_numpy()).all()
+
+
+def _py_kruskal(n, weighted):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mst = []
+    for w, a, b in sorted(weighted):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            mst.append((a, b, w))
+    return set(mst)
+
+
+def test_boruvka_matches_kruskal_on_random_graph():
+    import random
+
+    from metric_search_spark.operators.graph import boruvka_mst
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    rng = random.Random(8)
+    n = 40
+    pairs = {(min(a, b), max(a, b)) for a, b in
+             ((rng.randrange(n), rng.randrange(n)) for _ in range(150))
+             if a != b}
+    # distinct weights via a random permutation
+    ws = rng.sample(range(10_000), len(pairs))
+    weighted = [(w, a, b) for (a, b), w in zip(sorted(pairs), ws)]
+    df = spark.createDataFrame(
+        [(a, b, w) for w, a, b in weighted], "src long, dst long, w long"
+    )
+    got = {(r["a"], r["b"], r["w"]) for r in boruvka_mst(df).collect()}
+    assert got == _py_kruskal(n, weighted)
+
+
+def test_boruvka_rejects_duplicate_weights_and_handles_forest():
+    import pytest as _pytest
+
+    from metric_search_spark.operators.graph import boruvka_mst
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    dup = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 5)], "src long, dst long, w long"
+    )
+    with _pytest.raises(ValueError, match="duplicate edge weights"):
+        boruvka_mst(dup)
+    # two disconnected components -> spanning FOREST with 2 edges
+    forest = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 2), (5, 6, 3)], "src long, dst long, w long"
+    )
+    got = {(r["a"], r["b"], r["w"]) for r in boruvka_mst(forest).collect()}
+    assert got == {(0, 1, 1), (5, 6, 3)}  # multi-edge keeps the lightest
+
+
+def test_mst_driver_query_matches_duckdb_oracle():
+    import duckdb
+
+    from metric_search_spark.entry_queries import O_MST_FUNCTIONAL, QUERIES
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    got = (
+        QUERIES["mst_functional"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(O_MST_FUNCTIONAL).df().reset_index(drop=True)
+    assert len(got) == len(want) == 255
+    assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
+    assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
+    assert (got["w"].to_numpy() == want["w"].to_numpy()).all()
