@@ -1484,6 +1484,75 @@ GROUP BY 1, 2
 """
 
 
+def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (Kimball) from a change log — the
+    warehouse staple the mutation path doesn't cover: each user's
+    (ts, event_id)-ordered event_type stream collapses into VERSION
+    INTERVALS via gaps-and-islands (lag-change flag → cumulative island
+    id → per-island bounds), valid_to = the next version's valid_from,
+    NULL for the open current version. Epoch-microsecond longs throughout
+    — integer-exact, no fp anywhere. One per-user window shuffle + one
+    island aggregate; the DuckDB twin re-derives the islands with its own
+    lag/cumsum and the compare is exact."""
+    ev = _read(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+    ).withColumn(
+        "_chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_isl", F.sum("_chg").over(w))
+    versions = flagged.groupBy("user_id", "_isl").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("_isl")
+    return versions.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+O_SCD2_EVENTS = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS island
+  FROM flagged
+),
+versions AS (
+  SELECT user_id, island, min(event_type) AS event_type,
+         min(ts_us) AS valid_from_us, count(*) AS n_events
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, event_type, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+         AS valid_to_us,
+       n_events
+FROM versions
+"""
+
+
 def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix
     (operators/transitions.transition_counts): consecutive event-type
@@ -8294,6 +8363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "isotonic_events": q_isotonic_events,
     "apriori_events": q_apriori_events,
     "mst_functional": q_mst_functional,
+    "scd2_events": q_scd2_events,
     "ssim_images": q_ssim_images,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_after_delete_embeddings": q_knn_after_delete_embeddings,
@@ -8428,6 +8498,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "isotonic_events": O_ISOTONIC_EVENTS,
     "apriori_events": O_APRIORI_EVENTS,
     "mst_functional": O_MST_FUNCTIONAL,
+    "scd2_events": O_SCD2_EVENTS,
     # (no static rows-only entries remain: every query has either a static
     # SQL twin here or a scale-keyed hand-off twin added in oracles_for)
 }
