@@ -1311,6 +1311,95 @@ def _o_hll_sql() -> str:
     )
 
 
+def q_bloom_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/bloom): build a 1024-bit / 5-hash
+    filter over the even doc_ids (the "already-ingested" set of a dedup
+    gate), probe EVERY doc_id, and report (bloom_positive, is_member) per
+    doc — the false-positive audit a 100-TB seen-URL gate ships with. The
+    filter is relational (≤ m rows of set bits, one bounded distinct);
+    probing is five broadcast joins, zero Exchange on the probe side
+    (plan pinned in tests/test_bloom_cms.py). No-false-negative guarantee:
+    every is_member row is bloom_positive by construction. The DuckDB twin
+    recomputes every bit position and every probe from raw doc_ids via the
+    shared MINSTD hash — no hand-off."""
+    from metric_search_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _read(spark, sf_dir, "documents")
+    members = docs.where(F.col("doc_id") % 2 == 0)
+    bits = bloom_build(members, [], "doc_id", m_bits=1024, k_hashes=5, seed=11)
+    probed = bloom_probe(
+        docs.select("doc_id"), bits, [], "doc_id", m_bits=1024, k_hashes=5, seed=11
+    )
+    return probed.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_member"),
+        "bloom_positive",
+    ).orderBy("doc_id")
+
+
+def _o_bloom_sql() -> str:
+    from metric_search_spark.operators.bloom import bloom_probe_sql
+
+    probe = bloom_probe_sql(
+        "(SELECT doc_id FROM documents WHERE doc_id % 2 = 0)",
+        "documents",
+        "doc_id",
+        "doc_id",
+        m_bits=1024,
+        k_hashes=5,
+        seed=11,
+    )
+    return (
+        f"SELECT probe_val AS doc_id, probe_val % 2 = 0 AS is_member, "
+        f"bloom_positive FROM ({probe}) ORDER BY doc_id"
+    )
+
+
+def q_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/bloom): per-user event counts
+    from a 4×64 counter table instead of a full groupBy — the bounded-
+    memory frequency tier for key spaces too large to aggregate exactly.
+    Output (user_id, est_count, exact_count) puts the CMS guarantee on
+    display: est ≥ exact always (collisions only add), tight for heavy
+    keys. Build is one bounded groupBy (≤ d·w counters survive the
+    map-side partials); estimation is d broadcast joins, zero Exchange on
+    the key side (plan pinned). The DuckDB twin rebuilds all 256 counters
+    and the per-key min from raw events — no hand-off."""
+    from metric_search_spark.operators.bloom import cms_build, cms_estimate
+
+    ev = _read(spark, sf_dir, "events")
+    sk = cms_build(ev, [], "user_id", width=64, depth=4, seed=11)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(keys, sk, [], "user_id", width=64, depth=4, seed=11)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "est_count", "exact_count")
+        .orderBy("user_id")
+    )
+
+
+def _o_cms_sql() -> str:
+    from metric_search_spark.operators.bloom import cms_estimate_sql
+
+    est = cms_estimate_sql(
+        "events",
+        "user_id",
+        "(SELECT DISTINCT user_id FROM events)",
+        "user_id",
+        width=64,
+        depth=4,
+        seed=11,
+    )
+    return f"""
+WITH est AS ({est}),
+exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id)
+SELECT e.probe_key AS user_id, e.est_count, x.exact_count
+FROM est e JOIN exact x ON e.probe_key = x.user_id
+ORDER BY user_id
+"""
+
+
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling): exactly
     min(5, |stratum|) documents per (lang, source) stratum, chosen by the
@@ -8328,6 +8417,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_events": q_hll_distinct_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "kmv_distinct_events": q_kmv_distinct_events,
+    "bloom_documents": q_bloom_documents,
+    "cms_events": q_cms_events,
     "cosine_neardup_embeddings": q_cosine_neardup_embeddings,
     "ivf_knn_embeddings": q_ivf_knn_embeddings,
     "pip_embeddings": q_pip_embeddings,
@@ -8470,6 +8561,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "hll_distinct_events": _o_hll_sql(),
     "kmeans_embeddings": _o_kmeans_sql(),
     "kmv_distinct_events": _o_kmv_sql(),
+    "bloom_documents": _o_bloom_sql(),
+    "cms_events": _o_cms_sql(),
     "ivf_knn_embeddings": O_IVF_KNN,
     "pip_embeddings": O_PIP,
     "polyfill_tiles": O_POLYFILL,
