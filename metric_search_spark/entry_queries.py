@@ -4387,6 +4387,169 @@ FROM b GROUP BY 1, 2, 3
 """
 
 
+def q_morphology_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 morphology + median filter per image (functions/image.
+    with_morphology_stats): binary mask at integer-gray ≥ 384, interior
+    erosion/dilation counts, and the exact 5th-smallest-of-9 median sum —
+    the mask-cleanup primitives of a segmentation-adjacent curation stage,
+    all int64. Hand-off oracle (sobel-style): decoded integer pixels land
+    in a parquet and DuckDB re-derives every 9-pixel neighborhood with a
+    per-interior-pixel list (list_min/list_max thresholds, list_sort[5]
+    median) — different formulation (relational neighbor lists vs the
+    engine's stacked-slice sort), same exact integers."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_morphology_stats
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("morph", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_morphology_stats(spark.createDataFrame(pdf)).select(
+        "image_id", "mask_cnt", "eroded_cnt", "dilated_cnt", "med_sum", "n_int"
+    )
+
+
+def _o_morphology_sql() -> str:
+    path = _handoff_path("morph", f"{_IPV_N}_{_IPV_SEED}")
+    s = "p.g[({y}) * p.w + ({x}) + 1]"
+    neigh = ", ".join(
+        s.format(y=f"p.y + {dy}", x=f"p.x + {dx}")
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    return f"""
+WITH g AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+full_mask AS (
+  SELECT image_id,
+         sum(CASE WHEN gv >= 384 THEN 1 ELSE 0 END) AS mask_cnt
+  FROM (SELECT image_id, unnest(g) AS gv FROM g)
+  GROUP BY image_id
+),
+ys AS (
+  SELECT image_id, w, g, unnest(range(1, h - 1)) AS y FROM g
+),
+p AS (
+  SELECT image_id, w, g, y, unnest(range(1, w - 1)) AS x FROM ys
+),
+nb AS (
+  SELECT p.image_id, list_value({neigh}) AS l FROM p
+),
+interior AS (
+  SELECT image_id,
+         CAST(sum(CASE WHEN list_min(l) >= 384 THEN 1 ELSE 0 END) AS BIGINT)
+           AS eroded_cnt,
+         CAST(sum(CASE WHEN list_max(l) >= 384 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dilated_cnt,
+         CAST(sum(list_sort(l)[5]) AS BIGINT) AS med_sum,
+         count(*) AS n_int
+  FROM nb GROUP BY image_id
+)
+SELECT f.image_id, CAST(f.mask_cnt AS BIGINT) AS mask_cnt,
+       COALESCE(i.eroded_cnt, 0) AS eroded_cnt,
+       COALESCE(i.dilated_cnt, 0) AS dilated_cnt,
+       COALESCE(i.med_sum, 0) AS med_sum,
+       COALESCE(i.n_int, 0) AS n_int
+FROM full_mask f LEFT JOIN interior i USING (image_id)
+"""
+
+
+def q_equalize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization per image (functions/image.
+    with_equalized_hist): the textbook integer transfer eq(v) =
+    ⌊(cdf(v)−cdf_min)·255/(n−cdf_min)⌋ over 766 gray levels, reported as
+    the sparse histogram of equalized levels — contrast normalization for
+    an exposure-diverse corpus, every count exact int64. Hand-off oracle
+    (sobel-style): decoded integer pixels land in a parquet and DuckDB
+    replays histogram → window-cumsum cdf → transfer → recount entirely
+    in SQL — different formulation (window functions vs the engine's
+    bincount+cumsum), same exact integers."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_equalized_hist
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("eqhist", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_equalized_hist(spark.createDataFrame(pdf))
+
+
+def _o_equalize_sql() -> str:
+    path = _handoff_path("eqhist", f"{_IPV_N}_{_IPV_SEED}")
+    return f"""
+WITH g AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+gv AS (SELECT image_id, unnest(g) AS v FROM g),
+hist AS (SELECT image_id, v, count(*) AS c FROM gv GROUP BY 1, 2),
+cdf AS (
+  SELECT image_id, v, c,
+         sum(c) OVER (PARTITION BY image_id ORDER BY v) AS cdf
+  FROM hist
+),
+bounds AS (
+  SELECT image_id, min(cdf) AS cdf_min, max(cdf) AS n
+  FROM cdf GROUP BY image_id
+),
+eq AS (
+  SELECT c.image_id,
+         CASE WHEN b.n = b.cdf_min THEN 0
+              ELSE (c.cdf - b.cdf_min) * 255 // (b.n - b.cdf_min)
+         END AS eq_level,
+         c.c
+  FROM cdf c JOIN bounds b USING (image_id)
+)
+SELECT image_id, CAST(eq_level AS INTEGER) AS eq_level,
+       CAST(sum(c) AS BIGINT) AS cnt
+FROM eq GROUP BY 1, 2
+"""
+
+
 def q_glcm_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image GLCM texture statistics (functions/image.with_glcm_stats):
     8-level integer-quantized grayscale, directed horizontal co-occurrence,
@@ -8334,6 +8497,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
+    "morphology_images": q_morphology_images,
+    "equalize_images": q_equalize_images,
     "glcm_images": q_glcm_images,
     "pyramid_images": q_pyramid_images,
     "otsu_images": q_otsu_images,
@@ -8636,6 +8801,8 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["tile_mosaic_images"] = _o_mosaic_sql()
     oracles["augment_images"] = _o_augment_sql()
     oracles["sobel_images"] = _o_sobel_sql()
+    oracles["morphology_images"] = _o_morphology_sql()
+    oracles["equalize_images"] = _o_equalize_sql()
     oracles["glcm_images"] = _o_glcm_sql()
     oracles["pyramid_images"] = _o_pyramid_sql()
     oracles["otsu_images"] = _o_otsu_sql()

@@ -648,3 +648,108 @@ def with_gray_moments(df: DataFrame) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
+
+
+__all__.append("with_morphology_stats")
+
+
+def with_morphology_stats(df: DataFrame, thresh: int = 384) -> DataFrame:
+    """3×3 morphology + median filter per image, in exact int64 — the
+    mask-cleanup primitives (erode speckle, dilate gaps, median denoise)
+    a segmentation/OCR-adjacent curation stage runs before measuring
+    foreground. Binary mask = integer grayscale (r+g+b, 0..765) ≥ thresh;
+    over the (h−2)×(w−2) interior: eroded = all 9 neighbors masked,
+    dilated = any masked, median = the 5th-smallest of the 9 gray values
+    (9 is odd → an exact integer, no interpolation convention). Outputs
+    (mask_cnt over the FULL image, eroded_cnt, dilated_cnt, med_sum,
+    n_int) — every one recomputable bit-for-bit by a twin reading raw
+    pixels. Arrow-batched mapInPandas; per image the 9 neighborhoods are
+    stacked numpy slices (one sort along the stack axis for the median),
+    never per-pixel Python."""
+    schema = df.schema.simpleString()[7:-1] + (
+        ", mask_cnt long, eroded_cnt long, dilated_cnt long,"
+        " med_sum long, n_int long"
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = np.zeros((len(pdf), 5), dtype=np.int64)
+            for i, (payload, w, h, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                g = img.astype(np.int64).sum(axis=2)
+                m = g >= thresh
+                out[i, 0] = int(m.sum())
+                if g.shape[0] < 3 or g.shape[1] < 3:
+                    continue
+                win = [
+                    g[dy : dy + g.shape[0] - 2, dx : dx + g.shape[1] - 2]
+                    for dy in range(3)
+                    for dx in range(3)
+                ]
+                stack = np.stack(win)  # (9, h-2, w-2)
+                mwin = stack >= thresh
+                out[i, 1] = int(mwin.all(axis=0).sum())
+                out[i, 2] = int(mwin.any(axis=0).sum())
+                med = np.sort(stack, axis=0)[4]
+                out[i, 3] = int(med.sum())
+                out[i, 4] = med.size
+            for j, name in enumerate(
+                ("mask_cnt", "eroded_cnt", "dilated_cnt", "med_sum", "n_int")
+            ):
+                pdf[name] = out[:, j]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+__all__.append("with_equalized_hist")
+
+
+def with_equalized_hist(df: DataFrame) -> DataFrame:
+    """Histogram equalization per image, reported as the SPARSE histogram
+    of equalized levels — the contrast-normalization step an exposure-
+    diverse image corpus gets before feature extraction. Exact-integer
+    formulation of the textbook transfer (Gonzalez & Woods): over integer
+    grayscale v = r+g+b (766 levels), eq(v) = ⌊(cdf(v) − cdf_min) · 255 /
+    (n − cdf_min)⌋ with cdf_min the cdf at the lowest occupied level; a
+    constant image (n == cdf_min) maps to level 0. Emits (image_id,
+    eq_level, cnt) — empty levels absent, counts exact int64, so a twin
+    replaying cdf → transfer → recount from raw pixels matches
+    bit-for-bit. One bincount + cumsum per image, never per-pixel
+    Python."""
+    import pandas as pd
+
+    schema = "image_id string, eq_level int, cnt long"
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids: list[str] = []
+            lvl: list[int] = []
+            cts: list[int] = []
+            for payload, w, h, fmt, iid in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], pdf["image_id"]
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                g = img.astype(np.int64).sum(axis=2)
+                hist = np.bincount(g.ravel(), minlength=766)
+                cdf = np.cumsum(hist)
+                n = int(cdf[-1])
+                occ = np.nonzero(hist)[0]
+                cdf_min = int(cdf[occ[0]])
+                if n == cdf_min:
+                    eq = np.zeros(len(occ), dtype=np.int64)
+                else:
+                    eq = (cdf[occ] - cdf_min) * 255 // (n - cdf_min)
+                agg = np.zeros(256, dtype=np.int64)
+                np.add.at(agg, eq, hist[occ])
+                nz = np.nonzero(agg)[0]
+                ids.extend([iid] * len(nz))
+                lvl.extend(int(b) for b in nz)
+                cts.extend(int(agg[b]) for b in nz)
+            yield pd.DataFrame({"image_id": ids, "eq_level": lvl, "cnt": cts})
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=schema
+    )
