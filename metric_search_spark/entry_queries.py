@@ -853,6 +853,32 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", langid_col(F.col("text")).alias("lang_pred"))
 
 
+def q_gopher_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition quality filters (functions/text.gopher_repetition;
+    Rae et al. 2021 Appendix A1.1): per document the exact-ppm character
+    mass of the most frequent word, the most frequent word 2-gram, and all
+    duplicate word 5-grams, plus the pass/fail verdict at the published
+    20 % / 15 % thresholds — the MassiveText repetition gate every LLM
+    corpus build runs. Fully relational (split → posexplode → lead windows
+    → bounded groupBys, all keyed by doc/gram); the DuckDB twin replays
+    the identical conventions from raw text via string_split + lead — no
+    hand-off."""
+    from metric_search_spark.functions.text import gopher_repetition
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_repetition(docs).orderBy("doc_id")
+
+
+def _o_gopher_sql() -> str:
+    from metric_search_spark.functions.text import gopher_repetition_sql
+
+    return (
+        "SELECT * FROM ("
+        + gopher_repetition_sql("documents")
+        + ") ORDER BY doc_id"
+    )
+
+
 def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_search_spark.functions.text import quality_cols
 
@@ -8508,6 +8534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssp_grid8": q_sssp_grid8,
     "catchments_grid8": q_catchments_grid8,
     "quality_documents": q_quality_documents,
+    "gopher_documents": q_gopher_documents,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
     "winnow_neardup_documents": q_winnow_neardup_documents,
@@ -8656,6 +8683,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "bfs_grid6": O_BFS_GRID6,
     "connected_components_events": O_CC_EVENTS,
     "quality_documents": O_QUALITY,
+    "gopher_documents": _o_gopher_sql(),
     "bpeish_documents": O_BPEISH,
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
     "segment_dedup_documents": O_SEGMENT_DEDUP,

@@ -488,3 +488,181 @@ __all__ += [
     "WINNOW_B",
     "WINNOW_P",
 ]
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, Appendix
+    A1.1 — the filters behind MassiveText, reused by most LLM corpora
+    since): per document, the character mass captured by (a) the single
+    most frequent word, (b) the most frequent word 2-gram, and (c) all
+    DUPLICATE word 5-grams (count ≥ 2), each as an exact parts-per-million
+    integer ⌊10⁶ · chars / n_chars⌋ — plus the pass/fail verdict at the
+    published thresholds (top-2-gram ≤ 20 %, duplicate-5-gram ≤ 15 %).
+
+    Conventions, stated because a twin must reproduce them exactly:
+    words split on single spaces; an n-gram's character length counts its
+    internal spaces; occurrences are counted over the full sliding window
+    (overlaps included); char mass = count × gram length (the count×len
+    reading of Gopher's "fraction of characters contained in" — overlap-
+    deduplication is not attempted, same convention both engines); the
+    top gram ties break to the lexicographically smallest.
+
+    Fully relational — split → posexplode → lead windows → two bounded
+    groupBys, everything keyed by (doc, gram): no Python in the plan, and
+    at 10⁹ documents each aggregation is partial-aggregated map-side
+    within the document's partition. Returns (id, n_words, n_chars,
+    top_word_ppm, top2gram_ppm, dup5gram_ppm, gopher_pass).
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    wo = Window.partitionBy("_id").orderBy("pos")
+
+    def top_ppm(grams: DataFrame, gram_col: str) -> DataFrame:
+        cnt = grams.groupBy("_id", "n_chars", gram_col).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wtop = Window.partitionBy("_id").orderBy(
+            F.col("c").desc(), F.col(gram_col).asc()
+        )
+        return (
+            cnt.withColumn("_r", F.row_number().over(wtop))
+            .where(F.col("_r") == 1)
+            .select(
+                "_id",
+                F.expr(
+                    f"(c * length({gram_col}) * 1000000) div n_chars"
+                ).alias(f"top_{gram_col}_ppm"),
+            )
+        )
+
+    top_w = top_ppm(words.select("_id", "n_chars", "w"), "w")
+
+    g2 = words.withColumn("w1", F.lead("w", 1).over(wo)).where(
+        F.col("w1").isNotNull()
+    )
+    g2 = g2.select(
+        "_id", "n_chars", F.concat_ws(" ", "w", "w1").alias("g2")
+    )
+    top_g2 = top_ppm(g2, "g2")
+
+    g5 = words
+    for i in range(1, 5):
+        g5 = g5.withColumn(f"w{i}", F.lead("w", i).over(wo))
+    g5 = g5.where(F.col("w4").isNotNull()).select(
+        "_id",
+        "n_chars",
+        F.concat_ws(" ", "w", "w1", "w2", "w3", "w4").alias("g5"),
+    )
+    dup5 = (
+        g5.groupBy("_id", "n_chars", "g5")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .groupBy("_id")
+        .agg(
+            F.expr(
+                "(sum(c * length(g5)) * 1000000) div first(n_chars)"
+            ).alias("dup5gram_ppm")
+        )
+    )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_words"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    out = (
+        base.join(top_w, "_id", "left")
+        .join(top_g2, "_id", "left")
+        .join(dup5, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "n_chars",
+            F.coalesce("top_w_ppm", F.lit(0)).alias("top_word_ppm"),
+            F.coalesce("top_g2_ppm", F.lit(0)).alias("top2gram_ppm"),
+            F.coalesce("dup5gram_ppm", F.lit(0)).alias("dup5gram_ppm"),
+        )
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("top2gram_ppm") <= 200_000) & (F.col("dup5gram_ppm") <= 150_000),
+    )
+
+
+def gopher_repetition_sql(rel: str, id_expr: str = "doc_id", text_expr: str = "text") -> str:
+    """DuckDB twin of gopher_repetition: string_split + unnest WITH
+    ORDINALITY + lead windows, identical conventions, exact integers."""
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS id, {text_expr} AS text,
+         CAST(length({text_expr}) AS BIGINT) AS n_chars,
+         CAST(length(string_split({text_expr}, ' ')) AS BIGINT) AS n_words
+  FROM {rel}
+),
+wl AS (
+  SELECT id, n_chars, string_split(text, ' ') AS ws FROM base
+),
+idx AS (
+  SELECT id, n_chars, ws, unnest(range(0, length(ws))) AS pos FROM wl
+),
+words AS (
+  SELECT id, n_chars, ws[pos + 1] AS w, pos FROM idx
+),
+seq AS (
+  SELECT id, n_chars, pos, w,
+         lead(w, 1) OVER (PARTITION BY id ORDER BY pos) AS w1,
+         lead(w, 2) OVER (PARTITION BY id ORDER BY pos) AS w2,
+         lead(w, 3) OVER (PARTITION BY id ORDER BY pos) AS w3,
+         lead(w, 4) OVER (PARTITION BY id ORDER BY pos) AS w4
+  FROM words
+),
+top_word AS (
+  SELECT id, c * length(w) * 1000000 // n_chars AS top_word_ppm
+  FROM (
+    SELECT id, n_chars, w, count(*) AS c,
+           row_number() OVER (PARTITION BY id ORDER BY count(*) DESC, w ASC)
+             AS r
+    FROM words GROUP BY id, n_chars, w
+  ) WHERE r = 1
+),
+top_g2 AS (
+  SELECT id, c * length(g) * 1000000 // n_chars AS top2gram_ppm
+  FROM (
+    SELECT id, n_chars, w || ' ' || w1 AS g, count(*) AS c,
+           row_number() OVER (
+             PARTITION BY id ORDER BY count(*) DESC, (w || ' ' || w1) ASC
+           ) AS r
+    FROM seq WHERE w1 IS NOT NULL GROUP BY id, n_chars, w || ' ' || w1
+  ) WHERE r = 1
+),
+dup5 AS (
+  SELECT id,
+         sum(c * length(g)) * 1000000 // any_value(n_chars) AS dup5gram_ppm
+  FROM (
+    SELECT id, n_chars,
+           w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS g,
+           count(*) AS c
+    FROM seq WHERE w4 IS NOT NULL
+    GROUP BY id, n_chars, w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+  ) WHERE c >= 2
+  GROUP BY id
+)
+SELECT b.id AS {id_expr}, b.n_words, b.n_chars,
+       COALESCE(tw.top_word_ppm, 0) AS top_word_ppm,
+       COALESCE(t2.top2gram_ppm, 0) AS top2gram_ppm,
+       COALESCE(d5.dup5gram_ppm, 0) AS dup5gram_ppm,
+       (COALESCE(t2.top2gram_ppm, 0) <= 200000
+        AND COALESCE(d5.dup5gram_ppm, 0) <= 150000) AS gopher_pass
+FROM base b
+LEFT JOIN top_word tw ON tw.id = b.id
+LEFT JOIN top_g2 t2 ON t2.id = b.id
+LEFT JOIN dup5 d5 ON d5.id = b.id
+"""
+
+
+__all__ += ["gopher_repetition", "gopher_repetition_sql"]
