@@ -853,6 +853,72 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", langid_col(F.col("text")).alias("lang_pred"))
 
 
+def q_bucketed_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (sources/buckets): events and their
+    per-user dimension are each written ONCE as 8-bucket tables on
+    user_id, then joined Exchange-free — the pay-the-shuffle-once shape
+    for every recurring fact⋈dim join at 100 TB (zero-Exchange plan
+    pinned in tests/test_bucketed.py, with the plain-Parquet both-sides-
+    shuffle contrast). Output: per (user_id, event_type), the type's
+    share of the user's events in exact ppm — join-dependent arithmetic
+    so the oracle (a plain SQL join over raw events) certifies the
+    bucketed route returns exactly what an unbucketed engine computes.
+    Tables are keyed by sf and rebuilt only when absent
+    (bucketed_ready), mirroring a real pipeline's resume path."""
+    from metric_search_spark.sources.buckets import (
+        bucketed_ready,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    ev = _read(spark, sf_dir, "events")
+    fact_tbl, dim_tbl = f"msk_bkt_fact_{tag}", f"msk_bkt_dim_{tag}"
+    if not bucketed_ready(spark, fact_tbl, 8):
+        write_bucketed(
+            ev.groupBy("user_id", "event_type").agg(
+                F.count(F.lit(1)).alias("n_type")
+            ),
+            fact_tbl,
+            f"/tmp/{fact_tbl}_u{os.getuid()}",
+            "user_id",
+            8,
+        )
+    if not bucketed_ready(spark, dim_tbl, 8):
+        write_bucketed(
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user")),
+            dim_tbl,
+            f"/tmp/{dim_tbl}_u{os.getuid()}",
+            "user_id",
+            8,
+        )
+    j = read_bucketed(spark, fact_tbl).join(
+        read_bucketed(spark, dim_tbl).hint("merge"), "user_id"
+    )
+    return j.select(
+        "user_id",
+        "event_type",
+        "n_type",
+        "n_user",
+        F.expr("n_type * 1000000 div n_user").alias("share_ppm"),
+    ).orderBy("user_id", "event_type")
+
+
+O_BUCKETED_JOIN = """
+WITH fact AS (
+  SELECT user_id, event_type, count(*) AS n_type
+  FROM events GROUP BY user_id, event_type
+),
+dim AS (
+  SELECT user_id, count(*) AS n_user FROM events GROUP BY user_id
+)
+SELECT f.user_id, f.event_type, f.n_type, d.n_user,
+       f.n_type * 1000000 // d.n_user AS share_ppm
+FROM fact f JOIN dim d USING (user_id)
+ORDER BY f.user_id, f.event_type
+"""
+
+
 def q_gopher_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality filters (functions/text.gopher_repetition;
     Rae et al. 2021 Appendix A1.1): per document the exact-ppm character
@@ -8535,6 +8601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catchments_grid8": q_catchments_grid8,
     "quality_documents": q_quality_documents,
     "gopher_documents": q_gopher_documents,
+    "bucketed_join_events": q_bucketed_join_events,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
     "winnow_neardup_documents": q_winnow_neardup_documents,
@@ -8684,6 +8751,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "connected_components_events": O_CC_EVENTS,
     "quality_documents": O_QUALITY,
     "gopher_documents": _o_gopher_sql(),
+    "bucketed_join_events": O_BUCKETED_JOIN,
     "bpeish_documents": O_BPEISH,
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
     "segment_dedup_documents": O_SEGMENT_DEDUP,
