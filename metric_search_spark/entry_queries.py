@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import re
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -851,6 +852,61 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", langid_col(F.col("text")).alias("lang_pred"))
+
+
+def q_stream_bloom_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-state streaming dedup (streaming/dedup.stream_bloom_dedup):
+    the third state budget next to exact (unbounded) and watermark
+    (windowed) — a persistent 2¹⁶-bit Bloom filter, crash-safe via atomic
+    directory swap. Two staged micro-batches: the even event_ids, then the
+    FULL table — every duplicate even id is dropped (no false negatives),
+    and a deterministic handful of NOVEL odd ids is dropped too (false
+    positives, the documented ingest-gate price). The DuckDB twin
+    recomputes the filter of the evens and probes every odd id through the
+    shared MINSTD hash, reproducing the emitted set — including exactly
+    which odd ids were lost — bit-for-bit, no hand-off."""
+    import pyarrow.parquet as pq
+
+    from metric_search_spark.streaming.dedup import stream_bloom_dedup
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    import pyarrow.compute as pc
+
+    evens = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0))
+    d = tempfile.mkdtemp(prefix="msk_bloomdedup_stage_")
+    f0 = os.path.join(d, "b0.parquet")
+    f1 = os.path.join(d, "b1.parquet")
+    pq.write_table(evens, f0)
+    pq.write_table(t, f1)
+    st = os.stat(f1).st_mtime
+    os.utime(f1, (st + 1, st + 1))
+    out = stream_bloom_dedup(
+        spark, d, "event_id", m_bits=65536, k_hashes=5, seed=11
+    )
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+def _o_stream_bloom_sql() -> str:
+    from metric_search_spark.operators.bloom import bloom_probe_sql
+
+    probe = bloom_probe_sql(
+        "(SELECT event_id FROM events WHERE event_id % 2 = 0)",
+        "(SELECT event_id FROM events WHERE event_id % 2 = 1)",
+        "event_id",
+        "event_id",
+        m_bits=65536,
+        k_hashes=5,
+        seed=11,
+    )
+    return f"""
+WITH surviving_odds AS (
+  SELECT probe_val AS event_id FROM ({probe}) WHERE NOT bloom_positive
+)
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE e.event_id % 2 = 0 OR e.event_id IN (SELECT event_id FROM surviving_odds)
+ORDER BY e.event_id
+"""
 
 
 def q_bucketed_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8602,6 +8658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "gopher_documents": q_gopher_documents,
     "bucketed_join_events": q_bucketed_join_events,
+    "stream_bloom_dedup_events": q_stream_bloom_dedup_events,
     "bpeish_documents": q_bpeish_documents,
     "winnow_documents": q_winnow_documents,
     "winnow_neardup_documents": q_winnow_neardup_documents,
@@ -8752,6 +8809,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quality_documents": O_QUALITY,
     "gopher_documents": _o_gopher_sql(),
     "bucketed_join_events": O_BUCKETED_JOIN,
+    "stream_bloom_dedup_events": _o_stream_bloom_sql(),
     "bpeish_documents": O_BPEISH,
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
     "segment_dedup_documents": O_SEGMENT_DEDUP,

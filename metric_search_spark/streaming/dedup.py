@@ -38,10 +38,16 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from metric_search_spark.streaming.windows import EVENTS_SCHEMA
 
-__all__ = ["stage_replay", "stream_exact_dedup", "stream_dedup_within_watermark"]
+__all__ = [
+    "stage_replay",
+    "stream_exact_dedup",
+    "stream_dedup_within_watermark",
+    "stream_bloom_dedup",
+]
 
 _sink_counter = itertools.count()
 
@@ -121,3 +127,90 @@ def stream_dedup_within_watermark(
     src = _source(spark, path, schema, max_files_per_trigger)
     deduped = src.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
     return _run(deduped, spark)
+
+
+def stream_bloom_dedup(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    *,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+    seed: int = 0,
+    schema: str = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = 1,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """CONSTANT-state streaming dedup — the third state budget, for
+    open-vocabulary key streams where even the watermark window is too
+    much: a persistent Bloom filter (operators/bloom) of m bits, however
+    many distinct keys ever arrive.
+
+    Per micro-batch (foreachBatch, serial by contract): probe the batch
+    against the PRE-batch filter (broadcast bit relation, zero-Exchange
+    probe), drop positives, dedup the survivors exactly WITHIN the batch
+    (bounded by batch size), emit them, and fold their bits into the
+    filter (atomic directory swap — the same crash-safe rename discipline
+    as the LSM index state, so a killed job resumes from the last
+    committed filter).
+
+    The asymmetry to state plainly: NO duplicate is ever emitted twice
+    (a seen key's bits are set — no false negatives), but a false-positive
+    novel key is silently DROPPED (expected rate (1−e^(−kn/m))^k). That is
+    the ingest-gate trade: at 10⁹ URLs/day an exact store is ~100 GB of
+    hot state per executor group, the filter is 128 KB at m=2²⁰ — and
+    losing ~0.1 % of novel rows is the documented price. Every drop is
+    deterministic (shared MINSTD hash), so a twin recomputing the filter
+    offline reproduces the emitted set bit-for-bit — which is exactly
+    what the driver oracle does.
+
+    ``key`` must be a non-negative integer column (the hash contract).
+    Returns the emitted rows (read back from the sink parquet).
+    """
+    from metric_search_spark.operators.bloom import bloom_build, bloom_probe
+
+    d = state_dir or tempfile.mkdtemp(prefix="msk_bloomdedup_")
+    bits_dir = os.path.join(d, "bits")
+    out_dir = os.path.join(d, "emitted")
+    ckpt = os.path.join(d, "ckpt")
+    bloom_kw = dict(m_bits=m_bits, k_hashes=k_hashes, seed=seed)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        done = os.path.join(d, f"done_{batch_id}")
+        if os.path.exists(done):  # replayed batch after crash: no-op
+            return
+        if os.path.exists(bits_dir):
+            bits = sess.read.parquet(bits_dir)
+        else:
+            bits = sess.createDataFrame([], "bit_pos long")
+        novel = (
+            bloom_probe(batch_df, bits, [], key, **bloom_kw)
+            .where(~F.col("bloom_positive"))
+            .drop("bloom_positive")
+            .dropDuplicates([key])
+        )
+        novel = novel.localCheckpoint()  # probe once; reused for emit+bits
+        novel.write.mode("append").parquet(out_dir)
+        # incremental fold: filter ∪ the batch's bits (never rescans the
+        # emitted history — per-batch cost is O(batch + m), not O(total))
+        new_bits = (
+            bits.unionByName(bloom_build(novel, [], key, **bloom_kw))
+            .distinct()
+        )
+        tmp = bits_dir + f"_tmp{batch_id}"
+        new_bits.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(bits_dir):
+            shutil.rmtree(bits_dir)
+        os.rename(tmp, bits_dir)
+        open(done, "w").close()
+
+    src = _source(spark, path, schema, max_files_per_trigger)
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
