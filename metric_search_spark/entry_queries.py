@@ -1001,6 +1001,29 @@ def _o_gopher_sql() -> str:
     )
 
 
+_BPE_MERGES = 6
+
+
+def q_bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (functions/text.bpe_merges; Sennrich et al.
+    2016) — the tokenizer-vocabulary loop over the corpus: 6 rounds of
+    {corpus-wide adjacent-pair count → global argmax → leftmost
+    non-overlapping merge}. Each output row certifies a global reduction
+    over the full distinct-word frequency table; the DuckDB twin UNROLLS
+    all 6 rounds as chained CTEs and replays them from raw text — no
+    hand-off."""
+    from metric_search_spark.functions.text import bpe_merges
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=_BPE_MERGES)
+
+
+def _o_bpe_merges_sql() -> str:
+    from metric_search_spark.functions.text import bpe_merges_sql
+
+    return bpe_merges_sql("documents", _BPE_MERGES)
+
+
 def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_search_spark.functions.text import quality_cols
 
@@ -8657,6 +8680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catchments_grid8": q_catchments_grid8,
     "quality_documents": q_quality_documents,
     "gopher_documents": q_gopher_documents,
+    "bpe_merges_documents": q_bpe_merges_documents,
     "bucketed_join_events": q_bucketed_join_events,
     "stream_bloom_dedup_events": q_stream_bloom_dedup_events,
     "bpeish_documents": q_bpeish_documents,
@@ -8808,6 +8832,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "connected_components_events": O_CC_EVENTS,
     "quality_documents": O_QUALITY,
     "gopher_documents": _o_gopher_sql(),
+    "bpe_merges_documents": _o_bpe_merges_sql(),
     "bucketed_join_events": O_BUCKETED_JOIN,
     "stream_bloom_dedup_events": _o_stream_bloom_sql(),
     "bpeish_documents": O_BPEISH,

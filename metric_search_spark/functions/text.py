@@ -666,3 +666,150 @@ LEFT JOIN dup5 d5 ON d5.id = b.id
 
 
 __all__ += ["gopher_repetition", "gopher_repetition_sql"]
+
+
+# --------------------------------------------------------------- BPE merges
+
+BPE_SEP = "\x1f"  # unit separator between symbols; guarded out of the corpus
+
+
+def bpe_merges(
+    df,
+    n_merges: int = 6,
+    text_col: str = "text",
+):
+    """Byte-pair-encoding merge-table training (Sennrich et al. 2016) —
+    the vocabulary-learning loop every tokenizer build runs over the
+    corpus: repeat n_merges times {count all adjacent symbol pairs across
+    the corpus, merge the globally most frequent pair everywhere}.
+    Returns the learned merge table (rank, left_sym, right_sym,
+    pair_count) — rank r's row certifies a GLOBAL argmax over the whole
+    corpus given merges 1..r-1, so an oracle matching all rows re-proves
+    every corpus-wide reduction.
+
+    Distributed shape (the one real distributed BPE trainers use): the
+    corpus collapses to a distinct-word frequency table ONCE (one shuffle
+    over the corpus; at 10⁹ documents the distinct-word table is ~10⁸
+    rows — orders of magnitude smaller), then each merge round is a
+    map-side-partial pair count over that table plus a TakeOrderedAndProject
+    global argmax; only the single winning pair crosses to the driver per
+    round (the merge decision is inherently a global reduction). Merge
+    application is a leftmost-non-overlapping `replace` on a
+    separator-joined symbol string — a pure JVM Column op, no Python in
+    the plan. Production trainers additionally cache per-word pair deltas
+    to skip re-tokenization; at n_merges ≲ 64 the rescan is the simpler
+    plan and stays fully map-side.
+
+    Conventions (a twin must reproduce): words split on single spaces,
+    empty words dropped, case-sensitive; initial symbols are single
+    CHARACTERS (no end-of-word marker); pair occurrences count every
+    adjacent position (overlaps included), weighted by word frequency;
+    a merge round replaces occurrences LEFTMOST-FIRST, NON-OVERLAPPING
+    (exactly SQL `replace` semantics on the separator-joined string);
+    argmax ties break to the lexicographically smallest (left, right).
+    Words containing U+001F are excluded by contract (both engines)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or df.sparkSession
+    sep = BPE_SEP
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where((F.length("w") > 0) & (~F.col("w").contains(sep)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # '(?!^)(?=.)' splits between characters: no leading or trailing
+        # empty piece (Spark split keeps trailing empties at limit -1)
+        .select(
+            F.concat_ws(sep, F.split("w", "(?!^)(?=.)")).alias("syms"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    cur = words.localCheckpoint(eager=False)
+    out_rows: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = cur.select(
+            F.split("syms", sep).alias("ss"), "cnt"
+        ).select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ss) < 2 THEN array() "
+                    "ELSE transform(sequence(1, size(ss) - 1), "
+                    "j -> struct(ss[j-1] AS l, ss[j] AS r)) END"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # every word is a single symbol — nothing to merge
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        out_rows.append((rank, l, r, c))
+        cur = cur.select(
+            F.call_function(
+                "replace", F.col("syms"), F.lit(l + sep + r), F.lit(l + r)
+            ).alias("syms"),
+            "cnt",
+        )
+    return spark.createDataFrame(
+        out_rows, "rank long, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_merges_sql(rel: str, n_merges: int = 6, text_expr: str = "text") -> str:
+    """DuckDB twin of bpe_merges: the n_merges rounds are UNROLLED as
+    chained CTEs (pair-count → 1-row argmax → replace), each round
+    re-proving the corpus-wide reduction independently of the engine.
+    Same conventions (see bpe_merges); `replace` is leftmost
+    non-overlapping in both engines."""
+    sep = "chr(31)"
+    cte = [
+        f"""wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split({text_expr}, ' ')) AS w FROM {rel}
+  ) WHERE length(w) > 0 AND strpos(w, {sep}) = 0 GROUP BY w
+)""",
+        f"""w0 AS (
+  SELECT array_to_string(string_split(w, ''), {sep}) AS syms, cnt FROM wf
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        cte.append(
+            f"""x{i} AS (
+  SELECT string_split(syms, {sep}) AS ss, cnt FROM w{i - 1}
+),
+e{i} AS (
+  SELECT ss, cnt, unnest(range(0, length(ss) - 1)) AS pos FROM x{i}
+),
+p{i} AS (
+  SELECT ss[pos + 1] AS l, ss[pos + 2] AS r, sum(cnt) AS c
+  FROM e{i} GROUP BY 1, 2
+),
+m{i} AS (
+  SELECT CAST({i} AS BIGINT) AS rank, l, r, CAST(c AS BIGINT) AS c
+  FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+w{i} AS (
+  SELECT replace(w.syms, m.l || {sep} || m.r, m.l || m.r) AS syms, w.cnt
+  FROM w{i - 1} w, m{i} m
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, l, r, c FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT rank, l AS left_sym, r AS right_sym, c AS pair_count
+FROM ({union}) ORDER BY rank
+"""
+    )
+
+
+__all__ += ["bpe_merges", "bpe_merges_sql", "BPE_SEP"]
