@@ -4498,6 +4498,103 @@ GROUP BY p.image_id
 """
 
 
+def q_harris_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image Harris corner-response statistics (functions/image.
+    with_harris_stats): structure tensor over integer Sobel gradients,
+    R16 = 16·(SxxSyy − Sxy²) − (Sxx+Syy)² exact int64 at k = 1/16,
+    reduced to (n_corners, resp_max, n_int). Hand-off oracle
+    (sobel-style pixels parquet) with a genuinely different formulation:
+    DuckDB computes per-pixel gradients, then builds each 3×3 tensor sum
+    by EXPLODING every gradient to its 9 neighbor centers and
+    re-aggregating with HAVING count(*) = 9 (full-support centers only)
+    — versus the kernel's numpy slice algebra."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_harris_stats
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("harris", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_harris_stats(spark.createDataFrame(pdf)).select(
+        "image_id", "n_corners", "resp_max", "n_int"
+    )
+
+
+def _o_harris_sql() -> str:
+    path = _handoff_path("harris", f"{_IPV_N}_{_IPV_SEED}")
+    s = "p.g[({y}) * p.w + ({x}) + 1]"
+
+    def at(dy: str, dx: str) -> str:
+        return s.format(y=f"p.y + {dy}", x=f"p.x + {dx}")
+
+    gx = (
+        f"({at('-1', '1')} + 2*{at('0', '1')} + {at('1', '1')}"
+        f" - {at('-1', '-1')} - 2*{at('0', '-1')} - {at('1', '-1')})"
+    )
+    gy = (
+        f"({at('1', '-1')} + 2*{at('1', '0')} + {at('1', '1')}"
+        f" - {at('-1', '-1')} - 2*{at('-1', '0')} - {at('-1', '1')})"
+    )
+    return f"""
+WITH g AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+ys AS (
+  SELECT image_id, w, g, unnest(range(1, h - 1)) AS y FROM g
+),
+p AS (
+  SELECT image_id, w, g, y, unnest(range(1, w - 1)) AS x FROM ys
+),
+grad AS (
+  SELECT p.image_id, p.y, p.x, {gx} AS ix, {gy} AS iy FROM p
+),
+o1 AS (
+  SELECT image_id, y, x, ix, iy, unnest([-1, 0, 1]) AS dy FROM grad
+),
+o2 AS (
+  SELECT image_id, y, x, ix, iy, dy, unnest([-1, 0, 1]) AS dx FROM o1
+),
+s AS (
+  SELECT image_id, y + dy AS cy, x + dx AS cx,
+         sum(ix*ix) AS sxx, sum(iy*iy) AS syy, sum(ix*iy) AS sxy
+  FROM o2 GROUP BY 1, 2, 3 HAVING count(*) = 9
+),
+r AS (
+  SELECT image_id,
+         16*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS resp
+  FROM s
+)
+SELECT image_id,
+       CAST(sum(CASE WHEN resp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corners,
+       CAST(max(resp) AS BIGINT) AS resp_max,
+       count(*) AS n_int
+FROM r GROUP BY image_id
+"""
+
+
 _CHIST_BINS = 8
 
 
@@ -8668,6 +8765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
+    "harris_images": q_harris_images,
     "morphology_images": q_morphology_images,
     "equalize_images": q_equalize_images,
     "glcm_images": q_glcm_images,
@@ -8980,6 +9078,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["tile_mosaic_images"] = _o_mosaic_sql()
     oracles["augment_images"] = _o_augment_sql()
     oracles["sobel_images"] = _o_sobel_sql()
+    oracles["harris_images"] = _o_harris_sql()
     oracles["morphology_images"] = _o_morphology_sql()
     oracles["equalize_images"] = _o_equalize_sql()
     oracles["glcm_images"] = _o_glcm_sql()
