@@ -174,6 +174,79 @@ SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS rnk FROM (
 """
 
 
+_MMR_K, _MMR_C = 5, 20
+
+
+def q_mmr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k retrieval (operators/ann.mmr_rerank; Carbonell
+    & Goldstein 1998): brute cosine top-20 candidates per probe (every
+    10th vector), then 5 greedy picks of argmax ½·sim(q,d) − ½·max_{s∈S}
+    sim(d,s), ties to the smallest id. The DuckDB twin UNROLLS the greedy
+    as chained CTEs (score → 1-row-per-probe argmax → selected-set union)
+    and recomputes every cosine from raw embeddings — no hand-off.
+    Bit-parity holds because the kernel accumulates candidate-candidate
+    gram sums dimension-sequentially (left-to-right fold = list_sum
+    order) and the score expression is identical in both engines."""
+    from metric_search_spark.operators.ann import mmr_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("id") % 10 == 0)
+    return mmr_topk(probes, emb, k=_MMR_K, c=_MMR_C).select(
+        "query_id", "mmr_rank", "neighbor_id"
+    )
+
+
+def _o_mmr_sql() -> str:
+    cos_ab = cosine_sim_sql("a.embedding", "b.embedding")
+    cos_xy = cosine_sim_sql("x.nv", "y.nv")
+    cte = [
+        f"""cand AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, {cos_ab} AS simq,
+           b.embedding AS nv,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_ab} DESC, b.vec_id) AS r
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id % 10 = 0 AND a.vec_id != b.vec_id
+  ) WHERE r <= {_MMR_C}
+)""",
+        f"""pairsim AS (
+  SELECT x.qid, x.nid AS i, y.nid AS j, {cos_xy} AS sim
+  FROM cand x JOIN cand y ON x.qid = y.qid
+)""",
+        "sel1 AS (SELECT qid, 1 AS mr, nid FROM cand WHERE r = 1)",
+    ]
+    for t in range(2, _MMR_K + 1):
+        cte.append(
+            f"""sc{t} AS (
+  SELECT c.qid, c.nid, 0.5 * any_value(c.simq) - 0.5 * max(p.sim) AS score
+  FROM cand c
+  JOIN sel{t - 1} s ON s.qid = c.qid
+  JOIN pairsim p ON p.qid = c.qid AND p.i = c.nid AND p.j = s.nid
+  WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} s2
+                    WHERE s2.qid = c.qid AND s2.nid = c.nid)
+  GROUP BY c.qid, c.nid
+),
+pick{t} AS (
+  SELECT qid, {t} AS mr, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid)
+             AS rr
+    FROM sc{t}
+  ) WHERE rr = 1
+),
+sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM pick{t})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT qid AS query_id, CAST(mr AS BIGINT) AS mmr_rank, nid AS neighbor_id
+FROM sel{_MMR_K}
+"""
+    )
+
+
 def q_pairwise_label0(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).where(F.col("label") == 0)
     out = pairwise_matrix(emb)
@@ -8735,6 +8808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nn_embeddings": q_nn_embeddings,
     "range_events": q_range_events,
     "cosine_topk_embeddings": q_cosine_topk_embeddings,
+    "mmr_embeddings": q_mmr_embeddings,
     "pairwise_label0": q_pairwise_label0,
     "cluster_quota_embeddings": q_cluster_quota_embeddings,
     "tile_embeddings": q_tile_embeddings,
@@ -8906,6 +8980,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "nn_embeddings": O_NN_EMB,
     "range_events": O_RANGE_EVENTS,
     "cosine_topk_embeddings": O_COSINE_EMB,
+    "mmr_embeddings": _o_mmr_sql(),
     "pairwise_label0": O_PAIRWISE,
     "cluster_quota_embeddings": O_CLUSTER,
     "tile_embeddings": O_TILE,

@@ -954,3 +954,132 @@ def ivfpq_topk(
         ranked, probes, build, k,
         id_col=id_col, vec_col=vec_col, probe_id_col=probe_id_col,
     )
+
+
+__all__ += ["mmr_rerank", "mmr_topk"]
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    1998) of per-probe candidate lists — the standard retrieval/
+    dataset-curation step that trades query relevance against redundancy
+    among the returned set: greedily pick argmax of
+    ``lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s)``.
+
+    ``cand`` must carry one row per (probe, candidate):
+    (query_id, neighbor_id, simq DOUBLE  — cosine sim to the probe,
+     r LONG — the candidate's relevance rank (1 = most similar; seeds the
+     first pick and pins determinism), nv ARRAY<DOUBLE> — candidate
+    vector). This is the SCALE path: compose it behind any candidate tier
+    (brute cosine_topk, LSH, IVF, IVFPQ+rerank) — the greedy is O(c²·d)
+    per probe over the BOUNDED candidate list, runs inside one
+    applyInPandas group per probe (the same cogroup shape as
+    exact_l2_rerank), and nothing shuffles except the c candidate rows.
+
+    Determinism across engines: candidate-candidate cosines are
+    accumulated dimension-sequentially (a left-to-right fold, matching
+    both Spark's aggregate() and DuckDB's list_sum evaluation order), the
+    score expression is literally ``lam·simq − (1−lam)·maxsim`` in both
+    engines, and every argmax tie breaks to the smallest neighbor_id —
+    so a SQL twin unrolling the greedy matches bit-for-bit. Returns
+    (query_id, mmr_rank, neighbor_id)."""
+    qt = cand.schema["query_id"].dataType.simpleString()
+    nt = cand.schema["neighbor_id"].dataType.simpleString()
+    out_schema = f"query_id {qt}, mmr_rank long, neighbor_id {nt}"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("r", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        kk = min(k, n)
+        V = np.vstack(pdf["nv"].to_numpy()).astype(np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        simq = pdf["simq"].to_numpy(dtype=np.float64)
+        # dimension-sequential gram/norm accumulation: bitwise equal to a
+        # left-to-right list_sum fold (numpy's dot/sum use pairwise
+        # summation, which would NOT match the SQL twin)
+        G = np.zeros((n, n), dtype=np.float64)
+        N = np.zeros(n, dtype=np.float64)
+        for t in range(V.shape[1]):
+            col = V[:, t]
+            G += col[:, None] * col[None, :]
+            N += col * col
+        rt = np.sqrt(N)
+        sim = G / (rt[:, None] * rt[None, :])
+        sel = [0]  # r == 1: max simq, ties already broken to smallest id
+        avail = np.ones(n, dtype=bool)
+        avail[0] = False
+        for _ in range(1, kk):
+            maxsim = sim[:, sel].max(axis=1)
+            score = lam * simq - (1.0 - lam) * maxsim
+            for j in np.lexsort((ids, -score)):
+                if avail[j]:
+                    sel.append(int(j))
+                    avail[j] = False
+                    break
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[:1].repeat(kk).to_numpy(),
+                "mmr_rank": np.arange(1, kk + 1, dtype=np.int64),
+                "neighbor_id": ids[sel],
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(pick, schema=out_schema)
+
+
+def mmr_topk(
+    probes: DataFrame,
+    build: DataFrame,
+    k: int = 5,
+    c: int = 20,
+    lam: float = 0.5,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    probe_id_col: str | None = None,
+    exclude_self: bool = True,
+    max_build_rows: int | None = 200_000,
+) -> DataFrame:
+    """MMR-diversified top-k: brute-force cosine top-c candidates (gated
+    like cosine_topk — at scale generate candidates with an ANN tier and
+    call mmr_rerank directly), then the per-probe greedy. exclude_self
+    drops the probe's own id before ranking (self-retrieval). Returns
+    (query_id, mmr_rank, neighbor_id)."""
+    if max_build_rows is not None:
+        n_build = build.count()
+        if n_build > max_build_rows:
+            raise ValueError(
+                f"mmr_topk's candidate stage is the all-pairs baseline; "
+                f"build side has {n_build} rows > max_build_rows="
+                f"{max_build_rows}. Generate candidates with an ANN tier "
+                f"(cosine_topk_lsh / ivf_topk / ivfpq_topk+rerank) and "
+                f"call mmr_rerank, or pass max_build_rows=None."
+            )
+    pid = probe_id_col or id_col
+    a = probes.select(
+        F.col(pid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = build.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    scored = a.join(F.broadcast(b)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim_col(F.col("_va"), F.col("nv")).alias("simq"),
+        "nv",
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("simq").desc(), F.col("neighbor_id").asc()
+    )
+    cand = scored.withColumn("r", F.row_number().over(w).cast("long")).where(
+        F.col("r") <= c
+    )
+    return mmr_rerank(cand, k=k, lam=lam)
