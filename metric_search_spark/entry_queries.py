@@ -4668,6 +4668,182 @@ FROM r GROUP BY image_id
 """
 
 
+_BLOB_THRESH = 600
+
+
+def q_blob_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image connected-component blob statistics (functions/image.
+    with_blob_stats): foreground = gray ≥ 600, 4-connected pixel
+    components, exact int64 (n_blobs, max_blob, fg_px) — the
+    object-count feature of a labeling-QA stage; the in-image analog of
+    the cross-image tile-lattice label_regions. Hand-off oracle: DuckDB
+    relabels every foreground pixel by recursive-CTE reachability over
+    in-image 4-adjacency (transitive closure — tractable because the
+    foreground is <1% of pixels at this threshold) and re-aggregates
+    component sizes independently of the kernel's BFS."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_blob_stats
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("blob", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_blob_stats(
+        spark.createDataFrame(pdf), thresh=_BLOB_THRESH
+    ).select("image_id", "n_blobs", "max_blob", "fg_px")
+
+
+def _o_blob_sql() -> str:
+    path = _handoff_path("blob", f"{_IPV_N}_{_IPV_SEED}")
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+ys AS (
+  SELECT image_id, w, g, unnest(range(0, h)) AS y FROM g
+),
+p AS (
+  SELECT image_id, w, g, y, unnest(range(0, w)) AS x FROM ys
+),
+fg AS (
+  SELECT image_id, y, x, y * w + x AS pid
+  FROM p WHERE g[y * w + x + 1] >= {_BLOB_THRESH}
+),
+e AS (
+  SELECT a.image_id, a.pid AS src, b.pid AS dst
+  FROM fg a JOIN fg b
+    ON a.image_id = b.image_id
+   AND abs(a.x - b.x) + abs(a.y - b.y) = 1
+),
+reach(image_id, pid, r) AS (
+  SELECT image_id, pid, pid FROM fg
+  UNION
+  SELECT e.image_id, e.src, reach.r
+  FROM reach JOIN e ON e.image_id = reach.image_id AND e.dst = reach.pid
+),
+lab AS (
+  SELECT image_id, pid, min(r) AS blob FROM reach GROUP BY image_id, pid
+),
+sizes AS (
+  SELECT image_id, blob, count(*) AS sz FROM lab GROUP BY image_id, blob
+),
+agg AS (
+  SELECT image_id, CAST(count(*) AS BIGINT) AS n_blobs,
+         CAST(max(sz) AS BIGINT) AS max_blob,
+         CAST(sum(sz) AS BIGINT) AS fg_px
+  FROM sizes GROUP BY image_id
+)
+SELECT i.image_id,
+       coalesce(a.n_blobs, 0) AS n_blobs,
+       coalesce(a.max_blob, 0) AS max_blob,
+       coalesce(a.fg_px, 0) AS fg_px
+FROM g i LEFT JOIN agg a USING (image_id)
+"""
+
+
+def q_orient_hist_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image gradient-orientation histogram (functions/image.
+    with_orient_hist; the HOG cell descriptor, Dalal & Triggs 2005):
+    8 octant bins decided purely by integer comparisons over the Sobel
+    gradients, weighted by the exact L1 magnitude. Hand-off oracle:
+    DuckDB recomputes gradients per interior pixel and re-bins with the
+    identical CASE predicates — every (n_px, wsum) mass is an int64
+    matched bit-for-bit."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_orient_hist
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("ohist", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_orient_hist(spark.createDataFrame(pdf)).select(
+        "image_id", "bin", "n_px", "wsum"
+    )
+
+
+def _o_orient_hist_sql() -> str:
+    path = _handoff_path("ohist", f"{_IPV_N}_{_IPV_SEED}")
+    s = "p.g[({y}) * p.w + ({x}) + 1]"
+
+    def at(dy: str, dx: str) -> str:
+        return s.format(y=f"p.y + {dy}", x=f"p.x + {dx}")
+
+    gx = (
+        f"({at('-1', '1')} + 2*{at('0', '1')} + {at('1', '1')}"
+        f" - {at('-1', '-1')} - 2*{at('0', '-1')} - {at('1', '-1')})"
+    )
+    gy = (
+        f"({at('1', '-1')} + 2*{at('1', '0')} + {at('1', '1')}"
+        f" - {at('-1', '-1')} - 2*{at('-1', '0')} - {at('-1', '1')})"
+    )
+    return f"""
+WITH g AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+ys AS (
+  SELECT image_id, w, g, unnest(range(1, h - 1)) AS y FROM g
+),
+p AS (
+  SELECT image_id, w, g, y, unnest(range(1, w - 1)) AS x FROM ys
+),
+gr AS (
+  SELECT p.image_id, {gx} AS gx, {gy} AS gy FROM p
+)
+SELECT image_id,
+       2 * (CASE WHEN gy >= 0 THEN CASE WHEN gx >= 0 THEN 0 ELSE 1 END
+                 ELSE CASE WHEN gx < 0 THEN 2 ELSE 3 END END)
+         + (CASE WHEN abs(gy) > abs(gx) THEN 1 ELSE 0 END) AS bin,
+       count(*) AS n_px,
+       CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS wsum
+FROM gr
+GROUP BY 1, 2
+"""
+
+
 _CHIST_BINS = 8
 
 
@@ -8840,6 +9016,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
     "harris_images": q_harris_images,
+    "blob_images": q_blob_images,
+    "orient_hist_images": q_orient_hist_images,
     "morphology_images": q_morphology_images,
     "equalize_images": q_equalize_images,
     "glcm_images": q_glcm_images,
@@ -9154,6 +9332,8 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["augment_images"] = _o_augment_sql()
     oracles["sobel_images"] = _o_sobel_sql()
     oracles["harris_images"] = _o_harris_sql()
+    oracles["blob_images"] = _o_blob_sql()
+    oracles["orient_hist_images"] = _o_orient_hist_sql()
     oracles["morphology_images"] = _o_morphology_sql()
     oracles["equalize_images"] = _o_equalize_sql()
     oracles["glcm_images"] = _o_glcm_sql()

@@ -811,3 +811,137 @@ def with_harris_stats(df: DataFrame) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
+
+
+__all__.append("with_blob_stats")
+
+
+def with_blob_stats(df: DataFrame, thresh: int = 600) -> DataFrame:
+    """Per-image connected-component (blob) statistics — the object-count
+    / largest-object feature a curation or labeling-QA stage reads:
+    foreground = integer grayscale (r+g+b) ≥ thresh, 4-connected
+    components over the foreground mask, reduced to exact int64
+    (n_blobs, max_blob, fg_px). The cross-IMAGE analog on the tile
+    lattice is operators/tiling.label_regions; this one labels pixels
+    INSIDE each decoded payload. At the default thresh the synthetic
+    foreground is <1% of pixels, so the per-image BFS touches only
+    foreground pixels; an image with no foreground reports (0, 0, 0).
+    Arrow-batched mapInPandas; a twin recomputing components from raw
+    pixels (recursive-CTE reachability) matches exactly."""
+    from collections import deque
+
+    schema = df.schema.simpleString()[7:-1] + (
+        ", n_blobs long, max_blob long, fg_px long"
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = np.zeros((len(pdf), 3), dtype=np.int64)
+            for i, (payload, w, h, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                fg = img.astype(np.int64).sum(axis=2) >= thresh
+                hh, ww = fg.shape
+                seen = np.zeros_like(fg, dtype=bool)
+                n_blobs = 0
+                max_blob = 0
+                for yx in zip(*np.nonzero(fg)):
+                    if seen[yx]:
+                        continue
+                    q = deque([yx])
+                    seen[yx] = True
+                    sz = 0
+                    while q:
+                        cy, cx = q.popleft()
+                        sz += 1
+                        for ny, nx in (
+                            (cy + 1, cx), (cy - 1, cx),
+                            (cy, cx + 1), (cy, cx - 1),
+                        ):
+                            if (
+                                0 <= ny < hh and 0 <= nx < ww
+                                and fg[ny, nx] and not seen[ny, nx]
+                            ):
+                                seen[ny, nx] = True
+                                q.append((ny, nx))
+                    n_blobs += 1
+                    max_blob = max(max_blob, sz)
+                out[i] = (n_blobs, max_blob, int(fg.sum()))
+            for j, name in enumerate(("n_blobs", "max_blob", "fg_px")):
+                pdf[name] = out[:, j]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+__all__.append("with_orient_hist")
+
+
+def with_orient_hist(df: DataFrame) -> DataFrame:
+    """Per-image gradient-orientation histogram (the HOG cell descriptor,
+    Dalal & Triggs 2005) in EXACT integers: integer Sobel gradients over
+    the (h−2)×(w−2) interior, 8 orientation octants decided purely by
+    integer comparisons —
+
+        bin = 2·quadrant(gx≥0, gy≥0 → 0; gx<0, gy≥0 → 1; gx<0, gy<0 → 2;
+              gx≥0, gy<0 → 3) + (|gy| > |gx|)
+
+    (every boundary tie is pinned by ≥/>; the zero gradient lands in bin
+    0 with weight 0) — weighted by the L1 magnitude |gx|+|gy|, so every
+    histogram mass is an int64 a raw-pixels twin reproduces bit-for-bit.
+    Returns one row per (image, bin) with at least one interior pixel:
+    (image_id…, bin, n_px, wsum)."""
+    base = df.schema.simpleString()[7:-1]
+    schema = base + ", bin long, n_px long, wsum long"
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            reps: list[int] = []
+            bins: list[np.ndarray] = []
+            for payload, w, h, fmt in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                g = img.astype(np.int64).sum(axis=2)
+                if g.shape[0] < 3 or g.shape[1] < 3:
+                    reps.append(0)
+                    bins.append(np.empty((0, 3), dtype=np.int64))
+                    continue
+                gx = (
+                    g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
+                    - g[:-2, :-2] - 2 * g[1:-1, :-2] - g[2:, :-2]
+                ).ravel()
+                gy = (
+                    g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+                    - g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:]
+                ).ravel()
+                quad = np.where(
+                    gy >= 0, np.where(gx >= 0, 0, 1), np.where(gx < 0, 2, 3)
+                )
+                b = 2 * quad + (np.abs(gy) > np.abs(gx))
+                wgt = np.abs(gx) + np.abs(gy)
+                n_px = np.bincount(b, minlength=8)
+                wsum = np.bincount(b, weights=wgt, minlength=8).astype(
+                    np.int64
+                )
+                keep = np.nonzero(n_px)[0]
+                reps.append(len(keep))
+                bins.append(
+                    np.stack(
+                        [keep, n_px[keep], wsum[keep]], axis=1
+                    ).astype(np.int64)
+                )
+            idx = np.repeat(np.arange(len(pdf)), reps)
+            flat = (
+                np.concatenate(bins, axis=0)
+                if bins
+                else np.empty((0, 3), dtype=np.int64)
+            )
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out["bin"] = flat[:, 0]
+            out["n_px"] = flat[:, 1]
+            out["wsum"] = flat[:, 2]
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)
