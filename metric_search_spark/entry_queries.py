@@ -8132,6 +8132,72 @@ FROM t LEFT JOIN per USING (tile), stats st
 """
 
 
+def q_moran_global_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (operators/tiling.moran_global) over the occupied
+    res-4 tile lattice — the one-number autocorrelation companion to the
+    per-tile LISA above: same support, same binary queen weights, the
+    1/N² deviation scale cancelled so both Σ terms are exact int64 and
+    the only double is the final division (round 12). The oracle
+    re-derives adjacency via quantize → Chebyshev offsets (no
+    mask-ripple arithmetic shared) and recomputes both sums from raw
+    embeddings."""
+    from metric_search_spark.operators.tiling import moran_global
+
+    return moran_global(_emb(spark, sf_dir), _MORAN_RES)
+
+
+def _o_moran_global_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    res = _MORAN_RES
+    return f"""
+WITH t AS (
+  SELECT {morton_bitsum_sql(
+      f"(({quantize_sql(_EMB_X)}) >> {31 - res})",
+      f"(({quantize_sql(_EMB_Y)}) >> {31 - res})",
+      res,
+  )} AS tile, count(*) AS z
+  FROM embeddings GROUP BY 1
+),
+dec AS (
+  SELECT tile, z,
+         (SELECT sum(((tile >> (2 * b.i)) & 1) * (1 << b.i))
+          FROM range(0, {res}) b(i)) AS cx,
+         (SELECT sum(((tile >> (2 * b.i + 1)) & 1) * (1 << b.i))
+          FROM range(0, {res}) b(i)) AS cy
+  FROM t
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS s FROM t
+),
+pairs AS (
+  SELECT a.z AS zi, b.z AS zj
+  FROM dec a
+  JOIN dec b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND b.tile <> a.tile
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+         CAST(sum((st.n * zi - st.s) * (st.n * zj - st.s)) AS BIGINT)
+           AS cross_sum
+  FROM pairs, stats st
+),
+dev AS (
+  SELECT CAST(max(st.n) AS BIGINT) AS n_tiles,
+         CAST(sum((st.n * z - st.s) * (st.n * z - st.s)) AS BIGINT) AS dev2
+  FROM t, stats st
+)
+SELECT d.n_tiles, a.w_pairs,
+       CASE WHEN a.w_pairs > 0 AND d.dev2 > 0
+            THEN round(CAST(d.n_tiles * a.cross_sum AS DOUBLE)
+                       / CAST(a.w_pairs * d.dev2 AS DOUBLE), 12)
+            END AS moran_i
+FROM dev d, agg a
+"""
+
+
 def q_hausdorff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric Hausdorff distance between each user's 2-D event
     trajectory (x = 0.25·position, y = value, first 24 events by
@@ -9095,6 +9161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decile_events": q_decile_events,
     "mode_events": q_mode_events,
     "moran_local_embeddings": q_moran_local_embeddings,
+    "moran_global_embeddings": q_moran_global_embeddings,
     "getis_ord_embeddings": q_getis_ord_embeddings,
     "hilbert_tiles_embeddings": q_hilbert_tiles_embeddings,
     "embedding_norms": q_embedding_norms,
@@ -9237,6 +9304,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "decile_events": O_DECILE_EVENTS,
     "mode_events": O_MODE_EVENTS,
     "moran_local_embeddings": _o_moran_sql(),
+    "moran_global_embeddings": _o_moran_global_sql(),
     "getis_ord_embeddings": _o_getis_ord_sql(),
     "hilbert_tiles_embeddings": _o_hilbert_sql(),
     "quadtree_embeddings": _o_quadtree_sql(),

@@ -845,6 +845,92 @@ def getis_ord(
     )
 
 
+__all__.append("moran_global")
+
+
+def moran_global(
+    df: DataFrame,
+    res: int,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Global Moran's I spatial-autocorrelation index over the occupied
+    tile lattice — the one-number companion to the per-tile LISA
+    (q_moran_local) and Getis-Ord Gi*: same support, same binary queen
+    weights over OCCUPIED cells. With N tiles, S = Σz and directed
+    neighbor pairs (i,j),
+
+        I = N·Σ_{ij}(N·z_i − S)(N·z_j − S) / (W·Σ_i(N·z_i − S)²)
+
+    (the 1/N² deviation scale cancels between numerator and denominator,
+    so both Σ terms are EXACT int64 in any engine; one double division at
+    the end, round 12). Plan: one tile-count aggregate, a self-excluded
+    k-ring explode + equi-join for the pair terms, and three scalar
+    aggregates meeting via 1-row broadcast cross joins — never a driver
+    round-trip. Envelope: |N·z − S| < 2³¹ keeps every product in int64
+    (holds to ~10⁹ points on this lattice; beyond that promote the two
+    Σ columns to decimal(38)). Returns ONE row (n_tiles, w_pairs,
+    moran_i)."""
+    from metric_search_spark.functions.spatial import kring_cells_col
+
+    t = (
+        tile_assign(df, res=res, x_col=x_col, y_col=y_col)
+        .groupBy("tile")
+        .agg(F.count("*").cast("long").alias("z"))
+    )
+    stats = t.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+    )
+    nb = t.select(
+        "tile",
+        F.col("z").alias("zi"),
+        F.explode(kring_cells_col(F.col("tile"), res, 1)).alias("nb"),
+    ).where(F.col("nb") != F.col("tile"))
+    pairs = nb.join(
+        t.select(F.col("tile").alias("nb"), F.col("z").alias("zj")), "nb"
+    )
+    cross = (
+        pairs.crossJoin(F.broadcast(stats))
+        .agg(
+            F.count("*").cast("long").alias("w_pairs"),
+            F.sum(
+                (F.col("n") * F.col("zi") - F.col("s"))
+                * (F.col("n") * F.col("zj") - F.col("s"))
+            )
+            .cast("long")
+            .alias("cross_sum"),
+        )
+    )
+    dev = (
+        t.crossJoin(F.broadcast(stats))
+        .agg(
+            F.first("n").alias("n_tiles"),
+            F.sum(
+                (F.col("n") * F.col("z") - F.col("s"))
+                * (F.col("n") * F.col("z") - F.col("s"))
+            )
+            .cast("long")
+            .alias("dev2"),
+        )
+    )
+    return dev.crossJoin(cross).select(
+        "n_tiles",
+        "w_pairs",
+        F.when(
+            (F.col("w_pairs") > 0) & (F.col("dev2") > 0),
+            F.round(
+                (F.col("n_tiles") * F.col("cross_sum")).cast("double")
+                / (F.col("w_pairs") * F.col("dev2")).cast("double"),
+                12,
+            ),
+        ).alias("moran_i"),  # NULL when z is constant or no tile touches
+        # another (dev2 = 0 or W = 0): the index is undefined there, and
+        # ANSI mode would otherwise raise DIVIDE_BY_ZERO
+    )
+
+
 __all__.append("morton_ranges")
 __all__.append("range_lookup")
 
