@@ -690,6 +690,75 @@ CROSS JOIN (SELECT unnest(range(256)) AS i) t
 """
 
 
+def q_hits_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority (operators/graph.hits — unnormalized integer
+    power method; dropping the per-step rescale keeps every intermediate
+    an EXACT int64, so no dyadic-rational argument is even needed) on the
+    same 256-node functional multigraph as PageRank (i → 2i+1 mod 256,
+    i → ⌊i/2⌋). 8 full iterations; max in-degree 4 × out-degree 2 bounds
+    ‖h‖∞ ≤ 8⁸ ≪ 2⁶³. The DuckDB twin re-runs the whole power method
+    sequentially as a HALF-STEP recursive list CTE (even steps apply the
+    in-adjacency, odd steps the out-adjacency), the PageRank oracle
+    technique with the normalization question removed entirely."""
+    from metric_search_spark.operators.graph import hits
+
+    n = 256
+    ids = spark.range(n)
+    edges = ids.select(
+        F.col("id").alias("src"), ((F.col("id") * 2 + 1) % n).alias("dst")
+    ).unionByName(
+        ids.select(
+            F.col("id").alias("src"), (F.col("id") / 2).cast("long").alias("dst")
+        )
+    )
+    return hits(edges, iters=8).select("node", "hub", "auth")
+
+
+O_HITS_FUNCTIONAL = """
+WITH RECURSIVE e AS (
+  SELECT i AS src, (2*i+1) % 256 AS dst FROM range(256) t(i)
+  UNION ALL
+  SELECT i AS src, i // 2 AS dst FROM range(256) t(i)
+),
+inl AS (
+  SELECT n.node, coalesce(l.srcs, CAST([] AS BIGINT[])) AS srcs
+  FROM (SELECT unnest(range(256)) AS node) n
+  LEFT JOIN (SELECT dst, list(src ORDER BY src) AS srcs FROM e GROUP BY dst) l
+    ON l.dst = n.node
+),
+outl AS (
+  SELECT n.node, coalesce(l.dsts, CAST([] AS BIGINT[])) AS dsts
+  FROM (SELECT unnest(range(256)) AS node) n
+  LEFT JOIN (SELECT src, list(dst ORDER BY dst) AS dsts FROM e GROUP BY src) l
+    ON l.src = n.node
+),
+ain AS (SELECT list(srcs ORDER BY node) AS A FROM inl),
+aout AS (SELECT list(dsts ORDER BY node) AS B FROM outl),
+it AS (
+  SELECT 0 AS it, list_transform(range(256), x -> CAST(1 AS BIGINT)) AS v
+  UNION ALL
+  SELECT it+1,
+    CASE WHEN it % 2 = 0
+      THEN list_transform(range(256), i ->
+             CAST(coalesce(list_sum(list_transform(
+               A[CAST(i+1 AS INT)], u -> v[CAST(u+1 AS INT)])), 0)
+               AS BIGINT))
+      ELSE list_transform(range(256), i ->
+             CAST(coalesce(list_sum(list_transform(
+               B[CAST(i+1 AS INT)], w -> v[CAST(w+1 AS INT)])), 0)
+               AS BIGINT))
+    END
+  FROM it, ain, aout WHERE it < 16
+)
+SELECT CAST(t.i AS BIGINT) AS node,
+       hv.v[CAST(t.i+1 AS INT)] AS hub,
+       av.v[CAST(t.i+1 AS INT)] AS auth
+FROM (SELECT unnest(range(256)) AS i) t
+CROSS JOIN (SELECT v FROM it WHERE it = 16) hv
+CROSS JOIN (SELECT v FROM it WHERE it = 15) av
+"""
+
+
 def q_triangles_grid8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.triangle_counts — the
     degree-ordered orientation join: each triangle found once as a wedge at
@@ -9071,6 +9140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedupe_threshold_embeddings": q_dedupe_threshold_embeddings,
     "bfs_grid4": q_bfs_grid4,
     "pagerank_functional": q_pagerank_functional,
+    "hits_functional": q_hits_functional,
     "triangles_grid8": q_triangles_grid8,
     "bfs_grid6": q_bfs_grid6,
     "connected_components_events": q_connected_components_events,
@@ -9245,6 +9315,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
     "bfs_grid4": O_BFS_GRID4,
     "pagerank_functional": O_PAGERANK_FUNCTIONAL,
+    "hits_functional": O_HITS_FUNCTIONAL,
     "triangles_grid8": O_TRIANGLES_GRID8,
     "bfs_grid6": O_BFS_GRID6,
     "connected_components_events": O_CC_EVENTS,

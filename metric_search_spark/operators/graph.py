@@ -30,6 +30,7 @@ __all__ = [
     "bfs_neighborhood",
     "connected_components",
     "pagerank",
+    "hits",
     "sssp",
     "catchments",
     "triangle_counts",
@@ -648,6 +649,96 @@ def pagerank(
     finally:
         eo.unpersist()
         dangling.unpersist()
+        nodes.unpersist()
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    iters: int = 8,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) over a DIRECTED
+    (multi)graph, fixed-iteration UNNORMALIZED power method in EXACT
+    int64: h₀ = 1, then per iteration a_t(v) = Σ_{u→v} h_{t−1}(u) and
+    h_t(u) = Σ_{u→v} a_t(v) (multi-edges count with multiplicity,
+    self-loops feed themselves). Returns (node, hub, auth) = (h_T, a_T).
+
+    Dropping the textbook per-step normalization (which only rescales —
+    the RANKING is identical) keeps every intermediate an exact integer,
+    so a sequential SQL twin matches bit-for-bit with no float-summation
+    caveats at all. Envelope: ‖h_t‖∞ ≤ (maxout·maxin)^t — ANSI mode
+    raises loudly on int64 overflow rather than wrapping; pick iters
+    accordingly (callers needing many iterations on high-degree graphs
+    should rescale between calls).
+
+    Scale shape (the pagerank loop, shuffle-minimal): the edge table is
+    partitioned ONCE by src and once by dst and persisted; each
+    half-step joins the |V|-row score table against the matching edge
+    cache (only scores shuffle) and runs one map-side-combined |E|→|V|
+    aggregate. Scores are eager localCheckpoints; superseded generations
+    release deterministically (the BFS/CC lineage rule)."""
+    spark = edges.sparkSession
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select(F.col("node").cast("long")).persist()
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    es = e.repartition(shuffle_p, "src").persist()
+    ed = e.repartition(shuffle_p, "dst").persist()
+    es.count()
+    ed.count()
+    h = nodes.withColumn("hub", F.lit(1).cast("long")).localCheckpoint(
+        eager=True
+    )
+    a = nodes.withColumn("auth", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    try:
+        for _ in range(iters):
+            a_new = (
+                nodes.join(
+                    es.join(h, es["src"] == h["node"])
+                    .select(F.col("dst").alias("node"), F.col("hub").alias("c"))
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("c")),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("auth"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            h_new = (
+                nodes.join(
+                    ed.join(a_new, ed["dst"] == a_new["node"])
+                    .select(
+                        F.col("src").alias("node"), F.col("auth").alias("c")
+                    )
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("c")),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("hub"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            _release_checkpoint(h)
+            _release_checkpoint(a)
+            h, a = h_new, a_new
+        return h.join(a, "node").select("node", "hub", "auth")
+    finally:
+        es.unpersist()
+        ed.unpersist()
         nodes.unpersist()
 
 
