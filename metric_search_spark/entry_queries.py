@@ -247,6 +247,30 @@ FROM sel{_MMR_K}
     )
 
 
+def q_hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/ann.hard_negative_topk): for every
+    anchor the 5 most-cosine-similar vectors with a DIFFERENT label — the
+    contrastive-training negatives closest to the decision boundary. The
+    label-mismatch filter applies before ranking; oracle recomputes the
+    filtered window from raw embeddings."""
+    from metric_search_spark.operators.ann import hard_negative_topk
+
+    emb = _emb(spark, sf_dir)
+    return hard_negative_topk(emb, k=5)
+
+
+O_HARD_NEGATIVES = f"""
+SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {cosine_sim_sql("a.embedding", "b.embedding")} DESC,
+                                     b.vec_id) AS r
+  FROM embeddings a, embeddings b
+  WHERE a.label != b.label
+) WHERE r <= 5
+"""
+
+
 def q_pairwise_label0(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).where(F.col("label") == 0)
     out = pairwise_matrix(emb)
@@ -4913,6 +4937,74 @@ GROUP BY 1, 2
 """
 
 
+def q_lbp_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image local-binary-pattern texture histogram (functions/image.
+    with_lbp_hist; Ojala et al. 2002): 8-bit neighbor-vs-center patterns
+    over the integer grayscale, exact counts. Hand-off oracle: DuckDB
+    re-evaluates the same 8 CASE predicates per interior pixel and
+    re-histograms."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_lbp_hist
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("lbp", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_lbp_hist(spark.createDataFrame(pdf)).select(
+        "image_id", "pattern", "cnt"
+    )
+
+
+def _o_lbp_sql() -> str:
+    path = _handoff_path("lbp", f"{_IPV_N}_{_IPV_SEED}")
+    s = "p.g[({y}) * p.w + ({x}) + 1]"
+
+    def at(dy: int, dx: int) -> str:
+        return s.format(y=f"p.y + {dy}", x=f"p.x + {dx}")
+
+    off = [(-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1)]
+    terms = " + ".join(
+        f"(CASE WHEN {at(dy, dx)} >= {at(0, 0)} THEN {1 << j} ELSE 0 END)"
+        for j, (dy, dx) in enumerate(off)
+    )
+    return f"""
+WITH g AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+ys AS (
+  SELECT image_id, w, g, unnest(range(1, h - 1)) AS y FROM g
+),
+p AS (
+  SELECT image_id, w, g, y, unnest(range(1, w - 1)) AS x FROM ys
+)
+SELECT image_id, CAST({terms} AS BIGINT) AS pattern, count(*) AS cnt
+FROM p
+GROUP BY 1, 2
+"""
+
+
 _CHIST_BINS = 8
 
 
@@ -9120,6 +9212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_events": q_range_events,
     "cosine_topk_embeddings": q_cosine_topk_embeddings,
     "mmr_embeddings": q_mmr_embeddings,
+    "hard_negatives_embeddings": q_hard_negatives_embeddings,
     "pairwise_label0": q_pairwise_label0,
     "cluster_quota_embeddings": q_cluster_quota_embeddings,
     "tile_embeddings": q_tile_embeddings,
@@ -9154,6 +9247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "harris_images": q_harris_images,
     "blob_images": q_blob_images,
     "orient_hist_images": q_orient_hist_images,
+    "lbp_images": q_lbp_images,
     "morphology_images": q_morphology_images,
     "equalize_images": q_equalize_images,
     "glcm_images": q_glcm_images,
@@ -9296,6 +9390,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "range_events": O_RANGE_EVENTS,
     "cosine_topk_embeddings": O_COSINE_EMB,
     "mmr_embeddings": _o_mmr_sql(),
+    "hard_negatives_embeddings": O_HARD_NEGATIVES,
     "pairwise_label0": O_PAIRWISE,
     "cluster_quota_embeddings": O_CLUSTER,
     "tile_embeddings": O_TILE,
@@ -9473,6 +9568,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["harris_images"] = _o_harris_sql()
     oracles["blob_images"] = _o_blob_sql()
     oracles["orient_hist_images"] = _o_orient_hist_sql()
+    oracles["lbp_images"] = _o_lbp_sql()
     oracles["morphology_images"] = _o_morphology_sql()
     oracles["equalize_images"] = _o_equalize_sql()
     oracles["glcm_images"] = _o_glcm_sql()

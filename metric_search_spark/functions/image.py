@@ -945,3 +945,63 @@ def with_orient_hist(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(gen, schema=schema)
+
+
+__all__.append("with_lbp_hist")
+
+# Ojala neighbor order: clockwise from top-left, weights 2^0 .. 2^7
+_LBP_OFF = (
+    (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1),
+)
+
+
+def with_lbp_hist(df: DataFrame) -> DataFrame:
+    """Per-image local-binary-pattern histogram (Ojala et al. 2002) — the
+    classic texture descriptor a near-dup / material / quality classifier
+    reads: at every interior pixel the 8-bit pattern
+    Σⱼ 2ʲ·[gray(neighborⱼ) ≥ gray(center)] over the fixed clockwise
+    neighbor order, histogrammed per image. Pure integer comparisons on
+    the r+g+b grayscale — every count is exact, and a raw-pixels twin
+    evaluating the same 8 CASE predicates matches bit-for-bit. Returns
+    one row per (image, pattern) with cnt ≥ 1: (image_id…, pattern,
+    cnt)."""
+    base = df.schema.simpleString()[7:-1]
+    schema = base + ", pattern long, cnt long"
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            reps: list[int] = []
+            outs: list[np.ndarray] = []
+            for payload, w, h, fmt in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                g = img.astype(np.int64).sum(axis=2)
+                hh, ww = g.shape
+                if hh < 3 or ww < 3:
+                    reps.append(0)
+                    outs.append(np.empty((0, 2), dtype=np.int64))
+                    continue
+                c = g[1:-1, 1:-1]
+                pat = np.zeros_like(c)
+                for j, (dy, dx) in enumerate(_LBP_OFF):
+                    nb = g[1 + dy : hh - 1 + dy, 1 + dx : ww - 1 + dx]
+                    pat += (nb >= c).astype(np.int64) << j
+                cnt = np.bincount(pat.ravel(), minlength=256)
+                keep = np.nonzero(cnt)[0]
+                reps.append(len(keep))
+                outs.append(
+                    np.stack([keep, cnt[keep]], axis=1).astype(np.int64)
+                )
+            idx = np.repeat(np.arange(len(pdf)), reps)
+            flat = (
+                np.concatenate(outs, axis=0)
+                if outs
+                else np.empty((0, 2), dtype=np.int64)
+            )
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out["pattern"] = flat[:, 0]
+            out["cnt"] = flat[:, 1]
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)

@@ -1083,3 +1083,65 @@ def mmr_topk(
         F.col("r") <= c
     )
     return mmr_rerank(cand, k=k, lam=lam)
+
+
+__all__ += ["hard_negative_topk"]
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    label_col: str = "label",
+    max_build_rows: int | None = 200_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the batch-mining
+    staple behind SimCLR/CLIP-style data engines): for every anchor, the
+    k most-similar vectors whose LABEL DIFFERS — the negatives that sit
+    closest to the decision boundary. Cosine similarity descending, ties
+    to the smallest neighbor id; the label filter applies BEFORE ranking
+    so rank r is the r-th hardest negative, not a post-filtered top-k.
+    Returns (query_id, neighbor_id, rnk).
+
+    This is the gated brute-force tier (same refusal as cosine_topk); at
+    scale generate same-cell / posting-list candidates with any ANN tier,
+    apply the label-mismatch filter to the candidate stream, and rank —
+    the filter is a cheap Column predicate at every scale."""
+    if max_build_rows is not None:
+        n_build = df.count()
+        if n_build > max_build_rows:
+            raise ValueError(
+                f"hard_negative_topk is the all-pairs baseline; build side "
+                f"has {n_build} rows > max_build_rows={max_build_rows}. "
+                f"Generate candidates with an ANN tier and apply the "
+                f"label-mismatch filter there, or pass max_build_rows=None."
+            )
+    a = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_la"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_lb"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    scored = (
+        a.join(F.broadcast(b))
+        .where(F.col("_la") != F.col("_lb"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim_col(F.col("_va"), F.col("_vb")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
