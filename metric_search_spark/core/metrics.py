@@ -735,3 +735,33 @@ def get_metric(name: str, **kwargs) -> Metric:
     if key not in METRICS:
         raise KeyError(f"unknown metric {name!r}; known: {sorted(METRICS) + sorted(_ALIASES)}")
     return METRICS[key](**kwargs)
+
+
+__all__.append("lcs_many")
+
+
+def lcs_many(seqs: list, anchor: list) -> np.ndarray:
+    """Longest-common-subsequence LENGTH of each sequence against the
+    anchor (Wagner–Fischer DP) — the order-preserving similarity the
+    elastic family (DTW/TWED/Fréchet) can't express for categorical
+    event streams. Exact integers throughout; the per-row recurrence
+    L[i][j] = max(L[i−1][j], L[i][j−1], match·(L[i−1][j−1]+1)) is
+    evaluated as a PREFIX MAX of c[j] = max(L[i−1][j],
+    match_j·(L[i−1][j−1]+1)) — the same same-row-dependency unrolling the
+    TWED/DTW SQL twins use, so a recursive-CTE twin reproduces every DP
+    cell. Vectorized over the anchor axis (np.maximum.accumulate carries
+    the sequential j dependency)."""
+    b = np.asarray(anchor)
+    m = len(b)
+    out = np.zeros(len(seqs), dtype=np.int64)
+    for r, s in enumerate(seqs):
+        a = np.asarray(s)
+        if m == 0 or len(a) == 0:
+            continue
+        prev = np.zeros(m, dtype=np.int64)
+        for i in range(len(a)):
+            diag = np.concatenate(([0], prev[:-1]))
+            c = np.maximum(prev, np.where(a[i] == b, diag + 1, 0))
+            prev = np.maximum.accumulate(c)
+        out[r] = prev[-1]
+    return out

@@ -6461,6 +6461,79 @@ FROM dp WHERE i = len(a)
 """
 
 
+def q_lcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-common-subsequence length (core.metrics.lcs_many) between
+    each user's event-TYPE sequence and user 0's — the order-preserving
+    similarity for CATEGORICAL streams that the elastic numeric family
+    (DTW/TWED/Fréchet) can't express. Same relational series assembly
+    (sort_array over collect_list, slice 32); exact integers end-to-end.
+    The DuckDB twin recomputes the entire DP from raw events via a
+    recursive CTE, unrolling the same-row L[i][j−1] dependency as a
+    PREFIX MAX (the TWED/DTW prefix-sum/prefix-min technique applied to
+    the max recurrence)."""
+    from metric_search_spark.core.metrics import lcs_many
+
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                32,
+            ).alias("series")
+        )
+    ).localCheckpoint(eager=True)
+    anchor = series.orderBy("user_id").first()["series"]
+
+    def fn(batches):
+        for pdf in batches:
+            pdf["lcs"] = lcs_many(list(pdf["series"]), anchor)
+            yield pdf[["user_id", "lcs"]]
+
+    return series.mapInPandas(fn, schema="user_id long, lcs long").orderBy(
+        "user_id"
+    )
+
+
+O_LCS_EVENTS = """
+WITH RECURSIVE
+series AS (
+  SELECT user_id, list_slice(list(event_type ORDER BY event_id), 1, 32) AS a
+  FROM events GROUP BY user_id
+),
+anchor AS (SELECT a AS b FROM series ORDER BY user_id LIMIT 1),
+dp AS (
+  SELECT s.user_id, s.a, 0 AS i,
+         list_transform(range(1, len(an.b) + 1), j -> CAST(0 AS BIGINT)) AS d
+  FROM series s, anchor an
+  UNION ALL
+  SELECT user_id, a, i + 1,
+         list_transform(range(1, nb + 1),
+                        j -> list_max(list_slice(c, 1, j))) AS d
+  FROM (
+    SELECT dp.user_id, dp.a, dp.i, len(an.b) AS nb,
+           list_transform(range(1, len(an.b) + 1), j ->
+             greatest(dp.d[j],
+                      CASE WHEN dp.a[dp.i + 1] = an.b[j]
+                           THEN (CASE WHEN j = 1 THEN 0
+                                      ELSE dp.d[j-1] END) + 1
+                           ELSE CAST(0 AS BIGINT) END)) AS c
+    FROM dp, anchor an
+    WHERE dp.i < len(dp.a)
+  )
+)
+SELECT user_id, d[len(d)] AS lcs
+FROM dp WHERE i = len(a)
+ORDER BY user_id
+"""
+
+
 def q_dtw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic dynamic time warping (Sakoe–Chiba 1978; core.metrics.DTW)
     between each user's event-value series and user 0's series — the third
@@ -9368,6 +9441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_level_histogram": q_index_level_histogram,
     "twed_events": q_twed_events,
     "dtw_events": q_dtw_events,
+    "lcs_events": q_lcs_events,
     "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
     "dl_pairs_documents": q_dl_pairs_documents,
     "str_pack_embeddings": q_str_pack_embeddings,
@@ -9513,6 +9587,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "knn_after_update_embeddings": O_KNN_AFTER_UPDATE,
     "twed_events": O_TWED_EVENTS,
     "dtw_events": O_DTW_EVENTS,
+    "lcs_events": O_LCS_EVENTS,
     "fuzzy_pairs_documents": O_FUZZY_PAIRS_DOCUMENTS,
     "dl_pairs_documents": O_DL_PAIRS_DOCUMENTS,
     "str_pack_embeddings": _o_str_pack_sql(),
