@@ -4327,6 +4327,82 @@ WHERE abs(a.x - b.x) < a.h + b.h AND abs(a.y - b.y) < a.h + b.h
 _IPV_N, _IPV_SEED = 2000, 42
 
 
+_CAP_RES = 4
+
+
+def q_caption_tiles_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal caption search → spatial rollup: filter the image table
+    by a caption keyword (LIKE '%palette=3%'), PARSE a structured field
+    out of the caption text (blobs=k), locate each hit by its
+    phash-decoded centroid, and aggregate per res-4 Morton tile
+    (n_imgs, blob_sum) — the text-conditioned tile-density query a
+    multimodal curation UI runs. Exercises the north-rule caption
+    contract at byte level: the oracle independently re-filters and
+    re-parses the hand-off captions (a projection of the engine's input,
+    flagship-style), so a single differing caption byte flips the hash.
+    All-integer output; the tile twin re-derives quantize → bit-sum
+    Morton."""
+    import pandas as pd
+
+    from metric_search_spark.functions.spatial import coord_cols
+    from metric_search_spark.operators.tiling import tile_assign
+    from metric_search_spark.sources.synth import generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "phash": [r["phash"] for r in rows],
+                    "caption": [r["caption"] for r in rows],
+                }
+            ),
+            _handoff_path("captiles", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "caption", "phash"]]
+    imgs = spark.createDataFrame(pdf)
+    x, y = coord_cols(F.col("phash"))
+    hits = imgs.where(F.col("caption").contains("palette=3")).select(
+        F.regexp_extract("caption", r"blobs=(\d+)", 1)
+        .cast("long")
+        .alias("blobs"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+    return (
+        tile_assign(hits, res=_CAP_RES)
+        .groupBy("tile")
+        .agg(
+            F.count("*").cast("long").alias("n_imgs"),
+            F.sum("blobs").cast("long").alias("blob_sum"),
+        )
+    )
+
+
+def _o_caption_tiles_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    path = _handoff_path("captiles", f"{_IPV_N}_{_IPV_SEED}")
+    res = _CAP_RES
+    x = coord_sql("phash", "x")
+    y = coord_sql("phash", "y")
+    tile = morton_bitsum_sql(
+        f"(({quantize_sql(x)}) >> {31 - res})",
+        f"(({quantize_sql(y)}) >> {31 - res})",
+        res,
+    )
+    return f"""
+SELECT {tile} AS tile,
+       CAST(count(*) AS BIGINT) AS n_imgs,
+       CAST(sum(CAST(regexp_extract(caption, 'blobs=(\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS blob_sum
+FROM read_parquet('{path}')
+WHERE caption LIKE '%palette=3%'
+GROUP BY 1
+"""
+
+
 def q_images_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row payload invariant (decoded pixels reproduce phash; PSNR >= 40dB
     for lossy) with a decoded-pixels hand-off oracle: the engine's decode +
@@ -9321,6 +9397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blob_images": q_blob_images,
     "orient_hist_images": q_orient_hist_images,
     "lbp_images": q_lbp_images,
+    "caption_tiles_images": q_caption_tiles_images,
     "morphology_images": q_morphology_images,
     "equalize_images": q_equalize_images,
     "glcm_images": q_glcm_images,
@@ -9644,6 +9721,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["blob_images"] = _o_blob_sql()
     oracles["orient_hist_images"] = _o_orient_hist_sql()
     oracles["lbp_images"] = _o_lbp_sql()
+    oracles["caption_tiles_images"] = _o_caption_tiles_sql()
     oracles["morphology_images"] = _o_morphology_sql()
     oracles["equalize_images"] = _o_equalize_sql()
     oracles["glcm_images"] = _o_glcm_sql()
