@@ -1190,6 +1190,51 @@ def _o_bpe_merges_sql() -> str:
     return bpe_merges_sql("documents", _BPE_MERGES)
 
 
+def q_soundex_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Soundex codes (functions/text.soundex_col — the
+    SIMPLIFIED no-H/W-bridging variant, convention documented on the
+    operator) over the combined distinct alphabetic vocabulary of the
+    documents corpus and the part names — the phonetic blocking key of
+    classic record linkage. The DuckDB twin recomputes every code from
+    raw text through a different mechanization (1-based substring
+    positions vs the Column side's split-array); one differing digit
+    anywhere flips the hash. (The synthetic vocabularies are small and
+    templated, so a blocking-pairs join would be near-empty here — the
+    code table certifies the operator on every available word; the
+    blocking-join shape is the same soundex-key equi-join every fuzzy
+    operator in operators/fuzzy.py already exercises on its band keys.)"""
+    from metric_search_spark.functions.text import soundex_col
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    parts = _read(spark, sf_dir, "part").select(
+        F.explode(F.split("p_name", " ")).alias("w")
+    )
+    vocab = (
+        docs.unionByName(parts)
+        .select(F.lower("w").alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    return vocab.select("w", soundex_col(F.col("w")).alias("sx")).orderBy("w")
+
+
+def _o_soundex_sql() -> str:
+    from metric_search_spark.functions.text import soundex_sql
+
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT lower(w) AS w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    UNION ALL
+    SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+  ) WHERE regexp_full_match(lower(w), '[a-z]+')
+)
+SELECT w, {soundex_sql('w')} AS sx FROM vocab ORDER BY w
+"""
+
+
 def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_search_spark.functions.text import quality_cols
 
@@ -9411,6 +9456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "gopher_documents": q_gopher_documents,
     "bpe_merges_documents": q_bpe_merges_documents,
+    "soundex_vocab": q_soundex_vocab,
     "bucketed_join_events": q_bucketed_join_events,
     "stream_bloom_dedup_events": q_stream_bloom_dedup_events,
     "bpeish_documents": q_bpeish_documents,
@@ -9568,6 +9614,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quality_documents": O_QUALITY,
     "gopher_documents": _o_gopher_sql(),
     "bpe_merges_documents": _o_bpe_merges_sql(),
+    "soundex_vocab": _o_soundex_sql(),
     "bucketed_join_events": O_BUCKETED_JOIN,
     "stream_bloom_dedup_events": _o_stream_bloom_sql(),
     "bpeish_documents": O_BPEISH,

@@ -813,3 +813,86 @@ FROM ({union}) ORDER BY rank
 
 
 __all__ += ["bpe_merges", "bpe_merges_sql", "BPE_SEP"]
+
+
+# ----------------------------------------------------------------- soundex
+
+_SOUNDEX_GROUPS = (
+    (1, "BFPV"),
+    (2, "CGJKQSXZ"),
+    (3, "DT"),
+    (4, "L"),
+    (5, "MN"),
+    (6, "R"),
+)
+
+
+def _soundex_digit(ch: Column) -> Column:
+    out = F.lit(0)
+    for d, letters in reversed(_SOUNDEX_GROUPS):
+        out = F.when(ch.isin(*letters), d).otherwise(out)
+    return out
+
+
+def soundex_col(word: Column) -> Column:
+    """American Soundex code of an alphabetic word — the phonetic
+    blocking key of classic record linkage (Russell/Odell). SIMPLIFIED
+    variant, stated because the twin must reproduce it exactly:
+    adjacent-in-the-original-word equal digits collapse, but there is NO
+    H/W bridging ('ASHCRAFT' → 'A226', where the bridged census variant
+    gives 'A261'). Pure Column expression: uppercase → per-letter digit
+    (vowels/H/W/Y → 0) → keep letter i's digit when non-zero AND
+    different from letter i−1's digit → first letter + first 3 kept
+    digits, zero-padded to 4 chars."""
+    u = F.upper(word)
+    chars = F.split(u, "(?!^)(?=.)")
+    codes = F.transform(chars, _soundex_digit)
+    idx = F.when(F.size(chars) >= 2, F.sequence(F.lit(1), F.size(chars) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(codes, i + 1).alias("c"),
+                F.element_at(codes, i).alias("p"),
+            ),
+        ),
+        lambda s: (s["c"] != 0) & (s["c"] != s["p"]),
+    )
+    tail = F.substring(
+        F.array_join(F.transform(kept, lambda s: s["c"].cast("string")), ""),
+        1,
+        3,
+    )
+    return F.concat(F.substring(u, 1, 1), F.rpad(tail, 3, "0"))
+
+
+def _soundex_digit_sql(ch_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN ({ch_expr}) IN ({', '.join(repr(ch) for ch in letters)}) "
+        f"THEN {d}"
+        for d, letters in _SOUNDEX_GROUPS
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def soundex_sql(word_expr: str) -> str:
+    """DuckDB twin of soundex_col: identical convention via list ops over
+    1-based substring positions (a different mechanization from the
+    Column side's split-array path). ``word_expr`` is inlined (no scalar
+    subquery — DuckDB can't correlate an outer column into a subquery's
+    FROM)."""
+    w = f"({word_expr})"
+    at_i = _soundex_digit_sql(f"substring(upper{w}, CAST(i AS INT), 1)")
+    at_p = _soundex_digit_sql(f"substring(upper{w}, CAST(i AS INT) - 1, 1)")
+    return f"""
+(upper(substring({word_expr}, 1, 1)) ||
+ rpad(substring(coalesce(list_aggregate(list_transform(
+   list_filter(range(2, length{w} + 1), i ->
+     {at_i} != 0 AND {at_i} != {at_p}),
+   i -> CAST({at_i} AS VARCHAR)),
+   'string_agg', ''), ''), 1, 3), 3, '0'))"""
+
+
+__all__ += ["soundex_col", "soundex_sql"]
