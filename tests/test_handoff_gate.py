@@ -3,7 +3,17 @@ item 3): with the var set, no query materializes driver-side state or writes
 a /tmp parquet — it computes from its own distributed plan — and the results
 are identical to the ungated run. The file-absence check is the hard proxy
 for "no hand-off work executed": every writer goes through _write_handoff,
-whose only observable effect is the file."""
+whose only observable effect is the file.
+
+Concurrency note: hand-off paths are shared per-(name, sf) by design (the
+driver contract — see entry_queries SINGLE-RUNNER ASSUMPTION), so globbing
+the real /tmp paths races with any concurrent runner (e.g. an interactive
+tools/check_correctness.py sweep), in BOTH directions: the other runner's
+writes would trip our absence check, and our cleanup would delete a file
+between its write and its oracle read. The tests therefore monkeypatch
+_HANDOFF_PATH_TMPL to a test-private tmpdir: every writer in THIS process
+lands there, other processes are untouched, and the absence check is
+race-free."""
 
 from __future__ import annotations
 
@@ -12,6 +22,7 @@ import os
 
 import pytest
 
+import metric_search_spark.entry_queries as eq
 from metric_search_spark.entry_queries import QUERIES
 from tests.sparkutil import get_spark
 
@@ -23,22 +34,31 @@ _PARITY_QUERIES = ["minhash_lsh_documents", "simhash_documents",
                    "ann_lsh_embeddings"]
 
 
-def _clear_handoffs() -> list[str]:
-    paths = glob.glob("/tmp/msk_*_handoff_*.parquet")
-    for p in paths:
-        os.remove(p)
-    return paths
+@pytest.fixture
+def private_handoffs(tmp_path, monkeypatch):
+    """Redirect every hand-off write in this process to a private dir."""
+    tmpl = str(tmp_path) + "/msk_{name}_handoff_{key}.parquet"
+    monkeypatch.setattr(eq, "_HANDOFF_PATH_TMPL", tmpl)
+
+    def written() -> list[str]:
+        return sorted(glob.glob(str(tmp_path) + "/msk_*_handoff_*.parquet"))
+
+    return written
 
 
 @pytest.mark.parametrize("name", _PARITY_QUERIES)
-def test_gated_query_matches_ungated_and_writes_nothing(name, monkeypatch):
+def test_gated_query_matches_ungated_and_writes_nothing(
+    name, monkeypatch, private_handoffs
+):
     spark = get_spark()
     monkeypatch.delenv("MSK_SKIP_ORACLE_HANDOFF", raising=False)
     want = QUERIES[name](spark, SF_DIR).toPandas()
+    assert private_handoffs() != [], "ungated run should write its hand-off"
+    for p in private_handoffs():
+        os.remove(p)
     monkeypatch.setenv("MSK_SKIP_ORACLE_HANDOFF", "1")
-    _clear_handoffs()
     got = QUERIES[name](spark, SF_DIR).toPandas()
-    assert glob.glob("/tmp/msk_*_handoff_*.parquet") == [], "gated run wrote a hand-off"
+    assert private_handoffs() == [], "gated run wrote a hand-off"
     cols = list(want.columns)
     import pandas as pd
 
@@ -58,8 +78,6 @@ def test_every_handoff_writer_is_gated_source_lint():
     driver collect."""
     import ast
     import inspect
-
-    import metric_search_spark.entry_queries as eq
 
     tree = ast.parse(inspect.getsource(eq))
 
@@ -119,17 +137,18 @@ def test_every_handoff_writer_is_gated_source_lint():
     assert ungated == [], f"_write_handoff calls without a gate: {ungated}"
 
 
-def test_gate_skips_pq_and_ivfpq_handoffs(monkeypatch):
+def test_gate_skips_pq_and_ivfpq_handoffs(monkeypatch, private_handoffs):
     """The pq/ivfpq hand-off dict is None when gated, so no codes/LUT
     collect happens; the ranked output is unchanged (same seeded
     pipeline)."""
     spark = get_spark()
     monkeypatch.delenv("MSK_SKIP_ORACLE_HANDOFF", raising=False)
     want = QUERIES["pq_knn_embeddings"](spark, SF_DIR).toPandas()
+    for p in private_handoffs():
+        os.remove(p)
     monkeypatch.setenv("MSK_SKIP_ORACLE_HANDOFF", "1")
-    _clear_handoffs()
     got = QUERIES["pq_knn_embeddings"](spark, SF_DIR).toPandas()
-    assert glob.glob("/tmp/msk_*_handoff_*.parquet") == []
+    assert private_handoffs() == []
     import pandas as pd
 
     key = ["query_id", "rnk"]
