@@ -8033,6 +8033,83 @@ FROM cell GROUP BY region
 """
 
 
+_FLOW_RES = 5
+
+
+def q_flow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 density flow (operators/flow.d8_flow): every occupied res-5 tile
+    points at its strictly-denser 8-neighbor with the steepest rise (the
+    O'Callaghan–Mark D8 rule run uphill on the count surface = grid
+    mode-seeking), with flow accumulation and basin (mode) labels. All
+    integer: steepness compares rise²·(2/dist²) cross-multiplied, ties to
+    the smallest neighbor tile id. The Spark side resolves accumulation by
+    a topological peel and modes by pointer doubling; the DuckDB twin
+    instead walks every chain with ONE recursive CTE (acc = chains passing
+    through, mode = chain terminal) — a different algorithm shape, so a
+    wrong pointer, a lost contribution, or a mislabeled basin all flip the
+    hash."""
+    from metric_search_spark.operators.flow import d8_flow
+
+    emb = _emb(spark, sf_dir)
+    return d8_flow(emb, _FLOW_RES)
+
+
+def _o_flow_sql() -> str:
+    from metric_search_spark.functions.spatial import (
+        morton_bitsum_sql,
+        quantize_sql,
+    )
+
+    res = _FLOW_RES
+    return f"""
+WITH RECURSIVE occ AS (
+  SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy,
+         count(*) AS elev
+  FROM embeddings GROUP BY 1, 2
+),
+ids AS (
+  SELECT cx, cy, elev, {morton_bitsum_sql('cx', 'cy', res)} AS tile FROM occ
+),
+cand AS (
+  SELECT a.tile AS tile, b.tile AS nbr,
+         (b.elev - a.elev) AS rise,
+         (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy) AS d2
+  FROM ids a JOIN ids b
+    ON greatest(abs(a.cx - b.cx), abs(a.cy - b.cy)) = 1
+  WHERE b.elev > a.elev
+),
+flow AS (
+  SELECT tile, nbr AS flow_to FROM (
+    SELECT tile, nbr,
+           row_number() OVER (
+             PARTITION BY tile
+             ORDER BY rise * rise * (CASE WHEN d2 = 1 THEN 2 ELSE 1 END) DESC,
+                      nbr ASC
+           ) AS rn
+    FROM cand)
+  WHERE rn = 1
+),
+chain(u, cur) AS (
+  SELECT tile, tile FROM ids
+  UNION ALL
+  SELECT chain.u, f.flow_to FROM chain JOIN flow f ON f.tile = chain.cur
+),
+term AS (
+  SELECT c.u AS tile, c.cur AS mode
+  FROM chain c LEFT JOIN flow f ON f.tile = c.cur
+  WHERE f.tile IS NULL
+),
+acc AS (SELECT cur AS tile, count(*) AS acc FROM chain GROUP BY 1)
+SELECT i.tile, CAST(i.elev AS BIGINT) AS elev, f.flow_to, t.mode,
+       CAST(a.acc AS BIGINT) AS acc
+FROM ids i
+LEFT JOIN flow f ON f.tile = i.tile
+JOIN term t ON t.tile = i.tile
+JOIN acc a ON a.tile = i.tile
+"""
+
+
 _IDW_RES, _IDW_K = 6, 2
 
 
@@ -9435,6 +9512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_documents": q_langid_documents,
     "quadtree_embeddings": q_quadtree_embeddings,
     "regions_embeddings": q_regions_embeddings,
+    "flow_embeddings": q_flow_embeddings,
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
@@ -9673,6 +9751,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "hilbert_tiles_embeddings": _o_hilbert_sql(),
     "quadtree_embeddings": _o_quadtree_sql(),
     "regions_embeddings": _o_regions_sql(),
+    "flow_embeddings": _o_flow_sql(),
     "region_boundaries_embeddings": _o_region_boundaries_sql(),
     "idw_embeddings": _o_idw_sql(),
     "od_events": _o_od_sql(),

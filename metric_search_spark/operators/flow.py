@@ -1,0 +1,192 @@
+"""D8 flow routing over the occupied tile raster: steepest-gradient
+pointers, flow accumulation, and basin (mode) labeling.
+
+The classic raster-hydrology trio (O'Callaghan & Mark 1984 D8 flow
+direction; flow accumulation = contributing cells; watershed = basin of
+the terminal cell) applied to a DENSITY surface: each occupied tile
+points at its strictly-denser 8-neighbor with the steepest rise — i.e.
+grid mode-seeking (the discrete mean-shift / DENCLUE hill-climb), where
+basins are the attraction regions of local density maxima. Running it
+uphill on counts instead of downhill on elevations changes nothing
+algorithmically (negate the surface); counts are what a point table
+gives us exactly.
+
+Exactness: the "steepest" comparison is rise/dist with dist ∈ {1, √2}.
+Comparing rise²/dist² cross-multiplied by the only two dist² values
+turns the argmax key into the exact integer ``rise² · (2/dist²)`` =
+``2·rise²`` for axis neighbors, ``rise²`` for diagonals — no floats
+anywhere, so the result is bit-identical across engines. Ties break to
+the smallest neighbor tile id. Flow requires a STRICTLY denser
+neighbor, so pointer chains strictly ascend the surface and the flow
+graph is a forest — acyclicity (and loop termination) by construction.
+
+100-TB shape (the label_regions argument): the only full-data pass is
+the occupancy aggregate; everything after runs on the occupied-cell
+table, ≤ 4^res rows regardless of input size. Neighbor candidates are
+eight shifted EQUI-joins of that table with itself (no theta-join);
+the accumulation peel and the pointer-doubling mode resolution are
+loops over the raster, with rounds bounded by the longest strictly-
+ascending chain (peel) / its log₂ (doubling) — a property of the
+surface, never of the input row count. Per-round results are eager
+localCheckpoints with superseded generations released deterministically
+(the CC/BFS lineage pattern).
+
+Returns one row per occupied tile:
+  (tile, elev, flow_to, mode, acc)
+  - elev: the cell's point count (the density surface)
+  - flow_to: the D8 steepest-ascent neighbor tile (NULL at local maxima)
+  - mode: terminal tile of the pointer chain — the basin label
+  - acc: 1 + Σ acc(upstream) = number of cells whose chains pass
+    through this tile (inclusive), the accumulation raster
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metric_search_spark.functions.spatial import cell_from_cxy_col, quantize_col
+from metric_search_spark.operators.graph import _release_checkpoint
+
+__all__ = ["d8_flow"]
+
+_D8_OFFSETS = [
+    (1, 0), (-1, 0), (0, 1), (0, -1),
+    (1, 1), (1, -1), (-1, 1), (-1, -1),
+]
+
+
+def d8_flow(
+    df: DataFrame,
+    res: int,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    max_rounds: int = 4096,
+) -> DataFrame:
+    """D8 steepest-ascent flow over the occupied res-``res`` tile raster
+    of normalized [0,1) points. See module docstring for semantics."""
+    if not 1 <= res <= 27:
+        raise ValueError(f"resolution {res} out of [1, 27]")
+    shift = 31 - res
+    lim = 1 << res
+    occ = (
+        df.select(
+            F.shiftright(quantize_col(F.col(x_col).cast("double")), shift).alias("cx"),
+            F.shiftright(quantize_col(F.col(y_col).cast("double")), shift).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("elev"))
+        .withColumn("tile", cell_from_cxy_col(F.col("cx"), F.col("cy"), res))
+        .localCheckpoint(eager=True)
+    )
+
+    # --- D8 direction: eight shifted equi-joins, exact-integer argmax ---
+    legs = []
+    right = occ.select(
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+        F.col("tile").alias("nbr"),
+        F.col("elev").alias("nbr_elev"),
+    )
+    for dx, dy in _D8_OFFSETS:
+        nx, ny = F.col("cx") + dx, F.col("cy") + dy
+        legs.append(
+            occ.where((nx >= 0) & (nx < lim) & (ny >= 0) & (ny < lim)).select(
+                "tile",
+                "elev",
+                nx.alias("jx"),
+                ny.alias("jy"),
+                F.lit(dx * dx + dy * dy).alias("d2"),
+            )
+        )
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+    cand = cand.join(right, ["jx", "jy"]).where(F.col("nbr_elev") > F.col("elev"))
+    rise = F.col("nbr_elev") - F.col("elev")
+    # rise²·(2/d2) ∈ ℤ because d2 ∈ {1, 2}; ties → smallest neighbor id
+    key = (rise * rise * F.when(F.col("d2") == 1, 2).otherwise(1)).cast("long")
+    flow = (
+        cand.groupBy("tile")
+        .agg(F.max(F.struct(key.alias("key"), (-F.col("nbr")).alias("neg"))).alias("m"))
+        .select("tile", (-F.col("m.neg")).alias("flow_to"))
+    )
+    state = (
+        occ.join(flow, "tile", "left")
+        .join(
+            flow.groupBy(F.col("flow_to").alias("tile")).agg(
+                F.count("*").alias("pend")
+            ),
+            "tile",
+            "left",
+        )
+        .select(
+            "tile",
+            "elev",
+            "flow_to",
+            F.lit(1).cast("long").alias("acc"),
+            F.coalesce(F.col("pend"), F.lit(0)).cast("long").alias("pend"),
+            F.lit(False).alias("pushed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _release_checkpoint(occ)
+
+    # --- accumulation: topological peel, upstream-first ---
+    # A cell "pushes" its acc to flow_to once all its own inflow has
+    # arrived (pend == 0). Each edge delivers exactly once; rounds =
+    # longest ascending chain + 1, raster-bounded.
+    for _ in range(max_rounds):
+        mover = (F.col("pend") == 0) & F.col("flow_to").isNotNull() & ~F.col("pushed")
+        movers = state.where(mover).select("flow_to", "acc")
+        if movers.isEmpty():
+            break
+        contrib = movers.groupBy(F.col("flow_to").alias("tile")).agg(
+            F.sum("acc").alias("add"), F.count("*").alias("ndel")
+        )
+        nxt = (
+            state.withColumn("_mover", mover)
+            .join(contrib, "tile", "left")
+            .select(
+                "tile",
+                "elev",
+                "flow_to",
+                (F.col("acc") + F.coalesce(F.col("add"), F.lit(0))).alias("acc"),
+                (F.col("pend") - F.coalesce(F.col("ndel"), F.lit(0))).alias("pend"),
+                (F.col("pushed") | F.col("_mover")).alias("pushed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(state)
+        state = nxt
+    else:
+        raise RuntimeError(f"d8_flow accumulation did not settle in {max_rounds} rounds")
+
+    # --- mode labels: pointer doubling to the chain terminal ---
+    ptr = state.select(
+        "tile", F.coalesce("flow_to", "tile").alias("ptr")
+    ).localCheckpoint(eager=True)
+    interior = state.where(F.col("flow_to").isNotNull()).select(
+        F.col("tile").alias("ptile")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # converged when no pointer rests on a cell that still flows on
+        if ptr.join(interior, ptr.ptr == F.col("ptile")).isEmpty():
+            break
+        hop = ptr.select(F.col("tile").alias("htile"), F.col("ptr").alias("hptr"))
+        nxt = (
+            ptr.join(hop, ptr.ptr == F.col("htile"))
+            .select("tile", F.col("hptr").alias("ptr"))
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(ptr)
+        ptr = nxt
+    else:
+        raise RuntimeError(f"d8_flow mode doubling did not settle in {max_rounds} rounds")
+
+    out = state.join(ptr.select("tile", F.col("ptr").alias("mode")), "tile").select(
+        "tile", "elev", "flow_to", "mode", "acc"
+    )
+    _release_checkpoint(interior)
+    return out
