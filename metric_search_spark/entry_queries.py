@@ -7757,6 +7757,56 @@ FROM hv
 """
 
 
+_HULL_DIAM_RES = 25
+
+
+def q_hull_diameter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label planar diameter (operators/hull.hull_diameter): the
+    farthest point pair via convex hull + rotating calipers on the
+    res-25 quantized grid — exact int64 squared distances, ties broken to
+    the lexicographically smallest sorted id pair across ALL attaining
+    pairs (duplicate grid cells carry their min id; an all-one-cell group
+    reports its two smallest ids at diam2 = 0). The DuckDB twin scores
+    EVERY point pair per label brute-force — no hull, no calipers — so a
+    hull kernel that drops a true extreme vertex, a calipers walk that
+    misses an antipodal pair, or a wrong tie-break all flip the hash."""
+    from metric_search_spark.operators.hull import hull_diameter
+
+    emb = _emb(spark, sf_dir)
+    return hull_diameter(
+        emb, by=["label"], x_col="x", y_col="y", id_col="id", res=_HULL_DIAM_RES
+    ).select("label", "diam2", "a_id", "b_id")
+
+
+def _o_hull_diameter_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    shift = 31 - _HULL_DIAM_RES
+    return f"""
+WITH q AS (
+  SELECT label,
+         ({quantize_sql(_EMB_X)}) >> {shift} AS qx,
+         ({quantize_sql(_EMB_Y)}) >> {shift} AS qy,
+         vec_id AS id
+  FROM embeddings
+),
+p AS (
+  SELECT a.label AS label,
+         (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) AS d2,
+         least(a.id, b.id) AS ida, greatest(a.id, b.id) AS idb
+  FROM q a JOIN q b ON a.label = b.label AND a.id < b.id
+),
+r AS (
+  SELECT label, d2 AS diam2, ida AS a_id, idb AS b_id,
+         row_number() OVER (
+           PARTITION BY label ORDER BY d2 DESC, ida ASC, idb ASC
+         ) AS rn
+  FROM p
+)
+SELECT label, diam2, a_id, b_id FROM r WHERE rn = 1
+"""
+
+
 def q_frechet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete Fréchet distance (Eiter–Mannila) between each user's 2-D
     event trajectory (x = 0.25·position, y = value, first 24 events by
@@ -9496,6 +9546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "cube_orders": q_cube_orders,
     "convex_hull_embeddings": q_convex_hull_embeddings,
+    "hull_diameter_embeddings": q_hull_diameter_embeddings,
     "frechet_events": q_frechet_events,
     "hausdorff_events": q_hausdorff_events,
     "simplify_events": q_simplify_events,
@@ -9677,6 +9728,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "heavy_hitters_documents": O_HEAVY_HITTERS,
     "cube_orders": O_CUBE_ORDERS,
     "convex_hull_embeddings": O_CONVEX_HULL,
+    "hull_diameter_embeddings": _o_hull_diameter_sql(),
     "frechet_events": O_FRECHET_EVENTS,
     "hausdorff_events": O_HAUSDORFF_EVENTS,
     "simplify_events": O_SIMPLIFY_EVENTS,

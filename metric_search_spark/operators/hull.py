@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["convex_hull", "hull_indices"]
+__all__ = ["convex_hull", "hull_indices", "antipodal_pairs", "hull_diameter"]
 
 
 def _cross(ox, oy, ax, ay, bx, by):
@@ -147,3 +147,141 @@ def convex_hull(
 
     cand = pts.mapInPandas(stage1, schema=in_schema)
     return cand.groupBy(*by).applyInPandas(lambda _, g: stage2(g), schema=out_schema)
+
+
+def antipodal_pairs(hx: np.ndarray, hy: np.ndarray) -> list[tuple[int, int]]:
+    """Rotating calipers (Preparata–Shamos 1985 §4.2.3) over a STRICT CCW
+    hull: enumerate the antipodal vertex pairs — the candidate set that
+    provably contains every diameter pair — in O(h) instead of the O(h²)
+    all-pairs scan. For each hull edge (i, i+1) the opposite pointer j
+    advances while the triangle area area2(i, i+1, j+1) exceeds
+    area2(i, i+1, j); both (i, j) and (i+1, j) are antipodal. Areas are
+    integer cross products (exact for ≤ 2⁶-bit grid coordinates), so the
+    walk is deterministic. h ≤ 2 degenerates to the only pair / nothing."""
+    m = len(hx)
+    if m < 2:
+        return []
+    if m == 2:
+        return [(0, 1)]
+
+    def area2(i: int, j: int, k: int) -> np.int64:
+        return _cross(hx[i], hy[i], hx[j], hy[j], hx[k], hy[k])
+
+    pairs: list[tuple[int, int]] = []
+    j = 1
+    for i in range(m):
+        i1 = (i + 1) % m
+        while area2(i, i1, (j + 1) % m) > area2(i, i1, j):
+            j = (j + 1) % m
+        pairs.append((i, j))
+        pairs.append((i1, j))
+        # collinear caliper support: the NEXT vertex is equally far from
+        # this edge — it is antipodal to the edge too
+        if area2(i, i1, (j + 1) % m) == area2(i, i1, j):
+            pairs.append((i, (j + 1) % m))
+            pairs.append((i1, (j + 1) % m))
+    return pairs
+
+
+def hull_diameter(
+    df: DataFrame,
+    by: list[str],
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "id",
+    res: int = 25,
+) -> DataFrame:
+    """Per-group planar diameter — the farthest point pair — via convex
+    hull + rotating calipers, on the res-bit quantized grid so every
+    arithmetic step is EXACT: coordinates ≤ 2²⁵ make cross products ≤ 2⁵¹
+    (below the 2⁵³ float64-exact bound, so the shared hull kernel is
+    integer-exact) and squared distances ≤ 2⁵¹ in int64.
+
+    Returns one row per group with ≥ 2 points:
+      (by…, diam2, a_id, b_id)
+    diam2 = max squared grid distance; (a_id, b_id) = the
+    lexicographically smallest (min, max)-sorted id pair among ALL pairs
+    attaining it (duplicate coordinates included — each distinct
+    coordinate carries its minimum id through the hull stages, which is
+    sufficient: for a coordinate pair the best id pair is
+    (min ids(p), min ids(q)) sorted). A group whose points all share one
+    grid cell has diam2 = 0 and the two smallest ids.
+
+    Scale shape: points dedupe to distinct grid coordinates with ONE
+    map-side-combining aggregate; the hull prefilter runs shuffle-free
+    inside the scan (convex_hull stage 1); only O(hull) candidate
+    vertices per group shuffle. The calipers walk touches each group's
+    ≤ O(log n)-vertex hull once."""
+    if not 1 <= res <= 25:
+        raise ValueError(f"res {res} out of [1, 25] (exactness bound)")
+    from pyspark.sql import functions as F
+
+    from metric_search_spark.functions.spatial import quantize_col
+
+    shift = 31 - res
+    q = df.select(
+        *by,
+        F.shiftright(quantize_col(F.col(x_col).cast("double")), shift).alias("qx"),
+        F.shiftright(quantize_col(F.col(y_col).cast("double")), shift).alias("qy"),
+        F.col(id_col).alias("_pid"),
+    )
+    coords = q.groupBy(*by, "qx", "qy").agg(
+        F.min("_pid").alias("id1"), F.count("*").alias("npts")
+    )
+
+    by_t = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.select(*by).schema
+    )
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{by_t}, diam2 long, a_id {id_t}, b_id {id_t}"
+
+    def diam(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["qx"].to_numpy(dtype=np.int64)
+        y = pdf["qy"].to_numpy(dtype=np.int64)
+        ids = pdf["id1"].to_numpy()
+        head = pdf.iloc[:1][list(by)].reset_index(drop=True)
+        if len(pdf) == 1:
+            # all points in one grid cell: diameter 0 over ≥2 duplicates
+            if int(pdf["npts"].iloc[0]) < 2:
+                return pdf.iloc[:0][list(by)].assign(
+                    diam2=np.int64(0), a_id=ids[:0], b_id=ids[:0]
+                )
+            two = np.sort(pdf["_dup_ids"].iloc[0])[:2]
+            return head.assign(
+                diam2=np.int64(0), a_id=two[0], b_id=two[1]
+            )
+        hull = hull_indices(x.astype(np.float64), y.astype(np.float64))
+        hx, hy = x[hull], y[hull]
+        hid = ids[hull]
+        cand = antipodal_pairs(hx, hy)
+        d2 = np.array(
+            [
+                (hx[i] - hx[j]) ** 2 + (hy[i] - hy[j]) ** 2
+                for i, j in cand
+            ],
+            dtype=np.int64,
+        )
+        best = d2.max()
+        pair = min(
+            tuple(sorted((hid[i], hid[j])))
+            for (i, j), v in zip(cand, d2)
+            if v == best
+        )
+        return head.assign(diam2=best, a_id=pair[0], b_id=pair[1])
+
+    # single-grid-cell groups need their two smallest ids, which the
+    # min-id dedupe discards: fetch them only for those (rare, tiny) groups
+    singles = (
+        coords.groupBy(*by)
+        .agg(F.count("*").alias("ncells"))
+        .where(F.col("ncells") == 1)
+        .select(*by)
+    )
+    dup_ids = (
+        q.join(singles, list(by))
+        .groupBy(*by)
+        .agg(F.slice(F.sort_array(F.collect_list("_pid")), 1, 2).alias("_dup_ids"))
+    )
+    coords = coords.join(dup_ids, list(by), "left")
+    return coords.groupBy(*by).applyInPandas(diam, schema=out_schema)
