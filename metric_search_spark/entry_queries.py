@@ -4148,6 +4148,189 @@ SELECT vec_id, line_id, seg_idx, round(d2, 12) AS dist2 FROM (
 O_NEAREST_ROUTE = _o_nearest_route_sql()
 
 
+# ---- Viterbi HMM map matching fixture: 4 routes, 24 ten-point
+# trajectories hugging (and sometimes migrating between) them. All
+# trajectory coordinates are DYADIC (multiples of 1/4096), so decimal
+# literals, Spark doubles and DuckDB doubles are the identical values and
+# the integer DP is bit-exact cross-engine.
+_MM_ROUTES = [
+    ("r0", [(0.03, 0.20), (0.35, 0.26), (0.68, 0.18), (0.97, 0.24)]),
+    ("r1", [(0.03, 0.27), (0.36, 0.33), (0.66, 0.253), (0.97, 0.31)]),
+    ("r2", [(0.08, 0.55), (0.45, 0.72), (0.82, 0.93)]),
+    ("r3", [(0.621, 0.053), (0.551, 0.417), (0.703, 0.781)]),
+]
+_MM_RES, _MM_K, _MM_SWITCH, _MM_NPTS, _MM_NTRAJ = 6, 3, 3, 10, 24
+
+
+def _mm_traj_rows() -> list[tuple[int, int, float, float]]:
+    """Deterministic trajectories: segment-uniform walk along a route with
+    ≤2/64 jitter per axis (≤ 2 cells at res 6; +1 snap cell keeps every
+    point within Chebyshev _MM_K of its route's supercover). Every third
+    trajectory migrates to the next route at the halfway point."""
+    state = 987654321
+
+    def nxt(m: int) -> int:
+        nonlocal state
+        state = (state * 48271) % 2147483647
+        return state % m
+
+    rows = []
+    for tid in range(_MM_NTRAJ):
+        base = _MM_ROUTES[tid % 4][1]
+        alt = _MM_ROUTES[(tid + 1) % 4][1] if tid % 3 == 0 else None
+        for t in range(_MM_NPTS):
+            path = alt if (alt is not None and t >= _MM_NPTS // 2) else base
+            nseg = len(path) - 1
+            fs = min(t / (_MM_NPTS - 1) * nseg, nseg - 1e-9)
+            si = int(fs)
+            fr = fs - si
+            x = path[si][0] + fr * (path[si + 1][0] - path[si][0])
+            y = path[si][1] + fr * (path[si + 1][1] - path[si][1])
+            x += (nxt(5) - 2) / 64.0
+            y += (nxt(5) - 2) / 64.0
+            x = min(max(round(x * 4096.0) / 4096.0, 0.0), 4095.0 / 4096.0)
+            y = min(max(round(y * 4096.0) / 4096.0, 0.0), 4095.0 / 4096.0)
+            rows.append((tid, t, x, y))
+    return rows
+
+
+def q_mapmatch_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM map matching (operators/mapmatch.viterbi_match): each fixture
+    trajectory matches onto the 4-route network by the Viterbi path
+    minimizing Σ tile-emission + 3·switches — exact integer DP over
+    supercover-tile emissions, reverse-lexicographic tie-break. The Spark
+    side rasterizes routes with the separating-axis supercover, fans
+    points to their 7×7 ring cells for a broadcast equi-join, and runs
+    the DP in one kernel per trajectory; the DuckDB twin re-derives the
+    route tiles by LIANG–BARSKY parametric clipping over the full grid,
+    brute-force theta-joins every (point, tile) pair, and replays the
+    whole DP — forward recursion AND backtrack — as recursive CTEs over
+    list-carried DP rows. A wrong supercover tile, emission, transition,
+    or tie-break flips the hash."""
+    from metric_search_spark.operators.mapmatch import viterbi_match
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rschema = StructType(
+        [
+            StructField("line_id", StringType()),
+            StructField(
+                "path",
+                ArrayType(
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    routes = spark.createDataFrame(
+        [(lid, [{"x": x, "y": y} for x, y in path]) for lid, path in _MM_ROUTES],
+        rschema,
+    )
+    tschema = StructType(
+        [
+            StructField("traj_id", LongType()),
+            StructField("seq", LongType()),
+            StructField("x", DoubleType()),
+            StructField("y", DoubleType()),
+        ]
+    )
+    traj = spark.createDataFrame(_mm_traj_rows(), tschema)
+    return viterbi_match(
+        traj,
+        routes,
+        res=_MM_RES,
+        radius_cells=_MM_K,
+        switch_cost=_MM_SWITCH,
+    )
+
+
+def _o_mapmatch_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    res, k, sc, n = _MM_RES, _MM_K, _MM_SWITCH, _MM_NPTS
+    s = 1.0 / (1 << res)
+    # route tiles by Liang–Barsky over the full grid (the polyline twin's
+    # formulation — disjoint from the engine's separating-axis test)
+    parts = []
+    for lid, path in _MM_ROUTES:
+        conds = [
+            _lb_segment_cond(*path[i], *path[i + 1], s) for i in range(len(path) - 1)
+        ]
+        parts.append(
+            f"SELECT '{lid}' AS line_id, cx, cy FROM grid"
+            f" WHERE ({' OR '.join(conds)})"
+        )
+    tiles_sql = " UNION ALL ".join(parts)
+    vals = ",\n".join(
+        f"({tid},{seq},{x!r},{y!r})" for tid, seq, x, y in _mm_traj_rows()
+    )
+    return f"""
+WITH RECURSIVE grid AS (
+  SELECT gx.range AS cx, gy.range AS cy
+  FROM range(0, {1 << res}) gx, range(0, {1 << res}) gy
+),
+tiles AS ({tiles_sql}),
+traj(traj_id, seq, x, y) AS (VALUES {vals}),
+pq AS (
+  SELECT traj_id, seq,
+         ({quantize_sql('CAST(x AS DOUBLE)')}) >> {31 - res} AS px,
+         ({quantize_sql('CAST(y AS DOUBLE)')}) >> {31 - res} AS py
+  FROM traj
+),
+cand AS (
+  SELECT p.traj_id, p.seq, t.line_id,
+         min((p.px - t.cx) * (p.px - t.cx) + (p.py - t.cy) * (p.py - t.cy)) AS em
+  FROM pq p JOIN tiles t
+    ON greatest(abs(p.px - t.cx), abs(p.py - t.cy)) <= {k}
+  GROUP BY 1, 2, 3
+),
+cstep AS (
+  SELECT traj_id, seq,
+         list(struct_pack(line := line_id, cost := em) ORDER BY line_id) AS cands
+  FROM cand GROUP BY 1, 2
+),
+dp(traj_id, t, row) AS (
+  SELECT traj_id, 0, cands FROM cstep WHERE seq = 0
+  UNION ALL
+  SELECT dp.traj_id, dp.t + 1,
+         list_transform(cs.cands, c -> struct_pack(line := c.line,
+           cost := c.cost + list_aggregate(list_transform(dp.row,
+             p -> p.cost + CASE WHEN p.line = c.line THEN 0 ELSE {sc} END),
+             'min')))
+  FROM dp JOIN cstep cs ON cs.traj_id = dp.traj_id AND cs.seq = dp.t + 1
+),
+fin AS (
+  SELECT traj_id,
+         (list_sort(list_transform(row,
+            p -> struct_pack(cost := p.cost, line := p.line)))[1]).line AS line,
+         (list_sort(list_transform(row,
+            p -> struct_pack(cost := p.cost, line := p.line)))[1]).cost AS total
+  FROM dp WHERE t = {n - 1}
+),
+bt(traj_id, t, line, total) AS (
+  SELECT traj_id, {n - 1}, line, total FROM fin
+  UNION ALL
+  SELECT d.traj_id, d.t,
+         (list_sort(list_transform(d.row, p -> struct_pack(
+             k := p.cost + CASE WHEN p.line = bt.line THEN 0 ELSE {sc} END,
+             line := p.line)))[1]).line,
+         bt.total
+  FROM bt JOIN dp d ON d.traj_id = bt.traj_id AND d.t = bt.t - 1
+)
+SELECT CAST(traj_id AS BIGINT) AS traj_id, CAST(t AS BIGINT) AS seq,
+       line AS line_id, CAST(total AS BIGINT) AS cost
+FROM bt
+"""
+
+
 def q_buffer_polyfill_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster buffer (operators/tiling.buffer_tiles): each fixture
     polygon's res-5 polyfill dilated by Chebyshev 1 via the k-ring
@@ -9676,6 +9859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "buffer_polyfill_tiles": q_buffer_polyfill_tiles,
     "focal_tiles_embeddings": q_focal_tiles_embeddings,
     "polyline_tiles_routes": q_polyline_tiles_routes,
+    "mapmatch_traj": q_mapmatch_traj,
     "segment_intersections_routes": q_segment_intersections_routes,
     "nearest_route_embeddings": q_nearest_route_embeddings,
     "kde_tiles_embeddings": q_kde_tiles_embeddings,
@@ -9833,6 +10017,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "buffer_polyfill_tiles": O_BUFFER,
     "focal_tiles_embeddings": O_FOCAL,
     "polyline_tiles_routes": O_POLYLINE,
+    "mapmatch_traj": _o_mapmatch_sql(),
     "segment_intersections_routes": _o_segment_intersections_sql(),
     "nearest_route_embeddings": O_NEAREST_ROUTE,
     "kde_tiles_embeddings": O_KDE,
