@@ -1782,6 +1782,33 @@ ORDER BY user_id
 """
 
 
+_SPLIT_PROPS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.split_assign):
+    every document gets a split label from exact integer hash thresholds
+    over the shared MINSTD hash of doc_id — reproducible under any
+    partitioning, cluster size, or engine, unlike randomSplit. (The same
+    operator keyed on a GROUP column keeps near-duplicate families in one
+    split — the leakage control, pinned in tests/test_split.py.) Pure
+    Column filter math, no shuffle. The oracle recomputes the hash and
+    the CASE thresholds in DuckDB BIGINT arithmetic."""
+    from metric_search_spark.operators.sampling import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    return split_assign(docs, _SPLIT_PROPS, key_col="doc_id", seed=7).select(
+        "doc_id", "split"
+    )
+
+
+def _o_split_sql() -> str:
+    from metric_search_spark.operators.sampling import split_assign_sql
+
+    expr = split_assign_sql(_SPLIT_PROPS, "doc_id", seed=7)
+    return f"SELECT doc_id, {expr} AS split FROM documents"
+
+
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling): exactly
     min(5, |stratum|) documents per (lang, source) stratum, chosen by the
@@ -9791,6 +9818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_neardup_phash": q_image_neardup_phash,
     "dbscan_embeddings": q_dbscan_embeddings,
     "stratified_sample_documents": q_stratified_sample_documents,
+    "split_documents": q_split_documents,
     "weighted_sample_documents": q_weighted_sample_documents,
     "quantiles_events": q_quantiles_events,
     "mad_outliers_events": q_mad_outliers_events,
@@ -9939,6 +9967,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "cosine_neardup_embeddings": O_COSINE_NEARDUP,
     "dbscan_embeddings": O_DBSCAN,
     "stratified_sample_documents": _o_stratified_sql(),
+    "split_documents": _o_split_sql(),
     "weighted_sample_documents": _o_weighted_sample_sql(),
     "quantiles_events": O_QUANTILES_EVENTS,
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,

@@ -34,6 +34,8 @@ __all__ = [
     "sample_hash",
     "sample_stratified",
     "sample_weighted",
+    "split_assign",
+    "split_assign_sql",
 ]
 
 _M = 2147483647  # 2^31 - 1 (prime)
@@ -145,3 +147,60 @@ def sample_weighted(
         .withColumn(rank_col, F.row_number().over(w).cast("long"))
         .where(F.col(rank_col) <= n)
     )
+
+
+def split_assign(
+    df: DataFrame,
+    proportions: dict[str, float],
+    *,
+    key_col: str = "id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: every row gets a split label
+    from a PURE FUNCTION of ``key_col`` — the same row lands in the same
+    split under any partitioning, cluster size, engine, or re-run, and
+    the assignment is auditable (the property `randomSplit` lacks: its
+    splits shift with partitioning).
+
+    ``proportions``: ordered {name: fraction}, summing to 1 (±1e-9);
+    buckets are half-open hash ranges with exact integer thresholds
+    ⌊cum·(2³¹−1)⌋, the last pinned to 2³¹−1 so coverage is total.
+
+    LEAKAGE CONTROL is the point of ``key_col``: hash the row id for an
+    i.i.d. split, or hash a GROUP key (near-dup cluster id, url domain,
+    document family) so correlated rows land in the SAME split and the
+    eval set can't leak train content. Pure Column filter math — no
+    shuffle, pushes into the scan. SQL twin: ``split_assign_sql``."""
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    total = sum(proportions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"proportions sum to {total}, expected 1")
+    if any(v < 0 for v in proportions.values()):
+        raise ValueError("proportions must be non-negative")
+    h = hash_col(F.col(key_col), seed)
+    expr = None
+    cum = 0.0
+    names = list(proportions)
+    for i, name in enumerate(names):
+        cum += proportions[name]
+        thr = _M if i == len(names) - 1 else int(cum * _M)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def split_assign_sql(
+    proportions: dict[str, float], key_expr: str, seed: int = 0
+) -> str:
+    """Exact SQL twin of split_assign's label expression."""
+    h = sample_hash_sql(key_expr, seed)
+    parts = []
+    cum = 0.0
+    names = list(proportions)
+    for i, name in enumerate(names):
+        cum += proportions[name]
+        thr = _M if i == len(names) - 1 else int(cum * _M)
+        parts.append(f"WHEN ({h}) < {thr} THEN '{name}'")
+    return "CASE " + " ".join(parts) + " END"
