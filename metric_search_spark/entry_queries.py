@@ -5095,6 +5095,94 @@ FROM r GROUP BY image_id
 _BLOB_THRESH = 600
 
 
+def q_fast_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image FAST-9 corner statistics (functions/image.with_fast_stats):
+    ≥9 contiguous radius-3 circle pixels all brighter/darker than the
+    center by the threshold, on integer grayscale — exact int64
+    (n_fast, arc_bits, n_int). Hand-off oracle (sobel-style pixels
+    parquet): DuckDB re-gathers all 16 circle comparisons per center by
+    list indexing and re-evaluates the doubled-ring rotation closed form
+    per pixel — versus the kernel's vectorized slice algebra — so a wrong
+    offset, comparison direction, strictness, or run length flips the
+    hash (arc_bits moves on ANY single comparison flip)."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_fast_stats
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("fast", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_fast_stats(spark.createDataFrame(pdf), thresh=_FAST_T).select(
+        "image_id", "n_fast", "arc_bits", "n_int"
+    )
+
+
+_FAST_T = 90
+
+
+def _o_fast_sql() -> str:
+    from metric_search_spark.functions.image import FAST_OFFSETS
+
+    path = _handoff_path("fast", f"{_IPV_N}_{_IPV_SEED}")
+    t = _FAST_T
+    at = "p.g[({y}) * p.w + ({x}) + 1]"
+    ctr = at.format(y="p.y", x="p.x")
+    bterms, dterms = [], []
+    for i, (dx, dy) in enumerate(FAST_OFFSETS):
+        px = at.format(y=f"p.y + {dy}", x=f"p.x + {dx}")
+        bterms.append(f"(CASE WHEN {px} > {ctr} + {t} THEN {1 << i} ELSE 0 END)")
+        dterms.append(f"(CASE WHEN {px} < {ctr} - {t} THEN {1 << i} ELSE 0 END)")
+    b = " + ".join(bterms)
+    d = " + ".join(dterms)
+    run = (
+        "list_max(list_transform(range(0, 16), r -> CASE WHEN"
+        " (((CAST({m} AS BIGINT) * 65537) >> r) & 511) = 511 THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH g AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+ys AS (
+  SELECT image_id, w, g, unnest(range(3, h - 3)) AS y FROM g
+),
+p AS (
+  SELECT image_id, w, g, y, unnest(range(3, w - 3)) AS x FROM ys
+),
+m AS (
+  SELECT p.image_id, ({b}) AS bm, ({d}) AS dm FROM p
+)
+SELECT image_id,
+       CAST(sum(CASE WHEN {run.format(m='bm')} = 1
+                       OR {run.format(m='dm')} = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+       CAST(sum(bit_count(bm) + bit_count(dm)) AS BIGINT) AS arc_bits,
+       count(*) AS n_int
+FROM m GROUP BY image_id
+"""
+
+
 def q_blob_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image connected-component blob statistics (functions/image.
     with_blob_stats): foreground = gray ≥ 600, 4-connected pixel
@@ -9778,6 +9866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
     "harris_images": q_harris_images,
+    "fast_images": q_fast_images,
     "blob_images": q_blob_images,
     "orient_hist_images": q_orient_hist_images,
     "lbp_images": q_lbp_images,
@@ -10110,6 +10199,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["augment_images"] = _o_augment_sql()
     oracles["sobel_images"] = _o_sobel_sql()
     oracles["harris_images"] = _o_harris_sql()
+    oracles["fast_images"] = _o_fast_sql()
     oracles["blob_images"] = _o_blob_sql()
     oracles["orient_hist_images"] = _o_orient_hist_sql()
     oracles["lbp_images"] = _o_lbp_sql()

@@ -1005,3 +1005,74 @@ def with_lbp_hist(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(gen, schema=schema)
+
+
+__all__.append("with_fast_stats")
+
+# radius-3 Bresenham circle, the published FAST-9 pixel order (Rosten &
+# Drummond 2006, fig. 1) — (dx, dy) clockwise from 12 o'clock. Any cyclic
+# relabeling preserves contiguous runs; the oracle reuses this exact list.
+FAST_OFFSETS = [
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+]
+
+
+def with_fast_stats(df: DataFrame, thresh: int = 90) -> DataFrame:
+    """FAST-9 corner detection (Rosten & Drummond 2006) per image, exact
+    int64: a full-support pixel is a corner iff ≥ 9 CONTIGUOUS pixels of
+    its radius-3 Bresenham circle are all brighter than center+thresh or
+    all darker than center−thresh, on the integer grayscale r+g+b
+    (0..765). Reduces to
+      (n_fast, arc_bits, n_int):
+    corner count, Σ popcount(bright mask)+popcount(dark mask) over all
+    centers (the per-offset comparison census — sensitive to any single
+    wrong comparison, where the count alone might not move), and the
+    (h−6)·(w−6) full-support center count.
+
+    The circular-run test is branch-free integer math: with the 16
+    comparison bits packed into m, m·65537 doubles the ring (m | m<<16)
+    and a run of ≥ 9 exists iff some 16-rotation has its low 9 bits all
+    set — the same closed form the DuckDB twin evaluates per pixel, while
+    the kernel evaluates it vectorized across every center at once."""
+    schema = df.schema.simpleString()[7:-1] + (
+        ", n_fast long, arc_bits long, n_int long"
+    )
+    t = int(thresh)
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = np.zeros((len(pdf), 3), dtype=np.int64)
+            for i, (payload, w, h, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ):
+                img = _decode_row(payload, int(w), int(h), str(fmt))
+                g = img.astype(np.int64).sum(axis=2)
+                hh, ww = g.shape
+                if hh < 7 or ww < 7:
+                    continue
+                c = g[3 : hh - 3, 3 : ww - 3]
+                bright = np.zeros(c.shape, dtype=np.int64)
+                dark = np.zeros(c.shape, dtype=np.int64)
+                for b, (dx, dy) in enumerate(FAST_OFFSETS):
+                    p = g[3 + dy : hh - 3 + dy, 3 + dx : ww - 3 + dx]
+                    bright |= (p > c + t).astype(np.int64) << b
+                    dark |= (p < c - t).astype(np.int64) << b
+                arc = np.int64(0)
+                for mask in (bright, dark):
+                    for _ in range(16):
+                        arc += (mask & 1).sum()
+                        mask = mask >> 1  # noqa: PLW2901 — local shift copy
+                # (the loop rebinding shifts a COPY reference; bright/dark
+                # themselves are consumed below via the doubled ring)
+                is_corner = np.zeros(c.shape, dtype=bool)
+                for mask in (bright, dark):
+                    ring = mask * 65537  # mask | mask << 16
+                    for r in range(16):
+                        is_corner |= ((ring >> r) & 511) == 511
+                out[i] = (int(is_corner.sum()), int(arc), c.size)
+            for j, name in enumerate(("n_fast", "arc_bits", "n_int")):
+                pdf[name] = out[:, j]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
