@@ -1184,6 +1184,31 @@ def q_bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, n_merges=_BPE_MERGES)
 
 
+def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode BPE (functions/text.bpe_encode): the 6-round
+    merge table trains on the corpus (bpe_merges — only the 6 winning
+    pairs reach the driver), then every document re-tokenizes through the
+    rank-ordered merges as chained JVM `replace` Columns; output is
+    per-document (n_words, n_tokens). The DuckDB twin re-trains AND
+    re-encodes the entire pipeline from raw text with unrolled CTEs — a
+    wrong merge pick, rewrite order, or boundary-quirk divergence changes
+    token counts and flips the hash."""
+    from metric_search_spark.functions.text import bpe_encode, bpe_merges
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(docs, n_merges=_BPE_MERGES).collect()
+    ]
+    return bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
+
+
+def _o_bpe_encode_sql() -> str:
+    from metric_search_spark.functions.text import bpe_encode_sql
+
+    return bpe_encode_sql("documents", n_merges=_BPE_MERGES)
+
+
 def _o_bpe_merges_sql() -> str:
     from metric_search_spark.functions.text import bpe_merges_sql
 
@@ -9884,6 +9909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": q_quality_documents,
     "gopher_documents": q_gopher_documents,
     "bpe_merges_documents": q_bpe_merges_documents,
+    "bpe_encode_documents": q_bpe_encode_documents,
     "soundex_vocab": q_soundex_vocab,
     "bucketed_join_events": q_bucketed_join_events,
     "stream_bloom_dedup_events": q_stream_bloom_dedup_events,
@@ -10045,6 +10071,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quality_documents": O_QUALITY,
     "gopher_documents": _o_gopher_sql(),
     "bpe_merges_documents": _o_bpe_merges_sql(),
+    "bpe_encode_documents": _o_bpe_encode_sql(),
     "soundex_vocab": _o_soundex_sql(),
     "bucketed_join_events": O_BUCKETED_JOIN,
     "stream_bloom_dedup_events": _o_stream_bloom_sql(),

@@ -896,3 +896,113 @@ def soundex_sql(word_expr: str) -> str:
 
 
 __all__ += ["soundex_col", "soundex_sql"]
+
+
+def bpe_encode(
+    df,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Apply a TRAINED BPE merge table to a corpus — the tokenizer-side
+    half of ``bpe_merges``: every word re-splits to character symbols and
+    each merge (rank order) rewrites ``l⟂r → lr`` with SQL `replace`
+    semantics (leftmost, non-overlapping) on the separator-joined symbol
+    string — byte-for-byte the rewrite the trainer applied, so
+    train-then-encode round-trips exactly (including the documented
+    replace-on-joined-string boundary quirk both engines share).
+
+    Returns per-document token statistics (id, n_words, n_tokens):
+    n_tokens = Σ per-word surviving symbols. Pure Column plan — the word
+    explode, the n chained replaces, and the count are all JVM-side; no
+    Python, no extra shuffle beyond the final per-doc aggregate. Words
+    containing U+001F are excluded by the shared contract."""
+    sep = BPE_SEP
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).where((F.length("w") > 0) & (~F.col("w").contains(sep)))
+    syms = F.concat_ws(sep, F.split("w", "(?!^)(?=.)"))
+    for left, right in merges:
+        syms = F.call_function(
+            "replace", syms, F.lit(left + sep + right), F.lit(left + right)
+        )
+    return (
+        words.select("id", F.size(F.split(syms, sep)).alias("_nt"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+__all__ += ["bpe_encode"]
+
+
+def bpe_encode_sql(
+    rel: str,
+    n_merges: int = 6,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of train-then-encode: re-trains the merge table with
+    the unrolled bpe_merges_sql rounds (carrying the word key through
+    every rewrite), then re-tokenizes each document's words against the
+    final word→symbols map and aggregates per-document token counts —
+    the entire pipeline re-proven from raw text, no hand-off."""
+    sep = "chr(31)"
+    cte = [
+        f"""wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split({text_expr}, ' ')) AS w FROM {rel}
+  ) WHERE length(w) > 0 AND strpos(w, {sep}) = 0 GROUP BY w
+)""",
+        f"""w0 AS (
+  SELECT w, array_to_string(string_split(w, ''), {sep}) AS syms, cnt FROM wf
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        cte.append(
+            f"""x{i} AS (
+  SELECT string_split(syms, {sep}) AS ss, cnt FROM w{i - 1}
+),
+e{i} AS (
+  SELECT ss, cnt, unnest(range(0, length(ss) - 1)) AS pos FROM x{i}
+),
+p{i} AS (
+  SELECT ss[pos + 1] AS l, ss[pos + 2] AS r, sum(cnt) AS c
+  FROM e{i} GROUP BY 1, 2
+),
+m{i} AS (
+  SELECT l, r FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+w{i} AS (
+  SELECT w.w, replace(w.syms, m.l || {sep} || m.r, m.l || m.r) AS syms, w.cnt
+  FROM w{i - 1} w, m{i} m
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f""",
+docw AS (
+  SELECT {id_expr} AS doc_id, unnest(string_split({text_expr}, ' ')) AS w
+  FROM {rel}
+),
+dw AS (
+  SELECT doc_id, w FROM docw
+  WHERE length(w) > 0 AND strpos(w, {sep}) = 0
+)
+SELECT dw.doc_id,
+       count(*) AS n_words,
+       CAST(sum(length(string_split(f.syms, {sep}))) AS BIGINT) AS n_tokens
+FROM dw JOIN w{n_merges} f ON f.w = dw.w
+GROUP BY dw.doc_id
+"""
+    )
+
+
+__all__ += ["bpe_encode_sql"]

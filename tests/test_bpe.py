@@ -8,7 +8,12 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from metric_search_spark.functions.text import bpe_merges, bpe_merges_sql
+from metric_search_spark.functions.text import (
+    bpe_encode,
+    bpe_encode_sql,
+    bpe_merges,
+    bpe_merges_sql,
+)
 
 from tests.sparkutil import get_spark
 
@@ -81,4 +86,55 @@ def test_twin_parity(spark):
     want = con.sql(bpe_merges_sql("docs_tbl", 6)).df()
     assert len(got) == len(want) == 6
     for c in got.columns:
+        assert (got[c].values == want[c].values).all(), c
+
+
+def test_encode_hand_case(spark):
+    # corpus "ab ab abc": merges learn ('a','b') first (count 3); encoding
+    # with just that merge gives ab->1 token, abc->2 tokens
+    df = spark.createDataFrame([(0, "ab ab abc")], "doc_id long, text string")
+    out = bpe_encode(df, [("a", "b")]).collect()
+    assert (out[0]["n_words"], out[0]["n_tokens"]) == (3, 1 + 1 + 2)
+
+
+def test_encode_rank_order_matters(spark):
+    # merges [('a','b'), ('ab','c')] tokenize "abc" to ONE token; applying
+    # only the first leaves two
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    one = bpe_encode(df, [("a", "b"), ("ab", "c")]).collect()[0]
+    two = bpe_encode(df, [("a", "b")]).collect()[0]
+    assert one["n_tokens"] == 1
+    assert two["n_tokens"] == 2
+
+
+def test_encode_twin_parity(spark):
+    texts = [
+        "low low low lower lowest",
+        "new newer newest wide wider",
+        "aaaa aaa aa low new wide",
+        "x",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"]) for r in bpe_merges(df, n_merges=6).collect()
+    ]
+    got = (
+        bpe_encode(df, merges)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs_tbl", df.toPandas())
+    want = (
+        con.sql(bpe_encode_sql("docs_tbl", 6))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)  # doc 4 ("") has no words -> absent in both
+    for c in ("doc_id", "n_words", "n_tokens"):
         assert (got[c].values == want[c].values).all(), c
