@@ -2192,6 +2192,74 @@ WHERE d.dev > 1.5 * mad.mad
 _MK_LIMIT = 24
 
 
+_HOTSPOT_RES, _HOTSPOT_BINS = 4, 8
+
+
+def q_hotspots_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hotspot analysis (operators/hotspot.emerging_hotspots):
+    events embed at (value/512, (user_id mod 512)/512) — both exact
+    power-of-two scalings — bin into 8 equal time slices by exact integer
+    epoch-microsecond arithmetic, and every occupied res-4 tile gets the
+    Mann–Kendall S over its ZERO-FILLED count series plus total/last-bin
+    counts — the space-time-cube trend surface. The DuckDB twin recomputes
+    extent, binning, zero-fill grid, and all B(B−1)/2 sign pairs from raw
+    events; a bin-edge rounding error or a missing zero-fill flips S."""
+    from metric_search_spark.operators.hotspot import emerging_hotspots
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        "ts",
+        (F.col("value") / 512.0).alias("x"),
+        (F.pmod(F.col("user_id"), F.lit(512)) / 512.0).alias("y"),
+    )
+    return emerging_hotspots(pts, _HOTSPOT_RES, _HOTSPOT_BINS)
+
+
+def _o_hotspots_sql() -> str:
+    from metric_search_spark.functions.spatial import (
+        morton_bitsum_sql,
+        quantize_sql,
+    )
+
+    res, bins = _HOTSPOT_RES, _HOTSPOT_BINS
+    qx = quantize_sql("CAST(value AS DOUBLE) / 512.0")
+    qy = quantize_sql("(user_id % 512) / 512.0")
+    return f"""
+WITH mm AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+pts AS (
+  SELECT ({qx}) >> {31 - res} AS cx,
+         ({qy}) >> {31 - res} AS cy,
+         ((epoch_us(ts) - mm.lo) * {bins}) // (mm.hi - mm.lo + 1) AS bin
+  FROM events, mm
+),
+counts AS (SELECT cx, cy, bin, count(*) AS cnt FROM pts GROUP BY 1, 2, 3),
+tiles AS (SELECT DISTINCT cx, cy FROM counts),
+grid AS (
+  SELECT t.cx, t.cy, b.range AS bin, coalesce(c.cnt, 0) AS cnt
+  FROM tiles t CROSS JOIN range(0, {bins}) b
+  LEFT JOIN counts c ON c.cx = t.cx AND c.cy = t.cy AND c.bin = b.range
+),
+pr AS (
+  SELECT a.cx, a.cy,
+         CAST(sum(sign(b.cnt - a.cnt)) AS BIGINT) AS s_stat
+  FROM grid a JOIN grid b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.bin < b.bin
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT cx, cy, CAST(sum(cnt) AS BIGINT) AS cnt_total,
+         CAST(sum(CASE WHEN bin = {bins - 1} THEN cnt ELSE 0 END) AS BIGINT)
+           AS cnt_last
+  FROM grid GROUP BY 1, 2
+)
+SELECT {morton_bitsum_sql('pr.cx', 'pr.cy', res)} AS tile,
+       pr.s_stat, tot.cnt_total, tot.cnt_last
+FROM pr JOIN tot ON tot.cx = pr.cx AND tot.cy = pr.cy
+"""
+
+
 def q_mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test (operators/regress.mann_kendall)
     per user over the first 24 event values ordered by event_id: exact
@@ -9939,6 +10007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers_events": q_mad_outliers_events,
     "linreg_events": q_linreg_events,
     "mann_kendall_events": q_mann_kendall_events,
+    "hotspots_events": q_hotspots_events,
     "theil_sen_events": q_theil_sen_events,
     "spearman_events": q_spearman_events,
     "cusum_events": q_cusum_events,
@@ -10089,6 +10158,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
     "linreg_events": O_LINREG_EVENTS,
     "mann_kendall_events": O_MANN_KENDALL,
+    "hotspots_events": _o_hotspots_sql(),
     "theil_sen_events": O_THEIL_SEN,
     "spearman_events": O_SPEARMAN,
     "cusum_events": O_CUSUM,
