@@ -8148,6 +8148,137 @@ FROM hv
 """
 
 
+_MEC_RES = 9
+
+
+def q_mec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label minimum enclosing circle (operators/hull.
+    min_enclosing_circle): the unique smallest circle covering the
+    label's points on the res-9 grid — exact rational r² (lowest terms)
+    and the defining point ids (pair preferred over triple, smallest
+    sorted ids). The engine enumerates candidates over the convex hull
+    only; the DuckDB twin brute-forces EVERY coordinate pair and triple,
+    filters to enclosing circles by exact integer tests, and selects the
+    rational minimum via HUGEINT cross-multiplication — so a hull
+    prefilter that drops a defining vertex, a wrong circumcenter, or a
+    tie-break slip flips the hash."""
+    from metric_search_spark.operators.hull import min_enclosing_circle
+
+    emb = _emb(spark, sf_dir)
+    return min_enclosing_circle(
+        emb, by=["label"], x_col="x", y_col="y", id_col="id", res=_MEC_RES
+    )
+
+
+def _o_mec_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+
+    res = _MEC_RES
+    shift = 31 - res
+
+    def sq(e: str) -> str:
+        return f"(({e}) * ({e}))"
+
+    return f"""
+WITH q AS (
+  SELECT label, qx, qy, min(id) AS id, count(*) AS npts FROM (
+    SELECT label,
+           ({quantize_sql(_EMB_X)}) >> {shift} AS qx,
+           ({quantize_sql(_EMB_Y)}) >> {shift} AS qy,
+           vec_id AS id
+    FROM embeddings
+  ) GROUP BY 1, 2, 3
+),
+raw AS (
+  SELECT a.label, 2 AS d0,
+         a.qx + b.qx AS nx0, a.qy + b.qy AS ny0,
+         a.qx AS rx, a.qy AS ry,
+         a.id AS ai, b.id AS bi, CAST(NULL AS BIGINT) AS ci
+  FROM q a JOIN q b ON a.label = b.label AND a.id < b.id
+  UNION ALL
+  SELECT label,
+         CASE WHEN dr < 0 THEN -dr ELSE dr END AS d0,
+         CASE WHEN dr < 0 THEN -nxr ELSE nxr END AS nx0,
+         CASE WHEN dr < 0 THEN -nyr ELSE nyr END AS ny0,
+         rx, ry, ai, bi, ci
+  FROM (
+    SELECT a.label,
+           2 * (a.qx * (b.qy - c.qy) + b.qx * (c.qy - a.qy)
+                + c.qx * (a.qy - b.qy)) AS dr,
+           (a.qx*a.qx + a.qy*a.qy) * (b.qy - c.qy)
+             + (b.qx*b.qx + b.qy*b.qy) * (c.qy - a.qy)
+             + (c.qx*c.qx + c.qy*c.qy) * (a.qy - b.qy) AS nxr,
+           (a.qx*a.qx + a.qy*a.qy) * (c.qx - b.qx)
+             + (b.qx*b.qx + b.qy*b.qy) * (a.qx - c.qx)
+             + (c.qx*c.qx + c.qy*c.qy) * (b.qx - a.qx) AS nyr,
+           a.qx AS rx, a.qy AS ry, a.id AS ai, b.id AS bi, c.id AS ci
+    FROM q a
+    JOIN q b ON a.label = b.label AND a.id < b.id
+    JOIN q c ON b.label = c.label AND b.id < c.id
+  ) WHERE dr <> 0
+),
+cands AS (
+  SELECT label,
+         d0 // g AS d, nx0 // g AS nx, ny0 // g AS ny,
+         rx, ry, ai, bi, ci
+  FROM (
+    SELECT raw.*, greatest(gcd(d0, gcd(abs(nx0), abs(ny0))), 1) AS g FROM raw
+  )
+),
+cr AS (
+  SELECT cands.*, {sq('d * rx - nx')} + {sq('d * ry - ny')} AS r
+  FROM cands
+),
+valid AS (
+  SELECT cr.* FROM cr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q p
+    WHERE p.label = cr.label
+      AND {sq('cr.d * p.qx - cr.nx')} + {sq('cr.d * p.qy - cr.ny')} > cr.r
+  )
+),
+minimal AS (
+  SELECT v.* FROM valid v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM valid w
+    WHERE w.label = v.label
+      AND CAST(w.r AS HUGEINT) * v.d * v.d < CAST(v.r AS HUGEINT) * w.d * w.d
+  )
+),
+win AS (
+  SELECT label, r, d, ai, bi, ci,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY (ci IS NOT NULL), ai, bi, coalesce(ci, -1)
+         ) AS rn
+  FROM minimal
+),
+multi AS (
+  SELECT label,
+         CAST(r // greatest(gcd(r, d * d), 1) AS BIGINT) AS r2n,
+         CAST((d * d) // greatest(gcd(r, d * d), 1) AS BIGINT) AS r2d,
+         ai AS a_id, bi AS b_id, ci AS c_id
+  FROM win WHERE rn = 1
+),
+single AS (
+  SELECT e.label, CAST(0 AS BIGINT) AS r2n, CAST(1 AS BIGINT) AS r2d,
+         min(e.vec_id) AS a_id,
+         min(CASE WHEN e.vec_id > m.a1 THEN e.vec_id END) AS b_id,
+         CAST(NULL AS BIGINT) AS c_id
+  FROM embeddings e
+  JOIN (
+    SELECT label, min(vec_id) AS a1 FROM embeddings GROUP BY label
+  ) m ON m.label = e.label
+  WHERE e.label IN (
+    SELECT label FROM q GROUP BY label
+    HAVING count(*) = 1 AND sum(npts) >= 2
+  )
+  GROUP BY e.label
+)
+SELECT * FROM multi UNION ALL SELECT * FROM single
+"""
+
+
 _HULL_DIAM_RES = 25
 
 
@@ -9938,6 +10069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": q_cube_orders,
     "convex_hull_embeddings": q_convex_hull_embeddings,
     "hull_diameter_embeddings": q_hull_diameter_embeddings,
+    "mec_embeddings": q_mec_embeddings,
     "frechet_events": q_frechet_events,
     "hausdorff_events": q_hausdorff_events,
     "simplify_events": q_simplify_events,
@@ -10125,6 +10257,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "cube_orders": O_CUBE_ORDERS,
     "convex_hull_embeddings": O_CONVEX_HULL,
     "hull_diameter_embeddings": _o_hull_diameter_sql(),
+    "mec_embeddings": _o_mec_sql(),
     "frechet_events": O_FRECHET_EVENTS,
     "hausdorff_events": O_HAUSDORFF_EVENTS,
     "simplify_events": O_SIMPLIFY_EVENTS,

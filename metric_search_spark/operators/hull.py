@@ -285,3 +285,188 @@ def hull_diameter(
     )
     coords = coords.join(dup_ids, list(by), "left")
     return coords.groupBy(*by).applyInPandas(diam, schema=out_schema)
+
+
+def mec_candidates(pts: list[tuple[int, int, int]]) -> list[dict]:
+    """Exact candidate circles for the minimum enclosing circle of integer
+    points (x, y, id): every point pair (diametral circle) and every
+    non-collinear triple (circumcircle), each represented EXACTLY as
+    center (nx/d, ny/d) with d > 0 gcd-reduced, plus R = d²·r² recomputed
+    from the reduced representation — so two candidate sets defining the
+    SAME circle produce identical (d, nx, ny, R) tuples. Pure python ints
+    (no overflow at any res); shared by the Spark kernel and tests."""
+    from math import gcd
+
+    out = []
+    n = len(pts)
+    for i in range(n):
+        xi, yi, ii = pts[i]
+        for j in range(i + 1, n):
+            xj, yj, jj = pts[j]
+            d, nx, ny = 2, xi + xj, yi + yj
+            g = gcd(d, gcd(nx, ny)) or 1
+            d, nx, ny = d // g, nx // g, ny // g
+            r = (d * xi - nx) ** 2 + (d * yi - ny) ** 2
+            a, b = sorted((ii, jj))
+            out.append(
+                {"d": d, "nx": nx, "ny": ny, "R": r, "a": a, "b": b, "c": None}
+            )
+            for k in range(j + 1, n):
+                xk, yk, kk = pts[k]
+                dd = 2 * (xi * (yj - yk) + xj * (yk - yi) + xk * (yi - yj))
+                if dd == 0:
+                    continue
+                ax2 = xi * xi + yi * yi
+                bx2 = xj * xj + yj * yj
+                cx2 = xk * xk + yk * yk
+                cnx = ax2 * (yj - yk) + bx2 * (yk - yi) + cx2 * (yi - yj)
+                cny = ax2 * (xk - xj) + bx2 * (xi - xk) + cx2 * (xj - xi)
+                if dd < 0:
+                    dd, cnx, cny = -dd, -cnx, -cny
+                g = gcd(dd, gcd(abs(cnx), abs(cny))) or 1
+                dd, cnx, cny = dd // g, cnx // g, cny // g
+                r = (dd * xi - cnx) ** 2 + (dd * yi - cny) ** 2
+                a, b, c = sorted((ii, jj, kk))
+                out.append(
+                    {"d": dd, "nx": cnx, "ny": cny, "R": r, "a": a, "b": b, "c": c}
+                )
+    return out
+
+
+def mec_exact(pts: list[tuple[int, int, int]]) -> dict | None:
+    """Minimum enclosing circle of integer points (x, y, id), exact: the
+    smallest valid (all-enclosing) candidate by the cross-multiplied
+    rational comparison R₁·d₂² vs R₂·d₁²; among candidates representing
+    the (unique) MEC, the defining set breaks ties to (pair before
+    triple, then smallest sorted ids). Returns {r2n, r2d, a, b, c} with
+    r2n/r2d = r² in lowest terms, or None for < 2 points."""
+    from math import gcd
+
+    if len(pts) < 2:
+        return None
+    best = None
+    for cand in mec_candidates(pts):
+        d, nx, ny, r = cand["d"], cand["nx"], cand["ny"], cand["R"]
+        if any(
+            (d * x - nx) ** 2 + (d * y - ny) ** 2 > r for x, y, _ in pts
+        ):
+            continue
+        key = (
+            cand["c"] is not None,
+            cand["a"],
+            cand["b"],
+            cand["c"] if cand["c"] is not None else -1,
+        )
+        if best is None:
+            best, bkey = cand, key
+            continue
+        lhs = r * best["d"] ** 2
+        rhs = best["R"] * d * d
+        if lhs < rhs or (lhs == rhs and key < bkey):
+            best, bkey = cand, key
+    g = gcd(best["R"], best["d"] ** 2) or 1
+    return {
+        "r2n": best["R"] // g,
+        "r2d": best["d"] ** 2 // g,
+        "a": best["a"],
+        "b": best["b"],
+        "c": best["c"],
+    }
+
+
+def min_enclosing_circle(
+    df: DataFrame,
+    by: list[str],
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "id",
+    res: int = 9,
+) -> DataFrame:
+    """Per-group minimum enclosing circle — the bounding circle a spatial
+    index stores per node — EXACT on the res-bit quantized grid: the MEC
+    is unique and determined by 2 or 3 hull vertices, so the kernel
+    enumerates candidate circles over the group's convex hull (same
+    prefilter pipeline as hull_diameter), keeps the enclosing ones by
+    exact integer tests, and takes the rational minimum by
+    cross-multiplication — no floats anywhere. res ≤ 9 keeps every
+    intermediate in int64 EVEN FOR A SQL TWIN (R ≤ ~2⁵⁹; only the
+    minimality cross-compare needs 128-bit, which DuckDB's HUGEINT and
+    python ints both have).
+
+    Returns one row per group with ≥ 2 points:
+      (by…, r2n, r2d, a_id, b_id, c_id)
+    r2n/r2d = r² in lowest terms (grid units²); (a_id, b_id[, c_id]) =
+    the defining points — minimum ids at their coordinates, pair
+    preferred over triple, then smallest sorted ids (the MEC itself is
+    unique; only its defining-set label needs the tie-break). A
+    single-grid-cell group yields r² = 0 with its two smallest ids.
+
+    Scale shape: identical to hull_diameter — one dedupe aggregate to
+    distinct grid coordinates (min id each), shuffle-free per-batch hull
+    prefilter, per-group kernel over the tiny hull."""
+    if not 1 <= res <= 9:
+        raise ValueError(f"res {res} out of [1, 9] (int64 twin bound)")
+    from pyspark.sql import functions as F
+
+    from metric_search_spark.functions.spatial import quantize_col
+
+    shift = 31 - res
+    q = df.select(
+        *by,
+        F.shiftright(quantize_col(F.col(x_col).cast("double")), shift).alias("qx"),
+        F.shiftright(quantize_col(F.col(y_col).cast("double")), shift).alias("qy"),
+        F.col(id_col).alias("_pid"),
+    )
+    coords = q.groupBy(*by, "qx", "qy").agg(
+        F.min("_pid").alias("id1"), F.count("*").alias("npts")
+    )
+    singles = (
+        coords.groupBy(*by)
+        .agg(F.count("*").alias("ncells"))
+        .where(F.col("ncells") == 1)
+        .select(*by)
+    )
+    dup_ids = (
+        q.join(singles, list(by))
+        .groupBy(*by)
+        .agg(F.slice(F.sort_array(F.collect_list("_pid")), 1, 2).alias("_dup_ids"))
+    )
+    coords = coords.join(dup_ids, list(by), "left")
+
+    by_t = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.select(*by).schema
+    )
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{by_t}, r2n long, r2d long, a_id {id_t}, b_id {id_t}, c_id {id_t}"
+    )
+
+    def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        head = pdf.iloc[:1][list(by)].reset_index(drop=True)
+        if len(pdf) == 1:
+            if int(pdf["npts"].iloc[0]) < 2:
+                return pdf.iloc[:0][list(by)].assign(
+                    r2n=np.int64(0), r2d=np.int64(0),
+                    a_id=pdf["id1"][:0], b_id=pdf["id1"][:0], c_id=pdf["id1"][:0],
+                )
+            two = sorted(pdf["_dup_ids"].iloc[0])[:2]
+            return head.assign(
+                r2n=np.int64(0), r2d=np.int64(1),
+                a_id=two[0], b_id=two[1], c_id=None,
+            )
+        x = pdf["qx"].to_numpy(dtype=np.int64)
+        y = pdf["qy"].to_numpy(dtype=np.int64)
+        ids = pdf["id1"].to_numpy()
+        hull = hull_indices(x.astype(np.float64), y.astype(np.float64))
+        pts = [(int(x[i]), int(y[i]), ids[i]) for i in hull]
+        got = mec_exact(pts)
+        return head.assign(
+            r2n=got["r2n"], r2d=got["r2d"],
+            a_id=got["a"], b_id=got["b"], c_id=got["c"],
+        )
+
+    return coords.groupBy(*by).applyInPandas(kern, schema=out_schema)
+
+
+__all__ += ["mec_candidates", "mec_exact", "min_enclosing_circle"]
