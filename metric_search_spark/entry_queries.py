@@ -1354,6 +1354,43 @@ def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ppjoin_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (operators/dedupe.
+    prefix_jaccard_pairs; PPJoin-style): identical semantics to the plain
+    inverted-index join, but only each document's rarity-ordered PREFIX
+    (n − ⌊τ·n⌋ + 1 shingles) is indexed — hot shingles land in suffixes
+    and never generate candidates, the skew-proof shape at corpus scale.
+    Candidates verify exactly over the full shingle sets. The DuckDB twin
+    is the FULL inverted-index join (no prefix at all) at the same τ, so
+    a prefix one too short — a lost true pair — flips the hash."""
+    from metric_search_spark.operators.dedupe import prefix_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = prefix_jaccard_pairs(docs, shingle_n=3, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+O_PPJOIN = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2] || ' ' ||
+                string_split(text, ' ')[i+3]
+         )) AS sh
+  FROM documents
+), inv AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
+FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+GROUP BY a.id, b.id, a.n_sh, b.n_sh
+HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.4
+"""
+
+
 # inverted-index jaccard in SQL — the same plan shape as the Spark operator
 O_NGRAM_JACCARD = """
 WITH sh AS (
@@ -10124,6 +10161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_events": q_asof_purchase_events,
     "resample_locf_events": q_resample_locf_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "ppjoin_documents": q_ppjoin_documents,
     "neardup_clusters_documents": q_neardup_clusters_documents,
     "segment_dedup_documents": q_segment_dedup_documents,
     "tfidf_pairs_documents": q_tfidf_pairs_documents,
@@ -10279,6 +10317,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "stream_bloom_dedup_events": _o_stream_bloom_sql(),
     "bpeish_documents": O_BPEISH,
     "ngram_jaccard_documents": O_NGRAM_JACCARD,
+    "ppjoin_documents": O_PPJOIN,
     "segment_dedup_documents": O_SEGMENT_DEDUP,
     "tfidf_pairs_documents": O_TFIDF_PAIRS,
     "funnel_events": O_FUNNEL_EVENTS,

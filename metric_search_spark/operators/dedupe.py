@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from metric_search_spark.functions.text import shingles_col
@@ -717,3 +717,75 @@ def neardup_canonicalize(
         (F.col("node") == F.col("m.node")).alias("is_canonical"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard join with PPJoin-style PREFIX FILTERING
+    (Chaudhuri et al. 2006 / Xiao et al. 2008) — the same output as
+    :func:`ngram_jaccard_pairs` (set Jaccard ≥ threshold, identical
+    columns), but the inverted index carries only each document's PREFIX
+    under the global rarity order instead of every shingle.
+
+    Why it scales where the plain inverted index does not: two sets with
+    Jaccard ≥ τ must share a token among the first
+    p = n − ⌈τ·n⌉ + 1 tokens of ANY shared total order (pigeonhole: an
+    overlap of ⌈τ·n⌉ elements cannot hide entirely in the suffix). With
+    tokens ordered rarest-document-frequency-first, hot shingles land in
+    suffixes and never generate candidates — the skew the plain self-join
+    pays on every stopword-ish shingle disappears; candidates are
+    verified EXACTLY afterwards (array_intersect over the two full
+    shingle sets, shuffled only for candidate pairs). The prefix length
+    uses floor instead of ceil (one token longer at integral τ·n
+    boundaries, immune to double rounding) — a superset of candidates is
+    always sound.
+
+    Plan: one document-frequency aggregate, one per-doc rank window, the
+    prefix equi-join, and the bounded verify joins — every shuffle keyed,
+    no all-pairs product, no UDF."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold {threshold} not in (0, 1]")
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles_col(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .withColumn("n", F.size("sh"))
+        .where(F.col("n") > 0)
+    )
+    inv = sh.select("id", "n", F.explode("sh").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count("*").alias("dfq"))
+    w = Window.partitionBy("id").orderBy("dfq", "shingle")
+    p = F.col("n") - F.floor(F.lit(float(threshold)) * F.col("n")).cast("long") + 1
+    prefix = (
+        inv.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= p)
+        .select("id", "shingle")
+    )
+    cand = (
+        prefix.toDF("id_a", "shingle")
+        .join(prefix.toDF("id_b", "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sa"), F.col("n").alias("n_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_sb"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+__all__ += ["prefix_jaccard_pairs"]
