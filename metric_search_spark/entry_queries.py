@@ -8642,6 +8642,59 @@ FROM cell GROUP BY region
 """
 
 
+_DSM_RES = 4
+
+
+def q_downsample_mode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority (mode) pyramid of the label raster (operators/tiling.
+    downsample_mode — GDAL's ``mode`` resampler): embeddings aggregate to
+    per-(res-4 tile, label) counts, then every coarser level takes each
+    parent's most frequent label over the ORIGINAL base weights (the
+    carried state is the label distribution, so this is the true mode,
+    not a majority-of-majorities), ties to the smallest label. The DuckDB
+    twin recomputes every level's mode directly from raw coordinates with
+    ranked windows — no pyramid, no parent shift."""
+    from metric_search_spark.functions.spatial import with_xy_cell
+    from metric_search_spark.operators.tiling import downsample_mode
+
+    emb = _emb(spark, sf_dir)
+    base = (
+        with_xy_cell(emb, F.col("x"), F.col("y"), _DSM_RES, out="tile")
+        .groupBy("tile", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return downsample_mode(base, levels=_DSM_RES, cnt_col="cnt")
+
+
+def _o_downsample_mode_sql() -> str:
+    from metric_search_spark.functions.spatial import (
+        morton_bitsum_sql,
+        quantize_sql,
+    )
+
+    parts = []
+    for lvl in range(_DSM_RES + 1):
+        parts.append(
+            f"""
+SELECT CAST({lvl} AS BIGINT) AS res,
+       {morton_bitsum_sql('cx', 'cy', lvl)} AS tile, label, cnt
+FROM (
+  SELECT cx, cy, label, w,
+         sum(w) OVER (PARTITION BY cx, cy) AS cnt,
+         row_number() OVER (
+           PARTITION BY cx, cy ORDER BY w DESC, label ASC) AS rn
+  FROM (
+    SELECT ({quantize_sql(_EMB_X)}) >> {31 - lvl} AS cx,
+           ({quantize_sql(_EMB_Y)}) >> {31 - lvl} AS cy,
+           CAST(label AS BIGINT) AS label, count(*) AS w
+    FROM embeddings GROUP BY 1, 2, 3
+  )
+) WHERE rn = 1
+"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 _FLOW_RES = 5
 
 
@@ -10124,6 +10177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quadtree_embeddings": q_quadtree_embeddings,
     "regions_embeddings": q_regions_embeddings,
     "flow_embeddings": q_flow_embeddings,
+    "downsample_mode_embeddings": q_downsample_mode_embeddings,
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
     "sobel_images": q_sobel_images,
@@ -10375,6 +10429,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quadtree_embeddings": _o_quadtree_sql(),
     "regions_embeddings": _o_regions_sql(),
     "flow_embeddings": _o_flow_sql(),
+    "downsample_mode_embeddings": _o_downsample_mode_sql(),
     "region_boundaries_embeddings": _o_region_boundaries_sql(),
     "idw_embeddings": _o_idw_sql(),
     "od_events": _o_od_sql(),

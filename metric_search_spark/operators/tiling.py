@@ -1027,3 +1027,76 @@ def range_lookup(
         )
         .where(refine)
     )
+
+
+def downsample_mode(
+    tiles: DataFrame,
+    levels: int = 1,
+    *,
+    tile_col: str = "tile",
+    label_col: str = "label",
+    cnt_col: str | None = None,
+) -> DataFrame:
+    """Majority (mode) downsampling of a CATEGORICAL raster — GDAL's
+    ``mode`` resampler: each parent tile takes the most frequent label
+    among the ORIGINAL base-resolution contributions under it, weighted
+    by ``cnt_col`` (1 per input row when None); ties break to the
+    smallest label. The right pyramid for label rasters (land cover,
+    region ids, segmentation), where tile_rollup's sums would average
+    categories into nonsense.
+
+    The carried state per level is the per-tile LABEL DISTRIBUTION
+    ((tile, label) → weight), re-aggregated by the Morton parent shift —
+    so every level's mode is the true base-data mode, not a
+    majority-of-majorities. One shrinking (parent, label) aggregate per
+    level (≤ 4·|labels-per-tile| rows per group); the winner per tile is
+    a max-struct pick (weight, −label) — highest weight, then smallest
+    label — with cnt = the tile's total weight.
+
+    Input rows carry (tile, label[, cnt]) at one resolution; output is
+    (res, tile, label, cnt) for the input level and every coarser level
+    down ``levels`` steps."""
+    if levels < 1:
+        raise ValueError(f"levels {levels} must be >= 1")
+
+    def mode_pick(dist: DataFrame) -> DataFrame:
+        return (
+            dist.groupBy("res", "tile")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))
+                ).alias("m"),
+                F.sum("cnt").alias("_tot"),
+            )
+            .select(
+                "res",
+                "tile",
+                (-F.col("m._nl")).alias("label"),
+                F.col("_tot").alias("cnt"),
+            )
+        )
+
+    dist = tiles.select(
+        F.shiftright(F.col(tile_col), 56).alias("res"),
+        F.col(tile_col).alias("tile"),
+        F.col(label_col).cast("long").alias("label"),
+        (
+            F.col(cnt_col).cast("long") if cnt_col else F.lit(1).cast("long")
+        ).alias("cnt"),
+    ).groupBy("res", "tile", "label").agg(F.sum("cnt").alias("cnt"))
+    out = mode_pick(dist)
+    for _ in range(levels):
+        res = F.col("res") - 1
+        parent = (
+            F.shiftleft(res, 56)
+            + F.shiftright(F.col("tile").bitwiseAND(F.lit((1 << 56) - 1)), 2)
+        ).cast("long")
+        dist = (
+            dist.groupBy(res.alias("res"), parent.alias("tile"), "label")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        out = out.unionByName(mode_pick(dist))
+    return out
+
+
+__all__ += ["downsample_mode"]
