@@ -4244,6 +4244,79 @@ FROM o WHERE d1 * d2 < 0 AND d3 * d4 < 0
 """
 
 
+_LOS_RES = 5  # 32x32 grid
+# obstacle raster: a vertical wall at cx=16 spanning cy 8..23 + 4 scatter
+_LOS_OBSTACLES = [(16, cy) for cy in range(8, 24)] + [
+    (8, 8),
+    (24, 24),
+    (5, 20),
+    (20, 5),
+]
+
+
+def _los_c(i: int) -> float:
+    """Center of cell index i at _LOS_RES (exact binary fraction)."""
+    return (i + 0.5) / (1 << _LOS_RES)
+
+
+# sight lines (pair_id implicit by position): crossing the wall, passing
+# above it, starting inside an obstacle, the corner-grazing main diagonal,
+# short clear stubs, axis-aligned hits, and generic skew lines
+_LOS_PAIRS = [
+    (_los_c(2), _los_c(15), _los_c(30), _los_c(15)),  # through the wall
+    (_los_c(2), _los_c(28), _los_c(30), _los_c(28)),  # above the wall: clear
+    (_los_c(16), _los_c(10), _los_c(28), _los_c(2)),  # starts inside wall
+    (_los_c(2), _los_c(2), _los_c(30), _los_c(30)),  # main diagonal, 3 hits
+    (_los_c(2), _los_c(5), _los_c(13), _los_c(5)),  # stops short of (20,5)
+    (_los_c(2), _los_c(5), _los_c(30), _los_c(5)),  # row 5, hits (20,5)
+    (_los_c(5), _los_c(2), _los_c(5), _los_c(30)),  # vertical, hits (5,20)
+    (_los_c(3), _los_c(24), _los_c(30), _los_c(2)),  # skew across the wall
+    (_los_c(0), _los_c(31), _los_c(31), _los_c(31)),  # top row: clear
+    (_los_c(14), _los_c(6), _los_c(19), _los_c(26)),  # skew through the wall
+]
+
+
+def q_los_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster line-of-sight (operators/pip.line_of_sight): each sight
+    line's exact supercover (separating-axis corner-sign test) is met
+    against the obstacle tile set by ONE cell equi-join; blocked ⟺ the
+    closed segment touches a closed obstacle square. Oracle: DuckDB
+    re-decides every (pair, obstacle-cell) contact via Liang–Barsky
+    parametric clipping — a disjoint geometric formulation — and
+    re-counts. A supercover cell missed or invented flips n_blocking."""
+    from metric_search_spark.operators.pip import line_of_sight
+
+    pairs = spark.createDataFrame(
+        [(i, *p) for i, p in enumerate(_LOS_PAIRS)],
+        "pair_id long, ax double, ay double, bx double, by double",
+    )
+    import numpy as np
+
+    from metric_search_spark.cells import interleave_bits
+
+    cxs = np.array([c[0] for c in _LOS_OBSTACLES], dtype=np.int64)
+    cys = np.array([c[1] for c in _LOS_OBSTACLES], dtype=np.int64)
+    tiles = (_LOS_RES << 56) | interleave_bits(cxs, cys)
+    obstacles = spark.createDataFrame([(int(t),) for t in tiles], "tile long")
+    return line_of_sight(pairs, obstacles, res=_LOS_RES)
+
+
+def _o_los_sql() -> str:
+    s = 1.0 / (1 << _LOS_RES)
+    obs = ", ".join(f"({cx}, {cy})" for cx, cy in _LOS_OBSTACLES)
+    parts = [
+        f"SELECT CAST({i} AS BIGINT) AS pair_id,"
+        f" (SELECT count(*) FROM obs WHERE {_lb_segment_cond(ax, ay, bx, by, s)})"
+        f" AS n_blocking"
+        for i, (ax, ay, bx, by) in enumerate(_LOS_PAIRS)
+    ]
+    return (
+        f"WITH obs(cx, cy) AS (VALUES {obs}),\n"
+        f"hits AS ({' UNION ALL '.join(parts)})\n"
+        f"SELECT pair_id, n_blocking, n_blocking > 0 AS blocked FROM hits"
+    )
+
+
 def q_nearest_route_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-matching join (operators/pip.nearest_route_join): every point
     snaps to its nearest fixture route within radius 0.09 — padded
@@ -10297,6 +10370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "polyline_tiles_routes": q_polyline_tiles_routes,
     "mapmatch_traj": q_mapmatch_traj,
     "segment_intersections_routes": q_segment_intersections_routes,
+    "los_pairs": q_los_pairs,
     "nearest_route_embeddings": q_nearest_route_embeddings,
     "kde_tiles_embeddings": q_kde_tiles_embeddings,
     "zonal_stats_embeddings": q_zonal_stats_embeddings,
@@ -10461,6 +10535,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "polyline_tiles_routes": O_POLYLINE,
     "mapmatch_traj": _o_mapmatch_sql(),
     "segment_intersections_routes": _o_segment_intersections_sql(),
+    "los_pairs": _o_los_sql(),
     "nearest_route_embeddings": O_NEAREST_ROUTE,
     "kde_tiles_embeddings": O_KDE,
     "zonal_stats_embeddings": O_ZONAL,

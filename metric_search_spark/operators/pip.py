@@ -1003,3 +1003,64 @@ def segment_intersections_join(
         F.round(ax + t * (bx - ax), 12).alias("ix"),
         F.round(ay + t * (by - ay), 12).alias("iy"),
     )
+
+
+def line_of_sight(
+    pairs: DataFrame,
+    obstacles: DataFrame,
+    *,
+    res: int = 6,
+    pair_id_col: str = "pair_id",
+    obstacle_tile_col: str = "tile",
+) -> DataFrame:
+    """Raster line-of-sight: for each sight line (pair_id, ax, ay, bx, by),
+    is the straight segment blocked by any obstacle tile? The visibility
+    primitive of viewshed / coverage / mesh-connectivity analyses, as a
+    pure composition of existing machinery: the segment's SUPERCOVER
+    tiles (exact separating-axis test — the ``polyline_tiles`` kernel)
+    joined against the obstacle tile set.
+
+    Semantics: blocked ⟺ the CLOSED segment a→b intersects the CLOSED
+    square of an obstacle tile (endpoints sitting inside an obstacle
+    count — the conservative reading every occlusion test wants).
+    Returns (pair_id, blocked, n_blocking) for EVERY input pair —
+    n_blocking = distinct obstacle tiles touched.
+
+    Scale shape: candidate enumeration is linear in each segment's
+    supercover (cell-length subdivision, ≤16-cell padded bboxes — see
+    ``_segment_candidate_cells``); the obstacle join is a tile equi-join
+    (broadcastable when the obstacle raster is small, hash otherwise);
+    one aggregate per pair. No theta-join, no UDF."""
+    lines = pairs.select(
+        F.col(pair_id_col).alias("line_id"),
+        F.array(
+            F.struct(
+                F.col("ax").cast("double").alias("x"),
+                F.col("ay").cast("double").alias("y"),
+            ),
+            F.struct(
+                F.col("bx").cast("double").alias("x"),
+                F.col("by").cast("double").alias("y"),
+            ),
+        ).alias("path"),
+    )
+    tiles = polyline_tiles(lines, res=res)
+    obs = obstacles.select(F.col(obstacle_tile_col).alias("tile")).distinct()
+    hits = (
+        tiles.join(obs, "tile")
+        .groupBy("line_id")
+        .agg(F.count("*").alias("n_blocking"))
+    )
+    return (
+        pairs.select(F.col(pair_id_col).alias("pair_id"))
+        .distinct()
+        .join(hits.withColumnRenamed("line_id", "pair_id"), "pair_id", "left")
+        .select(
+            "pair_id",
+            F.coalesce("n_blocking", F.lit(0)).cast("long").alias("n_blocking"),
+        )
+        .withColumn("blocked", F.col("n_blocking") > 0)
+    )
+
+
+__all__ += ["line_of_sight"]
