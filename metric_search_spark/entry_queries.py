@@ -6702,6 +6702,73 @@ FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.ts >= r.ts
 """
 
 
+def q_resample_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with EXACT-integer linear interpolation
+    (operators/resample.resample_linear): per user, each grid second
+    takes v0 + ⌊(v1−v0)·(t−t0)/(t1−t0)⌋ between its bracketing events
+    (LOCF/NOCB at the span edges), over floor(value·1000) BIGINTs —
+    every operand int64 with explicit floor division, so the DuckDB twin
+    (two native ASOF joins, the forward one on negated seconds, same
+    pmod-based floordiv) is bit-identical. Duplicate (user, sec) events
+    max-struct to the max-event_id row in BOTH engines first."""
+    from metric_search_spark.operators.resample import resample_linear
+    from metric_search_spark.streaming.windows import EVENTS_SCHEMA
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    e = (
+        ev.select(
+            "user_id",
+            F.unix_timestamp("ts").alias("sec"),
+            F.struct(
+                "event_id", F.floor(F.col("value") * 1000).cast("long")
+            ).alias("_s"),
+        )
+        .groupBy("user_id", "sec")
+        .agg(F.max("_s").alias("_s"))
+        .select("user_id", "sec", F.col("_s")["col2"].alias("v"))
+    )
+    return resample_linear(e, by="user_id", sec_col="sec", value_col="v")
+
+
+O_RESAMPLE_LINEAR_EVENTS = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         arg_max(CAST(floor(value * 1000) AS BIGINT), event_id) AS v
+  FROM events GROUP BY user_id, sec
+),
+b AS (
+  SELECT user_id, min(sec) - (min(sec) % 3600) AS mn, max(sec) AS mx
+  FROM e GROUP BY user_id
+),
+g AS (
+  SELECT user_id, mn, unnest(generate_series(mn, mx, 3600)) AS sec FROM b
+),
+bk AS (
+  SELECT g.user_id, g.mn, g.sec, e.sec AS t0, e.v AS v0
+  FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.sec >= e.sec
+),
+gn AS (SELECT user_id, sec, -sec AS nsec FROM g),
+en AS (SELECT user_id, -sec AS nsec, sec AS t1, v AS v1 FROM e),
+fw AS (
+  SELECT gn.user_id, gn.sec, en.t1, en.v1
+  FROM gn ASOF LEFT JOIN en
+    ON gn.user_id = en.user_id AND gn.nsec >= en.nsec
+)
+SELECT bk.user_id,
+       (bk.sec - bk.mn) // 3600 AS pos,
+       bk.sec,
+       CASE WHEN t0 IS NULL THEN v1
+            WHEN t1 IS NULL THEN v0
+            WHEN t1 = t0 THEN v0
+            -- exact floordiv: num − pmod(num, den) is divisible by den
+            ELSE v0 + ((v1 - v0) * (bk.sec - t0)
+                       - ((((v1 - v0) * (bk.sec - t0)) % (t1 - t0))
+                          + (t1 - t0)) % (t1 - t0)) // (t1 - t0)
+       END AS v
+FROM bk JOIN fw ON bk.user_id = fw.user_id AND bk.sec = fw.sec
+"""
+
+
 def q_stream_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState
     (streaming/windows.stateful_user_ewma): per-user running EWMA of
@@ -10287,6 +10354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_events": q_stream_dedup_events,
     "asof_purchase_events": q_asof_purchase_events,
     "resample_locf_events": q_resample_locf_events,
+    "resample_linear_events": q_resample_linear_events,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "ppjoin_documents": q_ppjoin_documents,
     "neardup_clusters_documents": q_neardup_clusters_documents,
@@ -10570,6 +10638,7 @@ _STATIC_ORACLES["stream_ewma_events"] = O_STREAM_EWMA_EVENTS
 _STATIC_ORACLES["stream_dedup_events"] = O_STREAM_DEDUP_EVENTS
 _STATIC_ORACLES["asof_purchase_events"] = O_ASOF_PURCHASE_EVENTS
 _STATIC_ORACLES["resample_locf_events"] = O_RESAMPLE_LOCF_EVENTS
+_STATIC_ORACLES["resample_linear_events"] = O_RESAMPLE_LINEAR_EVENTS
 
 
 def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
