@@ -5386,6 +5386,158 @@ FROM m GROUP BY image_id
 """
 
 
+_KPM_N, _KPM_SEED, _KPM_T, _KPM_K, _KPM_D = 24, 42, 12, 16, 8
+
+
+def q_keypoint_match_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-feature image matching (operators/features): FAST-9 corners
+    → top-16 by comparison-census score → 64-bit BRIEF census
+    descriptors → banded Hamming keypoint join across a corpus of
+    originals + their qnt re-encodes, aggregated to per-image-pair
+    (n_pairs, ham_sum). Hand-off oracle: DuckDB replays the ENTIRE
+    pipeline from decoded pixels — all 32 circle comparisons + the
+    doubled-ring run test per center, the score/row_number top-k, all 64
+    descriptor pair comparisons by list indexing, the 16-bit banding,
+    candidate DISTINCT, exact popcount filter, and the aggregate — so a
+    wrong offset, selection tie-break, packed bit, band split, or
+    threshold strictness flips the hash."""
+    import pandas as pd
+
+    from metric_search_spark.operators.features import (
+        keypoint_match,
+        with_keypoints,
+    )
+    from metric_search_spark.sources.synth import (
+        decode_image,
+        encode_image,
+        generate_rows,
+    )
+
+    rows = generate_rows(_KPM_N, seed=_KPM_SEED)
+    var = []
+    for r in rows:
+        var.append({k: r[k] for k in ("image_id", "bytes", "w", "h", "fmt")})
+        dec = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+        var.append(
+            {
+                "image_id": r["image_id"] + "q",
+                "bytes": encode_image(dec, "qnt"),
+                "w": r["w"],
+                "h": r["h"],
+                "fmt": "qnt",
+            }
+        )
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [v["image_id"] for v in var],
+                    "w": [v["w"] for v in var],
+                    "h": [v["h"] for v in var],
+                    "px": [
+                        decode_image(v["bytes"], v["w"], v["h"], v["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for v in var
+                    ],
+                }
+            ),
+            _handoff_path("kpmatch", f"{_KPM_N}_{_KPM_SEED}"),
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(var)[["image_id", "bytes", "w", "h", "fmt"]]
+    )
+    kps = with_keypoints(df, thresh=_KPM_T, max_kp=_KPM_K)
+    m = keypoint_match(kps, max_dist=_KPM_D)
+    return m.groupBy("image_a", "image_b").agg(
+        F.count("*").alias("n_pairs"), F.sum("ham").alias("ham_sum")
+    )
+
+
+def _o_kpmatch_sql() -> str:
+    from metric_search_spark.functions.image import FAST_OFFSETS
+    from metric_search_spark.operators.features import BRIEF_PAIRS
+
+    path = _handoff_path("kpmatch", f"{_KPM_N}_{_KPM_SEED}")
+    t = _KPM_T
+    at = "p.g[({y}) * p.w + ({x}) + 1]"
+    ctr = at.format(y="p.y", x="p.x")
+    bterms, dterms = [], []
+    for i, (dx, dy) in enumerate(FAST_OFFSETS):
+        px = at.format(y=f"p.y + {dy}", x=f"p.x + {dx}")
+        bterms.append(f"(CASE WHEN {px} > {ctr} + {t} THEN {1 << i} ELSE 0 END)")
+        dterms.append(f"(CASE WHEN {px} < {ctr} - {t} THEN {1 << i} ELSE 0 END)")
+    b = " + ".join(bterms)
+    d = " + ".join(dterms)
+    run = (
+        "list_max(list_transform(range(0, 16), r -> CASE WHEN"
+        " (((CAST({m} AS BIGINT) * 65537) >> r) & 511) = 511 THEN 1 ELSE 0"
+        " END))"
+    )
+    katt = "k.g[({y}) * k.w + ({x}) + 1]"
+    d0terms, d1terms = [], []
+    for i, ((ay, ax), (by_, bx_)) in enumerate(BRIEF_PAIRS):
+        lhs = katt.format(y=f"k.y + {ay}", x=f"k.x + {ax}")
+        rhs = katt.format(y=f"k.y + {by_}", x=f"k.x + {bx_}")
+        (d0terms if i < 32 else d1terms).append(
+            f"(CASE WHEN {lhs} < {rhs} THEN {1 << (i % 32)} ELSE 0 END)"
+        )
+    d0 = " + ".join(d0terms)
+    d1 = " + ".join(d1terms)
+    return f"""
+WITH gg AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+ys AS (
+  SELECT image_id, w, g, unnest(range(4, h - 4)) AS y FROM gg
+),
+p AS (
+  SELECT image_id, w, g, y, unnest(range(4, w - 4)) AS x FROM ys
+),
+msk AS (
+  SELECT p.image_id, p.w, p.g, p.y, p.x, ({b}) AS bm, ({d}) AS dm FROM p
+),
+c AS (
+  SELECT *, bit_count(bm) + bit_count(dm) AS score FROM msk
+  WHERE {run.format(m='bm')} = 1 OR {run.format(m='dm')} = 1
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY image_id ORDER BY score DESC, y, x) - 1 AS kp
+  FROM c
+),
+k AS (SELECT * FROM rk WHERE kp < {_KPM_K}),
+dsc AS (SELECT k.image_id, k.kp, ({d0}) AS d0, ({d1}) AS d1 FROM k),
+bands AS (
+  SELECT image_id, kp, d0, d1,
+         unnest([0, 1, 2, 3]) AS bi,
+         unnest([d0 % 65536, d0 // 65536, d1 % 65536, d1 // 65536]) AS bv
+  FROM dsc
+),
+cand AS (
+  SELECT DISTINCT a.image_id AS image_a, a.kp AS kp_a,
+                  b.image_id AS image_b, b.kp AS kp_b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.image_id < b.image_id
+),
+hm AS (
+  SELECT c.image_a, c.image_b,
+         bit_count(xor(da.d0, db.d0)) + bit_count(xor(da.d1, db.d1)) AS ham
+  FROM cand c
+  JOIN dsc da ON da.image_id = c.image_a AND da.kp = c.kp_a
+  JOIN dsc db ON db.image_id = c.image_b AND db.kp = c.kp_b
+)
+SELECT image_a, image_b, count(*) AS n_pairs,
+       CAST(sum(ham) AS BIGINT) AS ham_sum
+FROM hm WHERE ham <= {_KPM_D} GROUP BY image_a, image_b
+"""
+
+
 def q_blob_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image connected-component blob statistics (functions/image.
     with_blob_stats): foreground = gray ≥ 600, 4-connected pixel
@@ -10323,6 +10475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sobel_images": q_sobel_images,
     "harris_images": q_harris_images,
     "fast_images": q_fast_images,
+    "keypoint_match_images": q_keypoint_match_images,
     "blob_images": q_blob_images,
     "orient_hist_images": q_orient_hist_images,
     "lbp_images": q_lbp_images,
@@ -10668,6 +10821,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["sobel_images"] = _o_sobel_sql()
     oracles["harris_images"] = _o_harris_sql()
     oracles["fast_images"] = _o_fast_sql()
+    oracles["keypoint_match_images"] = _o_kpmatch_sql()
     oracles["blob_images"] = _o_blob_sql()
     oracles["orient_hist_images"] = _o_orient_hist_sql()
     oracles["lbp_images"] = _o_lbp_sql()
