@@ -9064,6 +9064,71 @@ JOIN acc a ON a.tile = i.tile
 """
 
 
+def q_slope_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope/aspect/hillshade terrain derivatives
+    (operators/flow.slope_aspect) over the res-5 density raster: exact
+    integer 3×3 weighted gradients (gx, gy), squared-slope numerator g2,
+    the steepest-ascent octant decided by the tie-free integer test
+    (|gx|+|gy|)² ≷ 2·gx² (22.5° boundaries are irrational — no integer
+    pair lands on one), and the unnormalized n·L hillshade dot. DuckDB
+    twin recounts occupancy from raw points and re-derives everything
+    via an offset cross-join + LEFT JOIN (a different join shape from
+    the engine's 8-leg union), replaying the same octant CASE."""
+    from metric_search_spark.operators.flow import slope_aspect
+
+    emb = _emb(spark, sf_dir)
+    return slope_aspect(emb, _FLOW_RES)
+
+
+def _o_slope_sql() -> str:
+    from metric_search_spark.functions.spatial import (
+        morton_bitsum_sql,
+        quantize_sql,
+    )
+
+    res = _FLOW_RES
+    lim = (1 << res) - 1
+    return f"""
+WITH occ AS (
+  SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy,
+         count(*) AS elev
+  FROM embeddings GROUP BY 1, 2
+),
+offs(dx, dy, wx, wy) AS (
+  VALUES (1, 0, 2, 0), (-1, 0, -2, 0), (0, 1, 0, 2), (0, -1, 0, -2),
+         (1, 1, 1, 1), (1, -1, 1, -1), (-1, 1, -1, 1), (-1, -1, -1, -1)
+),
+g AS (
+  SELECT a.cx, a.cy, a.elev,
+         coalesce(sum(b.elev * o.wx), 0) AS gx,
+         coalesce(sum(b.elev * o.wy), 0) AS gy
+  FROM occ a
+  CROSS JOIN offs o
+  LEFT JOIN occ b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.cx BETWEEN 1 AND {lim - 1} AND a.cy BETWEEN 1 AND {lim - 1}
+  GROUP BY a.cx, a.cy, a.elev
+)
+SELECT {morton_bitsum_sql('cx', 'cy', res)} AS tile,
+       CAST(elev AS BIGINT) AS elev,
+       CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(gx * gx + gy * gy AS BIGINT) AS g2,
+       CAST(CASE
+         WHEN gx = 0 AND gy = 0 THEN 8
+         WHEN (abs(gx) + abs(gy)) * (abs(gx) + abs(gy)) > 2 * gx * gx
+          AND (abs(gx) + abs(gy)) * (abs(gx) + abs(gy)) > 2 * gy * gy
+         THEN CASE WHEN gx > 0 AND gy > 0 THEN 1
+                   WHEN gx < 0 AND gy > 0 THEN 3
+                   WHEN gx < 0 AND gy < 0 THEN 5
+                   ELSE 7 END
+         WHEN abs(gx) > abs(gy) THEN CASE WHEN gx > 0 THEN 0 ELSE 4 END
+         ELSE CASE WHEN gy > 0 THEN 2 ELSE 6 END
+       END AS BIGINT) AS aspect8,
+       CAST(gx - gy + 16 AS BIGINT) AS shade
+FROM g
+"""
+
+
 _IDW_RES, _IDW_K = 6, 2
 
 
@@ -10469,6 +10534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quadtree_embeddings": q_quadtree_embeddings,
     "regions_embeddings": q_regions_embeddings,
     "flow_embeddings": q_flow_embeddings,
+    "slope_embeddings": q_slope_embeddings,
     "downsample_mode_embeddings": q_downsample_mode_embeddings,
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
@@ -10724,6 +10790,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quadtree_embeddings": _o_quadtree_sql(),
     "regions_embeddings": _o_regions_sql(),
     "flow_embeddings": _o_flow_sql(),
+    "slope_embeddings": _o_slope_sql(),
     "downsample_mode_embeddings": _o_downsample_mode_sql(),
     "region_boundaries_embeddings": _o_region_boundaries_sql(),
     "idw_embeddings": _o_idw_sql(),

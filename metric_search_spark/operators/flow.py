@@ -190,3 +190,121 @@ def d8_flow(
     )
     _release_checkpoint(interior)
     return out
+
+
+_HORN_W = [
+    # (dx, dy, wx, wy): wx = dx*(2-|dy|), wy = dy*(2-|dx|) — the Horn
+    # (1981) 3x3 kernel weights for both gradients in one neighbor pass
+    (1, 0, 2, 0), (-1, 0, -2, 0), (0, 1, 0, 2), (0, -1, 0, -2),
+    (1, 1, 1, 1), (1, -1, 1, -1), (-1, 1, -1, 1), (-1, -1, -1, -1),
+]
+
+
+def slope_aspect(
+    df: DataFrame,
+    res: int,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    light: tuple[int, int, int] = (-1, 1, 2),
+) -> DataFrame:
+    """Horn (1981) slope / aspect / hillshade over the occupied tile
+    raster of the density surface — the terrain-derivative companion of
+    :func:`d8_flow`: where D8 answers "which neighbor do I drain to",
+    Horn's 3×3 weighted gradients answer "how steep and which way does
+    the surface face", the slope/aspect/hillshade triple of every raster
+    GIS, computed here on point counts (elevation := per-tile count,
+    unoccupied := 0).
+
+    Exact integer end-to-end:
+    - gx = Σ z·dx·(2−|dy|), gy = Σ z·dy·(2−|dx|) over the 8 neighbors —
+      integer weighted sums; g2 = gx²+gy² is the (unnormalized) squared
+      slope numerator.
+    - aspect8: steepest-ASCENT octant of (gx, gy), codes 0..7 =
+      E,NE,N,NW,W,SW,S,SE and 8 = flat. The 22.5° octant boundaries are
+      decided EXACTLY: |gy| < (√2−1)|gx| ⟺ (|gx|+|gy|)² < 2·gx² — all
+      integers, and since √2−1 is irrational no nonzero integer pair
+      ever lands ON a boundary, so the classification is total and
+      tie-free by arithmetic, not by convention.
+    - shade: the unnormalized hillshade dot product n·L with surface
+      normal n = (−gx, −gy, 8) and integer light vector ``light``
+      (default NW-ish (−1, 1, 2)): negative ⟺ self-shadowed.
+
+    Emitted for every OCCUPIED interior cell (all 8 neighbors
+    in-bounds); border cells are excluded rather than padded. Plan
+    shape: one occupancy aggregate (the only full-data pass), then ONE
+    union of 8 shifted equi-join legs over the ≤4^res occupied-cell
+    table and one aggregate — no theta-join, no UDF, identical to
+    d8_flow's candidate shape. Returns
+    (tile, elev, gx, gy, g2, aspect8, shade)."""
+    if not 1 <= res <= 27:
+        raise ValueError(f"resolution {res} out of [1, 27]")
+    lx, ly, lz = (int(v) for v in light)
+    shift = 31 - res
+    lim = 1 << res
+    occ = (
+        df.select(
+            F.shiftright(quantize_col(F.col(x_col).cast("double")), shift).alias("cx"),
+            F.shiftright(quantize_col(F.col(y_col).cast("double")), shift).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("elev"))
+    )
+    interior = occ.where(
+        (F.col("cx") >= 1) & (F.col("cx") <= lim - 2)
+        & (F.col("cy") >= 1) & (F.col("cy") <= lim - 2)
+    )
+    right = occ.select(
+        F.col("cx").alias("jx"), F.col("cy").alias("jy"),
+        F.col("elev").alias("z"),
+    )
+    legs = []
+    for dx, dy, wx, wy in _HORN_W:
+        legs.append(
+            interior.select(
+                "cx", "cy",
+                (F.col("cx") + dx).alias("jx"),
+                (F.col("cy") + dy).alias("jy"),
+                F.lit(wx).alias("wx"), F.lit(wy).alias("wy"),
+            )
+        )
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+    grads = (
+        cand.join(right, ["jx", "jy"])
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(F.col("z") * F.col("wx")).alias("gx"),
+            F.sum(F.col("z") * F.col("wy")).alias("gy"),
+        )
+    )
+    out = interior.join(grads, ["cx", "cy"], "left").select(
+        "cx", "cy", "elev",
+        F.coalesce("gx", F.lit(0)).cast("long").alias("gx"),
+        F.coalesce("gy", F.lit(0)).cast("long").alias("gy"),
+    )
+    gx, gy = F.col("gx"), F.col("gy")
+    ax, ay = F.abs(gx), F.abs(gy)
+    s = (ax + ay) * (ax + ay)
+    diag = (s > 2 * ax * ax) & (s > 2 * ay * ay)
+    aspect = (
+        F.when((gx == 0) & (gy == 0), 8)
+        .when(diag & (gx > 0) & (gy > 0), 1)
+        .when(diag & (gx < 0) & (gy > 0), 3)
+        .when(diag & (gx < 0) & (gy < 0), 5)
+        .when(diag & (gx > 0) & (gy < 0), 7)
+        .when(ax > ay, F.when(gx > 0, 0).otherwise(4))
+        .otherwise(F.when(gy > 0, 2).otherwise(6))
+    )
+    return out.select(
+        cell_from_cxy_col(F.col("cx"), F.col("cy"), res).alias("tile"),
+        F.col("elev").cast("long").alias("elev"),
+        "gx", "gy",
+        (gx * gx + gy * gy).cast("long").alias("g2"),
+        aspect.cast("long").alias("aspect8"),
+        ((-lx) * gx + (-ly) * gy + F.lit(8 * lz)).cast("long").alias("shade"),
+    )
+
+
+__all__ += ["slope_aspect"]
