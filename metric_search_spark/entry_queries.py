@@ -5386,6 +5386,85 @@ FROM m GROUP BY image_id
 """
 
 
+def q_box_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integral-image box filter (functions/image.with_box_stats): per
+    image, every 5×5 window sum at full-support centers from ONE
+    summed-area table (the Crow/Viola-Jones O(1)-per-window trick),
+    reduced to exact int64 (box_sum, box_max, box_min, argmax center
+    with (y,x) tie-break, n_win). The oracle is a genuinely different
+    algorithm: DuckDB recomputes every window by DIRECT 25-term gather
+    from the decoded-pixels hand-off and re-ranks the argmax — an
+    off-by-one in the SAT border, a wrong slice corner, or a tie-break
+    flip all move the hash."""
+    import pandas as pd
+
+    from metric_search_spark.functions.image import with_box_stats
+    from metric_search_spark.sources.synth import decode_image, generate_rows
+
+    rows = generate_rows(_IPV_N, seed=_IPV_SEED)
+    if _handoff_enabled():
+        _write_handoff(
+            pd.DataFrame(
+                {
+                    "image_id": [r["image_id"] for r in rows],
+                    "w": [r["w"] for r in rows],
+                    "h": [r["h"] for r in rows],
+                    "px": [
+                        decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                        .ravel()
+                        .astype("int32")
+                        .tolist()
+                        for r in rows
+                    ],
+                }
+            ),
+            _handoff_path("box", f"{_IPV_N}_{_IPV_SEED}"),
+        )
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    return with_box_stats(spark.createDataFrame(pdf), r=2).select(
+        "image_id", "box_sum", "box_max", "box_min", "amax_y", "amax_x",
+        "n_win",
+    )
+
+
+def _o_box_sql() -> str:
+    path = _handoff_path("box", f"{_IPV_N}_{_IPV_SEED}")
+    terms = " + ".join(
+        f"p.g[(p.y + {dy}) * p.w + (p.x + {dx}) + 1]"
+        for dy in range(-2, 3)
+        for dx in range(-2, 3)
+    )
+    return f"""
+WITH gg AS (
+  SELECT image_id, w, h,
+    list_transform(range(0, w*h),
+                   i -> CAST(px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+                             AS BIGINT)) AS g
+  FROM read_parquet('{path}')
+),
+ys AS (SELECT image_id, w, g, unnest(range(2, h - 2)) AS y FROM gg),
+p AS (SELECT image_id, w, g, y, unnest(range(2, w - 2)) AS x FROM ys),
+s AS (SELECT p.image_id, p.y, p.x, ({terms}) AS bs FROM p),
+agg AS (
+  SELECT image_id, CAST(sum(bs) AS BIGINT) AS box_sum,
+         CAST(max(bs) AS BIGINT) AS box_max,
+         CAST(min(bs) AS BIGINT) AS box_min,
+         count(*) AS n_win
+  FROM s GROUP BY image_id
+),
+am AS (
+  SELECT image_id, y AS amax_y, x AS amax_x FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY image_id ORDER BY bs DESC, y, x) AS rn FROM s)
+  WHERE rn = 1
+)
+SELECT a.image_id, a.box_sum, a.box_max, a.box_min,
+       CAST(m.amax_y AS BIGINT) AS amax_y,
+       CAST(m.amax_x AS BIGINT) AS amax_x, a.n_win
+FROM agg a JOIN am m ON m.image_id = a.image_id
+"""
+
+
 _KPM_N, _KPM_SEED, _KPM_T, _KPM_K, _KPM_D = 24, 42, 12, 16, 8
 
 
@@ -10541,6 +10620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sobel_images": q_sobel_images,
     "harris_images": q_harris_images,
     "fast_images": q_fast_images,
+    "box_images": q_box_images,
     "keypoint_match_images": q_keypoint_match_images,
     "blob_images": q_blob_images,
     "orient_hist_images": q_orient_hist_images,
@@ -10888,6 +10968,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles["sobel_images"] = _o_sobel_sql()
     oracles["harris_images"] = _o_harris_sql()
     oracles["fast_images"] = _o_fast_sql()
+    oracles["box_images"] = _o_box_sql()
     oracles["keypoint_match_images"] = _o_kpmatch_sql()
     oracles["blob_images"] = _o_blob_sql()
     oracles["orient_hist_images"] = _o_orient_hist_sql()
