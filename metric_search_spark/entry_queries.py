@@ -9208,6 +9208,72 @@ FROM g
 """
 
 
+_PCA_T = 12
+
+
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the 64-d embedding corpus
+    (operators/pca.pca_power): exact-integer scatter M = n·G − S·Sᵀ from
+    µ-scaled coordinates (one int64 matmul per Arrow batch, DECIMAL(38)
+    merge — the only distributed pass), then a 12-round power iteration
+    with left-to-right dot folds and max-|v| normalization. The DuckDB
+    twin recomputes G/S/n from raw embeddings (HUGEINT), casts the same
+    exact integers to float64, and replays the ENTIRE iteration in a
+    recursive CTE over a list-of-lists matrix — loadings match
+    bit-for-bit (list_sum is a left-to-right fold; pinned by the mmr
+    precedent and test_pca)."""
+    from metric_search_spark.operators.pca import pca_power
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_power(emb, vec_col="embedding", dim=64, iters=_PCA_T)
+
+
+O_PCA_EMBEDDINGS = f"""
+WITH RECURSIVE x AS (
+  SELECT list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+  FROM embeddings
+),
+nn AS (SELECT count(*) AS n FROM x),
+pairs AS (
+  SELECT j.i AS j, k.i AS k FROM range(0, 64) j(i), range(0, 64) k(i)
+),
+G AS (
+  SELECT p.j, p.k, sum(x.xi[p.j + 1] * x.xi[p.k + 1]) AS g
+  FROM x, pairs p GROUP BY p.j, p.k
+),
+S AS (
+  SELECT d.i AS j, sum(x.xi[d.i + 1]) AS s FROM x, range(0, 64) d(i)
+  GROUP BY 1
+),
+M AS (
+  SELECT g.j, g.k,
+         CAST(nn.n * g.g - sj.s * sk.s AS DOUBLE) AS m
+  FROM G g JOIN S sj ON sj.j = g.j JOIN S sk ON sk.j = g.k, nn
+),
+rows_ AS (SELECT j, list(m ORDER BY k) AS mrow FROM M GROUP BY j),
+mat AS (SELECT list(mrow ORDER BY j) AS mm FROM rows_),
+it(t, v, lam) AS (
+  SELECT 0, list_transform(range(0, 64), i -> CAST(1.0 AS DOUBLE)),
+         CAST(1.0 AS DOUBLE)
+  UNION ALL
+  SELECT t + 1,
+         list_transform(nv, u ->
+           u / list_max(list_transform(nv, w -> abs(w)))),
+         list_max(list_transform(nv, w -> abs(w)))
+  FROM (
+    SELECT it.t AS t,
+           list_transform(range(0, 64), j ->
+             list_sum(list_transform(range(0, 64), k ->
+               mat.mm[j + 1][k + 1] * it.v[k + 1]))) AS nv
+    FROM it, mat WHERE it.t < {_PCA_T}
+  ) s
+)
+SELECT CAST(d.i AS BIGINT) AS j, it.v[d.i + 1] AS loading, it.lam AS lam
+FROM it, range(0, 64) d(i) WHERE it.t = {_PCA_T}
+"""
+
+
 _IDW_RES, _IDW_K = 6, 2
 
 
@@ -10613,6 +10679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quadtree_embeddings": q_quadtree_embeddings,
     "regions_embeddings": q_regions_embeddings,
     "flow_embeddings": q_flow_embeddings,
+    "pca_embeddings": q_pca_embeddings,
     "slope_embeddings": q_slope_embeddings,
     "downsample_mode_embeddings": q_downsample_mode_embeddings,
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
@@ -10870,6 +10937,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "quadtree_embeddings": _o_quadtree_sql(),
     "regions_embeddings": _o_regions_sql(),
     "flow_embeddings": _o_flow_sql(),
+    "pca_embeddings": O_PCA_EMBEDDINGS,
     "slope_embeddings": _o_slope_sql(),
     "downsample_mode_embeddings": _o_downsample_mode_sql(),
     "region_boundaries_embeddings": _o_region_boundaries_sql(),
