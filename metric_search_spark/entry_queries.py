@@ -4317,6 +4317,100 @@ def _o_los_sql() -> str:
     )
 
 
+_OVL_N = 48
+_OVL_CLIP = [(0.2, 0.35), (0.5, 0.15), (0.8, 0.35), (0.7, 0.75), (0.3, 0.75)]
+
+
+def q_clip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sutherland–Hodgman polygon overlay (operators/overlay.clip_area):
+    48 star-shaped MINSTD fixture rings clipped against a convex CCW
+    pentagon — fully-outside (emptied), crossing (cut), and fully-inside
+    (kept) cases all present — reduced to clipped vertex count and the
+    doubled shoelace area, every float op a pinned left-to-right IEEE
+    dataflow. Oracle: DuckDB carries the vertex ring through a recursive
+    CTE (one step per clip edge, flatten-of-CASE emission per vertex)
+    over the VERBATIM embedded coordinates and replays the identical
+    fold — a wrong emission rule, boundary strictness, or orientation
+    flips the hash."""
+    from metric_search_spark.operators.overlay import (
+        clip_area,
+        synth_polygons,
+    )
+
+    subs = synth_polygons(_OVL_N)
+    df = spark.createDataFrame(
+        subs, "poly_id long, xs array<double>, ys array<double>"
+    )
+    return clip_area(df, _OVL_CLIP)
+
+
+def _o_clip_sql() -> str:
+    from metric_search_spark.operators.overlay import synth_polygons
+
+    subs = synth_polygons(_OVL_N)
+    vals = ",\n    ".join(
+        f"({pid}, [{', '.join(map(repr, xs))}], [{', '.join(map(repr, ys))}])"
+        for pid, xs, ys in subs
+    )
+    ne = len(_OVL_CLIP)
+    edges = ",\n    ".join(
+        f"({i}, {_OVL_CLIP[i][0]!r}, {_OVL_CLIP[i][1]!r},"
+        f" {_OVL_CLIP[(i + 1) % ne][0]!r}, {_OVL_CLIP[(i + 1) % ne][1]!r})"
+        for i in range(ne)
+    )
+    px = "it.vx[i + 1]"
+    py = "it.vy[i + 1]"
+    qx = "it.vx[((i + len(it.vx) - 1) % len(it.vx)) + 1]"
+    qy = "it.vy[((i + len(it.vx) - 1) % len(it.vx)) + 1]"
+    sc = f"((ed.bx - ed.ax) * ({py} - ed.ay) - (ed.by - ed.ay) * ({px} - ed.ax))"
+    sp = f"((ed.bx - ed.ax) * ({qy} - ed.ay) - (ed.by - ed.ay) * ({qx} - ed.ax))"
+    ix = f"({qx} + ({sp} / ({sp} - {sc})) * ({px} - {qx}))"
+    iy = f"({qy} + ({sp} / ({sp} - {sc})) * ({py} - {qy}))"
+
+    def emit(cur: str, inter: str) -> str:
+        return (
+            f"CASE WHEN {sc} >= 0 AND {sp} >= 0 THEN [{cur}]"
+            f" WHEN {sc} >= 0 THEN [{inter}, {cur}]"
+            f" WHEN {sp} >= 0 THEN [{inter}]"
+            f" ELSE [] END"
+        )
+
+    newx = (
+        "flatten(list_transform(range(0, len(it.vx)), i -> "
+        + emit(px, ix)
+        + "))"
+    )
+    newy = (
+        "flatten(list_transform(range(0, len(it.vx)), i -> "
+        + emit(py, iy)
+        + "))"
+    )
+    return f"""
+WITH RECURSIVE subs(poly_id, vx, vy) AS (
+  VALUES
+    {vals}
+),
+edges(e, ax, ay, bx, by) AS (
+  VALUES
+    {edges}
+),
+it(poly_id, e, vx, vy) AS (
+  SELECT poly_id, 0, vx, vy FROM subs
+  UNION ALL
+  SELECT it.poly_id, it.e + 1, {newx}, {newy}
+  FROM it JOIN edges ed ON ed.e = it.e
+  WHERE it.e < {ne}
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       CAST(len(vx) AS BIGINT) AS n_out,
+       coalesce(list_sum(list_transform(range(0, len(vx)), i ->
+         vx[i + 1] * vy[((i + 1) % len(vx)) + 1]
+         - vx[((i + 1) % len(vx)) + 1] * vy[i + 1])),
+         CAST(0.0 AS DOUBLE)) AS area2
+FROM it WHERE e = {ne}
+"""
+
+
 def q_nearest_route_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-matching join (operators/pip.nearest_route_join): every point
     snaps to its nearest fixture route within radius 0.09 — padded
@@ -10805,6 +10899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mapmatch_traj": q_mapmatch_traj,
     "segment_intersections_routes": q_segment_intersections_routes,
     "los_pairs": q_los_pairs,
+    "clip_polygons": q_clip_polygons,
     "nearest_route_embeddings": q_nearest_route_embeddings,
     "kde_tiles_embeddings": q_kde_tiles_embeddings,
     "zonal_stats_embeddings": q_zonal_stats_embeddings,
@@ -10972,6 +11067,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "mapmatch_traj": _o_mapmatch_sql(),
     "segment_intersections_routes": _o_segment_intersections_sql(),
     "los_pairs": _o_los_sql(),
+    "clip_polygons": _o_clip_sql(),
     "nearest_route_embeddings": O_NEAREST_ROUTE,
     "kde_tiles_embeddings": O_KDE,
     "zonal_stats_embeddings": O_ZONAL,

@@ -1,0 +1,85 @@
+"""Sutherland–Hodgman clip: exact hand geometries (binary-fraction
+coords so areas are exact doubles), orientation sign, boundary
+inclusivity, empty results, and convexity validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from metric_search_spark.operators.overlay import (
+    _validate_convex_ccw,
+    clip_area,
+    synth_polygons,
+)
+from tests.sparkutil import get_spark
+
+_SQ = [(0.25, 0.25), (0.75, 0.25), (0.75, 0.75), (0.25, 0.75)]
+
+
+def _run(polys, clip=_SQ):
+    spark = get_spark()
+    df = spark.createDataFrame(
+        polys, "poly_id long, xs array<double>, ys array<double>"
+    )
+    return {r.poly_id: r for r in clip_area(df, clip).collect()}
+
+
+def test_inside_outside_and_crossing():
+    got = _run(
+        [
+            # fully inside: kept verbatim, area2 = 2 * 0.125^2... (0.25 side)
+            (0, [0.4, 0.6, 0.6, 0.4], [0.4, 0.4, 0.6, 0.6]),
+            # fully outside (left of window)
+            (1, [0.0, 0.1, 0.1, 0.0], [0.0, 0.0, 0.1, 0.1]),
+            # big square containing the window: clips TO the window
+            (2, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+            # right half sticks out: clipped at x = 0.75
+            (3, [0.5, 1.0, 1.0, 0.5], [0.3, 0.3, 0.7, 0.7]),
+        ]
+    )
+    assert got[0].n_out == 4
+    assert got[0].area2 == pytest.approx(0.08, rel=1e-12)
+    assert (got[1].n_out, got[1].area2) == (0, 0.0)
+    assert got[2].area2 == 2 * 0.5 * 0.5  # exactly the window
+    assert got[3].area2 == pytest.approx(0.2, rel=1e-12)
+
+
+def test_orientation_sign_and_boundary_touch():
+    got = _run(
+        [
+            # clockwise ring -> negative area
+            (0, [0.4, 0.4, 0.6, 0.6], [0.4, 0.6, 0.6, 0.4]),
+            # edge-sharing square: boundary counts inside (sc >= 0)
+            (1, [0.25, 0.5, 0.5, 0.25], [0.25, 0.25, 0.5, 0.5]),
+        ]
+    )
+    assert got[0].area2 == pytest.approx(-0.08, rel=1e-12)
+    assert got[1].n_out == 4 and got[1].area2 == 2 * 0.0625
+
+
+def test_triangle_cut_exact():
+    # right triangle (0.5,0.5)-(1.0,0.5)-(0.5,1.0) ∩ window [0.25,0.75]²
+    # = the full square [0.5,0.75]² (the hypotenuse x+y=1.5 grazes its
+    # corner exactly) -> area2 = 2 · 0.25² = 0.125, exact in binary
+    got = _run([(0, [0.5, 1.0, 0.5], [0.5, 0.5, 1.0])])
+    assert got[0].area2 == 0.125
+
+
+def test_fixture_mix_and_validation():
+    subs = synth_polygons(48)
+    clip = [(0.2, 0.35), (0.5, 0.15), (0.8, 0.35), (0.7, 0.75), (0.3, 0.75)]
+    got = _run(subs, clip)
+    kinds = {"empty": 0, "nonempty": 0}
+    for pid, xs, ys in subs:
+        r = got[pid]
+        if r.n_out == 0:
+            assert r.area2 == 0.0
+            kinds["empty"] += 1
+        else:
+            assert r.area2 > 0.0  # CCW fixtures stay CCW
+            kinds["nonempty"] += 1
+    assert kinds["empty"] > 0 and kinds["nonempty"] > 0
+    with pytest.raises(ValueError):
+        _validate_convex_ccw([(0, 0), (1, 0)])
+    with pytest.raises(ValueError):  # clockwise square
+        _validate_convex_ccw([(0, 0), (0, 1), (1, 1), (1, 0)])
