@@ -4344,20 +4344,11 @@ def q_clip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clip_area(df, _OVL_CLIP)
 
 
-def _o_clip_sql() -> str:
-    from metric_search_spark.operators.overlay import synth_polygons
-
-    subs = synth_polygons(_OVL_N)
-    vals = ",\n    ".join(
-        f"({pid}, [{', '.join(map(repr, xs))}], [{', '.join(map(repr, ys))}])"
-        for pid, xs, ys in subs
-    )
-    ne = len(_OVL_CLIP)
-    edges = ",\n    ".join(
-        f"({i}, {_OVL_CLIP[i][0]!r}, {_OVL_CLIP[i][1]!r},"
-        f" {_OVL_CLIP[(i + 1) % ne][0]!r}, {_OVL_CLIP[(i + 1) % ne][1]!r})"
-        for i in range(ne)
-    )
+def _sh_flatten_exprs() -> tuple[str, str]:
+    """The Sutherland–Hodgman per-clip-edge step as two DuckDB
+    flatten-of-CASE expressions over the carried ring lists it.vx/it.vy
+    and the current edge row ed(ax, ay, bx, by) — shared by the
+    single-window and join overlay oracles."""
     px = "it.vx[i + 1]"
     py = "it.vy[i + 1]"
     qx = "it.vx[((i + len(it.vx) - 1) % len(it.vx)) + 1]"
@@ -4385,6 +4376,24 @@ def _o_clip_sql() -> str:
         + emit(py, iy)
         + "))"
     )
+    return newx, newy
+
+
+def _o_clip_sql() -> str:
+    from metric_search_spark.operators.overlay import synth_polygons
+
+    subs = synth_polygons(_OVL_N)
+    vals = ",\n    ".join(
+        f"({pid}, [{', '.join(map(repr, xs))}], [{', '.join(map(repr, ys))}])"
+        for pid, xs, ys in subs
+    )
+    ne = len(_OVL_CLIP)
+    edges = ",\n    ".join(
+        f"({i}, {_OVL_CLIP[i][0]!r}, {_OVL_CLIP[i][1]!r},"
+        f" {_OVL_CLIP[(i + 1) % ne][0]!r}, {_OVL_CLIP[(i + 1) % ne][1]!r})"
+        for i in range(ne)
+    )
+    newx, newy = _sh_flatten_exprs()
     return f"""
 WITH RECURSIVE subs(poly_id, vx, vy) AS (
   VALUES
@@ -4408,6 +4417,86 @@ SELECT CAST(poly_id AS BIGINT) AS poly_id,
          - vx[((i + 1) % len(vx)) + 1] * vy[i + 1])),
          CAST(0.0 AS DOUBLE)) AS area2
 FROM it WHERE e = {ne}
+"""
+
+
+_OVL_ZONES = [
+    (0, [0.2, 0.5, 0.8, 0.7, 0.3], [0.35, 0.15, 0.35, 0.75, 0.75]),
+    (1, [0.05, 0.35, 0.35, 0.05], [0.05, 0.05, 0.3, 0.3]),
+    (2, [0.6, 0.95, 0.8], [0.05, 0.1, 0.3]),
+    (3, [0.05, 0.45, 0.4, 0.1], [0.55, 0.6, 0.95, 0.9]),
+    (4, [0.55, 0.95, 0.95, 0.55], [0.55, 0.55, 0.95, 0.95]),
+    (5, [0.85, 0.95, 0.95, 0.85], [0.35, 0.35, 0.5, 0.5]),
+]
+
+
+def q_overlay_join_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-overlay join (operators/overlay.overlay_join): the 48
+    fixture rings × 6 convex zones, candidates via bbox→tile equi-join
+    at res 3 (never all-pairs), each surviving pair clipped by the
+    shared pinned SH dataflow. The oracle clips ALL 288 pairs through
+    the recursive-CTE ring replay and keeps n_out > 0 — so a candidate
+    pair the tile prefilter wrongly dropped (a false negative) would
+    surface in the oracle and flip the hash; the prefilter's
+    completeness is certified on every run."""
+    from metric_search_spark.operators.overlay import (
+        overlay_join,
+        synth_polygons,
+    )
+
+    subs = spark.createDataFrame(
+        synth_polygons(_OVL_N), "poly_id long, xs array<double>, ys array<double>"
+    )
+    zones = spark.createDataFrame(
+        _OVL_ZONES, "zone_id long, zxs array<double>, zys array<double>"
+    )
+    return overlay_join(subs, zones, res=3)
+
+
+def _o_overlay_join_sql() -> str:
+    from metric_search_spark.operators.overlay import synth_polygons
+
+    subs = synth_polygons(_OVL_N)
+    vals = ",\n    ".join(
+        f"({pid}, [{', '.join(map(repr, xs))}], [{', '.join(map(repr, ys))}])"
+        for pid, xs, ys in subs
+    )
+    zedges = []
+    zinfo = []
+    for zid, zxs, zys in _OVL_ZONES:
+        ne = len(zxs)
+        zinfo.append(f"({zid}, {ne})")
+        for i in range(ne):
+            zedges.append(
+                f"({zid}, {i}, {zxs[i]!r}, {zys[i]!r},"
+                f" {zxs[(i + 1) % ne]!r}, {zys[(i + 1) % ne]!r})"
+            )
+    newx, newy = _sh_flatten_exprs()
+    return f"""
+WITH RECURSIVE subs(poly_id, vx, vy) AS (
+  VALUES
+    {vals}
+),
+zinfo(zone_id, ne) AS (VALUES {", ".join(zinfo)}),
+zedges(zone_id, e, ax, ay, bx, by) AS (
+  VALUES
+    {(",{}    ".format(chr(10))).join(zedges)}
+),
+it(poly_id, zone_id, ne, e, vx, vy) AS (
+  SELECT s.poly_id, z.zone_id, z.ne, 0, s.vx, s.vy FROM subs s, zinfo z
+  UNION ALL
+  SELECT it.poly_id, it.zone_id, it.ne, it.e + 1, {newx}, {newy}
+  FROM it JOIN zedges ed ON ed.zone_id = it.zone_id AND ed.e = it.e
+  WHERE it.e < it.ne
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       CAST(zone_id AS BIGINT) AS zone_id,
+       CAST(len(vx) AS BIGINT) AS n_out,
+       coalesce(list_sum(list_transform(range(0, len(vx)), i ->
+         vx[i + 1] * vy[((i + 1) % len(vx)) + 1]
+         - vx[((i + 1) % len(vx)) + 1] * vy[i + 1])),
+         CAST(0.0 AS DOUBLE)) AS area2
+FROM it WHERE e = ne AND len(vx) > 0
 """
 
 
@@ -10900,6 +10989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_intersections_routes": q_segment_intersections_routes,
     "los_pairs": q_los_pairs,
     "clip_polygons": q_clip_polygons,
+    "overlay_join_polygons": q_overlay_join_polygons,
     "nearest_route_embeddings": q_nearest_route_embeddings,
     "kde_tiles_embeddings": q_kde_tiles_embeddings,
     "zonal_stats_embeddings": q_zonal_stats_embeddings,
@@ -11068,6 +11158,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "segment_intersections_routes": _o_segment_intersections_sql(),
     "los_pairs": _o_los_sql(),
     "clip_polygons": _o_clip_sql(),
+    "overlay_join_polygons": _o_overlay_join_sql(),
     "nearest_route_embeddings": O_NEAREST_ROUTE,
     "kde_tiles_embeddings": O_KDE,
     "zonal_stats_embeddings": O_ZONAL,

@@ -83,3 +83,57 @@ def test_fixture_mix_and_validation():
         _validate_convex_ccw([(0, 0), (1, 0)])
     with pytest.raises(ValueError):  # clockwise square
         _validate_convex_ccw([(0, 0), (0, 1), (1, 1), (1, 0)])
+
+
+def test_overlay_join_matches_allpairs_bruteforce():
+    from metric_search_spark.operators.overlay import (
+        _clip_ring,
+        overlay_join,
+    )
+
+    spark = get_spark()
+    subs = synth_polygons(24)
+    zones = [
+        (0, [0.2, 0.5, 0.8, 0.7, 0.3], [0.35, 0.15, 0.35, 0.75, 0.75]),
+        (1, [0.05, 0.35, 0.35, 0.05], [0.05, 0.05, 0.3, 0.3]),
+        (2, [0.55, 0.95, 0.95, 0.55], [0.55, 0.55, 0.95, 0.95]),
+    ]
+    sdf = spark.createDataFrame(
+        subs, "poly_id long, xs array<double>, ys array<double>"
+    )
+    zdf = spark.createDataFrame(
+        zones, "zone_id long, zxs array<double>, zys array<double>"
+    )
+    got = {
+        (r.poly_id, r.zone_id): (r.n_out, r.area2)
+        for r in overlay_join(sdf, zdf, res=3).collect()
+    }
+    want = {}
+    for pid, xs, ys in subs:
+        for zid, zxs, zys in zones:
+            ne = len(zxs)
+            edges = [
+                (zxs[i], zys[i], zxs[(i + 1) % ne], zys[(i + 1) % ne])
+                for i in range(ne)
+            ]
+            vx, vy, a2 = _clip_ring(list(xs), list(ys), edges)
+            if vx:
+                want[(pid, zid)] = (len(vx), a2)
+    assert got == want  # bitwise: prefilter is complete, clip identical
+
+
+def test_overlay_join_rejects_nonconvex_zone():
+    from metric_search_spark.operators.overlay import overlay_join
+
+    spark = get_spark()
+    sdf = spark.createDataFrame(
+        [(0, [0.1, 0.9, 0.9, 0.1], [0.1, 0.1, 0.9, 0.9])],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    # clockwise zone overlapping the subject -> kernel must raise
+    zdf = spark.createDataFrame(
+        [(0, [0.2, 0.2, 0.8, 0.8], [0.2, 0.8, 0.8, 0.2])],
+        "zone_id long, zxs array<double>, zys array<double>",
+    )
+    with pytest.raises(Exception, match="convex"):
+        overlay_join(sdf, zdf, res=3).collect()
