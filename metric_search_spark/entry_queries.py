@@ -686,6 +686,65 @@ def q_pagerank_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=16, damping=0.5).select("node", "pr")
 
 
+_LPA_ROUNDS = 4
+
+
+def q_lpa_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/graph.
+    label_propagation) over a deterministic 8×8 clique-chain (8 cliques
+    of 8 nodes, bridge edges 8c+7 → 8(c+1)): all nodes simultaneously
+    adopt their neighborhood's modal label, ties to the smallest, fixed
+    4 rounds. Distributed side: per-round (node, label) shuffle +
+    max-struct argmax; DuckDB twin: the full label VECTOR carried
+    through a recursive CTE, per-node mode recomputed by count-lambdas
+    over the precomputed neighbor-rank lists — a wrong tie-break,
+    missed simultaneity (chained updates), or dropped bridge edge flips
+    the hash."""
+    from metric_search_spark.operators.graph import label_propagation
+
+    edges = []
+    for c in range(8):
+        for i in range(8):
+            for j in range(i + 1, 8):
+                edges.append((c * 8 + i, c * 8 + j))
+    for c in range(7):
+        edges.append((c * 8 + 7, (c + 1) * 8))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return label_propagation(e, rounds=_LPA_ROUNDS)
+
+
+def _o_lpa_sql() -> str:
+    lab = "list_transform(mat.nb[i + 1], v -> it.L[v + 1])"
+    cnt_of = f"len(list_filter({lab}, y -> y = x))"
+    mc = f"list_max(list_transform({lab}, x -> {cnt_of}))"
+    mode = f"list_min(list_filter({lab}, x -> {cnt_of} = {mc}))"
+    return f"""
+WITH RECURSIVE cl AS (
+  SELECT c.c*8 + i.i AS src, c.c*8 + j.j AS dst
+  FROM range(8) c(c), range(8) i(i), range(8) j(j) WHERE i.i < j.j
+),
+br AS (SELECT c.c*8 + 7 AS src, (c.c + 1)*8 AS dst FROM range(7) c(c)),
+e AS (SELECT * FROM cl UNION ALL SELECT * FROM br),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+),
+nbl AS (SELECT src AS node, list(dst ORDER BY dst) AS nbrs FROM und GROUP BY src),
+mat AS (SELECT list(nbrs ORDER BY node) AS nb FROM nbl),
+it(t, L) AS (
+  SELECT 0, list_transform(range(0, 64), i -> CAST(i AS BIGINT))
+  UNION ALL
+  SELECT it.t + 1,
+         list_transform(range(0, 64), i ->
+           CASE WHEN len(mat.nb[i + 1]) = 0 THEN it.L[i + 1]
+                ELSE {mode} END)
+  FROM it, mat WHERE it.t < {_LPA_ROUNDS}
+)
+SELECT CAST(d.i AS BIGINT) AS node, it.L[d.i + 1] AS label
+FROM it, range(0, 64) d(i) WHERE it.t = {_LPA_ROUNDS}
+"""
+
+
 O_PAGERANK_FUNCTIONAL = """
 WITH RECURSIVE e AS (
   SELECT i AS src, (2*i+1) % 256 AS dst FROM range(256) t(i)
@@ -10853,6 +10912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedupe_threshold_embeddings": q_dedupe_threshold_embeddings,
     "bfs_grid4": q_bfs_grid4,
     "pagerank_functional": q_pagerank_functional,
+    "lpa_cliques": q_lpa_cliques,
     "hits_functional": q_hits_functional,
     "triangles_grid8": q_triangles_grid8,
     "bfs_grid6": q_bfs_grid6,
@@ -11051,6 +11111,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "dedupe_threshold_embeddings": O_DEDUPE_THRESHOLD,
     "bfs_grid4": O_BFS_GRID4,
     "pagerank_functional": O_PAGERANK_FUNCTIONAL,
+    "lpa_cliques": _o_lpa_sql(),
     "hits_functional": O_HITS_FUNCTIONAL,
     "triangles_grid8": O_TRIANGLES_GRID8,
     "bfs_grid6": O_BFS_GRID6,

@@ -1115,3 +1115,61 @@ def boruvka_mst(edges: DataFrame, *, max_rounds: int = 64) -> DataFrame:
             nodes=nodes,
         )
     return mst
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int = 4,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan et al.
+    2007, the LPA variant Spark's GraphX ships): every node starts
+    labeled with its own id; each round ALL nodes simultaneously adopt
+    the most frequent label among their neighbors, ties to the SMALLEST
+    label, isolated nodes keep theirs. A FIXED round count (no
+    convergence test) keeps the run — and its SQL replay — total and
+    deterministic; callers wanting early stop can wrap it with the CC
+    digest pattern.
+
+    Plan shape per round: one (node, label) shuffle against the
+    once-materialized undirected edge list, a map-side-combinable
+    (node, label) count, and a max-struct argmax — no window over the
+    full node set; rounds are eager localCheckpoints with superseded
+    generations released (the CC/BFS lineage hygiene). Returns
+    (node, label) after ``rounds`` rounds."""
+    und = _undirected(edges).distinct().localCheckpoint(eager=True)
+    if nodes is None:
+        nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select(
+        "node", F.col("node").cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        nl = und.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        upd = (
+            nl.groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg")).alias("nlabel"))
+        )
+        nxt = (
+            labels.join(upd, "node", "left")
+            .select(
+                "node", F.coalesce("nlabel", "label").cast("long").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(labels)
+        labels = nxt
+    _release_checkpoint(und)
+    return labels
+
+
+__all__ += ["label_propagation"]
