@@ -464,6 +464,36 @@ FROM documents
 """
 
 
+_BLOCKLIST = ["slow", "big table", "customer", "vec"]
+
+
+def q_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening (functions/text.blocklist_cols): exact
+    substring-occurrence counts via the replace trick — (len(t) −
+    len(replace(t, p, '')))/len(p), leftmost non-overlapping in both
+    engines — over a 4-pattern list including a multi-word phrase and a
+    prefix pattern ('vec' hits inside 'vector'). Pure Column algebra,
+    no UDF; the twin is the same fold in DuckDB SQL."""
+    from metric_search_spark.functions.text import blocklist_cols
+
+    docs = _read(spark, sf_dir, "documents")
+    cols = blocklist_cols(F.col("text"), _BLOCKLIST)
+    return docs.select(
+        "doc_id",
+        cols["bl_hits"].alias("bl_hits"),
+        cols["bl_pats"].alias("bl_pats"),
+        cols["bl_flag"].alias("bl_flag"),
+    )
+
+
+def _o_blocklist_sql() -> str:
+    from metric_search_spark.functions.text import blocklist_sql
+
+    return (
+        f"SELECT doc_id, {blocklist_sql('text', _BLOCKLIST)} FROM documents"
+    )
+
+
 _EDIT_T = 12  # edit-distance threshold (full text)
 
 
@@ -1958,6 +1988,43 @@ SELECT doc_id, lang, source, CAST(r AS BIGINT) AS rk FROM (
            PARTITION BY lang, source ORDER BY {h}, doc_id) AS r
   FROM documents
 ) WHERE r <= 5
+"""
+
+
+def q_wmedian_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user weighted lower median (operators/quantiles.
+    weighted_median): smallest vmillis with 2·Σ_{u≤v} w ≥ Σw over
+    deterministic integer weights (event_id mod 7 + 1). Engine: one
+    RANGE-frame cumsum (ties absorbed wholesale) + min over qualifying
+    rows; DuckDB twin: a structurally different correlated-subquery
+    formulation of the same exact-integer threshold — a wrong frame
+    (ROWS vs RANGE), strictness, or tie handling flips the hash."""
+    from metric_search_spark.operators.quantiles import weighted_median
+
+    ev = _read(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("w"),
+    )
+    return weighted_median(t, by="user_id", val_col="v", w_col="w")
+
+
+O_WMEDIAN_EVENTS = """
+WITH t AS (
+  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+         event_id % 7 + 1 AS w
+  FROM events
+)
+SELECT a.user_id,
+       min(a.v) AS wmed,
+       CAST((SELECT sum(w) FROM t q WHERE q.user_id = a.user_id) AS BIGINT)
+         AS wtot
+FROM t a
+WHERE 2 * (SELECT sum(b.w) FROM t b
+           WHERE b.user_id = a.user_id AND b.v <= a.v)
+      >= (SELECT sum(c.w) FROM t c WHERE c.user_id = a.user_id)
+GROUP BY a.user_id
 """
 
 
@@ -10898,6 +10965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_rollup_embeddings": q_tile_rollup_embeddings,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_stats_documents": q_token_stats_documents,
+    "blocklist_documents": q_blocklist_documents,
     "token_topk_documents": q_token_topk_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "cube_orders": q_cube_orders,
@@ -10978,6 +11046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_documents": q_split_documents,
     "weighted_sample_documents": q_weighted_sample_documents,
     "quantiles_events": q_quantiles_events,
+    "wmedian_events": q_wmedian_events,
     "mad_outliers_events": q_mad_outliers_events,
     "linreg_events": q_linreg_events,
     "mann_kendall_events": q_mann_kendall_events,
@@ -11097,6 +11166,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "tile_rollup_embeddings": _o_tile_rollup_sql(),
     "dedup_exact_documents": O_DEDUP_EXACT,
     "token_stats_documents": O_TOKEN_STATS,
+    "blocklist_documents": _o_blocklist_sql(),
     "token_topk_documents": O_TOKEN_TOPK,
     "heavy_hitters_documents": O_HEAVY_HITTERS,
     "cube_orders": O_CUBE_ORDERS,
@@ -11135,6 +11205,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "split_documents": _o_split_sql(),
     "weighted_sample_documents": _o_weighted_sample_sql(),
     "quantiles_events": O_QUANTILES_EVENTS,
+    "wmedian_events": O_WMEDIAN_EVENTS,
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
     "linreg_events": O_LINREG_EVENTS,
     "mann_kendall_events": O_MANN_KENDALL,

@@ -1006,3 +1006,65 @@ GROUP BY dw.doc_id
 
 
 __all__ += ["bpe_encode_sql"]
+
+
+def blocklist_cols(
+    text: Column, patterns: list[str]
+) -> dict[str, Column]:
+    """Blocklist screening — the PII/profanity/boilerplate substring
+    filter every corpus-curation pipeline runs before training. Exact
+    occurrence counting via the replace trick, identical in both
+    engines:
+        occ(p) = (len(t) − len(replace(t, p, ''))) / len(p)
+    (leftmost non-overlapping occurrences — the shared semantics of
+    Spark's ``replace`` and DuckDB's). Pure Column expressions — no UDF,
+    pushdown-friendly, and the count per pattern folds left-to-right
+    into exact BIGINTs.
+
+    Returns {"bl_hits": total occurrences, "bl_pats": distinct patterns
+    present, "bl_flag": any hit} for a fixed (broadcast-literal)
+    pattern list. For 10⁵+-entry blocklists switch to the tokenize-and-
+    join shape of dedupe's inverted indexes; a literal expression chain
+    is the right plan only for list sizes that fit an expression tree."""
+    from pyspark.sql import functions as F
+
+    if not patterns:
+        raise ValueError("blocklist_cols: empty pattern list")
+    occs = [
+        (
+            (F.length(text) - F.length(F.replace(text, F.lit(p))))
+            / len(p)
+        ).cast("long")
+        for p in patterns
+    ]
+    hits = occs[0]
+    for o in occs[1:]:
+        hits = hits + o
+    pats = F.lit(0).cast("long")
+    for o in occs:
+        pats = pats + F.when(o > 0, 1).otherwise(0)
+    return {
+        "bl_hits": hits,
+        "bl_pats": pats.cast("long"),
+        "bl_flag": hits > 0,
+    }
+
+
+def blocklist_sql(text_expr: str, patterns: list[str]) -> str:
+    """The DuckDB twin of :func:`blocklist_cols` as a SELECT fragment:
+    same replace-trick algebra, same fold order."""
+    occ = [
+        f"((length({text_expr}) - length(replace({text_expr}, '{p}', '')))"
+        f" // {len(p)})"
+        for p in patterns
+    ]
+    hits = " + ".join(occ)
+    pats = " + ".join(f"(CASE WHEN {o} > 0 THEN 1 ELSE 0 END)" for o in occ)
+    return (
+        f"CAST({hits} AS BIGINT) AS bl_hits,"
+        f" CAST({pats} AS BIGINT) AS bl_pats,"
+        f" ({hits}) > 0 AS bl_flag"
+    )
+
+
+__all__ += ["blocklist_cols", "blocklist_sql"]

@@ -157,3 +157,46 @@ def equiwidth_histogram(
     return grid.join(counts, gc + ["bin"], "left").select(
         *gc, "bin", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    *,
+    by: str = "g",
+    val_col: str = "v",
+    w_col: str = "w",
+) -> DataFrame:
+    """Per-group weighted LOWER median over integer weights: the
+    smallest value v with ``2·Σ_{u≤v} w(u) ≥ Σ w`` — the robust
+    aggregator (weighted by trust scores, durations, byte counts) whose
+    threshold test is exact integer algebra, so ties and repeated
+    values cannot flip it across engines or partitionings.
+
+    Plan: ONE RANGE-frame cumulative sum ordered by value (a RANGE
+    frame absorbs duplicate values wholesale — the cut is defined at
+    value granularity, so tie order inside a value is irrelevant by
+    construction), a broadcast-sized per-group total, and a min()
+    aggregate over qualifying rows. Returns (by, wmed, wtot)."""
+    cum = F.sum(w_col).over(
+        Window.partitionBy(by)
+        .orderBy(val_col)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum(w_col).over(Window.partitionBy(by))
+    return (
+        df.select(
+            by,
+            F.col(val_col).alias("_v"),
+            cum.alias("_c"),
+            tot.alias("_t"),
+        )
+        .where(2 * F.col("_c") >= F.col("_t"))
+        .groupBy(by)
+        .agg(
+            F.min("_v").cast("long").alias("wmed"),
+            F.max("_t").cast("long").alias("wtot"),
+        )
+    )
+
+
+__all__.append("weighted_median")
