@@ -464,6 +464,56 @@ FROM documents
 """
 
 
+def q_chi2_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source discriminative vocabulary by χ² (operators/cooccur.
+    chi2_tokens): exact 2×2 presence tables per (source, token), χ² =
+    N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with both operands exact int64
+    meeting in ONE correctly-rounded float64 division (bit-identical
+    across engines), top-15 per source with token tie-break. Everywhere-
+    present tokens (b=d=0 ⇒ 0/0) are excluded by contract; min_df=5
+    prunes the hapax tail before expansion."""
+    from metric_search_spark.operators.cooccur import chi2_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return chi2_tokens(docs, min_df=5, k=15)
+
+
+O_CHI2_TOKENS = """
+WITH pres AS (
+  SELECT DISTINCT doc_id AS d, source AS label, t.token AS token
+  FROM documents, unnest(list_distinct(string_split(text, ' '))) t(token)
+  WHERE length(t.token) > 0
+),
+nt AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+ls AS (SELECT source AS label, count(DISTINCT doc_id) AS ns
+       FROM documents GROUP BY 1),
+tt AS (SELECT token, count(DISTINCT d) AS tc FROM pres GROUP BY 1),
+ttf AS (SELECT token, tc FROM tt, nt WHERE tc >= 5 AND tc < nt.n),
+tl AS (SELECT label, token, count(DISTINCT d) AS a FROM pres GROUP BY 1, 2),
+s0 AS (
+  SELECT tl.label, tl.token, tl.a,
+         ls.ns - tl.a AS b, ttf.tc - tl.a AS c,
+         nt.n - ls.ns - ttf.tc + tl.a AS d,
+         ls.ns AS ns, ttf.tc AS tc, nt.n AS n
+  FROM tl
+  JOIN ttf ON ttf.token = tl.token
+  JOIN ls ON ls.label = tl.label, nt
+),
+s1 AS (SELECT *, a*d - b*c AS det FROM s0),
+s2 AS (
+  SELECT label, token, a, b, c, d,
+         CAST(n * det * det AS DOUBLE)
+           / CAST(ns * (n - ns) * tc * (n - tc) AS DOUBLE) AS chi2
+  FROM s1
+)
+SELECT label, token, a, b, c, d, chi2, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY chi2 DESC, token) AS rnk
+  FROM s2)
+WHERE rnk <= 15
+"""
+
+
 _BLOCKLIST = ["slow", "big table", "customer", "vec"]
 
 
@@ -10966,6 +11016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_stats_documents": q_token_stats_documents,
     "blocklist_documents": q_blocklist_documents,
+    "chi2_tokens_documents": q_chi2_tokens_documents,
     "token_topk_documents": q_token_topk_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "cube_orders": q_cube_orders,
@@ -11167,6 +11218,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "dedup_exact_documents": O_DEDUP_EXACT,
     "token_stats_documents": O_TOKEN_STATS,
     "blocklist_documents": _o_blocklist_sql(),
+    "chi2_tokens_documents": O_CHI2_TOKENS,
     "token_topk_documents": O_TOKEN_TOPK,
     "heavy_hitters_documents": O_HEAVY_HITTERS,
     "cube_orders": O_CUBE_ORDERS,

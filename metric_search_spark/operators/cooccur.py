@@ -70,3 +70,89 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def chi2_tokens(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "source",
+    min_df: int = 5,
+    k: int = 15,
+) -> DataFrame:
+    """Per-label discriminative vocabulary by χ² association — the
+    feature-selection / corpus-drift tool (which tokens distinguish one
+    source from the rest): for every (label, token), the 2×2 presence
+    table a/b/c/d (docs in label with/without token, docs outside
+    with/without) and the χ² score ``N·(ad−bc)² / ((a+b)(c+d)(a+c)(c+d))``,
+    top-``k`` per label by (χ² desc, token asc).
+
+    Exactness: a, b, c, d are exact distinct-presence counts; the χ²
+    numerator N·(ad−bc)² and denominator are computed as int64 and meet
+    in ONE correctly-rounded float64 division, so the double is
+    bit-identical across engines (both operands ≤ 2⁵³ at corpus sizes
+    up to ~10⁵ docs; beyond that promote to decimal — the aggregation
+    plan is unchanged). min_df prunes the hapax tail BEFORE the
+    per-label expansion.
+
+    Plan: distinct (doc, token) explode → one (token, label) count +
+    one token total + one label total (broadcast) — no doc×token×label
+    product; top-k is a per-label window over the pruned vocabulary.
+    Returns (label, token, a, b, c, d, chi2, rnk)."""
+    from pyspark.sql import Window
+
+    pres = (
+        docs.select(
+            F.col(id_col).alias("_d"),
+            F.col(label_col).alias("label"),
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias(
+                "token"
+            ),
+        )
+        .where(F.length("token") > 0)
+        .distinct()
+    )
+    n_total = docs.select(F.countDistinct(id_col).alias("n")).first()["n"]
+    lab_sizes = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.countDistinct(id_col).alias("ns")
+    )
+    tok_tot = (
+        pres.groupBy("token")
+        .agg(F.countDistinct("_d").alias("tc"))
+        # tc = N makes the table degenerate (b = d = 0 ⇒ 0/0): a token
+        # present in EVERY doc carries no signal — excluded by contract
+        .where((F.col("tc") >= min_df) & (F.col("tc") < n_total))
+    )
+    tl = pres.groupBy("label", "token").agg(F.countDistinct("_d").alias("a"))
+    j = (
+        tl.join(F.broadcast(tok_tot), "token")
+        .join(F.broadcast(lab_sizes), "label")
+    )
+    a = F.col("a")
+    b = F.col("ns") - a
+    c = F.col("tc") - a
+    d = F.lit(n_total) - F.col("ns") - c
+    det = a * d - b * c
+    num = (F.lit(n_total) * det * det).cast("double")
+    den = (
+        F.col("ns") * (F.lit(n_total) - F.col("ns"))
+        * F.col("tc") * (F.lit(n_total) - F.col("tc"))
+    ).cast("double")
+    scored = j.select(
+        "label",
+        "token",
+        a.cast("long").alias("a"),
+        b.cast("long").alias("b"),
+        c.cast("long").alias("c"),
+        d.cast("long").alias("d"),
+        (num / den).alias("chi2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("chi2").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+__all__.append("chi2_tokens")
