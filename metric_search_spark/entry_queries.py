@@ -9584,7 +9584,9 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_search_spark.operators.pca import pca_power
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pca_power(emb, vec_col="embedding", dim=64, iters=_PCA_T)
+    return pca_power(
+        emb, vec_col="embedding", dim=64, iters=_PCA_T, components=2
+    )
 
 
 O_PCA_EMBEDDINGS = f"""
@@ -9627,9 +9629,54 @@ it(t, v, lam) AS (
                mat.mm[j + 1][k + 1] * it.v[k + 1]))) AS nv
     FROM it, mat WHERE it.t < {_PCA_T}
   ) s
+),
+vone AS (SELECT v AS v1, lam AS lam1 FROM it WHERE t = {_PCA_T}),
+-- Rayleigh eigenvalue of M at the converged first iterate (deflation)
+wone AS (
+  SELECT list_transform(range(0, 64), j ->
+           list_sum(list_transform(range(0, 64), k ->
+             mat.mm[j + 1][k + 1] * vone.v1[k + 1]))) AS w
+  FROM mat, vone
+),
+ray AS (
+  SELECT list_sum(list_transform(range(0, 64), j ->
+           vone.v1[j + 1] * wone.w[j + 1]))
+         / list_sum(list_transform(range(0, 64), j ->
+             vone.v1[j + 1] * vone.v1[j + 1])) AS r1,
+         list_sum(list_transform(range(0, 64), j ->
+           vone.v1[j + 1] * vone.v1[j + 1])) AS den
+  FROM vone, wone
+),
+it2(t, v, lam) AS (
+  SELECT 0, list_transform(range(0, 64), i -> CAST(1.0 AS DOUBLE)),
+         CAST(1.0 AS DOUBLE)
+  UNION ALL
+  SELECT t + 1,
+         list_transform(nv, u ->
+           u / list_max(list_transform(nv, w -> abs(w)))),
+         list_max(list_transform(nv, w -> abs(w)))
+  FROM (
+    SELECT s0.t AS t,
+           list_transform(range(0, 64), j ->
+             s0.wx[j + 1] - s0.t1 * vone.v1[j + 1]) AS nv
+    FROM (
+      SELECT it2.t AS t,
+             list_transform(range(0, 64), j ->
+               list_sum(list_transform(range(0, 64), k ->
+                 mat.mm[j + 1][k + 1] * it2.v[k + 1]))) AS wx,
+             ray.r1 * (list_sum(list_transform(range(0, 64), j ->
+               vone.v1[j + 1] * it2.v[j + 1])) / ray.den) AS t1
+      FROM it2, mat, vone, ray WHERE it2.t < {_PCA_T}
+    ) s0, vone
+  ) s
 )
-SELECT CAST(d.i AS BIGINT) AS j, it.v[d.i + 1] AS loading, it.lam AS lam
-FROM it, range(0, 64) d(i) WHERE it.t = {_PCA_T}
+SELECT CAST(1 AS BIGINT) AS comp, CAST(d.i AS BIGINT) AS j,
+       vone.v1[d.i + 1] AS loading, vone.lam1 AS lam
+FROM vone, range(0, 64) d(i)
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS comp, CAST(d.i AS BIGINT) AS j,
+       it2.v[d.i + 1] AS loading, it2.lam AS lam
+FROM it2, range(0, 64) d(i) WHERE it2.t = {_PCA_T}
 """
 
 

@@ -46,15 +46,22 @@ def pca_power(
     vec_col: str = "embedding",
     dim: int | None = None,
     iters: int = 12,
+    components: int = 1,
 ) -> DataFrame:
-    """Dominant principal component of ``vec_col``. Returns one row per
-    dimension: (j, loading double, lam double) — the T-step power
-    iterate normalized to max|v| = 1 and the final scaling factor
-    (the dominant-eigenvalue estimate of the integer scatter M).
+    """Top principal component(s) of ``vec_col``. Returns one row per
+    (component, dimension): (comp, j, loading double, lam double) — each
+    component's T-step power iterate normalized to max|v| = 1 and its
+    final scaling factor. ``components`` ∈ {1, 2}: the second component
+    runs the same iteration against the IMPLICITLY deflated operator
+    ``x ↦ Mx − r₁·v₁·(v₁ᵀx)/(v₁ᵀv₁)`` (Hotelling deflation with the
+    Rayleigh eigenvalue r₁ of the converged first iterate) — M is never
+    modified, so the distributed pass stays single.
 
     Determinism contract (what the SQL twin replays): µ-scaling with
     floor, exact-integer M, float64 cast once, per-row LEFT-TO-RIGHT
-    dot-product folds, max-|v| normalization each round, v₀ = 1⃗."""
+    dot-product folds, max-|v| normalization each round, v₀ = 1⃗, and
+    the fixed evaluation order ``x'_j = (Mx)_j − t₁·v₁_j`` with scalar
+    ``t₁ = r₁·((v₁ᵀx)/(v₁ᵀv₁))``."""
     spark = df.sparkSession
     if dim is None:
         probe = df.select(F.size(vec_col).alias("d")).first()
@@ -104,28 +111,54 @@ def pca_power(
     # exact integer scatter, ONE cast to float64 (both engines identical)
     M = [[float(n * G[j][k] - S[j] * S[k]) for k in range(d)] for j in range(d)]
 
-    v = [1.0] * d
-    lam = 1.0
-    for _ in range(int(iters)):
-        nv = []
+    if components not in (1, 2):
+        raise ValueError("pca_power: components must be 1 or 2")
+
+    def matvec(x: list[float]) -> list[float]:
+        out = []
         for j in range(d):
             acc = 0.0
             for k in range(d):  # left-to-right fold — the pinned order
-                acc += M[j][k] * v[k]
-            nv.append(acc)
-        m = 0.0
-        for u in nv:
-            a = abs(u)
-            if a > m:
-                m = a
-        if m == 0.0:
-            v = nv
-            lam = 0.0
-            break
-        v = [u / m for u in nv]
-        lam = m
+                acc += M[j][k] * x[k]
+            out.append(acc)
+        return out
 
+    def iterate(deflate: tuple[list[float], float, float] | None):
+        v = [1.0] * d
+        lam = 1.0
+        for _ in range(int(iters)):
+            nv = matvec(v)
+            if deflate is not None:
+                v1, r1, den = deflate
+                dvx = 0.0
+                for j in range(d):
+                    dvx += v1[j] * v[j]
+                t1 = r1 * (dvx / den)
+                nv = [nv[j] - t1 * v1[j] for j in range(d)]
+            m = 0.0
+            for u in nv:
+                a = abs(u)
+                if a > m:
+                    m = a
+            if m == 0.0:
+                return nv, 0.0
+            v = [u / m for u in nv]
+            lam = m
+        return v, lam
+
+    v1, lam1 = iterate(None)
+    rows = [(1, j, v1[j], lam1) for j in range(d)]
+    if components == 2:
+        w1 = matvec(v1)
+        num = 0.0
+        den = 0.0
+        for j in range(d):
+            num += v1[j] * w1[j]
+        for j in range(d):
+            den += v1[j] * v1[j]
+        r1 = num / den
+        v2, lam2 = iterate((v1, r1, den))
+        rows += [(2, j, v2[j], lam2) for j in range(d)]
     return spark.createDataFrame(
-        [(j, v[j], lam) for j in range(d)],
-        "j long, loading double, lam double",
+        rows, "comp long, j long, loading double, lam double"
     )

@@ -56,3 +56,29 @@ def test_partition_invariance_bitwise():
     ka = {r.j: (r.loading, r.lam) for r in a}
     kb = {r.j: (r.loading, r.lam) for r in b}
     assert ka == kb  # exact-integer scatter -> bitwise identical floats
+
+
+def test_second_component_deflation():
+    spark = get_spark()
+    rng = np.random.default_rng(21)
+    d1 = np.array([1.0, 1.0, 0.0, 0.0]) / np.sqrt(2)
+    d2 = np.array([0.0, 0.0, 1.0, -1.0]) / np.sqrt(2)
+    X = (
+        np.outer(rng.normal(0, 1.0, 500), d1) * 0.2
+        + np.outer(rng.normal(0, 0.4, 500), d2) * 0.2
+        + rng.normal(0, 0.002, (500, 4))
+    )
+    out = pca_power(_df(spark, X, parts=3), dim=4, iters=60, components=2).collect()
+    v1 = np.array(
+        [r.loading for r in sorted(out, key=lambda r: (r.comp, r.j)) if r.comp == 1]
+    )
+    v2 = np.array(
+        [r.loading for r in sorted(out, key=lambda r: (r.comp, r.j)) if r.comp == 2]
+    )
+    n1, n2 = v1 / np.linalg.norm(v1), v2 / np.linalg.norm(v2)
+    assert abs(n1 @ d1) > 0.999
+    assert abs(n2 @ d2) > 0.999
+    assert abs(n1 @ n2) < 1e-3  # deflation keeps components orthogonal
+    lam1 = {r.lam for r in out if r.comp == 1}.pop()
+    lam2 = {r.lam for r in out if r.comp == 2}.pop()
+    assert lam1 > lam2 > 0
