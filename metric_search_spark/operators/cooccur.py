@@ -125,10 +125,9 @@ def chi2_tokens(
         .where((F.col("tc") >= min_df) & (F.col("tc") < n_total))
     )
     tl = pres.groupBy("label", "token").agg(F.countDistinct("_d").alias("a"))
-    j = (
-        tl.join(F.broadcast(tok_tot), "token")
-        .join(F.broadcast(lab_sizes), "label")
-    )
+    # tok_tot is VOCAB-sized — a hash join (AQE may still broadcast it at
+    # small scale); only the |labels|-row table gets the broadcast hint
+    j = tl.join(tok_tot, "token").join(F.broadcast(lab_sizes), "label")
     a = F.col("a")
     b = F.col("ns") - a
     c = F.col("tc") - a
