@@ -159,3 +159,38 @@ def test_pivot_single_scan(spark):
         q_pivot_events(spark, SF)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+
+def test_overlay_join_has_no_nested_loop(spark):
+    """overlay_join's candidate stage must be the bbox-tile EQUI-join —
+    never a cartesian/NLJ product of subjects x zones."""
+    from metric_search_spark.operators.overlay import (
+        overlay_join,
+        synth_polygons,
+    )
+    from metric_search_spark.plans import has_nested_loop_join
+
+    subs = spark.createDataFrame(
+        synth_polygons(16), "poly_id long, xs array<double>, ys array<double>"
+    )
+    zones = spark.createDataFrame(
+        [(0, [0.2, 0.8, 0.5], [0.2, 0.3, 0.8])],
+        "zone_id long, zxs array<double>, zys array<double>",
+    )
+    out = overlay_join(subs, zones, res=3)
+    assert not has_nested_loop_join(out)
+
+
+def test_keypoint_match_has_no_nested_loop(spark):
+    """keypoint_match candidates come from the (band_idx, band_val)
+    equi-join; descriptors re-join by id — no all-pairs product."""
+    from metric_search_spark.operators.features import keypoint_match
+    from metric_search_spark.plans import has_nested_loop_join
+
+    kps = spark.createDataFrame(
+        [("a", 0, 4, 4, 9, 7, 11), ("b", 0, 5, 5, 9, 7, 11)],
+        "image_id string, kp long, y long, x long, score long,"
+        " d0 long, d1 long",
+    )
+    out = keypoint_match(kps, max_dist=3)
+    assert not has_nested_loop_join(out)
