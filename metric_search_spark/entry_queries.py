@@ -5825,6 +5825,7 @@ FROM agg a JOIN am m ON m.image_id = a.image_id
 
 
 _KPM_N, _KPM_SEED, _KPM_T, _KPM_K, _KPM_D = 24, 42, 12, 16, 8
+_KPM_BDF = 12  # band-bucket df cut — EXERCISED (fixture hot buckets hit 20)
 
 
 def q_keypoint_match_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5887,7 +5888,7 @@ def q_keypoint_match_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd.DataFrame(var)[["image_id", "bytes", "w", "h", "fmt"]]
     )
     kps = with_keypoints(df, thresh=_KPM_T, max_kp=_KPM_K)
-    m = keypoint_match(kps, max_dist=_KPM_D)
+    m = keypoint_match(kps, max_dist=_KPM_D, max_band_df=_KPM_BDF)
     return m.groupBy("image_a", "image_b").agg(
         F.count("*").alias("n_pairs"), F.sum("ham").alias("ham_sum")
     )
@@ -5951,11 +5952,19 @@ rk AS (
 ),
 k AS (SELECT * FROM rk WHERE kp < {_KPM_K}),
 dsc AS (SELECT k.image_id, k.kp, ({d0}) AS d0, ({d1}) AS d1 FROM k),
-bands AS (
+bands0 AS (
   SELECT image_id, kp, d0, d1,
          unnest([0, 1, 2, 3]) AS bi,
          unnest([d0 % 65536, d0 // 65536, d1 % 65536, d1 // 65536]) AS bv
   FROM dsc
+),
+-- the hot-bucket df cut keypoint_match applies (max_band_df)
+keepb AS (
+  SELECT bi, bv FROM bands0 GROUP BY bi, bv
+  HAVING count(*) <= {_KPM_BDF}
+),
+bands AS (
+  SELECT b.* FROM bands0 b JOIN keepb k ON k.bi = b.bi AND k.bv = b.bv
 ),
 cand AS (
   SELECT DISTINCT a.image_id AS image_a, a.kp AS kp_a,

@@ -1052,7 +1052,11 @@ def blocklist_cols(
 
 def blocklist_sql(text_expr: str, patterns: list[str]) -> str:
     """The DuckDB twin of :func:`blocklist_cols` as a SELECT fragment:
-    same replace-trick algebra, same fold order."""
+    same replace-trick algebra, same fold order. Patterns are embedded
+    as SQL literals, so quotes are rejected rather than escaped."""
+    for p in patterns:
+        if "'" in p:
+            raise ValueError(f"pattern {p!r} contains a quote")
     occ = [
         f"((length({text_expr}) - length(replace({text_expr}, '{p}', '')))"
         f" // {len(p)})"

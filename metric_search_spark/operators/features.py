@@ -149,7 +149,9 @@ def with_keypoints(
     )
 
 
-def keypoint_match(kps: DataFrame, *, max_dist: int = 8) -> DataFrame:
+def keypoint_match(
+    kps: DataFrame, *, max_dist: int = 8, max_band_df: int | None = None
+) -> DataFrame:
     """Cross-image keypoint matches within ``max_dist`` Hamming bits of
     the 64-bit descriptor: (image_a, kp_a, image_b, kp_b, ham), with
     image_a < image_b.
@@ -160,7 +162,16 @@ def keypoint_match(kps: DataFrame, *, max_dist: int = 8) -> DataFrame:
     max_dist ≤ 3 recall is exact; above that, banded recall like every
     LSH tier, disclosed). Candidates DISTINCT on ids only, descriptors
     re-join after, exact popcount filter last. No all-pairs product
-    anywhere."""
+    anywhere.
+
+    ``max_band_df``: at corpus scale a DEGENERATE band value (e.g. the
+    all-zeros band every smooth patch produces) turns one band bucket
+    into a quadratic candidate blob — the hot-shingle problem of the
+    MinHash tier, and the same fix: drop (band_idx, band_val) buckets
+    whose keypoint frequency exceeds the cut BEFORE the self-join.
+    Lossy by design (a pair colliding ONLY in a hot band is missed —
+    near-identical keypoints still collide in their other 3 bands);
+    None (default) keeps everything."""
     d = kps.select("image_id", "kp", "d0", "d1")
     bands = d.select(
         "image_id",
@@ -174,6 +185,14 @@ def keypoint_match(kps: DataFrame, *, max_dist: int = 8) -> DataFrame:
             )
         ).alias("bi", "bv"),
     )
+    if max_band_df is not None:
+        keep = (
+            bands.groupBy("bi", "bv")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_band_df)
+            .select("bi", "bv")
+        )
+        bands = bands.join(keep, ["bi", "bv"])
     a = bands.select(
         F.col("image_id").alias("image_a"), F.col("kp").alias("kp_a"),
         "bi", "bv",

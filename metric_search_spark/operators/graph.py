@@ -1130,7 +1130,8 @@ def label_propagation(
     label, isolated nodes keep theirs. A FIXED round count (no
     convergence test) keeps the run — and its SQL replay — total and
     deterministic; callers wanting early stop can wrap it with the CC
-    digest pattern.
+    digest pattern. ``nodes``, when given, is the label UNIVERSE:
+    edge endpoints outside it carry no label and drop from the output.
 
     Plan shape per round: one (node, label) shuffle against the
     once-materialized undirected edge list, a map-side-combinable

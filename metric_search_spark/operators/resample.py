@@ -99,7 +99,10 @@ def resample_linear(
     Spark-first plan: ONE bounds aggregate → ``sequence``/``posexplode``
     grid (executor-side, never the driver), then TWO union-and-carry
     as-of joins (operators/joins.asof_join — each one hash shuffle, no
-    point-interval explosion): the backward join brackets (t0, v0); the
+    point-interval explosion; like resample_locf, a key's grid length is
+    its time span / step — size the step to the span, a years-long key
+    at 1 s steps is the caller's explosion): the backward join brackets
+    (t0, v0); the
     forward bracket reuses the SAME backward operator on negated seconds
     (latest −t_r ≤ −t ⟺ earliest t_r ≥ t). Returns
     (by, pos, sec, v) — v is NULL only for a key with zero events, which

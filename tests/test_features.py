@@ -143,3 +143,25 @@ def test_qnt_reencode_keeps_matches():
     own = [r for r in m.collect() if r.image_b == r.image_a + "q"]
     # qnt-source originals re-encode losslessly -> at least those match
     assert len(own) > 0
+
+
+def test_max_band_df_cuts_hot_buckets_only():
+    import numpy as np
+
+    spark = get_spark()
+    # 5 keypoints share band 0 (d0 low half = 0); two of them also share
+    # their OTHER three bands (near-identical descriptors)
+    rows = [(f"i{k}", 0, 4, 4, 1, k << 16, 7) for k in range(3)]
+    rows += [("j0", 0, 4, 4, 1, 5 << 16, 99), ("j1", 0, 4, 4, 1, 5 << 16, 99)]
+    kps = spark.createDataFrame(
+        rows, "image_id string, kp long, y long, x long, score long,"
+        " d0 long, d1 long",
+    )
+    # without the cut: hot band 0 (df=5) pairs everything
+    full = keypoint_match(kps, max_dist=64)
+    assert full.count() == 10
+    # cut at df<=2: band 0 dies, but j0/j1 still collide via their
+    # other shared bands (d0-high=5, d1 halves), i-keypoints lose all
+    cut = keypoint_match(kps, max_dist=64, max_band_df=2).collect()
+    assert {(r.image_a, r.image_b) for r in cut} == {("j0", "j1")}
+    assert all(r.ham == 0 for r in cut)
