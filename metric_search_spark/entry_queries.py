@@ -9576,6 +9576,72 @@ FROM g
 """
 
 
+_CONTOUR_TS = [1, 2, 4]
+
+
+def q_contour_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour histogram (operators/flow.contour_cases)
+    of the res-5 density raster at thresholds 1/2/4: per 2×2 corner
+    block the exact 4-bit case index (pure integer ≥-comparisons, no
+    interpolation) and the standard per-case segment count (saddles →
+    2). Engine enumerates only blocks touching an occupied cell
+    (explode-to-anchors + four shifted equi-join legs); the DuckDB twin
+    recounts occupancy from raw points and rebuilds every block by
+    direct offset joins — a missed anchor, flipped bit weight, or wrong
+    saddle count moves the histogram."""
+    from metric_search_spark.operators.flow import contour_cases
+
+    emb = _emb(spark, sf_dir)
+    return contour_cases(emb, _FLOW_RES, _CONTOUR_TS)
+
+
+def _o_contour_sql() -> str:
+    from metric_search_spark.functions.spatial import quantize_sql
+    from metric_search_spark.operators.flow import _MS_SEGS
+
+    res = _FLOW_RES
+    lim = (1 << res) - 1
+    ts = ", ".join(f"({t})" for t in _CONTOUR_TS)
+    segs = "[" + ", ".join(str(s) for s in _MS_SEGS) + "]"
+    return f"""
+WITH occ AS (
+  SELECT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+         ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy,
+         count(*) AS z
+  FROM embeddings GROUP BY 1, 2
+),
+anch AS (
+  SELECT DISTINCT o.cx - d.dx AS ax, o.cy - d.dy AS ay
+  FROM occ o, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)
+  WHERE o.cx - d.dx BETWEEN 0 AND {lim - 1}
+    AND o.cy - d.dy BETWEEN 0 AND {lim - 1}
+),
+g AS (
+  SELECT a.ax, a.ay,
+         coalesce(c00.z, 0) AS z00, coalesce(c10.z, 0) AS z10,
+         coalesce(c01.z, 0) AS z01, coalesce(c11.z, 0) AS z11
+  FROM anch a
+  LEFT JOIN occ c00 ON c00.cx = a.ax     AND c00.cy = a.ay
+  LEFT JOIN occ c10 ON c10.cx = a.ax + 1 AND c10.cy = a.ay
+  LEFT JOIN occ c01 ON c01.cx = a.ax     AND c01.cy = a.ay + 1
+  LEFT JOIN occ c11 ON c11.cx = a.ax + 1 AND c11.cy = a.ay + 1
+),
+w AS (SELECT g.*, t.t FROM g, (VALUES {ts}) t(t)),
+c AS (
+  SELECT t,
+         (CASE WHEN z00 >= t THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN z10 >= t THEN 1 ELSE 0 END)
+         + 4 * (CASE WHEN z01 >= t THEN 1 ELSE 0 END)
+         + 8 * (CASE WHEN z11 >= t THEN 1 ELSE 0 END) AS cs
+  FROM w
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(cs AS BIGINT) AS cs,
+       count(*) AS n_blocks,
+       CAST(count(*) * ({segs})[cs + 1] AS BIGINT) AS segs
+FROM c GROUP BY t, cs
+"""
+
+
 _PCA_T = 12
 
 
@@ -11099,6 +11165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flow_embeddings": q_flow_embeddings,
     "pca_embeddings": q_pca_embeddings,
     "slope_embeddings": q_slope_embeddings,
+    "contour_embeddings": q_contour_embeddings,
     "downsample_mode_embeddings": q_downsample_mode_embeddings,
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
@@ -11364,6 +11431,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "flow_embeddings": _o_flow_sql(),
     "pca_embeddings": O_PCA_EMBEDDINGS,
     "slope_embeddings": _o_slope_sql(),
+    "contour_embeddings": _o_contour_sql(),
     "downsample_mode_embeddings": _o_downsample_mode_sql(),
     "region_boundaries_embeddings": _o_region_boundaries_sql(),
     "idw_embeddings": _o_idw_sql(),

@@ -308,3 +308,111 @@ def slope_aspect(
 
 
 __all__ += ["slope_aspect"]
+
+
+# marching-squares segment counts per case under THIS bit layout
+# (b00=1, b10=2, b01=4, b11=8): the saddles are the DIAGONAL pairs —
+# cases 6 (b10|b01) and 9 (b00|b11) — not the 5/10 of the perimeter
+# bit-order convention; 5/10 here are the left/right edges (1 segment)
+_MS_SEGS = [0, 1, 1, 1, 1, 1, 2, 1, 1, 2, 1, 1, 1, 1, 1, 0]
+
+
+def contour_cases(
+    df: DataFrame,
+    res: int,
+    thresholds: list[int],
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Marching-squares contour extraction (the GDAL contour classic)
+    over the occupied-tile density raster: for every 2×2 corner block
+    and every integer threshold, the 4-bit case index
+    ``b00 | b10<<1 | b01<<2 | b11<<3`` with ``b = (count ≥ t)`` and the
+    per-case segment count (the diagonal saddles 6/9 emit 2). Pure
+    integer comparisons — no interpolation, so the histogram is exact
+    and engine-independent.
+
+    Block universe: anchors (cx, cy) with all four corners in-grid and
+    AT LEAST ONE OCCUPIED corner — all-empty blocks are case 0 at every
+    threshold and carry no contour, so the engine never enumerates the
+    4^res grid: occupied cells explode to their ≤4 containing blocks
+    (one distinct), corners arrive by four shifted equi-join legs
+    (the slope_aspect shape). Returns one row per (t, cs) with
+    n_blocks and segs = n_blocks · segments(cs), cases with zero
+    blocks omitted."""
+    if not 1 <= res <= 27:
+        raise ValueError(f"resolution {res} out of [1, 27]")
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    shift = 31 - res
+    lim = 1 << res
+    occ = (
+        df.select(
+            F.shiftright(quantize_col(F.col(x_col).cast("double")), shift).alias("cx"),
+            F.shiftright(quantize_col(F.col(y_col).cast("double")), shift).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("z"))
+    )
+    anchors = (
+        occ.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("cx") - dx).alias("ax"),
+                            (F.col("cy") - dy).alias("ay"),
+                        )
+                        for dx in (0, 1)
+                        for dy in (0, 1)
+                    ]
+                )
+            ).alias("a")
+        )
+        .select(F.col("a.ax").alias("ax"), F.col("a.ay").alias("ay"))
+        .where(
+            (F.col("ax") >= 0) & (F.col("ax") <= lim - 2)
+            & (F.col("ay") >= 0) & (F.col("ay") <= lim - 2)
+        )
+        .distinct()
+    )
+    g = anchors
+    for name, dx, dy in (
+        ("z00", 0, 0), ("z10", 1, 0), ("z01", 0, 1), ("z11", 1, 1),
+    ):
+        corner = occ.select(
+            (F.col("cx") - dx).alias("ax"),
+            (F.col("cy") - dy).alias("ay"),
+            F.col("z").alias(name),
+        )
+        g = g.join(corner, ["ax", "ay"], "left")
+    g = g.select(
+        "ax", "ay",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in ("z00", "z10", "z01", "z11")],
+    )
+    t = F.explode(F.array(*[F.lit(int(v)) for v in thresholds])).alias("t")
+    wt = g.select("z00", "z10", "z01", "z11", t)
+    case = (
+        (F.col("z00") >= F.col("t")).cast("int")
+        + (F.col("z10") >= F.col("t")).cast("int") * 2
+        + (F.col("z01") >= F.col("t")).cast("int") * 4
+        + (F.col("z11") >= F.col("t")).cast("int") * 8
+    )
+    segs = F.element_at(
+        F.array(*[F.lit(s) for s in _MS_SEGS]), F.col("cs") + 1
+    )
+    return (
+        wt.select("t", case.alias("cs"))
+        .groupBy("t", "cs")
+        .agg(F.count("*").alias("n_blocks"))
+        .select(
+            F.col("t").cast("long").alias("t"),
+            F.col("cs").cast("long").alias("cs"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            (F.col("n_blocks") * segs).cast("long").alias("segs"),
+        )
+    )
+
+
+__all__ += ["contour_cases"]
