@@ -9642,6 +9642,50 @@ FROM c GROUP BY t, cs
 """
 
 
+def q_edt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared Euclidean distance transform (operators/flow.
+    distance_transform) of the res-5 occupancy raster: every one of the
+    1024 grid tiles gets its exact integer d² to the nearest occupied
+    tile via the separable two-pass (per-column then per-row grouped
+    minima — true Euclidean, not chamfer). The DuckDB twin brute-forces
+    the 2-D min over ALL occupied cells per grid cell — a different
+    algorithm, so a wrong separation or a sentinel leak flips the
+    hash."""
+    from metric_search_spark.operators.flow import distance_transform
+
+    emb = _emb(spark, sf_dir)
+    return distance_transform(emb, _FLOW_RES)
+
+
+def _o_edt_sql() -> str:
+    from metric_search_spark.functions.spatial import (
+        morton_bitsum_sql,
+        quantize_sql,
+    )
+
+    res = _FLOW_RES
+    lim = 1 << res
+    return f"""
+WITH occ AS (
+  SELECT DISTINCT ({quantize_sql(_EMB_X)}) >> {31 - res} AS cx,
+                  ({quantize_sql(_EMB_Y)}) >> {31 - res} AS cy
+  FROM embeddings
+),
+gx AS (SELECT unnest(range(0, {lim})) AS cx),
+grid AS (SELECT gx.cx, unnest(range(0, {lim})) AS cy FROM gx),
+d AS (
+  SELECT g.cx, g.cy,
+         coalesce((SELECT min((g.cx - o.cx) * (g.cx - o.cx)
+                              + (g.cy - o.cy) * (g.cy - o.cy))
+                   FROM occ o), {1 << 40}) AS d2
+  FROM grid g
+)
+SELECT {morton_bitsum_sql('cx', 'cy', res)} AS tile,
+       CAST(d2 AS BIGINT) AS d2
+FROM d
+"""
+
+
 _PCA_T = 12
 
 
@@ -11166,6 +11210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_embeddings": q_pca_embeddings,
     "slope_embeddings": q_slope_embeddings,
     "contour_embeddings": q_contour_embeddings,
+    "edt_embeddings": q_edt_embeddings,
     "downsample_mode_embeddings": q_downsample_mode_embeddings,
     "region_boundaries_embeddings": q_region_boundaries_embeddings,
     "idw_embeddings": q_idw_embeddings,
@@ -11432,6 +11477,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "pca_embeddings": O_PCA_EMBEDDINGS,
     "slope_embeddings": _o_slope_sql(),
     "contour_embeddings": _o_contour_sql(),
+    "edt_embeddings": _o_edt_sql(),
     "downsample_mode_embeddings": _o_downsample_mode_sql(),
     "region_boundaries_embeddings": _o_region_boundaries_sql(),
     "idw_embeddings": _o_idw_sql(),

@@ -42,6 +42,7 @@ Returns one row per occupied tile:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -416,3 +417,92 @@ def contour_cases(
 
 
 __all__ += ["contour_cases"]
+
+
+def distance_transform(
+    df: DataFrame,
+    res: int,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Exact squared Euclidean distance transform of the occupied-tile
+    raster (the GIS "euclidean distance" surface): every res-``res``
+    tile gets the exact integer d² (in cell units) to its nearest
+    OCCUPIED tile — 0 on occupied tiles. The proximity layer feeding
+    buffering, siting, and cost-surface analyses.
+
+    Exact by decomposition: the 2-D min separates —
+    ``d²(x,y) = min_{x'} ((x−x')² + D1(x', y))`` with
+    ``D1(x, y) = min_{y' occupied in column x} (y−y')²`` — so two
+    grouped passes (per column, then per row) of exact integer minima
+    give the true Euclidean d², not a chamfer approximation. Each pass
+    is one ``applyInPandas`` group per grid line with an O(W²)
+    vectorized brute min (W = 2^res; exact; the Felzenszwalb
+    lower-envelope scan is the O(W) drop-in at higher res — same
+    grouping, same contract). Empty columns carry an INF sentinel that
+    can never win once any tile is occupied.
+
+    Contract: the FULL 4^res grid materializes (a distance surface is
+    defined everywhere) — executor-side via sequence/posexplode, never
+    the driver; size res to the raster you actually want (res ≤ 12 ≈
+    16M cells is comfortable; the operator refuses res > 14). On an
+    all-empty input every cell reports the INF sentinel (1 << 40) —
+    callers treating d2 ≥ INF as "no target anywhere" stay correct.
+    Returns (tile, d2)."""
+    if not 1 <= res <= 14:
+        raise ValueError(f"resolution {res} out of [1, 14] (full-grid op)")
+    shift = 31 - res
+    lim = 1 << res
+    inf = 1 << 40
+    occ = (
+        df.select(
+            F.shiftright(quantize_col(F.col(x_col).cast("double")), shift).alias("cx"),
+            F.shiftright(quantize_col(F.col(y_col).cast("double")), shift).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("_n"))
+        .select("cx", "cy")
+    )
+    spark = df.sparkSession
+    cols = spark.range(lim).select(F.col("id").cast("long").alias("cx"))
+    grid_col = cols.select(
+        "cx", F.explode(F.expr(f"sequence(0, {lim - 1})")).alias("cy")
+    )
+    marked = grid_col.join(
+        occ.withColumn("_occ", F.lit(1)), ["cx", "cy"], "left"
+    )
+
+    import pandas as pd
+
+    def col_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        ys = pdf["cy"].to_numpy()
+        occ_ys = pdf.loc[pdf["_occ"].notna(), "cy"].to_numpy()
+        if len(occ_ys) == 0:
+            d1 = np.full(len(ys), inf, dtype=np.int64)
+        else:
+            diff = ys[:, None] - occ_ys[None, :]
+            d1 = (diff * diff).min(axis=1).astype(np.int64)
+        return pd.DataFrame({"cx": pdf["cx"], "cy": ys, "d1": d1})
+
+    p1 = marked.groupBy("cx").applyInPandas(
+        col_pass, schema="cx long, cy long, d1 long"
+    )
+
+    def row_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["cx"].to_numpy()
+        d1 = pdf["d1"].to_numpy()
+        diff = xs[:, None] - xs[None, :]
+        d2 = (diff * diff + d1[None, :]).min(axis=1)
+        return pd.DataFrame({"cx": xs, "cy": pdf["cy"], "d2": d2})
+
+    out = p1.groupBy("cy").applyInPandas(
+        row_pass, schema="cx long, cy long, d2 long"
+    )
+    return out.select(
+        cell_from_cxy_col(F.col("cx"), F.col("cy"), res).alias("tile"),
+        F.col("d2").cast("long").alias("d2"),
+    )
+
+
+__all__ += ["distance_transform"]
