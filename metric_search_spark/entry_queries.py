@@ -10857,6 +10857,44 @@ def _o_haversine_pairs_sql() -> str:
     )
 
 
+_GEO_SPHERE_N = 3000
+
+
+def q_haversine_pairs_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-SPHERE geodetic radius join (operators/geo.haversine_radius_
+    join_sphere): all place pairs within 500 m great-circle distance over
+    a 3,000-point fixture whose hotspot clusters sit in BOTH polar caps,
+    on the 2-deg cap boundary, straddling the antimeridian, at exact-pole
+    clamp, and at high latitudes — every regime the planar 60-deg-guarded
+    join refuses. Delta-lon normalizes via exact integer mod (pinned for
+    free); the lon window widens per-row as sec(lat) via the pinned-cos
+    secant bound with lon cells wrapping mod W; cap-and-halo rows join on
+    a planar 3x3 grid over the azimuthal-equidistant projection (JVM trig
+    is candidate plumbing only — the exact pinned predicate decides).
+    The DuckDB twin brute-forces all 4.5M ordered pairs with the same
+    antimeridian-safe pinned expression — independent of grid, window,
+    and caps, so any coverage bug (a missed wrap, an under-sized window,
+    a cap/grid seam gap) flips the hash."""
+    from metric_search_spark.operators.geo import (
+        haversine_radius_join_sphere,
+        synth_places_sphere,
+    )
+
+    p = synth_places_sphere(spark, _GEO_SPHERE_N, seed=_GEO_SEED)
+    return haversine_radius_join_sphere(p, _GEO_R_M)
+
+
+def _o_haversine_pairs_sphere_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        haversine_pairs_sphere_sql,
+        synth_places_sphere_sql,
+    )
+
+    return haversine_pairs_sphere_sql(
+        synth_places_sphere_sql(_GEO_SPHERE_N, seed=_GEO_SEED), _GEO_R_M
+    )
+
+
 _GEO_KNN_N, _GEO_KNN_K = 2500, 5
 
 
@@ -11279,6 +11317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "box_match_images": q_box_match_images,
     "box_raster_images": q_box_raster_images,
     "haversine_pairs_places": q_haversine_pairs_places,
+    "haversine_pairs_sphere": q_haversine_pairs_sphere,
     "haversine_knn_places": q_haversine_knn_places,
     "ripley_pairs_places": q_ripley_pairs_places,
     "slippy_tiles_places": q_slippy_tiles_places,
@@ -11443,6 +11482,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "box_match_images": _o_box_match_sql(),
     "box_raster_images": _o_box_raster_sql(),
     "haversine_pairs_places": _o_haversine_pairs_sql(),
+    "haversine_pairs_sphere": _o_haversine_pairs_sphere_sql(),
     "haversine_knn_places": _o_haversine_knn_sql(),
     "ripley_pairs_places": _o_ripley_pairs_sql(),
     "slippy_tiles_places": _o_slippy_tiles_sql(),

@@ -49,6 +49,11 @@ __all__ = [
     "synth_places_sql",
     "haversine_radius_join",
     "haversine_pairs_sql",
+    "hav_wrap_sql",
+    "haversine_radius_join_sphere",
+    "haversine_pairs_sphere_sql",
+    "synth_places_sphere",
+    "synth_places_sphere_sql",
     "haversine_knn_join",
     "haversine_knn_sql",
     "pair_counts_by_radius",
@@ -1201,3 +1206,330 @@ n AS (
 iv AS (SELECT place_id, dx, dy, {v} AS v FROM n)
 SELECT place_id, dx, dy, {gh} AS gh FROM iv
 """
+
+
+# ---------------------------------------------- full-sphere radius join
+#
+# haversine_radius_join's 3×5 window rests on cos φ ≥ ½ (|lat| ≤ 60°) and
+# on longitudes that never straddle the antimeridian. The _sphere variant
+# below lifts BOTH restrictions while keeping the bit-exact pinned-
+# polynomial contract:
+#
+#   * Δλ is normalized into [−180°, 180°) with EXACT INTEGER arithmetic
+#     before the radian conversion (hav_wrap_sql) — antimeridian pairs
+#     compute the true small angle, and the normalization is trivially
+#     pinned (integer % is identical in every engine).
+#   * the lon window widens per-row as sec(lat): a probe at latitude φ
+#     replicates to ±bh(φ) lon cells where bh is derived from the sharp
+#     spherical bound  sin(Δλ/2) ≤ sin(δ/2)/√(cos φ_a · cos φ_b)
+#     (hav(d) = hav(Δφ) + cosφ_a·cosφ_b·hav(Δλ) ⇒ hav(Δλ) ≤ hav(δ) /
+#     (cosφ_a cosφ_b); then Δλ ≤ π·s/c using 2·asin(x) ≤ π·x on [0,1]).
+#     cos is lower-bounded row-side by the pinned polynomial minus a
+#     1e-8 margin — any under-estimate of cos only WIDENS the window, so
+#     rigor is one-sided and cheap.
+#   * lon cells live on a ring: cell index = ⌊(λ+180°)/cell⌋ mod W with
+#     W = ⌈360°/cell⌉; window keys are (mc0 + j) mod W. The seam cell is
+#     narrower than `cell` when 360e6 % cell ≠ 0, which costs at most one
+#     extra boundary crossing — bh adds +2 instead of +1.
+#   * the two polar caps (colatitude ≤ cap_colat_deg, default 2°) leave
+#     the lat/lon grid entirely: sec φ diverges there, so cap∪halo rows
+#     (halo = within δ of the cap line, δ = the µdeg radius bound) are
+#     projected AZIMUTHAL-EQUIDISTANT around their pole — (x, y) =
+#     colat·(cos λ, sin λ) in µdeg — and candidate-joined on a planar
+#     3×3 grid. Distance distortion of that projection is ≤ θ/sinθ
+#     radially-exact/tangentially-stretched with θ ≤ cap+2δ (a short arc
+#     between two cap points stays within δ of the endpoint colatitudes),
+#     ≤ 1.0003 at the 2° default — the planar candidate radius inflates
+#     by that factor and the EXACT pinned predicate decides membership,
+#     so the JVM sin/cos used for this plumbing never touches semantics.
+#     Pair sets are disjoint by construction: the grid path emits pairs
+#     with BOTH rows below the cap line, the cap path pairs with at
+#     least one row on-or-above it (its halo supplies every partner
+#     within the radius).
+#
+# At 10^12 rows the plan is: one explode-equi-join shuffle whose fan-out
+# is 15 at the equator growing as sec(lat) (3×95 at 88°), plus a
+# constant-9 fan-out join over the (area-proportionally tiny) caps — no
+# cartesian product anywhere, and the skew knobs are the same as the
+# planar join (salt the hot cells, AQE skew split).
+
+
+def hav_wrap_sql(alat: str, alon: str, blat: str, blon: str) -> str:
+    """Antimeridian-safe pinned haversine: identical to hav_sql except the
+    lon difference is first normalized into [−180e6, 180e6) µdeg by exact
+    integer arithmetic (((d % 360e6) + 540e6) % 360e6 − 180e6 — both
+    engines' % is remainder-with-dividend-sign, and the first fold makes
+    the second operand positive, so the text is engine-identical). Taylor
+    domains then cap at |x| ≤ π/2: sin_poly error ≤ 5.7e-8 and cos_poly
+    ≤ 6.4e-9 there — both engines still evaluate the SAME polynomial
+    bit-for-bit (the pinned-semantics contract), and the truncation
+    error only displaces FAR pairs, orders of magnitude above any radius
+    threshold, plus sub-mm near-pole distance error (documented)."""
+    rad = _d(_RAD_PER_UDEG)
+    half = _d(0.5)
+    dl = (
+        f"(((((({blon}) - ({alon})) % 360000000) + 540000000)"
+        f" % 360000000) - 180000000)"
+    )
+    dphi2 = f"((({blat}) - ({alat})) * {rad} * {half})"
+    dlam2 = f"(({dl}) * {rad} * {half})"
+    phi_a = f"(({alat}) * {rad})"
+    phi_b = f"(({blat}) * {rad})"
+    s1 = sin_poly_sql(dphi2)
+    s2 = sin_poly_sql(dlam2)
+    return (
+        f"(({s1}) * ({s1}) + {cos_poly_sql(phi_a)} * {cos_poly_sql(phi_b)}"
+        f" * ({s2}) * ({s2}))"
+    )
+
+
+def haversine_radius_join_sphere(
+    places: DataFrame, radius_m: float, *, cap_colat_deg: float = 2.0
+) -> DataFrame:
+    """All unordered place pairs within radius_m meters of great-circle
+    distance, valid over the ENTIRE sphere — any latitude, antimeridian
+    straddle included — as (a_id, b_id, hav_e18, dist_mm), a_id < b_id.
+
+    Plan (see the block comment above for the window/cap math): non-cap
+    rows grid at cell = ceil(9·r) µdeg, probes replicate to a ±1-lat ×
+    ±bh(lat)-lon window with bh row-adaptive via the pinned-cos secant
+    bound and lon cells wrapping mod W; cap∪halo rows join on a planar
+    3×3 grid over the azimuthal-equidistant projection. Both paths
+    filter with the SAME antimeridian-safe pinned predicate
+    (hav_wrap_sql), so the brute-force DuckDB twin
+    (haversine_pairs_sphere_sql) is grid- and cap-independent.
+
+    Raises when radius_m is too large for cap_colat_deg (the secant
+    bound at the cap line must leave the window below a half-ring) and
+    on |lat| > 90e6 or |lon| > 180e6 inputs."""
+    if radius_m <= 0:
+        raise ValueError("haversine_radius_join_sphere: radius_m must be > 0")
+    cell = int(math.ceil(9.0 * radius_m))
+    delta = int(math.ceil(radius_m * _UDEG_PER_M)) + 1
+    w_ring = int(math.ceil(360e6 / cell))
+    s_half = math.sin(radius_m / (2.0 * EARTH_R_M)) * (1.0 + 1e-9)
+    cap_lat = 90_000_000 - int(round(cap_colat_deg * 1e6))
+    if not 0 < cap_lat < 90_000_000:
+        raise ValueError(
+            f"haversine_radius_join_sphere: cap_colat_deg {cap_colat_deg} out of range"
+        )
+    cmin_cap = math.cos((cap_lat + delta) * _RAD_PER_UDEG) - 1e-8
+    if cmin_cap <= s_half:
+        raise ValueError(
+            f"haversine_radius_join_sphere: radius {radius_m} m reaches a full"
+            f" lon ring below the {cap_colat_deg} deg cap — raise cap_colat_deg"
+        )
+    bh_max = int(180e6 * s_half / cmin_cap / cell) + 2
+    if 2 * bh_max + 1 > w_ring:
+        raise ValueError(
+            f"haversine_radius_join_sphere: lon window 2*{bh_max}+1 exceeds the"
+            f" {w_ring}-cell ring — raise cap_colat_deg or shrink radius_m"
+        )
+    lat_g = F.when(
+        F.abs(F.col("lat_udeg")) > 90_000_000,
+        F.raise_error(
+            F.lit("haversine_radius_join_sphere: |lat_udeg| > 90e6")
+        ).cast("long"),
+    ).otherwise(F.col("lat_udeg"))
+    lon_g = F.when(
+        F.abs(F.col("lon_udeg")) > 180_000_000,
+        F.raise_error(
+            F.lit("haversine_radius_join_sphere: |lon_udeg| > 180e6")
+        ).cast("long"),
+    ).otherwise(F.col("lon_udeg"))
+    p = places.select(
+        "place_id", lat_g.alias("lat_udeg"), lon_g.alias("lon_udeg")
+    )
+    hav = hav_wrap_sql("alat", "alon", "blat", "blon")
+    hav_e18, dist_mm = _pair_cols_sql(hav)
+    thr = _d(hav_threshold(radius_m))
+
+    # ---- grid path: both rows strictly below the cap line
+    noncap = p.where(F.abs(F.col("lat_udeg")) < F.lit(cap_lat))
+    xmin = (
+        f"(LEAST(ABS(lat_udeg) + {delta}, {cap_lat}) * {_d(_RAD_PER_UDEG)})"
+    )
+    halfw = f"({_d(180e6 * s_half)} / ({cos_poly_sql(xmin)} - {_d(1e-8)}))"
+    keyed = noncap.select(
+        "place_id",
+        "lat_udeg",
+        "lon_udeg",
+        F.floor(F.col("lat_udeg") / F.lit(cell)).alias("lc"),
+        F.pmod(
+            F.floor((F.col("lon_udeg") + F.lit(180_000_000)) / F.lit(cell)),
+            F.lit(w_ring),
+        ).alias("mc"),
+        F.least(
+            (F.floor(F.expr(halfw) / F.lit(cell)) + F.lit(2)).cast("int"),
+            F.lit(bh_max),
+        ).alias("bh"),
+    )
+    left_g = (
+        keyed.select(
+            F.col("place_id").alias("a_id"),
+            F.col("lat_udeg").alias("alat"),
+            F.col("lon_udeg").alias("alon"),
+            "lc",
+            "mc",
+            "bh",
+        )
+        .withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dj", F.explode(F.sequence(-F.col("bh"), F.col("bh"))))
+        .select(
+            "a_id",
+            "alat",
+            "alon",
+            (F.col("lc") + F.col("di")).alias("lc"),
+            F.pmod(F.col("mc") + F.col("dj"), F.lit(w_ring)).alias("mc"),
+        )
+    )
+    right_g = keyed.select(
+        F.col("place_id").alias("b_id"),
+        F.col("lat_udeg").alias("blat"),
+        F.col("lon_udeg").alias("blon"),
+        "lc",
+        "mc",
+    )
+    grid_pairs = left_g.join(right_g, ["lc", "mc"]).where(
+        (F.col("a_id") < F.col("b_id")) & F.expr(f"({hav}) < {thr}")
+    )
+
+    # ---- cap path: at least one row on-or-above the cap line
+    theta_max = (90_000_000 - cap_lat + 2 * delta) * _RAD_PER_UDEG
+    stretch = theta_max / math.sin(theta_max)
+    rp = delta * stretch * 1.001 + 1.0
+    cellp = int(math.ceil(rp))
+    cap_halo = p.where(F.abs(F.col("lat_udeg")) >= F.lit(cap_lat - delta))
+    lam = F.col("lon_udeg").cast("double") * F.lit(_RAD_PER_UDEG)
+    colat = (F.lit(90_000_000) - F.abs(F.col("lat_udeg"))).cast("double")
+    proj = cap_halo.select(
+        "place_id",
+        "lat_udeg",
+        "lon_udeg",
+        (F.col("lat_udeg") >= 0).alias("north"),
+        F.floor(colat * F.cos(lam) / F.lit(cellp)).alias("xc"),
+        F.floor(colat * F.sin(lam) / F.lit(cellp)).alias("yc"),
+    )
+    left_c = (
+        proj.select(
+            F.col("place_id").alias("a_id"),
+            F.col("lat_udeg").alias("alat"),
+            F.col("lon_udeg").alias("alon"),
+            "north",
+            "xc",
+            "yc",
+        )
+        .withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "a_id",
+            "alat",
+            "alon",
+            "north",
+            (F.col("xc") + F.col("di")).alias("xc"),
+            (F.col("yc") + F.col("dj")).alias("yc"),
+        )
+    )
+    right_c = proj.select(
+        F.col("place_id").alias("b_id"),
+        F.col("lat_udeg").alias("blat"),
+        F.col("lon_udeg").alias("blon"),
+        "north",
+        "xc",
+        "yc",
+    )
+    cap_pairs = left_c.join(right_c, ["north", "xc", "yc"]).where(
+        (F.col("a_id") < F.col("b_id"))
+        & (
+            F.greatest(F.abs(F.col("alat")), F.abs(F.col("blat")))
+            >= F.lit(cap_lat)
+        )
+        & F.expr(f"({hav}) < {thr}")
+    )
+
+    out = ["a_id", "b_id", F.expr(hav_e18).alias("hav_e18"), F.expr(dist_mm).alias("dist_mm")]
+    return grid_pairs.select(*out).unionAll(cap_pairs.select(*out))
+
+
+def haversine_pairs_sphere_sql(places_sql: str, radius_m: float) -> str:
+    """Brute-force DuckDB twin of haversine_radius_join_sphere: ALL n²
+    pairs with the SAME antimeridian-safe pinned predicate — fully
+    independent of the grid, the secant window, and the polar caps."""
+    hav = hav_wrap_sql("a.lat_udeg", "a.lon_udeg", "b.lat_udeg", "b.lon_udeg")
+    hav_e18, dist_mm = _pair_cols_sql(hav)
+    thr = _d(hav_threshold(radius_m))
+    return f"""
+WITH places AS ({places_sql})
+SELECT a.place_id AS a_id, b.place_id AS b_id,
+       {hav_e18} AS hav_e18, {dist_mm} AS dist_mm
+FROM places a JOIN places b ON a.place_id < b.place_id
+WHERE ({hav}) < {thr}
+"""
+
+
+# --------------------------------------------------- full-sphere fixture
+
+_SPHERE_HOTS: list[tuple[int, int]] = [
+    (89_980_000, 0),             # north cap, 2.2 km off the pole
+    (89_960_000, 135_000_000),   # north cap, different meridian
+    (-89_990_000, -90_000_000),  # south cap; jitter clamps AT the pole
+    (88_003_000, 10_000_000),    # just above the 2 deg cap line
+    (87_997_000, 10_000_000),    # just below it — cross-boundary pairs
+    (75_000_000, -60_000_000),   # high-lat (beyond the planar 60 guard)
+    (60_500_000, 20_000_000),    # just past 60 deg
+    (0, 179_995_000),            # equatorial antimeridian straddle
+    (-45_000_000, -179_990_000), # southern antimeridian straddle
+    (30_000_000, 50_000_000),    # ordinary mid-lat
+    (-60_200_000, 100_000_000),  # just past -60 deg
+    (89_999_000, -179_999_000),  # cap + antimeridian, 111 m off the pole
+]
+
+
+def synth_places_sphere(
+    spark: SparkSession, n: int, *, seed: int = 0
+) -> DataFrame:
+    """Full-sphere places fixture: n points over the _SPHERE_HOTS hotspot
+    centers (fixed, chosen to exercise every regime the _sphere join
+    must cover: both polar caps, the cap boundary, the antimeridian,
+    high latitudes, and exact-pole clamping), jitter ±60,000 µdeg per
+    axis. Latitude clamps to ±90e6 (the south-cap cluster produces rows
+    AT the pole, all longitudes — the same physical point); longitude
+    wraps mod 360e6 into [−180e6, 180e6). Exact-integer reproducible in
+    SQL (synth_places_sphere_sql)."""
+    nh = len(_SPHERE_HOTS)
+    ids = spark.range(n).select(F.col("id").cast("long").alias("place_id"))
+    hot = (F.col("place_id") % nh).cast("int")
+    lat_c = F.element_at(
+        F.array(*[F.lit(la) for la, _ in _SPHERE_HOTS]), hot + F.lit(1)
+    )
+    lon_c = F.element_at(
+        F.array(*[F.lit(lo) for _, lo in _SPHERE_HOTS]), hot + F.lit(1)
+    )
+    lat_r = lat_c + hash_col(F.col("place_id"), seed + 1) % 120_001 - 60_000
+    lon_r = lon_c + hash_col(F.col("place_id"), seed + 2) % 120_001 - 60_000
+    lat = F.least(F.lit(90_000_000), F.greatest(F.lit(-90_000_000), lat_r))
+    lon = F.pmod(lon_r + F.lit(180_000_000), F.lit(360_000_000)) - F.lit(
+        180_000_000
+    )
+    return ids.select(
+        "place_id",
+        lat.cast("long").alias("lat_udeg"),
+        lon.cast("long").alias("lon_udeg"),
+    )
+
+
+def synth_places_sphere_sql(n: int, *, seed: int = 0) -> str:
+    """DuckDB twin of synth_places_sphere — same MINSTD streams, same
+    clamp/wrap integer arithmetic, same integers."""
+    nh = len(_SPHERE_HOTS)
+    lat_c = f"list_extract({[la for la, _ in _SPHERE_HOTS]}, CAST(place_id % {nh} AS INTEGER) + 1)"
+    lon_c = f"list_extract({[lo for _, lo in _SPHERE_HOTS]}, CAST(place_id % {nh} AS INTEGER) + 1)"
+    lat_r = f"({lat_c}) + ({sample_hash_sql('place_id', seed + 1)}) % 120001 - 60000"
+    lon_r = f"({lon_c}) + ({sample_hash_sql('place_id', seed + 2)}) % 120001 - 60000"
+    lat = f"LEAST(90000000, GREATEST(-90000000, {lat_r}))"
+    lon = f"((({lon_r}) + 180000000) % 360000000 + 360000000) % 360000000 - 180000000"
+    return (
+        f"SELECT place_id, CAST({lat} AS BIGINT) AS lat_udeg,"
+        f" CAST({lon} AS BIGINT) AS lon_udeg"
+        f" FROM (SELECT unnest(range({n})) AS place_id)"
+    )

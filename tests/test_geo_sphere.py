@@ -1,0 +1,186 @@
+"""Full-sphere haversine radius join pins: the adaptive secant-window +
+wrapped-ring + polar-cap plan reproduces the brute-force pair set exactly
+(including antimeridian, cap-boundary, and exact-pole pairs), emits no
+duplicate pairs, guards bad inputs and infeasible radii, and plans no
+cartesian product."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from metric_search_spark.operators.geo import (
+    hav_wrap_sql,
+    haversine_pairs_sphere_sql,
+    haversine_radius_join_sphere,
+    synth_places_sphere,
+    synth_places_sphere_sql,
+)
+from tests.sparkutil import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+N, SEED, R = 900, 7, 500.0
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    p = synth_places_sphere(spark, N, seed=SEED)
+    return (
+        haversine_radius_join_sphere(p, R)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_fixture_parity_and_regimes(spark):
+    """Spark fixture == DuckDB fixture bit-for-bit, and the fixture
+    actually reaches every regime: both caps, exact pole, antimeridian
+    wrap, high latitude."""
+    sp = (
+        synth_places_sphere(spark, N, seed=SEED)
+        .toPandas()
+        .sort_values("place_id")
+        .reset_index(drop=True)
+    )
+    dk = (
+        duckdb.sql(synth_places_sphere_sql(N, seed=SEED))
+        .df()
+        .sort_values("place_id")
+        .reset_index(drop=True)
+    )
+    assert sp.equals(dk)
+    assert (sp.lat_udeg == -90_000_000).any()  # clamped AT the pole
+    assert (sp.lat_udeg.abs() >= 88_000_000).any()
+    assert (sp.lon_udeg.abs() > 179_000_000).any()
+    assert sp.lon_udeg.between(-180_000_000, 179_999_999).all()
+
+
+def test_matches_brute_force_exactly(pairs):
+    """The grid+cap plan's pair set equals the all-pairs pinned predicate
+    — rows, ids, and both exported BIGINTs bit-for-bit."""
+    ora = (
+        duckdb.sql(
+            haversine_pairs_sphere_sql(
+                synth_places_sphere_sql(N, seed=SEED), R
+            )
+        )
+        .df()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    assert len(pairs) == len(ora) > 0
+    for c in ("a_id", "b_id", "hav_e18", "dist_mm"):
+        assert (
+            pairs[c].astype("int64").values == ora[c].astype("int64").values
+        ).all(), c
+
+
+def test_no_duplicate_pairs(pairs):
+    assert pairs.duplicated(["a_id", "b_id"]).sum() == 0
+    assert (pairs.a_id < pairs.b_id).all()
+
+
+def test_regime_pairs_present(spark, pairs):
+    """Pairs exist in the hard regimes: involving a cap row, crossing the
+    cap boundary, straddling the antimeridian, and at the exact pole
+    (clamped south-cluster rows are the same physical point: dist 0)."""
+    m = (
+        synth_places_sphere(spark, N, seed=SEED)
+        .toPandas()
+        .set_index("place_id")
+    )
+    alat = pairs.a_id.map(m.lat_udeg)
+    blat = pairs.b_id.map(m.lat_udeg)
+    alon = pairs.a_id.map(m.lon_udeg)
+    blon = pairs.b_id.map(m.lon_udeg)
+    cap = 88_000_000
+    assert ((alat.abs() >= cap) | (blat.abs() >= cap)).any()
+    assert (
+        ((alat.abs() >= cap) & (blat.abs() < cap))
+        | ((blat.abs() >= cap) & (alat.abs() < cap))
+    ).any()
+    anti = (alon * blon < 0) & (
+        (alon.abs() > 179_000_000) | (blon.abs() > 179_000_000)
+    )
+    assert anti.any()
+    at_pole = (alat == -90_000_000) & (blat == -90_000_000)
+    assert at_pole.any()
+    assert (pairs.dist_mm[at_pole] == 0).all()
+
+
+def test_antimeridian_unit_pair(spark):
+    """Two points 0.0004 deg of lon apart ACROSS the seam (±179.9998)
+    pair up at ~44 m; the raw-difference hav_sql would have placed them
+    ~2 Earth-circumferences apart in Taylor-domain terms."""
+    p = spark.createDataFrame(
+        [(0, 0, 179_999_800), (1, 0, -179_999_800), (2, 0, 0)],
+        "place_id long, lat_udeg long, lon_udeg long",
+    )
+    got = haversine_radius_join_sphere(p, 100.0).toPandas()
+    assert [(r.a_id, r.b_id) for r in got.itertuples()] == [(0, 1)]
+    d_m = got.dist_mm.iloc[0] / 1000.0
+    assert abs(d_m - 2.0 * 0.0002 * math.pi / 180.0 * 6_371_000.0) < 0.5
+
+
+def test_near_pole_cross_meridian_pair(spark):
+    """Two points on OPPOSITE meridians 200 µdeg off the north pole are
+    ~44.5 m apart over the pole — only the cap path can see this pair
+    (their lon cells are half a ring apart)."""
+    p = spark.createDataFrame(
+        [(0, 89_999_800, 0), (1, 89_999_800, 180_000_000), (2, 80_000_000, 0)],
+        "place_id long, lat_udeg long, lon_udeg long",
+    )
+    got = haversine_radius_join_sphere(p, 100.0).toPandas()
+    assert [(r.a_id, r.b_id) for r in got.itertuples()] == [(0, 1)]
+    d_m = got.dist_mm.iloc[0] / 1000.0
+    assert abs(d_m - 2.0 * 0.0002 * math.pi / 180.0 * 6_371_000.0) < 0.5
+
+
+def test_wrapped_hav_periodicity(spark):
+    """hav_wrap_sql(λ) == hav_wrap_sql(λ ± 360 deg) bit-for-bit: the
+    integer normalization makes longitude genuinely periodic."""
+    rows = (
+        spark.range(1)
+        .select(
+            F.expr(
+                hav_wrap_sql("10000000", "179000000", "11000000", "-179000000")
+            ).alias("a"),
+            F.expr(
+                hav_wrap_sql("10000000", "179000000", "11000000", "181000000")
+            ).alias("b"),
+        )
+        .collect()[0]
+    )
+    assert rows.a == rows.b
+
+
+def test_guards(spark):
+    p = synth_places_sphere(spark, 50, seed=SEED)
+    with pytest.raises(ValueError, match="cap_colat_deg"):
+        haversine_radius_join_sphere(p, 100_000.0, cap_colat_deg=0.5)
+    bad = spark.createDataFrame(
+        [(0, 95_000_000, 0)], "place_id long, lat_udeg long, lon_udeg long"
+    )
+    with pytest.raises(Exception, match="lat_udeg"):
+        haversine_radius_join_sphere(bad, 100.0).collect()
+
+
+def test_plan_no_cartesian(spark):
+    p = synth_places_sphere(spark, 100, seed=SEED)
+    plan = (
+        haversine_radius_join_sphere(p, R)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
