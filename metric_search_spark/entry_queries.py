@@ -10895,6 +10895,40 @@ def _o_haversine_pairs_sphere_sql() -> str:
     )
 
 
+_GEO_SPHERE_KNN_N = 2000
+
+
+def q_haversine_knn_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-SPHERE geodetic kNN (operators/geo.haversine_knn_join_
+    sphere): each place's 5 nearest other places by antimeridian-safe
+    pinned great-circle distance over the polar/antimeridian fixture —
+    doubling-radius rounds where each round's candidates come from the
+    row-adaptive secant-window wrapped-ring grid plus the azimuthal-
+    equidistant polar-cap grid, resolving a probe when >= k candidates
+    sit strictly inside r_t. Exact-pole clamped rows (co-located, hav 0)
+    resolve in round 0 with b_id tie-breaks. The DuckDB twin brute-force
+    ranks all 4M ordered pairs with the same pinned expression —
+    independent of grid, rounds, windows, and caps."""
+    from metric_search_spark.operators.geo import (
+        haversine_knn_join_sphere,
+        synth_places_sphere,
+    )
+
+    p = synth_places_sphere(spark, _GEO_SPHERE_KNN_N, seed=_GEO_SEED)
+    return haversine_knn_join_sphere(p, 5, r0_m=250.0)
+
+
+def _o_haversine_knn_sphere_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        haversine_knn_sphere_sql,
+        synth_places_sphere_sql,
+    )
+
+    return haversine_knn_sphere_sql(
+        synth_places_sphere_sql(_GEO_SPHERE_KNN_N, seed=_GEO_SEED), 5
+    )
+
+
 _GEO_KNN_N, _GEO_KNN_K = 2500, 5
 
 
@@ -11318,6 +11352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "box_raster_images": q_box_raster_images,
     "haversine_pairs_places": q_haversine_pairs_places,
     "haversine_pairs_sphere": q_haversine_pairs_sphere,
+    "haversine_knn_sphere": q_haversine_knn_sphere,
     "haversine_knn_places": q_haversine_knn_places,
     "ripley_pairs_places": q_ripley_pairs_places,
     "slippy_tiles_places": q_slippy_tiles_places,
@@ -11483,6 +11518,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "box_raster_images": _o_box_raster_sql(),
     "haversine_pairs_places": _o_haversine_pairs_sql(),
     "haversine_pairs_sphere": _o_haversine_pairs_sphere_sql(),
+    "haversine_knn_sphere": _o_haversine_knn_sphere_sql(),
     "haversine_knn_places": _o_haversine_knn_sql(),
     "ripley_pairs_places": _o_ripley_pairs_sql(),
     "slippy_tiles_places": _o_slippy_tiles_sql(),

@@ -56,6 +56,8 @@ __all__ = [
     "synth_places_sphere_sql",
     "haversine_knn_join",
     "haversine_knn_sql",
+    "haversine_knn_join_sphere",
+    "haversine_knn_sphere_sql",
     "pair_counts_by_radius",
     "pair_counts_sql",
     "atanh_poly_sql",
@@ -1533,3 +1535,268 @@ def synth_places_sphere_sql(n: int, *, seed: int = 0) -> str:
         f" CAST({lon} AS BIGINT) AS lon_udeg"
         f" FROM (SELECT unnest(range({n})) AS place_id)"
     )
+
+
+# ------------------------------------------------ full-sphere geodetic kNN
+
+
+def _sphere_candidates(
+    probes: DataFrame, build: DataFrame, radius_m: float, cap_colat_deg: float
+) -> DataFrame:
+    """ORDERED candidate pairs (a_id, alat, alon, b_id, blat, blon)
+    provably containing every ordered (probe, build) pair with
+    great-circle distance < radius_m, each at most once — the sphere
+    twin of _window_candidates. Same two-path construction as
+    haversine_radius_join_sphere (row-adaptive secant lon window on the
+    wrapped ring below the cap line; azimuthal-equidistant 3×3 planar
+    grid over cap∪halo), made ordered: the grid path joins non-cap
+    probes to non-cap build rows, the cap path joins cap∪halo probes to
+    cap∪halo build rows keeping only pairs where at least one side is
+    a true cap row — disjoint, jointly exhaustive."""
+    cell = int(math.ceil(9.0 * radius_m))
+    delta = int(math.ceil(radius_m * _UDEG_PER_M)) + 1
+    w_ring = int(math.ceil(360e6 / cell))
+    s_half = math.sin(radius_m / (2.0 * EARTH_R_M)) * (1.0 + 1e-9)
+    cap_lat = 90_000_000 - int(round(cap_colat_deg * 1e6))
+    if not 0 < cap_lat < 90_000_000:
+        raise ValueError(
+            f"_sphere_candidates: cap_colat_deg {cap_colat_deg} out of range"
+        )
+    cmin_cap = math.cos((cap_lat + delta) * _RAD_PER_UDEG) - 1e-8
+    if cmin_cap <= s_half:
+        raise ValueError(
+            f"_sphere_candidates: radius {radius_m} m reaches a full lon"
+            f" ring below the {cap_colat_deg} deg cap — raise cap_colat_deg"
+        )
+    bh_max = int(180e6 * s_half / cmin_cap / cell) + 2
+    if 2 * bh_max + 1 > w_ring:
+        raise ValueError(
+            f"_sphere_candidates: lon window 2*{bh_max}+1 exceeds the"
+            f" {w_ring}-cell ring — raise cap_colat_deg or shrink radius_m"
+        )
+
+    def _grid_key(df: DataFrame) -> tuple[Column, Column]:
+        return (
+            F.floor(F.col("lat_udeg") / F.lit(cell)),
+            F.pmod(
+                F.floor((F.col("lon_udeg") + F.lit(180_000_000)) / F.lit(cell)),
+                F.lit(w_ring),
+            ),
+        )
+
+    xmin = f"(LEAST(ABS(lat_udeg) + {delta}, {cap_lat}) * {_d(_RAD_PER_UDEG)})"
+    halfw = f"({_d(180e6 * s_half)} / ({cos_poly_sql(xmin)} - {_d(1e-8)}))"
+    pnc = probes.where(F.abs(F.col("lat_udeg")) < F.lit(cap_lat))
+    lc, mc = _grid_key(pnc)
+    left_g = (
+        pnc.select(
+            F.col("place_id").alias("a_id"),
+            F.col("lat_udeg").alias("alat"),
+            F.col("lon_udeg").alias("alon"),
+            lc.alias("lc"),
+            mc.alias("mc"),
+            F.least(
+                (F.floor(F.expr(halfw) / F.lit(cell)) + F.lit(2)).cast("int"),
+                F.lit(bh_max),
+            ).alias("bh"),
+        )
+        .withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dj", F.explode(F.sequence(-F.col("bh"), F.col("bh"))))
+        .select(
+            "a_id",
+            "alat",
+            "alon",
+            (F.col("lc") + F.col("di")).alias("lc"),
+            F.pmod(F.col("mc") + F.col("dj"), F.lit(w_ring)).alias("mc"),
+        )
+    )
+    bnc = build.where(F.abs(F.col("lat_udeg")) < F.lit(cap_lat))
+    blc, bmc = _grid_key(bnc)
+    right_g = bnc.select(
+        F.col("place_id").alias("b_id"),
+        F.col("lat_udeg").alias("blat"),
+        F.col("lon_udeg").alias("blon"),
+        blc.alias("lc"),
+        bmc.alias("mc"),
+    )
+    grid = left_g.join(right_g, ["lc", "mc"]).drop("lc", "mc")
+
+    theta_max = (90_000_000 - cap_lat + 2 * delta) * _RAD_PER_UDEG
+    stretch = theta_max / math.sin(theta_max)
+    cellp = int(math.ceil(delta * stretch * 1.001 + 1.0))
+
+    def _proj(df: DataFrame) -> DataFrame:
+        lam = F.col("lon_udeg").cast("double") * F.lit(_RAD_PER_UDEG)
+        colat = (F.lit(90_000_000) - F.abs(F.col("lat_udeg"))).cast("double")
+        return df.where(
+            F.abs(F.col("lat_udeg")) >= F.lit(cap_lat - delta)
+        ).select(
+            "place_id",
+            "lat_udeg",
+            "lon_udeg",
+            (F.col("lat_udeg") >= 0).alias("north"),
+            F.floor(colat * F.cos(lam) / F.lit(cellp)).alias("xc"),
+            F.floor(colat * F.sin(lam) / F.lit(cellp)).alias("yc"),
+        )
+
+    left_c = (
+        _proj(probes)
+        .select(
+            F.col("place_id").alias("a_id"),
+            F.col("lat_udeg").alias("alat"),
+            F.col("lon_udeg").alias("alon"),
+            "north",
+            "xc",
+            "yc",
+        )
+        .withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "a_id",
+            "alat",
+            "alon",
+            "north",
+            (F.col("xc") + F.col("di")).alias("xc"),
+            (F.col("yc") + F.col("dj")).alias("yc"),
+        )
+    )
+    right_c = _proj(build).select(
+        F.col("place_id").alias("b_id"),
+        F.col("lat_udeg").alias("blat"),
+        F.col("lon_udeg").alias("blon"),
+        "north",
+        "xc",
+        "yc",
+    )
+    cap = (
+        left_c.join(right_c, ["north", "xc", "yc"])
+        .where(
+            F.greatest(F.abs(F.col("alat")), F.abs(F.col("blat")))
+            >= F.lit(cap_lat)
+        )
+        .drop("north", "xc", "yc")
+    )
+    cols = ["a_id", "alat", "alon", "b_id", "blat", "blon"]
+    return grid.select(*cols).unionAll(cap.select(*cols))
+
+
+def haversine_knn_join_sphere(
+    places: DataFrame,
+    k: int,
+    *,
+    r0_m: float = 250.0,
+    max_rounds: int = 8,
+    cap_colat_deg: float = 2.0,
+) -> DataFrame:
+    """For every place, its k nearest OTHER places by antimeridian-safe
+    pinned great-circle distance, valid over the ENTIRE sphere — the
+    full-sphere twin of haversine_knn_join, ties by b_id, exactly k rows
+    per place as (a_id, rnk, b_id, hav_e18, dist_mm).
+
+    Doubling-radius rounds: round t generates candidates for the still-
+    unresolved probes via _sphere_candidates at r_t = r0·2^t (row-
+    adaptive secant windows + polar-cap planar grid — every true pair
+    within r_t is a candidate exactly once), a probe resolves when >= k
+    candidates lie STRICTLY inside r_t (the window then provably holds
+    the true top-k), survivors rank in one per-probe window with the
+    k-cut applied before the checkpoint. Co-located rows (e.g. exact-
+    pole clamps) resolve in round 0 at hav = 0. Raises if probes remain
+    after max_rounds, or when r_t outgrows the cap (raise cap_colat_deg
+    or lower max_rounds)."""
+    if k < 1:
+        raise ValueError("haversine_knn_join_sphere: k must be >= 1")
+    from pyspark.sql import Window
+
+    lat_g = F.when(
+        F.abs(F.col("lat_udeg")) > 90_000_000,
+        F.raise_error(
+            F.lit("haversine_knn_join_sphere: |lat_udeg| > 90e6")
+        ).cast("long"),
+    ).otherwise(F.col("lat_udeg"))
+    lon_g = F.when(
+        F.abs(F.col("lon_udeg")) > 180_000_000,
+        F.raise_error(
+            F.lit("haversine_knn_join_sphere: |lon_udeg| > 180e6")
+        ).cast("long"),
+    ).otherwise(F.col("lon_udeg"))
+    p = places.select(
+        "place_id", lat_g.alias("lat_udeg"), lon_g.alias("lon_udeg")
+    )
+    build = p
+    probes = p
+    hav = hav_wrap_sql("alat", "alon", "blat", "blon")
+    hav_e18_col = f"CAST(FLOOR(hav * {_d(1e18)}) AS BIGINT)"
+    dist_mm_col = (
+        f"CAST(FLOOR({asin_poly_sql('SQRT(hav)')}"
+        f" * {_d(2.0 * EARTH_R_M * 1000.0)}) AS BIGINT)"
+    )
+    w_rank = Window.partitionBy("a_id").orderBy("hav", "b_id")
+    w_a = Window.partitionBy("a_id")
+    parts: list[DataFrame] = []
+    for t in range(max_rounds):
+        r_t = r0_m * (2.0 ** t)
+        # hav stays a PROJECTED column (same codegen trap as the planar
+        # kNN — a WHERE on the polynomial drops to interpreted eval)
+        cand = (
+            _sphere_candidates(probes, build, r_t, cap_colat_deg)
+            .where(F.col("a_id") != F.col("b_id"))
+            .withColumn("hav", F.expr(hav))
+        )
+        ranked = (
+            cand.withColumn("rnk", F.row_number().over(w_rank))
+            .where(F.col("rnk") <= k)
+            .select("a_id", "rnk", "b_id", "hav")
+            .localCheckpoint(eager=False)
+        )
+        flagged = ranked.withColumn(
+            "_ok",
+            (F.count("*").over(w_a) == k)
+            & (F.max("hav").over(w_a) < F.lit(hav_threshold(r_t))),
+        )
+        resolved = flagged.where("_ok").select(
+            "a_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "b_id",
+            F.expr(hav_e18_col).alias("hav_e18"),
+            F.expr(dist_mm_col).alias("dist_mm"),
+        )
+        parts.append(resolved)
+        probes = probes.join(
+            resolved.select("a_id").distinct(),
+            probes["place_id"] == F.col("a_id"),
+            "left_anti",
+        ).localCheckpoint(eager=False)
+        n_left = probes.count()
+        if n_left == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"haversine_knn_join_sphere: {n_left} probes unresolved after "
+            f"{max_rounds} rounds (r_max={r0_m * 2.0 ** (max_rounds - 1)} m)"
+            " — raise r0_m or max_rounds"
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def haversine_knn_sphere_sql(places_sql: str, k: int) -> str:
+    """Brute-force DuckDB twin: rank ALL ordered pairs per probe by the
+    same antimeridian-safe pinned (hav, b_id) order — independent of
+    grid, rounds, windows, and caps."""
+    hav = hav_wrap_sql("a.lat_udeg", "a.lon_udeg", "b.lat_udeg", "b.lon_udeg")
+    hav_e18, dist_mm = _pair_cols_sql(hav)
+    return f"""
+WITH places AS ({places_sql}),
+ranked AS (
+  SELECT a.place_id AS a_id, b.place_id AS b_id,
+         {hav_e18} AS hav_e18, {dist_mm} AS dist_mm,
+         row_number() OVER (
+           PARTITION BY a.place_id ORDER BY ({hav}), b.place_id
+         ) AS rnk
+  FROM places a JOIN places b ON a.place_id <> b.place_id
+)
+SELECT a_id, CAST(rnk AS BIGINT) AS rnk, b_id, hav_e18, dist_mm
+FROM ranked WHERE rnk <= {k}
+"""

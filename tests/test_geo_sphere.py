@@ -184,3 +184,63 @@ def test_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -------------------------------------------------- full-sphere kNN
+
+
+def test_knn_sphere_matches_brute_force(spark):
+    """Doubling-round sphere kNN == brute-force (hav, b_id) rank over all
+    ordered pairs, bit-for-bit, k rows per probe — including the
+    co-located exact-pole rows (hav 0, pure b_id ties) and antimeridian
+    neighborhoods."""
+    from metric_search_spark.operators.geo import (
+        haversine_knn_join_sphere,
+        haversine_knn_sphere_sql,
+    )
+
+    n, k = 700, 4
+    p = synth_places_sphere(spark, n, seed=SEED)
+    got = (
+        haversine_knn_join_sphere(p, k, r0_m=250.0)
+        .toPandas()
+        .sort_values(["a_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    ora = (
+        duckdb.sql(
+            haversine_knn_sphere_sql(
+                synth_places_sphere_sql(n, seed=SEED), k
+            )
+        )
+        .df()
+        .sort_values(["a_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ora) == n * k
+    for c in ("a_id", "rnk", "b_id", "hav_e18", "dist_mm"):
+        assert (
+            got[c].astype("int64").values == ora[c].astype("int64").values
+        ).all(), c
+
+
+def test_knn_sphere_pole_neighbors_distance_zero(spark):
+    """Probes clamped AT the south pole have co-located rows as their
+    nearest neighbors at exactly dist 0, ordered by b_id."""
+    from metric_search_spark.operators.geo import haversine_knn_join_sphere
+
+    n, k = 700, 4
+    p = synth_places_sphere(spark, n, seed=SEED)
+    pole_ids = {
+        r.place_id
+        for r in p.where(F.col("lat_udeg") == -90_000_000).collect()
+    }
+    assert len(pole_ids) >= k + 1
+    got = haversine_knn_join_sphere(p, k, r0_m=250.0).toPandas()
+    mine = got[got.a_id.isin(pole_ids)]
+    assert (mine.dist_mm == 0).all()
+    # hav between two clamped rows is cos_poly(pi/2)^2 * sin^2(dlam/2)
+    # ~ 1e-17 — not exactly zero, so ordering among them follows dlam
+    # before b_id (the parity test pins the exact order); here pin that
+    # every neighbor of a pole row IS another pole row.
+    assert set(mine.b_id) <= pole_ids
