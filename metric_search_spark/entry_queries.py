@@ -3933,6 +3933,49 @@ def _metric_polys() -> list[tuple[str, list[tuple[float, float]]]]:
     return polys
 
 
+_RELATE_N, _RELATE_SEED = 240, 11
+
+
+def q_polygon_relate_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust polygon relate join (operators/relate.polygon_relate_join):
+    exact topological classification — 'overlaps' (interiors intersect)
+    vs 'touches' (boundaries meet, interiors disjoint) — over a
+    240-polygon integer-lattice fixture engineered so the DEGENERATE
+    configurations the float overlay join disclaims (shared edges,
+    vertex-on-edge contacts, collinear runs, identical rings via planted
+    cross-half duplicates, containment with boundary contact) occur at
+    high frequency. Semantics are epsilon-free: contact points are exact
+    rationals, edges split at every contact, open pieces classify by
+    exact rational point location, and the overlaps/touches decision is
+    a theorem over those classifications. The engine pairs candidates by
+    a coarse bbox-cell cover equi-join (ids only, distinct, then ONE
+    geometry re-join into the exact Arrow refine); the DuckDB twin
+    brute-forces ALL cross pairs and re-mechanizes the same procedure
+    relationally in HUGEINT with a 2^80 scaled-key rational ordering —
+    grid/cover-independent, so any candidate-recall gap or exactness bug
+    flips the hash."""
+    from metric_search_spark.operators.relate import (
+        polygon_relate_join,
+        synth_lattice_polys,
+    )
+
+    polys = synth_lattice_polys(spark, _RELATE_N, seed=_RELATE_SEED)
+    return polygon_relate_join(
+        polys.where(F.col("gid") % 2 == 0), polys.where(F.col("gid") % 2 == 1)
+    )
+
+
+def _o_polygon_relate_sql() -> str:
+    from metric_search_spark.operators.relate import (
+        polygon_relate_sql,
+        synth_lattice_polys_sql,
+    )
+
+    return polygon_relate_sql(
+        synth_lattice_polys_sql(_RELATE_N, seed=_RELATE_SEED)
+    )
+
+
 def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shoelace polygon metrics (operators/pip.polygon_metrics) over the
     32-polygon star fixture: exact-integer signed-area cross terms and
@@ -11369,6 +11412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_events": q_rolling_events,
     "nearest_centroid_embeddings": q_nearest_centroid_embeddings,
     "polygon_metrics": q_polygon_metrics,
+    "polygon_relate_lattice": q_polygon_relate_lattice,
     "interval_overlap_events": q_interval_overlap_events,
     "entropy_events": q_entropy_events,
     "sessionize_events": q_sessionize_events,
@@ -11532,6 +11576,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "rolling_events": O_ROLLING_EVENTS,
     "nearest_centroid_embeddings": O_NEAREST_CENTROID,
     "polygon_metrics": _o_polygon_metrics_sql(),
+    "polygon_relate_lattice": _o_polygon_relate_sql(),
     "interval_overlap_events": _o_interval_overlap_sql(),
     "entropy_events": O_ENTROPY_EVENTS,
     "sessionize_events": O_SESSIONIZE_EVENTS,

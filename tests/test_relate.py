@@ -1,0 +1,127 @@
+"""Robust polygon relate pins: the exact rational kernel classifies every
+handcrafted degenerate configuration correctly (and symmetrically), the
+Spark candidate+refine join reproduces the brute-force DuckDB twin
+bit-for-bit on the lattice fixture, the fixture actually plants the
+degenerate regimes, and the plan carries no cartesian product."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from metric_search_spark.operators.relate import (
+    polygon_relate_join,
+    polygon_relate_sql,
+    relate_rings,
+    synth_lattice_polys,
+    synth_lattice_polys_sql,
+)
+from tests.sparkutil import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def _sq(x, y, s):
+    return [(x, y), (x + s, y), (x + s, y + s), (x, y + s)]
+
+
+DEGENERATE_CASES = [
+    (_sq(0, 0, 10), _sq(0, 0, 10), "overlaps"),      # identical rings
+    (_sq(0, 0, 10), _sq(10, 0, 10), "touches"),      # shared full edge
+    (_sq(0, 0, 10), [(10, 5), (20, 5), (20, 15), (10, 15)], "touches"),
+    (_sq(0, 0, 10), _sq(10, 10, 10), "touches"),     # vertex-vertex
+    (_sq(0, 0, 10), _sq(2, 2, 3), "overlaps"),       # strict containment
+    (_sq(0, 0, 10), [(0, 2), (5, 2), (5, 7), (0, 7)], "overlaps"),  # contained, shares edge
+    (_sq(0, 0, 10), _sq(5, 5, 10), "overlaps"),      # proper crossing
+    (_sq(0, 0, 10), _sq(20, 20, 5), "disjoint"),
+    # B's vertex ON A's edge, B dips inside (no proper crossing at contact)
+    (_sq(0, 0, 10), [(5, 10), (8, 14), (5, 6), (2, 14)], "overlaps"),
+    # B's vertex ON A's edge, B stays outside
+    (_sq(0, 0, 10), [(5, 10), (9, 14), (1, 14)], "touches"),
+    # collinear run along A's top edge, B above
+    (_sq(0, 0, 10), [(3, 10), (7, 10), (7, 14), (3, 14)], "touches"),
+    # plus-sign cross: no vertex of either inside the other
+    ([(4, 0), (6, 0), (6, 10), (4, 10)],
+     [(0, 4), (10, 4), (10, 6), (0, 6)], "overlaps"),
+    # triangles sharing the full hypotenuse, opposite sides
+    ([(0, 0), (10, 0), (0, 10)], [(10, 0), (10, 10), (0, 10)], "touches"),
+    # containment sharing two edges (corner-nested)
+    (_sq(0, 0, 10), _sq(0, 0, 5), "overlaps"),
+]
+
+
+@pytest.mark.parametrize("a,b,want", DEGENERATE_CASES)
+def test_kernel_degenerate_cases(a, b, want):
+    assert relate_rings(a, b) == want
+    assert relate_rings(b, a) == want  # symmetric
+
+
+def test_kernel_orientation_agnostic():
+    a, b = _sq(0, 0, 10), _sq(10, 0, 10)
+    assert relate_rings(a[::-1], b) == "touches"
+    assert relate_rings(a, b[::-1]) == "touches"
+    assert relate_rings(a[::-1], b[::-1]) == "touches"
+
+
+N, SEED = 160, 11
+
+
+def test_join_matches_brute_force_twin(spark):
+    """Candidate-cover + exact Arrow refine == brute-force HUGEINT twin,
+    pair set AND classification, on the degeneracy-dense lattice."""
+    polys = synth_lattice_polys(spark, N, seed=SEED)
+    got = (
+        polygon_relate_join(
+            polys.where(F.col("gid") % 2 == 0),
+            polys.where(F.col("gid") % 2 == 1),
+        )
+        .toPandas()
+        .sort_values(["a_gid", "b_gid"])
+        .reset_index(drop=True)
+    )
+    ora = (
+        duckdb.sql(polygon_relate_sql(synth_lattice_polys_sql(N, seed=SEED)))
+        .df()
+        .sort_values(["a_gid", "b_gid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ora) > 0
+    assert (got.a_gid.values == ora.a_gid.values).all()
+    assert (got.b_gid.values == ora.b_gid.values).all()
+    assert (got.relate.values == ora.relate.values).all()
+    # both classes genuinely occur
+    assert set(got.relate) == {"overlaps", "touches"}
+
+
+def test_fixture_plants_identical_cross_pairs(spark):
+    """gid % 6 == 5 copies the geometry of gid-3 (other half): the join
+    must report those pairs as overlaps (identical regions)."""
+    polys = synth_lattice_polys(spark, N, seed=SEED)
+    rows = {r.gid: (tuple(r.xs), tuple(r.ys)) for r in polys.collect()}
+    planted = [(g - 3, g) for g in range(5, N, 6)]
+    assert all(rows[a] == rows[b] for a, b in planted)
+    got = polygon_relate_join(
+        polys.where(F.col("gid") % 2 == 0), polys.where(F.col("gid") % 2 == 1)
+    ).toPandas()
+    pairs = {(r.a_gid, r.b_gid): r.relate for r in got.itertuples()}
+    for a, b in planted:
+        assert pairs.get((a, b)) == "overlaps", (a, b)
+
+
+def test_plan_no_cartesian(spark):
+    polys = synth_lattice_polys(spark, 40, seed=SEED)
+    plan = (
+        polygon_relate_join(
+            polys.where(F.col("gid") % 2 == 0),
+            polys.where(F.col("gid") % 2 == 1),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
