@@ -3976,6 +3976,41 @@ def _o_polygon_relate_sql() -> str:
     )
 
 
+def q_polygon_area_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection-area join (operators/relate.polygon_area_join):
+    2*area(A∩B) for every positively-overlapping cross pair of the
+    lattice fixture, by Green's theorem over EXACTLY-classified boundary
+    pieces — no clipping algorithm: strictly-interior pieces of either
+    boundary plus same-direction coincident pieces (counted once) bound
+    the intersection; touch-only pairs sum to exact zero and are absent
+    (pair set == polygon_relate_join's 'overlaps' rows, pinned in
+    tests/test_relate.py). Topology is exact rational; the MEASURE is a
+    pinned float dataflow (gcd-canonical t-fractions, one int->double
+    round + one division per endpoint, left-to-right fold in (side,
+    edge, t) order) that the DuckDB twin replays literally over ALL
+    brute-force pairs — the exported 2^20-scaled BIGINT hash-matches."""
+    from metric_search_spark.operators.relate import (
+        polygon_area_join,
+        synth_lattice_polys,
+    )
+
+    polys = synth_lattice_polys(spark, _RELATE_N, seed=_RELATE_SEED)
+    return polygon_area_join(
+        polys.where(F.col("gid") % 2 == 0), polys.where(F.col("gid") % 2 == 1)
+    )
+
+
+def _o_polygon_area_sql() -> str:
+    from metric_search_spark.operators.relate import (
+        polygon_area_sql,
+        synth_lattice_polys_sql,
+    )
+
+    return polygon_area_sql(
+        synth_lattice_polys_sql(_RELATE_N, seed=_RELATE_SEED)
+    )
+
+
 def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shoelace polygon metrics (operators/pip.polygon_metrics) over the
     32-polygon star fixture: exact-integer signed-area cross terms and
@@ -11413,6 +11448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nearest_centroid_embeddings": q_nearest_centroid_embeddings,
     "polygon_metrics": q_polygon_metrics,
     "polygon_relate_lattice": q_polygon_relate_lattice,
+    "polygon_area_lattice": q_polygon_area_lattice,
     "interval_overlap_events": q_interval_overlap_events,
     "entropy_events": q_entropy_events,
     "sessionize_events": q_sessionize_events,
@@ -11577,6 +11613,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "nearest_centroid_embeddings": O_NEAREST_CENTROID,
     "polygon_metrics": _o_polygon_metrics_sql(),
     "polygon_relate_lattice": _o_polygon_relate_sql(),
+    "polygon_area_lattice": _o_polygon_area_sql(),
     "interval_overlap_events": _o_interval_overlap_sql(),
     "entropy_events": O_ENTROPY_EVENTS,
     "sessionize_events": O_SESSIONIZE_EVENTS,

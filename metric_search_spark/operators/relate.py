@@ -55,6 +55,9 @@ __all__ = [
     "synth_lattice_polys",
     "synth_lattice_polys_sql",
     "polygon_relate_sql",
+    "intersection_area2",
+    "polygon_area_join",
+    "polygon_area_sql",
 ]
 
 
@@ -549,4 +552,346 @@ FROM pair_flags f
 JOIN pair_sides s USING (a_gid, b_gid)
 JOIN vert_any v USING (a_gid, b_gid)
 WHERE f.proper_any OR s.any_in OR s.all_on_both OR f.contact_any OR v.v_in
+"""
+
+
+# ------------------------------------------- intersection area (pinned)
+
+
+def _shoelace2(ring):
+    s = 0
+    n = len(ring)
+    for i in range(n):
+        j = (i + 1) % n
+        s += ring[i][0] * ring[j][1] - ring[j][0] * ring[i][1]
+    return s
+
+
+def _ccw(ring):
+    return ring if _shoelace2(ring) >= 0 else ring[::-1]
+
+
+def intersection_area2(a, b):
+    """2x the area of A∩B for integer-coordinate simple rings, by
+    Green's theorem over EXACTLY-classified boundary pieces — no
+    clipping algorithm, no epsilons in the topology:
+
+      2*area(A∩B) = sum over directed pieces of dA that are strictly IN
+      B, or ON dB RUNNING THE SAME DIRECTION (the shared segment bounds
+      the intersection once; opposite-direction coincident edges bound
+      zero width and are skipped), of (x0*y1 - x1*y0), plus the same
+      over pieces of dB strictly IN A.
+
+    Both rings are normalized CCW first (exact shoelace sign). Piece
+    endpoints are exact rationals; the MEASURE accumulates in a PINNED
+    float dataflow — num/den each rounds to double, one division, the
+    cross term, a left-to-right fold in (side, edge, t) order — which
+    the DuckDB twin replays literally, so the exported scaled BIGINT
+    matches bit-for-bit. Returns the float 2*area (exact zero for
+    touch-only and disjoint pairs: no piece qualifies)."""
+    a = _ccw([(int(x), int(y)) for x, y in a])
+    b = _ccw([(int(x), int(y)) for x, y in b])
+    total = 0.0
+    for side, (P, Q) in enumerate(((a, b), (b, a))):
+        np_ = len(P)
+        for i in range(np_):
+            p, q = P[i], P[(i + 1) % np_]
+            ts = {Fraction(0), Fraction(1)}
+            for j in range(len(Q)):
+                u, v = Q[j], Q[(j + 1) % len(Q)]
+                t_list, _, _ = _edge_contacts(p, q, u, v)
+                for t in t_list:
+                    if 0 <= t <= 1:
+                        ts.add(t)
+            ordered = sorted(ts)
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            for t0, t1 in zip(ordered, ordered[1:]):
+                tm = (t0 + t1) * Fraction(1, 2)
+                mx = p[0] + tm * (q[0] - p[0])
+                my = p[1] + tm * (q[1] - p[1])
+                cls = _classify_point(mx, my, Q)
+                keep = cls == "in"
+                if not keep and cls == "on" and side == 0:
+                    # same-direction coincident edge? (unique containing
+                    # Q edge: piece interiors never hold a Q vertex)
+                    for j in range(len(Q)):
+                        u, v = Q[j], Q[(j + 1) % len(Q)]
+                        if _orient(u[0], u[1], v[0], v[1], mx, my) == 0 and _within(
+                            u[0], v[0], mx
+                        ) and _within(u[1], v[1], my):
+                            keep = dx * (v[0] - u[0]) + dy * (v[1] - u[1]) > 0
+                            break
+                if keep:
+                    # pinned float endpoints: int->double rounds, ONE
+                    # division each, cross term, left-to-right fold
+                    n0x, d0 = (
+                        p[0] * t0.denominator + t0.numerator * dx,
+                        t0.denominator,
+                    )
+                    n0y = p[1] * t0.denominator + t0.numerator * dy
+                    n1x, d1 = (
+                        p[0] * t1.denominator + t1.numerator * dx,
+                        t1.denominator,
+                    )
+                    n1y = p[1] * t1.denominator + t1.numerator * dy
+                    x0 = float(n0x) / float(d0)
+                    y0 = float(n0y) / float(d0)
+                    x1 = float(n1x) / float(d1)
+                    y1 = float(n1y) / float(d1)
+                    total = total + (x0 * y1 - x1 * y0)
+    return total
+
+
+def polygon_area_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    cell: int = 8192,
+    id_col: str = "gid",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """(a_gid, b_gid, area2_q) for every cross pair with POSITIVE
+    intersection area: area2_q = floor(2*area(A∩B) * 2^20) over the
+    exact-classification pinned-float measure (intersection_area2).
+    Touch-only pairs contribute exact zero and are absent — the pair
+    set equals polygon_relate_join's 'overlaps' rows by construction
+    (pinned as a test invariant). Same candidate cover + Arrow refine
+    plan as polygon_relate_join."""
+
+    def cover(df: DataFrame, tag: str) -> DataFrame:
+        xs, ys = F.col(xs_col), F.col(ys_col)
+        return (
+            df.select(
+                F.col(id_col).alias(f"_{tag}id"),
+                F.floor(F.array_min(xs) / cell).alias("_x0"),
+                F.floor(F.array_max(xs) / cell).alias("_x1"),
+                F.floor(F.array_min(ys) / cell).alias("_y0"),
+                F.floor(F.array_max(ys) / cell).alias("_y1"),
+            )
+            .withColumn("_cx", F.explode(F.sequence("_x0", "_x1")))
+            .withColumn("_cy", F.explode(F.sequence("_y0", "_y1")))
+            .select(f"_{tag}id", (F.col("_cx") * 1_048_576 + F.col("_cy")).alias("_cell"))
+        )
+
+    cand = (
+        cover(left, "l")
+        .join(cover(right, "r"), "_cell")
+        .select("_lid", "_rid")
+        .distinct()
+    )
+    lg = left.select(
+        F.col(id_col).alias("_lid"),
+        F.col(xs_col).alias("_lxs"),
+        F.col(ys_col).alias("_lys"),
+    )
+    rg = right.select(
+        F.col(id_col).alias("_rid"),
+        F.col(xs_col).alias("_rxs"),
+        F.col(ys_col).alias("_rys"),
+    )
+    pairs = cand.join(lg, "_lid").join(rg, "_rid")
+
+    def refine(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_q = [], [], []
+            for la, ra, lxs, lys, rxs, rys in zip(
+                pdf["_lid"], pdf["_rid"], pdf["_lxs"], pdf["_lys"],
+                pdf["_rxs"], pdf["_rys"],
+            ):
+                ring_a = list(zip((int(x) for x in lxs), (int(y) for y in lys)))
+                ring_b = list(zip((int(x) for x in rxs), (int(y) for y in rys)))
+                a2 = intersection_area2(ring_a, ring_b)
+                if a2 > 0.0:
+                    import math as _m
+
+                    out_a.append(int(la))
+                    out_b.append(int(ra))
+                    out_q.append(_m.floor(a2 * 1048576.0))
+            yield pd.DataFrame(
+                {"a_gid": pd.Series(out_a, dtype="int64"),
+                 "b_gid": pd.Series(out_b, dtype="int64"),
+                 "area2_q": pd.Series(out_q, dtype="int64")}
+            )
+
+    return pairs.mapInPandas(
+        refine, schema="a_gid long, b_gid long, area2_q long"
+    )
+
+
+def polygon_area_sql(polys_sql: str) -> str:
+    """DuckDB twin of polygon_area_join over brute-force cross pairs:
+    the same exact piece classification as polygon_relate_sql, the same
+    keep rule (strictly-IN pieces both sides; ON pieces of side A only
+    when the coincident edge runs the SAME direction), and the same
+    PINNED float measure — t-fractions reduce by gcd first (Python's
+    Fraction is canonical, and float(g*n)/float(g*d) != float(n)/float(d)
+    for non-power-of-2 g), each endpoint rounds int->double and divides
+    once, cross terms fold left-to-right in (side, edge, t) order."""
+    return f"""
+WITH polys0 AS ({polys_sql}),
+polys AS (
+  SELECT gid,
+         CASE WHEN s2 >= 0 THEN xs ELSE list_reverse(xs) END AS xs,
+         CASE WHEN s2 >= 0 THEN ys ELSE list_reverse(ys) END AS ys
+  FROM (
+    SELECT gid, xs, ys,
+           list_sum(list_transform(range(len(xs)), i ->
+             xs[i + 1] * ys[(i + 1) % len(ys) + 1]
+             - xs[(i + 1) % len(xs) + 1] * ys[i + 1])) AS s2
+    FROM polys0
+  )
+),
+pairs AS (
+  SELECT a.gid AS a_gid, b.gid AS b_gid,
+         a.xs AS axs, a.ys AS ays, b.xs AS bxs, b.ys AS bys
+  FROM polys a JOIN polys b ON a.gid % 2 = 0 AND b.gid % 2 = 1
+),
+sides AS (
+  SELECT a_gid, b_gid, 0 AS side, axs AS pxs, ays AS pys, bxs AS qxs, bys AS qys FROM pairs
+  UNION ALL
+  SELECT a_gid, b_gid, 1 AS side, bxs AS pxs, bys AS pys, axs AS qxs, ays AS qys FROM pairs
+),
+pedges AS (
+  SELECT a_gid, b_gid, side, pxs, pys, qxs, qys, i,
+         pxs[i + 1] AS px, pys[i + 1] AS py,
+         pxs[(i + 1) % len(pxs) + 1] AS qx, pys[(i + 1) % len(pys) + 1] AS qy
+  FROM sides, unnest(range(len(pxs))) AS t(i)
+),
+epairs AS (
+  SELECT e.*, j,
+         qxs[j + 1] AS ux, qys[j + 1] AS uy,
+         qxs[(j + 1) % len(qxs) + 1] AS vx, qys[(j + 1) % len(qys) + 1] AS vy
+  FROM pedges e, unnest(range(len(qxs))) AS t(j)
+),
+geom AS (
+  SELECT *,
+         (qx - px) * (uy - py) - (qy - py) * (ux - px) AS o1,
+         (qx - px) * (vy - py) - (qy - py) * (vx - px) AS o2,
+         (vx - ux) * (py - uy) - (vy - uy) * (px - ux) AS o3,
+         (vx - ux) * (qy - uy) - (vy - uy) * (qx - ux) AS o4,
+         (qx - px) * (qx - px) + (qy - py) * (qy - py) AS den,
+         (ux - px) * (qx - px) + (uy - py) * (qy - py) AS dotu,
+         (vx - px) * (qx - px) + (vy - py) * (qy - py) AS dotv
+  FROM epairs
+),
+tarms AS (
+  SELECT a_gid, b_gid, side, i,
+         CASE
+           WHEN o1 = 0 AND o2 = 0 THEN
+             CASE WHEN den > 0 AND GREATEST(LEAST(dotu, dotv), 0)
+                              <= LEAST(GREATEST(dotu, dotv), den)
+                  THEN [struct_pack(tn := GREATEST(LEAST(dotu, dotv), 0), td := den),
+                        struct_pack(tn := LEAST(GREATEST(dotu, dotv), den), td := den)]
+                  ELSE [] END
+           WHEN o1 * o2 < 0 AND o3 * o4 < 0 THEN
+             CASE WHEN o3 - o4 > 0 THEN [struct_pack(tn := o3, td := o3 - o4)]
+                  ELSE [struct_pack(tn := -o3, td := o4 - o3)] END
+           ELSE
+             CASE WHEN o1 = 0 AND den > 0
+                       AND ux BETWEEN LEAST(px, qx) AND GREATEST(px, qx)
+                       AND uy BETWEEN LEAST(py, qy) AND GREATEST(py, qy)
+                  THEN [struct_pack(tn := dotu, td := den)] ELSE [] END
+             || CASE WHEN o2 = 0 AND den > 0
+                       AND vx BETWEEN LEAST(px, qx) AND GREATEST(px, qx)
+                       AND vy BETWEEN LEAST(py, qy) AND GREATEST(py, qy)
+                  THEN [struct_pack(tn := dotv, td := den)] ELSE [] END
+             || CASE WHEN o3 = 0
+                       AND px BETWEEN LEAST(ux, vx) AND GREATEST(ux, vx)
+                       AND py BETWEEN LEAST(uy, vy) AND GREATEST(uy, vy)
+                  THEN [struct_pack(tn := CAST(0 AS BIGINT), td := CAST(1 AS BIGINT))] ELSE [] END
+             || CASE WHEN o4 = 0
+                       AND qx BETWEEN LEAST(ux, vx) AND GREATEST(ux, vx)
+                       AND qy BETWEEN LEAST(uy, vy) AND GREATEST(uy, vy)
+                  THEN [struct_pack(tn := CAST(1 AS BIGINT), td := CAST(1 AS BIGINT))] ELSE [] END
+         END AS ts
+  FROM geom
+),
+splits_raw AS (
+  SELECT a_gid, b_gid, side, i,
+         t.tn // gcd(t.tn, t.td) AS tn, t.td // gcd(t.tn, t.td) AS td
+  FROM tarms, unnest(ts) AS u(t)
+  UNION ALL
+  SELECT a_gid, b_gid, side, i, 0, 1 FROM pedges
+  UNION ALL
+  SELECT a_gid, b_gid, side, i, 1, 1 FROM pedges
+),
+splits AS (
+  SELECT a_gid, b_gid, side, i,
+         CAST(tn AS HUGEINT) * {_H80} // CAST(td AS HUGEINT) AS key,
+         min(tn) AS tn, min(td) AS td
+  FROM splits_raw
+  GROUP BY a_gid, b_gid, side, i,
+           CAST(tn AS HUGEINT) * {_H80} // CAST(td AS HUGEINT)
+),
+pieces0 AS (
+  SELECT a_gid, b_gid, side, i, tn, td,
+         lead(tn) OVER w AS tn2, lead(td) OVER w AS td2,
+         key
+  FROM splits
+  WINDOW w AS (PARTITION BY a_gid, b_gid, side, i ORDER BY key)
+),
+pieces AS (
+  SELECT p.a_gid, p.b_gid, p.side, p.i, p.key,
+         p.tn, p.td, p.tn2, p.td2,
+         CAST(p.tn AS HUGEINT) * p.td2 + CAST(p.tn2 AS HUGEINT) * p.td AS mn,
+         2 * CAST(p.td AS HUGEINT) * p.td2 AS md,
+         e.px, e.py, e.qx, e.qy, e.qx - e.px AS dx, e.qy - e.py AS dy,
+         e.qxs, e.qys
+  FROM pieces0 p
+  JOIN pedges e USING (a_gid, b_gid, side, i)
+  WHERE p.tn2 IS NOT NULL
+),
+mids AS (
+  SELECT *,
+         px * md + mn * dx AS mxn,
+         py * md + mn * dy AS myn
+  FROM pieces
+),
+mid_cls AS (
+  SELECT m.a_gid, m.b_gid, m.side, m.i, m.key,
+         any_value(m.tn) AS tn, any_value(m.td) AS td,
+         any_value(m.tn2) AS tn2, any_value(m.td2) AS td2,
+         any_value(m.px) AS px, any_value(m.py) AS py,
+         any_value(m.dx) AS dx, any_value(m.dy) AS dy,
+         bool_or(
+           (vx - ux) * (m.myn - uy * m.md) - (vy - uy) * (m.mxn - ux * m.md) = 0
+           AND m.mxn BETWEEN LEAST(ux * m.md, vx * m.md) AND GREATEST(ux * m.md, vx * m.md)
+           AND m.myn BETWEEN LEAST(uy * m.md, vy * m.md) AND GREATEST(uy * m.md, vy * m.md)
+         ) AS on_any,
+         bool_or(
+           (vx - ux) * (m.myn - uy * m.md) - (vy - uy) * (m.mxn - ux * m.md) = 0
+           AND m.mxn BETWEEN LEAST(ux * m.md, vx * m.md) AND GREATEST(ux * m.md, vx * m.md)
+           AND m.myn BETWEEN LEAST(uy * m.md, vy * m.md) AND GREATEST(uy * m.md, vy * m.md)
+           AND m.dx * (vx - ux) + m.dy * (vy - uy) > 0
+         ) AS same_dir,
+         sum(CASE WHEN (uy * m.md > m.myn) <> (vy * m.md > m.myn)
+                   AND ((ux * m.md - m.mxn) * (vy - uy)
+                        + (m.myn - uy * m.md) * (vx - ux)) * (vy - uy) > 0
+              THEN 1 ELSE 0 END) % 2 = 1 AS odd
+  FROM mids m, unnest(range(len(m.qxs))) AS t(j),
+       LATERAL (SELECT m.qxs[j + 1] AS ux, m.qys[j + 1] AS uy,
+                       m.qxs[(j + 1) % len(m.qxs) + 1] AS vx,
+                       m.qys[(j + 1) % len(m.qys) + 1] AS vy) e
+  GROUP BY m.a_gid, m.b_gid, m.side, m.i, m.key
+),
+contribs AS (
+  SELECT a_gid, b_gid, side, i, key,
+         (CAST(px * td + tn * dx AS DOUBLE) / CAST(td AS DOUBLE))
+           * (CAST(py * td2 + tn2 * dy AS DOUBLE) / CAST(td2 AS DOUBLE))
+         - (CAST(px * td2 + tn2 * dx AS DOUBLE) / CAST(td2 AS DOUBLE))
+           * (CAST(py * td + tn * dy AS DOUBLE) / CAST(td AS DOUBLE)) AS c
+  FROM mid_cls
+  WHERE (NOT on_any AND odd) OR (side = 0 AND on_any AND same_dir)
+),
+sums AS (
+  SELECT a_gid, b_gid,
+         list_reduce(list(c ORDER BY side, i, key), (x, y) -> x + y) AS total
+  FROM contribs GROUP BY a_gid, b_gid
+)
+SELECT a_gid, b_gid,
+       CAST(FLOOR(total * CAST('1048576' AS DOUBLE)) AS BIGINT) AS area2_q
+FROM sums WHERE total > 0
 """

@@ -125,3 +125,61 @@ def test_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------- intersection area
+
+
+def test_area_known_answers():
+    from metric_search_spark.operators.relate import intersection_area2
+
+    assert intersection_area2(_sq(0, 0, 10), _sq(0, 0, 10)) == 200.0
+    assert intersection_area2(_sq(0, 0, 10), _sq(10, 0, 10)) == 0.0
+    assert intersection_area2(_sq(0, 0, 10), _sq(5, 5, 10)) == 50.0
+    assert intersection_area2(_sq(0, 0, 10), _sq(2, 2, 3)) == 18.0
+    assert intersection_area2(_sq(0, 0, 10), _sq(0, 0, 5)) == 50.0
+    assert (
+        intersection_area2(
+            [(4, 0), (6, 0), (6, 10), (4, 10)],
+            [(0, 4), (10, 4), (10, 6), (0, 6)],
+        )
+        == 8.0
+    )
+    # orientation-agnostic (normalized CCW internally)
+    assert intersection_area2(_sq(0, 0, 10)[::-1], _sq(5, 5, 10)) == 50.0
+
+
+def test_area_join_matches_twin_and_relate(spark):
+    """Spark area join == brute-force twin bit-for-bit, and its pair set
+    equals the relate join's 'overlaps' rows (touch-only pairs are exact
+    zero)."""
+    from metric_search_spark.operators.relate import (
+        polygon_area_join,
+        polygon_area_sql,
+    )
+
+    polys = synth_lattice_polys(spark, N, seed=SEED)
+    left = polys.where(F.col("gid") % 2 == 0)
+    right = polys.where(F.col("gid") % 2 == 1)
+    got = (
+        polygon_area_join(left, right)
+        .toPandas()
+        .sort_values(["a_gid", "b_gid"])
+        .reset_index(drop=True)
+    )
+    ora = (
+        duckdb.sql(polygon_area_sql(synth_lattice_polys_sql(N, seed=SEED)))
+        .df()
+        .sort_values(["a_gid", "b_gid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ora) > 0
+    for c in ("a_gid", "b_gid", "area2_q"):
+        assert (
+            got[c].astype("int64").values == ora[c].astype("int64").values
+        ).all(), c
+    rel = polygon_relate_join(left, right).toPandas()
+    overlaps = {
+        (r.a_gid, r.b_gid) for r in rel.itertuples() if r.relate == "overlaps"
+    }
+    assert {(r.a_gid, r.b_gid) for r in got.itertuples()} == overlaps
