@@ -11007,6 +11007,44 @@ def _o_haversine_knn_sphere_sql() -> str:
     )
 
 
+def q_spherical_zone_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-polygon zone join (operators/geo.spherical_zone_join):
+    assign each place of the full-sphere fixture to every zone whose
+    great-circle-arc boundary encloses it — a polar-cap quad (arcs bulge
+    POLEWARD of their lat-80 vertices and the region contains the north
+    pole: planar PIP cannot express it), an antimeridian band, a mid-lat
+    quad, a southern triangle, and a cap-line straddler. Membership is
+    odd crossing parity of the arc from the SOUTH POLE to the probe
+    against the zone edges, decided by s2geometry's SimpleCrossing sign
+    rule over PINNED banded-polynomial unit vectors — one shared
+    expression text, so both engines flip identical probes even at
+    boundaries (exact-pole clamped rows classify via their stored-lon
+    meridian, bit-identically). Plan: ~21 edge rows broadcast (BNLJ
+    build side — deliberate), probe table never shuffles, one parity
+    aggregate. Echo twin (pinned projection); independence via the
+    numpy/libm arc-intersection recomputation + known-geometry pins in
+    tests/test_geo_sphere.py."""
+    from metric_search_spark.operators.geo import (
+        spherical_zone_join,
+        synth_places_sphere,
+        synth_zones,
+    )
+
+    p = synth_places_sphere(spark, _GEO_SPHERE_N, seed=_GEO_SEED)
+    return spherical_zone_join(p, synth_zones(spark))
+
+
+def _o_spherical_zone_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        spherical_zone_sql,
+        synth_places_sphere_sql,
+    )
+
+    return spherical_zone_sql(
+        synth_places_sphere_sql(_GEO_SPHERE_N, seed=_GEO_SEED)
+    )
+
+
 _GEO_KNN_N, _GEO_KNN_K = 2500, 5
 
 
@@ -11431,6 +11469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "haversine_pairs_places": q_haversine_pairs_places,
     "haversine_pairs_sphere": q_haversine_pairs_sphere,
     "haversine_knn_sphere": q_haversine_knn_sphere,
+    "spherical_zone_places": q_spherical_zone_places,
     "haversine_knn_places": q_haversine_knn_places,
     "ripley_pairs_places": q_ripley_pairs_places,
     "slippy_tiles_places": q_slippy_tiles_places,
@@ -11599,6 +11638,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "haversine_pairs_places": _o_haversine_pairs_sql(),
     "haversine_pairs_sphere": _o_haversine_pairs_sphere_sql(),
     "haversine_knn_sphere": _o_haversine_knn_sphere_sql(),
+    "spherical_zone_places": _o_spherical_zone_sql(),
     "haversine_knn_places": _o_haversine_knn_sql(),
     "ripley_pairs_places": _o_ripley_pairs_sql(),
     "slippy_tiles_places": _o_slippy_tiles_sql(),

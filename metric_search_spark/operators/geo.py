@@ -73,6 +73,11 @@ __all__ = [
     "s2_stages",
     "s2_cells",
     "s2_cells_sql",
+    "unitvec_stages",
+    "spherical_zone_join",
+    "synth_zones",
+    "synth_zones_sql",
+    "spherical_zone_sql",
 ]
 
 EARTH_R_M = 6_371_000.0  # spherical model radius (the haversine sphere)
@@ -1799,4 +1804,198 @@ ranked AS (
 )
 SELECT a_id, CAST(rnk AS BIGINT) AS rnk, b_id, hav_e18, dist_mm
 FROM ranked WHERE rnk <= {k}
+"""
+
+
+# --------------------------------------------- spherical zone PIP join
+
+
+def unitvec_stages(lat_udeg: str, lon_udeg: str, prefix: str) -> list[tuple[str, str]]:
+    """Staged pinned unit vector (x, y, z) of a lat/lon point via the
+    full-circle banded sin/cos — valid at every latitude and longitude.
+    Final stage names {prefix}x / {prefix}y / {prefix}z."""
+    stages = sincos_stages(lat_udeg, f"{prefix}la") + sincos_stages(
+        lon_udeg, f"{prefix}lo"
+    )
+    stages += [
+        (f"{prefix}x", f"(({prefix}la_cos) * ({prefix}lo_cos))"),
+        (f"{prefix}y", f"(({prefix}la_cos) * ({prefix}lo_sin))"),
+        (f"{prefix}z", f"({prefix}la_sin)"),
+    ]
+    return stages
+
+
+def _sph_cross_sql() -> str:
+    """Pinned arc-crossing predicate for arc(SOUTH POLE -> probe P) vs
+    zone edge arc(A -> B): s2geometry's SimpleCrossing sign rule
+    (s2edge_crossings; public semantics) with a = (0,0,-1) inlined —
+    ab = R x P = (py, -px, 0). The arcs properly cross iff the four
+    triple products acb, cbd, bda, dac share one strict sign. Every
+    operand is a pinned-stage double, every op IEEE +-*, one shared
+    expression text — both engines flip the same probes at boundaries
+    (ties at exact 0.0 classify identically because the BITS match)."""
+    acb = "(-((py) * (ax) + (-(px)) * (ay)))"
+    cbd = "(-((cdx) * (px) + (cdy) * (py) + (cdz) * (pz)))"
+    bda = "((py) * (bx) + (-(px)) * (by))"
+    dac = "(-(cdz))"
+    return (
+        f"(({acb}) * ({cbd}) > {_d(0.0)}"
+        f" AND ({cbd}) * ({bda}) > {_d(0.0)}"
+        f" AND ({bda}) * ({dac}) > {_d(0.0)})"
+    )
+
+
+def spherical_zone_join(places: DataFrame, zones: DataFrame) -> DataFrame:
+    """(place_id, zone_id) for every place inside each SPHERICAL polygon
+    zone — edges are minor great-circle arcs between consecutive
+    (lat_udeg, lon_udeg) vertices (implicit closure), and the zone
+    interior is the odd-crossing-parity region measured from the SOUTH
+    POLE (equivalently: the component NOT containing the south pole —
+    zones that contain it are the one documented exclusion). Valid where
+    planar PIP is not: zones enclosing the north pole, zones straddling
+    the antimeridian, arcs bulging poleward of their vertices.
+
+    Plan: zone edges are a constant-size dim — explode vertices, compute
+    pinned unit vectors and the A x B normal per edge, and BROADCAST
+    them to the probe side (Catalyst folds the const-key join to a
+    BroadcastNestedLoopJoin with the ~21-row edge table as build side —
+    exactly right here: every probe must see every edge, the probe table
+    never shuffles, and the only exchange is the (place, zone) parity
+    aggregate), evaluate the pinned SimpleCrossing sign rule per
+    (probe, edge), then aggregate parity. At 10^12
+    probes the plan is a map-side broadcast + one aggregate; for large
+    zone sets, pre-prune candidates by an S2 cell cover of each zone
+    before the parity join (the s2_cells machinery above).
+
+    zones schema: (zone_id long, lats array<long>, lons array<long>)."""
+    p = places
+    for name, expr in unitvec_stages("lat_udeg", "lon_udeg", "_p"):
+        p = p.withColumn(name, F.expr(expr))
+    probes = p.select(
+        "place_id",
+        F.col("_px").alias("px"),
+        F.col("_py").alias("py"),
+        F.col("_pz").alias("pz"),
+        F.lit(1).alias("_k"),
+    )
+    ze = (
+        zones.select(
+            "zone_id",
+            F.posexplode(F.arrays_zip("lats", "lons")).alias("_i", "_v"),
+            F.size("lats").alias("_n"),
+            "lats",
+            "lons",
+        )
+        .select(
+            "zone_id",
+            F.col("_v.lats").alias("alat"),
+            F.col("_v.lons").alias("alon"),
+            F.element_at(F.col("lats"), (F.col("_i") + 1) % F.col("_n") + 1).alias("blat"),
+            F.element_at(F.col("lons"), (F.col("_i") + 1) % F.col("_n") + 1).alias("blon"),
+        )
+    )
+    for name, expr in unitvec_stages("alat", "alon", "_a"):
+        ze = ze.withColumn(name, F.expr(expr))
+    for name, expr in unitvec_stages("blat", "blon", "_b"):
+        ze = ze.withColumn(name, F.expr(expr))
+    edges = ze.select(
+        "zone_id",
+        F.col("_ax").alias("ax"),
+        F.col("_ay").alias("ay"),
+        F.col("_az").alias("az"),
+        F.col("_bx").alias("bx"),
+        F.col("_by").alias("by"),
+        F.col("_bz").alias("bz"),
+        F.expr("((_ay) * (_bz) - (_az) * (_by))").alias("cdx"),
+        F.expr("((_az) * (_bx) - (_ax) * (_bz))").alias("cdy"),
+        F.expr("((_ax) * (_by) - (_ay) * (_bx))").alias("cdz"),
+        F.lit(1).alias("_k"),
+    )
+    joined = probes.join(F.broadcast(edges), "_k")
+    flagged = joined.withColumn("_x", F.expr(_sph_cross_sql()).cast("int"))
+    return (
+        flagged.groupBy("place_id", "zone_id")
+        .agg(F.sum("_x").alias("_c"))
+        .where(F.col("_c") % 2 == 1)
+        .select("place_id", "zone_id")
+    )
+
+
+_ZONES: list[tuple[int, list[int], list[int]]] = [
+    # north-cap quad: great arcs between lat-80 vertices bulge POLEWARD,
+    # enclosing the pole — planar PIP cannot represent this region
+    (0, [80_000_000] * 4, [0, 90_000_000, 180_000_000, -90_000_000]),
+    # antimeridian band: all four arcs cross or hug lon 180
+    (1, [20_000_000, 20_000_000, -20_000_000, -20_000_000],
+        [170_000_000, -170_000_000, -170_000_000, 170_000_000]),
+    # ordinary mid-lat quad (covers the (30e6, 50e6) fixture hotspot)
+    (2, [10_000_000, 10_000_000, 50_000_000, 50_000_000],
+        [30_000_000, 70_000_000, 70_000_000, 30_000_000]),
+    # southern triangle (covers the (-60.2e6, 100e6) fixture hotspot)
+    (3, [-45_000_000, -75_000_000, -45_000_000],
+        [80_000_000, 100_000_000, 120_000_000]),
+    # high-lat quad straddling the 88-deg cap line near lon 10
+    (4, [85_000_000, 85_000_000, 89_500_000, 89_500_000],
+        [0, 20_000_000, 20_000_000, 0]),
+]
+
+
+def synth_zones(spark: SparkSession) -> DataFrame:
+    """Fixed spherical-zone fixture: polar cap, antimeridian band,
+    mid-lat quad, southern triangle, cap-line straddler. None contains
+    the south pole (the documented semantic exclusion)."""
+    return spark.createDataFrame(
+        _ZONES, "zone_id long, lats array<long>, lons array<long>"
+    )
+
+
+def synth_zones_sql() -> str:
+    vals = ", ".join(
+        f"({zid}, {lats}::BIGINT[], {lons}::BIGINT[])"
+        for zid, lats, lons in _ZONES
+    )
+    return f"SELECT * FROM (VALUES {vals}) t(zone_id, lats, lons)"
+
+
+def spherical_zone_sql(places_sql: str) -> str:
+    """DuckDB twin: the same staged unit-vector dataflow and the same
+    pinned SimpleCrossing parity (an echo twin, like the slippy/s2
+    projections — for a pinned predicate there is no second algorithm;
+    independence comes from the pytest pins: known-geometry membership,
+    a libm-trig numpy recomputation on margin probes, and the
+    pole/antimeridian zones planar PIP cannot express)."""
+    probe_inner = "places"
+    for name, expr in unitvec_stages("lat_udeg", "lon_udeg", "_p"):
+        probe_inner = f"(SELECT *, {expr} AS {name} FROM {probe_inner})"
+    edge_inner = "zedges"
+    for name, expr in unitvec_stages("alat", "alon", "_a"):
+        edge_inner = f"(SELECT *, {expr} AS {name} FROM {edge_inner})"
+    for name, expr in unitvec_stages("blat", "blon", "_b"):
+        edge_inner = f"(SELECT *, {expr} AS {name} FROM {edge_inner})"
+    return f"""
+WITH places AS ({places_sql}),
+zones AS ({synth_zones_sql()}),
+zedges AS (
+  SELECT zone_id,
+         lats[i + 1] AS alat, lons[i + 1] AS alon,
+         lats[(i + 1) % len(lats) + 1] AS blat,
+         lons[(i + 1) % len(lons) + 1] AS blon
+  FROM zones, unnest(range(len(lats))) AS t(i)
+),
+edges AS (
+  SELECT zone_id,
+         ((_ay) * (_bz) - (_az) * (_by)) AS cdx,
+         ((_az) * (_bx) - (_ax) * (_bz)) AS cdy,
+         ((_ax) * (_by) - (_ay) * (_bx)) AS cdz,
+         _ax AS ax, _ay AS ay, _az AS az,
+         _bx AS bx, _by AS by, _bz AS bz
+  FROM {edge_inner}
+),
+probes AS (
+  SELECT place_id, _px AS px, _py AS py, _pz AS pz FROM {probe_inner}
+)
+SELECT place_id, zone_id
+FROM probes, edges
+GROUP BY place_id, zone_id
+HAVING SUM(CASE WHEN {_sph_cross_sql()} THEN 1 ELSE 0 END) % 2 = 1
 """

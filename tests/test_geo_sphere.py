@@ -244,3 +244,135 @@ def test_knn_sphere_pole_neighbors_distance_zero(spark):
     # before b_id (the parity test pins the exact order); here pin that
     # every neighbor of a pole row IS another pole row.
     assert set(mine.b_id) <= pole_ids
+
+
+# --------------------------------------------- spherical zone PIP join
+
+
+def _uv(lat_udeg, lon_udeg):
+    import numpy as np
+
+    la = lat_udeg * math.pi / 180e6
+    lo = lon_udeg * math.pi / 180e6
+    return np.array(
+        [math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la)]
+    )
+
+
+def _ref_inside(P, lats, lons):
+    """Independent libm/numpy reference: explicit great-circle
+    intersection points of arc(south pole -> P) with each edge arc,
+    membership by on-minor-arc dot tests — a different mechanization
+    from the pinned SimpleCrossing sign rule."""
+    import numpy as np
+
+    R = np.array([0.0, 0.0, -1.0])
+
+    def on_arc(X, A, B):
+        n = np.cross(A, B)
+        return (
+            np.dot(np.cross(A, X), n) >= 0 and np.dot(np.cross(X, B), n) >= 0
+        )
+
+    k = len(lats)
+    tot = 0
+    for i in range(k):
+        A = _uv(lats[i], lons[i])
+        B = _uv(lats[(i + 1) % k], lons[(i + 1) % k])
+        X = np.cross(np.cross(R, P), np.cross(A, B))
+        nx = float(np.linalg.norm(X))
+        if nx < 1e-12:
+            continue
+        X = X / nx
+        tot += sum(1 for S in (X, -X) if on_arc(S, R, P) and on_arc(S, A, B))
+    return tot % 2 == 1
+
+
+def test_spherical_zone_join_matches_twin_and_reference(spark):
+    from metric_search_spark.operators.geo import (
+        _ZONES,
+        spherical_zone_join,
+        spherical_zone_sql,
+        synth_zones,
+    )
+
+    n = 1200
+    p = synth_places_sphere(spark, n, seed=SEED)
+    got = (
+        spherical_zone_join(p, synth_zones(spark))
+        .toPandas()
+        .sort_values(["place_id", "zone_id"])
+        .reset_index(drop=True)
+    )
+    ora = (
+        duckdb.sql(spherical_zone_sql(synth_places_sphere_sql(n, seed=SEED)))
+        .df()
+        .sort_values(["place_id", "zone_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ora) > 0
+    assert (got.place_id.astype("int64").values == ora.place_id.astype("int64").values).all()
+    assert (got.zone_id.astype("int64").values == ora.zone_id.astype("int64").values).all()
+    # every zone has members (polar cap, antimeridian band, quad,
+    # triangle, cap straddler)
+    assert set(got.zone_id) == {z for z, _, _ in _ZONES}
+    # independent numpy/libm arc-intersection recomputation; exact-pole
+    # probes ride their stored-lon meridian (the pinned convention)
+    pl = synth_places_sphere(spark, n, seed=SEED).toPandas()
+    ref = set()
+    for r in pl.itertuples():
+        lat = r.lat_udeg
+        eff = 89_999_999 if lat == 90_000_000 else (
+            -89_999_999 if lat == -90_000_000 else lat
+        )
+        P = _uv(eff, r.lon_udeg)
+        for zid, lats, lons in _ZONES:
+            if _ref_inside(P, lats, lons):
+                ref.add((int(r.place_id), zid))
+    assert {(int(r.place_id), int(r.zone_id)) for r in got.itertuples()} == ref
+
+
+def test_spherical_zone_known_membership(spark):
+    """Hand-checkable probes: deep in the polar cap; on the antimeridian
+    inside the band; mid-quad; outside everything; lat-70 (outside the
+    lat-80 cap quad even though planar reasoning would waffle)."""
+    from metric_search_spark.operators.geo import (
+        spherical_zone_join,
+        synth_zones,
+    )
+
+    probes = spark.createDataFrame(
+        [
+            (0, 89_000_000, 50_000_000),    # polar cap (zone 0)
+            (1, 0, 179_900_000),            # antimeridian band (zone 1)
+            (2, 0, -179_900_000),           # band, west side (zone 1)
+            (3, 30_000_000, 50_000_000),    # mid-lat quad (zone 2)
+            (4, -60_000_000, 100_000_000),  # southern triangle (zone 3)
+            (5, 70_000_000, 45_000_000),    # between cap quad and quads: none
+            (6, 0, 0),                      # none
+        ],
+        "place_id long, lat_udeg long, lon_udeg long",
+    )
+    got = spherical_zone_join(probes, synth_zones(spark)).toPandas()
+    members = {(r.place_id, r.zone_id) for r in got.itertuples()}
+    assert members == {(0, 0), (1, 1), (2, 1), (3, 2), (4, 3)}
+
+
+def test_spherical_zone_plan_broadcast_no_probe_shuffle(spark):
+    """The edge dim broadcasts (BNLJ build side — deliberate for an
+    every-probe-sees-every-edge predicate); the probe table reaches the
+    parity aggregate without a join-side shuffle."""
+    from metric_search_spark.operators.geo import (
+        spherical_zone_join,
+        synth_zones,
+    )
+
+    p = synth_places_sphere(spark, 200, seed=SEED)
+    plan = (
+        spherical_zone_join(p, synth_zones(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
