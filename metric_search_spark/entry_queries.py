@@ -11294,6 +11294,56 @@ WHERE place_id % {_GEOIMG_MOD} = 0
     return haversine_knn_sql(places_sql, _GEOIMG_K)
 
 
+def q_geo_zone_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composition for the FULL-SPHERE wave: spherical-zone
+    membership of phash-derived image centroids mapped over the ENTIRE
+    sphere — lat in [-90e6, 90e6), lon in [-180e6, 180e6) via exact
+    int64 products and shifts from the quantized (qx, qy), so centroids
+    land in the polar-cap quad, the antimeridian band, and every other
+    zone of the fixed fixture. Membership is the pinned SimpleCrossing
+    parity of spherical_zone_join (the region semantics planar PIP
+    cannot express). The DuckDB twin re-derives the centroids from the
+    SAME deterministic (image_id, phash) hand-off the flagship oracle
+    uses and replays the pinned parity — exact-integer centroids, bit-
+    identical crossing doubles, hash match."""
+    from metric_search_spark.operators.geo import (
+        spherical_zone_join,
+        synth_zones,
+    )
+
+    n = images_n_for_sf(sf_dir)
+    if _handoff_enabled():
+        _flagship_oracle_parquet(n)
+    imgs = images_df(spark, sf_dir)
+    from metric_search_spark.functions.spatial import xq_col, yq_col
+
+    qx, qy = xq_col(F.col("phash")), yq_col(F.col("phash"))
+    lat = (F.shiftright(qy * F.lit(180_000_000), 31) - F.lit(90_000_000)).cast("long")
+    lon = (F.shiftright(qx * F.lit(360_000_000), 31) - F.lit(180_000_000)).cast("long")
+    places = imgs.select(
+        F.substring("image_id", 4, 12).cast("long").alias("place_id"),
+        lat.alias("lat_udeg"),
+        lon.alias("lon_udeg"),
+    )
+    return spherical_zone_join(places, synth_zones(spark))
+
+
+def _o_geo_zone_images_sql(n: int) -> str:
+    from metric_search_spark.functions.spatial import qcoord_sql
+    from metric_search_spark.operators.geo import spherical_zone_sql
+
+    path = _handoff_path("flagship_oracle", f"{n}_42")
+    qx, qy = qcoord_sql("phash", "x"), qcoord_sql("phash", "y")
+    places_sql = f"""
+SELECT place_id,
+       (({qy}) * 180000000) // 2147483648 - 90000000 AS lat_udeg,
+       (({qx}) * 360000000) // 2147483648 - 180000000 AS lon_udeg
+FROM (SELECT CAST(substring(image_id, 4, 12) AS BIGINT) AS place_id, phash
+      FROM read_parquet('{path}'))
+"""
+    return spherical_zone_sql(places_sql)
+
+
 _RASTER_CELL = 16
 
 
@@ -11478,6 +11528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geohash_places": q_geohash_places,
     "geohash_kring_places": q_geohash_kring_places,
     "geo_knn_images": q_geo_knn_images,
+    "geo_zone_images": q_geo_zone_images,
     "bm25_documents": q_bm25_documents,
     "surprisal_documents": q_surprisal_documents,
     "pack_documents": q_pack_documents,
@@ -11761,6 +11812,7 @@ def oracles_for(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     oracles = dict(_STATIC_ORACLES)
     oracles["flagship_images_knn"] = _o_flagship_sql(images_n_for_sf(sf_dir))
     oracles["geo_knn_images"] = _o_geo_knn_images_sql(images_n_for_sf(sf_dir))
+    oracles["geo_zone_images"] = _o_geo_zone_images_sql(images_n_for_sf(sf_dir))
     oracles["minhash_lsh_documents"] = _o_minhash_sql(tag)
     oracles["simhash_documents"] = _o_simhash_sql(tag)
     oracles["image_neardup_phash"] = _o_image_neardup_sql(tag)
