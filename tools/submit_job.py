@@ -20,6 +20,13 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--tile-res", type=int, default=6)
     ap.add_argument("--index-path", default="")
+    ap.add_argument(
+        "--sphere-places",
+        type=int,
+        default=0,
+        help="also run the full-sphere radius join over this many "
+        "uniform whole-sphere points (0 = skip)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,6 +54,22 @@ def main() -> None:
         F.col("id").alias("query_id"), "tile"
     )
     rows = knn.join(tiles, "query_id").count()
+    sphere_pairs = -1
+    if args.sphere_places:
+        from metric_search_spark.operators.geo import (
+            haversine_radius_join_sphere,
+        )
+
+        pts = spark.range(args.sphere_places).select(
+            F.col("id").alias("place_id"),
+            (F.abs(F.hash(F.col("id"), F.lit(1))) % 170_000_001 - 85_000_000)
+            .cast("long")
+            .alias("lat_udeg"),
+            (F.abs(F.hash(F.col("id"), F.lit(2))) % 360_000_001 - 180_000_000)
+            .cast("long")
+            .alias("lon_udeg"),
+        )
+        sphere_pairs = haversine_radius_join_sphere(pts, 2000.0).count()
     wall = time.time() - t0
     print(
         json.dumps(
@@ -57,6 +80,7 @@ def main() -> None:
                 "images_per_sec": round(n / wall, 1),
                 "rounds": stats.rounds,
                 "resolution": stats.resolution,
+                "sphere_pairs": sphere_pairs,
             }
         )
     )
