@@ -376,3 +376,60 @@ def test_spherical_zone_plan_broadcast_no_probe_shuffle(spark):
     )
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ----------------------------------------- randomized-regime parity
+
+
+@pytest.mark.parametrize("seed,radius_m", [(101, 200.0), (202, 5000.0)])
+def test_uniform_sphere_random_parity(spark, seed, radius_m):
+    """Beyond the hotspot fixture: uniform random points over the WHOLE
+    sphere (plus forced exact-pole and seam rows) must reproduce the
+    brute-force pinned pair set at multiple radii — a different density
+    regime (sparse global) and a different radius/cell scale than the
+    fixture tests."""
+    import pandas as pd
+
+    n = 400
+    rows = []
+    st = seed
+    def nxt():
+        nonlocal st
+        st = (st * 48271) % 2147483647
+        return st
+    for i in range(n - 6):
+        rows.append((i, nxt() % 180_000_001 - 90_000_000,
+                     nxt() % 360_000_001 - 180_000_000))
+    rows += [
+        (n - 6, 90_000_000, 123_456),    # exact north pole
+        (n - 5, -90_000_000, -50_000_000),
+        (n - 4, 89_999_990, 179_999_990),  # near pole + seam
+        (n - 3, -89_999_990, -179_999_990),
+        (n - 2, 0, 180_000_000),           # exact seam edge value
+        (n - 1, 0, -180_000_000),
+    ]
+    p = spark.createDataFrame(
+        rows, "place_id long, lat_udeg long, lon_udeg long"
+    )
+    got = (
+        haversine_radius_join_sphere(p, radius_m)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    vals = ", ".join(f"({a}, {b}, {c})" for a, b, c in rows)
+    places_sql = (
+        f"SELECT * FROM (VALUES {vals}) t(place_id, lat_udeg, lon_udeg)"
+    )
+    ora = (
+        duckdb.sql(haversine_pairs_sphere_sql(places_sql, radius_m))
+        .df()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ora)
+    for c in ("a_id", "b_id", "hav_e18", "dist_mm"):
+        assert (
+            got[c].astype("int64").values == ora[c].astype("int64").values
+        ).all(), c
+    assert got.duplicated(["a_id", "b_id"]).sum() == 0
