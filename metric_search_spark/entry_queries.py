@@ -4011,6 +4011,38 @@ def _o_polygon_area_sql() -> str:
     )
 
 
+def q_multipolygon_relate_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multipolygon exact relate (operators/relate.multipolygon_relate_
+    join): union-semantics fold of the ring-level exact relate — a
+    multipolygon pair overlaps iff ANY island pair overlaps, touches iff
+    none overlaps but some pair touches. 120 multipolygons of 1-3
+    lattice islands each; ring ids pack as gid*8+idx through the same
+    candidate cover + exact Arrow refine, one aggregate folds back to
+    multipolygon pairs. The DuckDB twin runs the ring-level brute-force
+    HUGEINT relate with the pair split lifted to multipolygon parity and
+    applies the identical fold."""
+    from metric_search_spark.operators.relate import (
+        multipolygon_relate_join,
+        synth_lattice_multipolys,
+    )
+
+    mp = synth_lattice_multipolys(spark, 120, seed=_RELATE_SEED)
+    return multipolygon_relate_join(
+        mp.where(F.col("gid") % 2 == 0), mp.where(F.col("gid") % 2 == 1)
+    )
+
+
+def _o_multipolygon_relate_sql() -> str:
+    from metric_search_spark.operators.relate import (
+        multipolygon_relate_sql,
+        synth_lattice_multipolys_sql,
+    )
+
+    return multipolygon_relate_sql(
+        synth_lattice_multipolys_sql(120, seed=_RELATE_SEED)
+    )
+
+
 def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shoelace polygon metrics (operators/pip.polygon_metrics) over the
     32-polygon star fixture: exact-integer signed-area cross terms and
@@ -11539,6 +11571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "polygon_metrics": q_polygon_metrics,
     "polygon_relate_lattice": q_polygon_relate_lattice,
     "polygon_area_lattice": q_polygon_area_lattice,
+    "multipolygon_relate_lattice": q_multipolygon_relate_lattice,
     "interval_overlap_events": q_interval_overlap_events,
     "entropy_events": q_entropy_events,
     "sessionize_events": q_sessionize_events,
@@ -11705,6 +11738,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "polygon_metrics": _o_polygon_metrics_sql(),
     "polygon_relate_lattice": _o_polygon_relate_sql(),
     "polygon_area_lattice": _o_polygon_area_sql(),
+    "multipolygon_relate_lattice": _o_multipolygon_relate_sql(),
     "interval_overlap_events": _o_interval_overlap_sql(),
     "entropy_events": O_ENTROPY_EVENTS,
     "sessionize_events": O_SESSIONIZE_EVENTS,

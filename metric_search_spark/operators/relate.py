@@ -58,6 +58,10 @@ __all__ = [
     "intersection_area2",
     "polygon_area_join",
     "polygon_area_sql",
+    "multipolygon_relate_join",
+    "synth_lattice_multipolys",
+    "synth_lattice_multipolys_sql",
+    "multipolygon_relate_sql",
 ]
 
 
@@ -356,9 +360,14 @@ def synth_lattice_polys_sql(n: int, *, seed: int = 0) -> str:
 _H80 = "CAST('1208925819614629174706176' AS HUGEINT)"  # 2^80
 
 
-def polygon_relate_sql(polys_sql: str) -> str:
+def polygon_relate_sql(
+    polys_sql: str,
+    left_pred: str = "a.gid % 2 = 0",
+    right_pred: str = "b.gid % 2 = 1",
+) -> str:
     """DuckDB twin of polygon_relate_join over BRUTE-FORCE cross pairs
-    (gid%2=0 left x gid%2=1 right — grid/cover-independent): the same
+    (left_pred x right_pred, default gid parity — grid/cover-
+    independent): the same
     exact decision procedure, mechanized relationally. Rationals ride as
     (numerator, POSITIVE denominator) BIGINT pairs promoted to HUGEINT
     where products need it; the split-point ordering uses the exact
@@ -373,7 +382,7 @@ WITH polys AS ({polys_sql}),
 pairs AS (
   SELECT a.gid AS a_gid, b.gid AS b_gid,
          a.xs AS axs, a.ys AS ays, b.xs AS bxs, b.ys AS bys
-  FROM polys a JOIN polys b ON a.gid % 2 = 0 AND b.gid % 2 = 1
+  FROM polys a JOIN polys b ON ({left_pred}) AND ({right_pred})
 ),
 sides AS (
   SELECT a_gid, b_gid, 0 AS side, axs AS pxs, ays AS pys, bxs AS qxs, bys AS qys FROM pairs
@@ -894,4 +903,106 @@ sums AS (
 SELECT a_gid, b_gid,
        CAST(FLOOR(total * CAST('1048576' AS DOUBLE)) AS BIGINT) AS area2_q
 FROM sums WHERE total > 0
+"""
+
+
+# ------------------------------------------------ multipolygon relate
+
+_MP_RINGS = 8  # ring-id packing: rid = gid * _MP_RINGS + ring_idx
+
+
+def multipolygon_relate_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    cell: int = 8192,
+) -> DataFrame:
+    """(a_gid, b_gid, relate) for MULTIPOLYGONS — disjoint-island (or
+    even mutually-overlapping) ring collections under UNION semantics:
+    interiors(A) = union of its rings' interiors, so A overlaps B iff
+    ANY ring pair overlaps, and touches iff no pair overlaps but some
+    pair touches. Input: one row per ring, (gid, ring_idx, xs, ys),
+    ring_idx < 8. Plan: pack rid = gid*8 + ring_idx, run the ring-level
+    exact relate join (same candidate cover + Arrow refine), then ONE
+    (a_gid, b_gid) aggregate folds ring relations to the multipolygon
+    relation. Holes are out of scope (islands only) — a hole-aware
+    relate needs subtractive classification, documented here rather
+    than approximated."""
+    def pack(df: DataFrame) -> DataFrame:
+        bad = F.when(
+            (F.col("ring_idx") < 0) | (F.col("ring_idx") >= _MP_RINGS),
+            F.raise_error(
+                F.lit("multipolygon_relate_join: ring_idx must be in [0, 8)")
+            ).cast("long"),
+        ).otherwise(F.col("ring_idx"))
+        return df.select(
+            (F.col("gid") * _MP_RINGS + bad).alias("gid"), "xs", "ys"
+        )
+
+    rings = polygon_relate_join(pack(left), pack(right), cell=cell)
+    return (
+        rings.groupBy(
+            (F.col("a_gid") / _MP_RINGS).cast("long").alias("a_gid"),
+            (F.col("b_gid") / _MP_RINGS).cast("long").alias("b_gid"),
+        )
+        .agg(
+            F.max(F.col("relate") == "overlaps").alias("_ov")
+        )
+        .select(
+            "a_gid",
+            "b_gid",
+            F.when(F.col("_ov"), F.lit("overlaps"))
+            .otherwise(F.lit("touches"))
+            .alias("relate"),
+        )
+    )
+
+
+def synth_lattice_multipolys(spark, n_mp: int, *, seed: int = 0) -> DataFrame:
+    """(gid, ring_idx, xs, ys) multipolygon fixture: each gid carries
+    1 + hash%3 islands drawn from the same degeneracy-dense lattice
+    generator (ring r of multipolygon g uses source id g*4 + r, so
+    islands collide with OTHER multipolygons' islands at the fixture's
+    usual shared-edge / identical-ring rates)."""
+    rows = []
+    for gid in range(n_mp):
+        k = 1 + _lat_hash(gid, seed + 9) % 3
+        for r in range(k):
+            xs, ys = _lattice_ring(gid * 4 + r, seed)
+            rows.append((gid, r, xs, ys))
+    return spark.createDataFrame(
+        rows, "gid long, ring_idx long, xs array<long>, ys array<long>"
+    )
+
+
+def synth_lattice_multipolys_sql(n_mp: int, *, seed: int = 0) -> str:
+    """Ring rows PRE-PACKED as rid = gid*8 + ring_idx (the twin operates
+    at ring level and re-derives gid = rid // 8)."""
+    vals = []
+    for gid in range(n_mp):
+        k = 1 + _lat_hash(gid, seed + 9) % 3
+        for r in range(k):
+            xs, ys = _lattice_ring(gid * 4 + r, seed)
+            vals.append(
+                f"({gid * _MP_RINGS + r}, {list(xs)}::BIGINT[], {list(ys)}::BIGINT[])"
+            )
+    return "SELECT * FROM (VALUES " + ", ".join(vals) + ") t(gid, xs, ys)"
+
+
+def multipolygon_relate_sql(ring_polys_sql: str) -> str:
+    """DuckDB twin: the ring-level brute-force relate (pair split on the
+    MULTIPOLYGON id parity, (rid//8) % 2) aggregated to multipolygon
+    pairs under the same union-semantics fold."""
+    inner = polygon_relate_sql(
+        ring_polys_sql,
+        left_pred=f"(a.gid // {_MP_RINGS}) % 2 = 0",
+        right_pred=f"(b.gid // {_MP_RINGS}) % 2 = 1",
+    )
+    return f"""
+WITH ring_rel AS ({inner})
+SELECT a_gid // {_MP_RINGS} AS a_gid, b_gid // {_MP_RINGS} AS b_gid,
+       CASE WHEN bool_or(relate = 'overlaps') THEN 'overlaps'
+            ELSE 'touches' END AS relate
+FROM ring_rel
+GROUP BY 1, 2
 """

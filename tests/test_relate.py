@@ -183,3 +183,79 @@ def test_area_join_matches_twin_and_relate(spark):
         (r.a_gid, r.b_gid) for r in rel.itertuples() if r.relate == "overlaps"
     }
     assert {(r.a_gid, r.b_gid) for r in got.itertuples()} == overlaps
+
+
+# ------------------------------------------------ multipolygon relate
+
+
+def test_multipolygon_union_semantics(spark):
+    """Multipolygon fold == per-ring-pair python ground truth (overlaps
+    if any island pair overlaps, touches if only touches), and == the
+    ring-level DuckDB twin's aggregated output."""
+    from metric_search_spark.operators.relate import (
+        _lat_hash,
+        _lattice_ring,
+        multipolygon_relate_join,
+        multipolygon_relate_sql,
+        synth_lattice_multipolys,
+        synth_lattice_multipolys_sql,
+    )
+
+    n = 80
+    mp = synth_lattice_multipolys(spark, n, seed=SEED)
+    got = (
+        multipolygon_relate_join(
+            mp.where(F.col("gid") % 2 == 0), mp.where(F.col("gid") % 2 == 1)
+        )
+        .toPandas()
+        .sort_values(["a_gid", "b_gid"])
+        .reset_index(drop=True)
+    )
+    ora = (
+        duckdb.sql(
+            multipolygon_relate_sql(synth_lattice_multipolys_sql(n, seed=SEED))
+        )
+        .df()
+        .sort_values(["a_gid", "b_gid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ora) > 0
+    assert (got.relate.values == ora.relate.values).all()
+    rings = {
+        g: [
+            list(zip(*_lattice_ring(g * 4 + r, SEED)))
+            for r in range(1 + _lat_hash(g, SEED + 9) % 3)
+        ]
+        for g in range(n)
+    }
+    truth = {}
+    for a in range(0, n, 2):
+        for b in range(1, n, 2):
+            rels = {
+                relate_rings(ra, rb)
+                for ra in rings[a]
+                for rb in rings[b]
+            }
+            if "overlaps" in rels:
+                truth[(a, b)] = "overlaps"
+            elif "touches" in rels:
+                truth[(a, b)] = "touches"
+    assert {(r.a_gid, r.b_gid): r.relate for r in got.itertuples()} == truth
+    assert set(got.relate) == {"overlaps", "touches"}
+
+
+def test_multipolygon_ring_idx_guard(spark):
+    from metric_search_spark.operators.relate import (
+        multipolygon_relate_join,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, 9, [0, 10, 0], [0, 0, 10])],
+        "gid long, ring_idx long, xs array<long>, ys array<long>",
+    )
+    ok = spark.createDataFrame(
+        [(1, 0, [0, 10, 0], [0, 0, 10])],
+        "gid long, ring_idx long, xs array<long>, ys array<long>",
+    )
+    with pytest.raises(Exception, match="ring_idx"):
+        multipolygon_relate_join(bad, ok).collect()
