@@ -11077,6 +11077,41 @@ def _o_spherical_zone_sql() -> str:
     )
 
 
+_GEOFENCE_U, _GEOFENCE_E = 200, 24
+
+
+def q_spherical_geofence_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical geofence enter/exit (operators/geo.spherical_geofence_
+    transitions): 200 users walk exact-integer interpolated tracks
+    between the full-sphere hotspots (antimeridian-wrapped lon
+    interpolation included) and emit a transition row at every pinned-
+    parity membership change against the spherical-zone fixture — the
+    fleet-telemetry primitive over fences a planar bbox cannot express
+    (pole-enclosing cap, antimeridian band). Plan: broadcast edges + one
+    (user, event, zone) parity aggregate + one lag window per
+    (user, zone); no self-join. The DuckDB twin replays the pinned
+    membership dataflow and re-mechanizes the transition windows."""
+    from metric_search_spark.operators.geo import (
+        spherical_geofence_transitions,
+        synth_tracks_sphere,
+        synth_zones,
+    )
+
+    tr = synth_tracks_sphere(spark, _GEOFENCE_U, _GEOFENCE_E, seed=_GEO_SEED)
+    return spherical_geofence_transitions(tr, synth_zones(spark))
+
+
+def _o_spherical_geofence_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        spherical_geofence_sql,
+        synth_tracks_sphere_sql,
+    )
+
+    return spherical_geofence_sql(
+        synth_tracks_sphere_sql(_GEOFENCE_U, _GEOFENCE_E, seed=_GEO_SEED)
+    )
+
+
 _GEO_KNN_N, _GEO_KNN_K = 2500, 5
 
 
@@ -11552,6 +11587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "haversine_pairs_sphere": q_haversine_pairs_sphere,
     "haversine_knn_sphere": q_haversine_knn_sphere,
     "spherical_zone_places": q_spherical_zone_places,
+    "spherical_geofence_tracks": q_spherical_geofence_tracks,
     "haversine_knn_places": q_haversine_knn_places,
     "ripley_pairs_places": q_ripley_pairs_places,
     "slippy_tiles_places": q_slippy_tiles_places,
@@ -11723,6 +11759,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "haversine_pairs_sphere": _o_haversine_pairs_sphere_sql(),
     "haversine_knn_sphere": _o_haversine_knn_sphere_sql(),
     "spherical_zone_places": _o_spherical_zone_sql(),
+    "spherical_geofence_tracks": _o_spherical_geofence_sql(),
     "haversine_knn_places": _o_haversine_knn_sql(),
     "ripley_pairs_places": _o_ripley_pairs_sql(),
     "slippy_tiles_places": _o_slippy_tiles_sql(),

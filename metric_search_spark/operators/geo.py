@@ -78,6 +78,10 @@ __all__ = [
     "synth_zones",
     "synth_zones_sql",
     "spherical_zone_sql",
+    "synth_tracks_sphere",
+    "synth_tracks_sphere_sql",
+    "spherical_geofence_transitions",
+    "spherical_geofence_sql",
 ]
 
 EARTH_R_M = 6_371_000.0  # spherical model radius (the haversine sphere)
@@ -1851,7 +1855,12 @@ def spherical_zone_join(places: DataFrame, zones: DataFrame) -> DataFrame:
     (lat_udeg, lon_udeg) vertices (implicit closure), and the zone
     interior is the odd-crossing-parity region measured from the SOUTH
     POLE (equivalently: the component NOT containing the south pole —
-    zones that contain it are the one documented exclusion). Valid where
+    zones that contain it are the one documented exclusion; a probe
+    whose south-pole MERIDIAN passes exactly through a zone vertex is
+    the measure-zero degenerate ray — both incident edges fail the
+    strict sign test and the probe classifies outside, deterministically
+    and identically in both engines; production systems break such ties
+    with symbolic perturbation). Valid where
     planar PIP is not: zones enclosing the north pole, zones straddling
     the antimeridian, arcs bulging poleward of their vertices.
 
@@ -1998,4 +2007,221 @@ SELECT place_id, zone_id
 FROM probes, edges
 GROUP BY place_id, zone_id
 HAVING SUM(CASE WHEN {_sph_cross_sql()} THEN 1 ELSE 0 END) % 2 = 1
+"""
+
+
+# ------------------------------------------- spherical geofence tracks
+
+
+def synth_tracks_sphere(
+    spark: SparkSession, n_users: int, n_events: int, *, seed: int = 0
+) -> DataFrame:
+    """Deterministic spherical trajectories: user u walks from hotspot
+    u%12 toward hotspot (u+1)%12 in n_events EXACT-INTEGER interpolation
+    steps (lon interpolates along the WRAPPED shortest difference, so
+    antimeridian-crossing walks are first-class), plus per-event jitter
+    ±30,000 µdeg. Walks between the fixture hotspots cross the
+    spherical-zone fixture's boundaries (polar cap quad, antimeridian
+    band, mid-lat quad, southern triangle) — the geofence fixture.
+    Exact-integer reproducible in SQL (synth_tracks_sphere_sql)."""
+    nh = len(_SPHERE_HOTS)
+    ids = spark.range(n_users * n_events).select(
+        (F.col("id") / n_events).cast("long").alias("user_id"),
+        (F.col("id") % n_events).cast("long").alias("event_id"),
+    )
+    hot = (F.col("user_id") % nh).cast("int")
+    hot2 = ((F.col("user_id") + 1) % nh).cast("int")
+    la1 = F.element_at(F.array(*[F.lit(la) for la, _ in _SPHERE_HOTS]), hot + F.lit(1))
+    lo1 = F.element_at(F.array(*[F.lit(lo) for _, lo in _SPHERE_HOTS]), hot + F.lit(1))
+    la2 = F.element_at(F.array(*[F.lit(la) for la, _ in _SPHERE_HOTS]), hot2 + F.lit(1))
+    lo2 = F.element_at(F.array(*[F.lit(lo) for _, lo in _SPHERE_HOTS]), hot2 + F.lit(1))
+    key = F.col("user_id") * F.lit(100_000) + F.col("event_id")
+    jlat = hash_col(key, seed + 3) % 60_001 - 30_000
+    jlon = hash_col(key, seed + 4) % 60_001 - 30_000
+    step = F.col("event_id")
+    den = F.lit(n_events - 1)
+    dlon = F.pmod(lo2 - lo1 + F.lit(540_000_000), F.lit(360_000_000)) - F.lit(
+        180_000_000
+    )
+    lat_r = la1 + ((la2 - la1) * step - F.pmod((la2 - la1) * step, den)) / den + jlat
+    lon_r = lo1 + (dlon * step - F.pmod(dlon * step, den)) / den + jlon
+    lat = F.least(F.lit(90_000_000), F.greatest(F.lit(-90_000_000), lat_r))
+    lon = F.pmod(lon_r + F.lit(180_000_000), F.lit(360_000_000)) - F.lit(
+        180_000_000
+    )
+    return ids.select(
+        "user_id",
+        "event_id",
+        lat.cast("long").alias("lat_udeg"),
+        lon.cast("long").alias("lon_udeg"),
+    )
+
+
+def synth_tracks_sphere_sql(n_users: int, n_events: int, *, seed: int = 0) -> str:
+    """DuckDB twin of synth_tracks_sphere — same integer interpolation
+    (floor division via x - pmod(x, den), identical on negatives in
+    both engines since pmod is non-negative), same MINSTD jitter."""
+    nh = len(_SPHERE_HOTS)
+    lats = [la for la, _ in _SPHERE_HOTS]
+    lons = [lo for _, lo in _SPHERE_HOTS]
+    la1 = f"list_extract({lats}, CAST(user_id % {nh} AS INTEGER) + 1)"
+    lo1 = f"list_extract({lons}, CAST(user_id % {nh} AS INTEGER) + 1)"
+    la2 = f"list_extract({lats}, CAST((user_id + 1) % {nh} AS INTEGER) + 1)"
+    lo2 = f"list_extract({lons}, CAST((user_id + 1) % {nh} AS INTEGER) + 1)"
+    key = "(user_id * 100000 + event_id)"
+    jlat = f"({sample_hash_sql(key, seed + 3)}) % 60001 - 30000"
+    jlon = f"({sample_hash_sql(key, seed + 4)}) % 60001 - 30000"
+    den = n_events - 1
+    pm = lambda x: f"((({x}) % {den} + {den}) % {den})"
+    dlon = f"((({lo2}) - ({lo1}) + 540000000) % 360000000 + 360000000) % 360000000 - 180000000"
+    dla = f"(({la2}) - ({la1})) * event_id"
+    dlo = f"({dlon}) * event_id"
+    lat_r = f"({la1}) + (({dla}) - {pm(dla)}) / {den} + ({jlat})"
+    lon_r = f"({lo1}) + (({dlo}) - {pm(dlo)}) / {den} + ({jlon})"
+    lat = f"LEAST(90000000, GREATEST(-90000000, {lat_r}))"
+    lon = f"((({lon_r}) + 180000000) % 360000000 + 360000000) % 360000000 - 180000000"
+    return f"""
+SELECT user_id, event_id,
+       CAST({lat} AS BIGINT) AS lat_udeg, CAST({lon} AS BIGINT) AS lon_udeg
+FROM (SELECT i // {n_events} AS user_id, i % {n_events} AS event_id
+      FROM (SELECT unnest(range({n_users * n_events})) AS i))
+"""
+
+
+def spherical_geofence_transitions(
+    tracks: DataFrame, zones: DataFrame
+) -> DataFrame:
+    """Geofence enter/exit over SPHERICAL zones: for each user's
+    event_id-ordered track, emit (user_id, zone_id, event_id, kind, seq)
+    at every membership CHANGE of the pinned crossing-parity zone test —
+    'enter' when the point is inside and its predecessor was not, 'exit'
+    for the reverse; the first event of a track emits nothing (the
+    standard geofencing convention the planar geofence_transitions
+    follows). Zones that wrap poles or the antimeridian fence correctly
+    — the planar bbox fence cannot express them.
+
+    Plan: zone edges broadcast (the spherical_zone_join shape), ONE
+    (user, event, zone) parity aggregate, then one lag window per
+    (user, zone) track — no self-join; at 10^9 users the window is 10^9
+    independent (user, zone) partitions."""
+    from pyspark.sql import Window
+
+    p = tracks
+    for name, expr in unitvec_stages("lat_udeg", "lon_udeg", "_p"):
+        p = p.withColumn(name, F.expr(expr))
+    probes = p.select(
+        "user_id",
+        "event_id",
+        F.col("_px").alias("px"),
+        F.col("_py").alias("py"),
+        F.col("_pz").alias("pz"),
+        F.lit(1).alias("_k"),
+    )
+    ze = (
+        zones.select(
+            "zone_id",
+            F.posexplode(F.arrays_zip("lats", "lons")).alias("_i", "_v"),
+            F.size("lats").alias("_n"),
+            "lats",
+            "lons",
+        )
+        .select(
+            "zone_id",
+            F.col("_v.lats").alias("alat"),
+            F.col("_v.lons").alias("alon"),
+            F.element_at(F.col("lats"), (F.col("_i") + 1) % F.col("_n") + 1).alias("blat"),
+            F.element_at(F.col("lons"), (F.col("_i") + 1) % F.col("_n") + 1).alias("blon"),
+        )
+    )
+    for name, expr in unitvec_stages("alat", "alon", "_a"):
+        ze = ze.withColumn(name, F.expr(expr))
+    for name, expr in unitvec_stages("blat", "blon", "_b"):
+        ze = ze.withColumn(name, F.expr(expr))
+    edges = ze.select(
+        "zone_id",
+        F.col("_ax").alias("ax"),
+        F.col("_ay").alias("ay"),
+        F.col("_bx").alias("bx"),
+        F.col("_by").alias("by"),
+        F.expr("((_ay) * (_bz) - (_az) * (_by))").alias("cdx"),
+        F.expr("((_az) * (_bx) - (_ax) * (_bz))").alias("cdy"),
+        F.expr("((_ax) * (_by) - (_ay) * (_bx))").alias("cdz"),
+        F.lit(1).alias("_k"),
+    )
+    member = (
+        probes.join(F.broadcast(edges), "_k")
+        .withColumn("_x", F.expr(_sph_cross_sql()).cast("int"))
+        .groupBy("user_id", "event_id", "zone_id")
+        .agg((F.sum("_x") % 2 == 1).alias("_in"))
+    )
+    w = Window.partitionBy("user_id", "zone_id").orderBy("event_id")
+    t = (
+        member.withColumn("_prev", F.lag("_in").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("_in") != F.col("_prev")))
+        .select(
+            "user_id",
+            "zone_id",
+            "event_id",
+            F.when(F.col("_in"), F.lit("enter")).otherwise(F.lit("exit")).alias("kind"),
+        )
+    )
+    return t.withColumn(
+        "seq",
+        F.row_number().over(
+            Window.partitionBy("user_id", "zone_id").orderBy("event_id")
+        ).cast("long"),
+    )
+
+
+def spherical_geofence_sql(tracks_sql: str) -> str:
+    """DuckDB twin: same pinned unit-vector stages + crossing parity per
+    (event, zone), then the same lag/seq windows — the membership is an
+    echo of the pinned dataflow (independence via the zone-join pins);
+    the TRANSITION logic is re-mechanized relationally."""
+    probe_inner = "tracks"
+    for name, expr in unitvec_stages("lat_udeg", "lon_udeg", "_p"):
+        probe_inner = f"(SELECT *, {expr} AS {name} FROM {probe_inner})"
+    edge_inner = "zedges"
+    for name, expr in unitvec_stages("alat", "alon", "_a"):
+        edge_inner = f"(SELECT *, {expr} AS {name} FROM {edge_inner})"
+    for name, expr in unitvec_stages("blat", "blon", "_b"):
+        edge_inner = f"(SELECT *, {expr} AS {name} FROM {edge_inner})"
+    return f"""
+WITH tracks AS ({tracks_sql}),
+zones AS ({synth_zones_sql()}),
+zedges AS (
+  SELECT zone_id,
+         lats[i + 1] AS alat, lons[i + 1] AS alon,
+         lats[(i + 1) % len(lats) + 1] AS blat,
+         lons[(i + 1) % len(lons) + 1] AS blon
+  FROM zones, unnest(range(len(lats))) AS t(i)
+),
+edges AS (
+  SELECT zone_id,
+         ((_ay) * (_bz) - (_az) * (_by)) AS cdx,
+         ((_az) * (_bx) - (_ax) * (_bz)) AS cdy,
+         ((_ax) * (_by) - (_ay) * (_bx)) AS cdz,
+         _ax AS ax, _ay AS ay, _bx AS bx, _by AS by
+  FROM {edge_inner}
+),
+probes AS (
+  SELECT user_id, event_id, _px AS px, _py AS py, _pz AS pz
+  FROM {probe_inner}
+),
+member AS (
+  SELECT user_id, event_id, zone_id,
+         SUM(CASE WHEN {_sph_cross_sql()} THEN 1 ELSE 0 END) % 2 = 1 AS m
+  FROM probes, edges
+  GROUP BY user_id, event_id, zone_id
+),
+trans AS (
+  SELECT user_id, zone_id, event_id, m,
+         lag(m) OVER (PARTITION BY user_id, zone_id ORDER BY event_id) AS pm
+  FROM member
+)
+SELECT user_id, zone_id, event_id,
+       CASE WHEN m THEN 'enter' ELSE 'exit' END AS kind,
+       CAST(row_number() OVER (
+         PARTITION BY user_id, zone_id ORDER BY event_id) AS BIGINT) AS seq
+FROM trans WHERE pm IS NOT NULL AND m <> pm
 """

@@ -433,3 +433,74 @@ def test_uniform_sphere_random_parity(spark, seed, radius_m):
             got[c].astype("int64").values == ora[c].astype("int64").values
         ).all(), c
     assert got.duplicated(["a_id", "b_id"]).sum() == 0
+
+
+# --------------------------------------------- spherical geofence
+
+
+def test_spherical_geofence_matches_twin(spark):
+    from metric_search_spark.operators.geo import (
+        spherical_geofence_sql,
+        spherical_geofence_transitions,
+        synth_tracks_sphere,
+        synth_tracks_sphere_sql,
+        synth_zones,
+    )
+
+    u, e = 150, 20
+    tr = synth_tracks_sphere(spark, u, e, seed=SEED)
+    got = (
+        spherical_geofence_transitions(tr, synth_zones(spark))
+        .toPandas()
+        .sort_values(["user_id", "zone_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ora = (
+        duckdb.sql(
+            spherical_geofence_sql(synth_tracks_sphere_sql(u, e, seed=SEED))
+        )
+        .df()
+        .sort_values(["user_id", "zone_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ora) > 0
+    for c in ("user_id", "zone_id", "event_id", "seq"):
+        assert (
+            got[c].astype("int64").values == ora[c].astype("int64").values
+        ).all(), c
+    assert (got.kind.values == ora.kind.values).all()
+    assert set(got.kind) == {"enter", "exit"}
+
+
+def test_spherical_geofence_semantics(spark):
+    """A hand-built track that enters then exits the polar cap zone, and
+    a user whose track STARTS inside (emits no enter for event 0)."""
+    from metric_search_spark.operators.geo import (
+        spherical_geofence_transitions,
+        synth_zones,
+    )
+
+    rows = [
+        (0, 0, 60_000_000, 10_000_000),   # outside cap
+        (0, 1, 89_000_000, 10_000_000),   # inside cap -> enter at 1
+        (0, 2, 89_500_000, -170_000_000), # still inside (different lon)
+        (0, 3, 50_000_000, 10_000_000),   # outside -> exit at 3
+        # NOTE lon 10e6, NOT 0: a probe whose south-pole meridian passes
+        # exactly through a zone VERTEX (zone 0 has one at lon 0) is the
+        # documented measure-zero degenerate ray and classifies outside
+        (1, 0, 89_000_000, 10_000_000),   # starts inside: no event
+        (1, 1, 89_200_000, 50_000_000),   # stays inside: no event
+    ]
+    tr = spark.createDataFrame(
+        rows, "user_id long, event_id long, lat_udeg long, lon_udeg long"
+    )
+    got = spherical_geofence_transitions(tr, synth_zones(spark)).toPandas()
+    cap = got[got.zone_id == 0].sort_values("event_id")
+    assert [(r.user_id, r.event_id, r.kind, r.seq) for r in cap.itertuples()] == [
+        (0, 1, "enter", 1),
+        (0, 3, "exit", 2),
+    ]
+    # user 1 never changes CAP-zone membership (it also starts inside
+    # zone 4 — the 85..89.5/lon 0..20 quad — and legitimately exits it
+    # at event 1 when lon jumps to 50: transitions there are correct)
+    assert got[(got.user_id == 1) & (got.zone_id == 0)].empty
