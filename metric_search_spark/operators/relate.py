@@ -702,6 +702,8 @@ def polygon_area_join(
     pairs = cand.join(lg, "_lid").join(rg, "_rid")
 
     def refine(batches: Iterator) -> Iterator:
+        import math as _m
+
         import pandas as pd
 
         for pdf in batches:
@@ -714,8 +716,6 @@ def polygon_area_join(
                 ring_b = list(zip((int(x) for x in rxs), (int(y) for y in rys)))
                 a2 = intersection_area2(ring_a, ring_b)
                 if a2 > 0.0:
-                    import math as _m
-
                     out_a.append(int(la))
                     out_b.append(int(ra))
                     out_q.append(_m.floor(a2 * 1048576.0))
