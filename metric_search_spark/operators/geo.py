@@ -2026,7 +2026,7 @@ def synth_tracks_sphere(
     Exact-integer reproducible in SQL (synth_tracks_sphere_sql)."""
     nh = len(_SPHERE_HOTS)
     ids = spark.range(n_users * n_events).select(
-        (F.col("id") / n_events).cast("long").alias("user_id"),
+        F.expr(f"id DIV {n_events}").alias("user_id"),
         (F.col("id") % n_events).cast("long").alias("event_id"),
     )
     hot = (F.col("user_id") % nh).cast("int")

@@ -942,8 +942,8 @@ def multipolygon_relate_join(
     rings = polygon_relate_join(pack(left), pack(right), cell=cell)
     return (
         rings.groupBy(
-            (F.col("a_gid") / _MP_RINGS).cast("long").alias("a_gid"),
-            (F.col("b_gid") / _MP_RINGS).cast("long").alias("b_gid"),
+            F.expr(f"a_gid DIV {_MP_RINGS}").alias("a_gid"),
+            F.expr(f"b_gid DIV {_MP_RINGS}").alias("b_gid"),
         )
         .agg(
             F.max(F.col("relate") == "overlaps").alias("_ov")
