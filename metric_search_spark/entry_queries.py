@@ -11077,6 +11077,39 @@ def _o_spherical_zone_sql() -> str:
     )
 
 
+_GEO_SPHERE_RIPLEY_N = 2000
+
+
+def q_ripley_pairs_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sphere Ripley-K pair counts (operators/geo.pair_counts_by_
+    radius_sphere): exact unordered-pair counts and exact BIGINT dist_mm
+    sums strictly inside 100/250/500/1000 m great-circle radii over the
+    polar/antimeridian fixture — pole-cluster and seam-straddling pairs
+    included, which the planar Ripley operator refuses. ONE sphere
+    candidate pass at r_max serves all radii; the DuckDB twin
+    brute-forces 2M pairs per radius arm with the same antimeridian-safe
+    pinned predicate."""
+    from metric_search_spark.operators.geo import (
+        pair_counts_by_radius_sphere,
+        synth_places_sphere,
+    )
+
+    p = synth_places_sphere(spark, _GEO_SPHERE_RIPLEY_N, seed=_GEO_SEED)
+    return pair_counts_by_radius_sphere(p, _GEO_RADII_M)
+
+
+def _o_ripley_pairs_sphere_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        pair_counts_sphere_sql,
+        synth_places_sphere_sql,
+    )
+
+    return pair_counts_sphere_sql(
+        synth_places_sphere_sql(_GEO_SPHERE_RIPLEY_N, seed=_GEO_SEED),
+        _GEO_RADII_M,
+    )
+
+
 _GEOFENCE_U, _GEOFENCE_E = 200, 24
 
 
@@ -11590,6 +11623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spherical_geofence_tracks": q_spherical_geofence_tracks,
     "haversine_knn_places": q_haversine_knn_places,
     "ripley_pairs_places": q_ripley_pairs_places,
+    "ripley_pairs_sphere": q_ripley_pairs_sphere,
     "slippy_tiles_places": q_slippy_tiles_places,
     "hex_bin_places": q_hex_bin_places,
     "s2_cells_places": q_s2_cells_places,
@@ -11762,6 +11796,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "spherical_geofence_tracks": _o_spherical_geofence_sql(),
     "haversine_knn_places": _o_haversine_knn_sql(),
     "ripley_pairs_places": _o_ripley_pairs_sql(),
+    "ripley_pairs_sphere": _o_ripley_pairs_sphere_sql(),
     "slippy_tiles_places": _o_slippy_tiles_sql(),
     "hex_bin_places": _o_hex_bin_sql(),
     "s2_cells_places": _o_s2_cells_sql(),

@@ -59,6 +59,8 @@ __all__ = [
     "haversine_knn_join_sphere",
     "haversine_knn_sphere_sql",
     "pair_counts_by_radius",
+    "pair_counts_by_radius_sphere",
+    "pair_counts_sphere_sql",
     "pair_counts_sql",
     "atanh_poly_sql",
     "mercator_y_stages",
@@ -2225,3 +2227,78 @@ SELECT user_id, zone_id, event_id,
          PARTITION BY user_id, zone_id ORDER BY event_id) AS BIGINT) AS seq
 FROM trans WHERE pm IS NOT NULL AND m <> pm
 """
+
+
+# ------------------------------------- full-sphere point-pattern counts
+
+
+def pair_counts_by_radius_sphere(
+    places: DataFrame,
+    radii_m: list[float],
+    *,
+    cap_colat_deg: float = 2.0,
+) -> DataFrame:
+    """Full-sphere Ripley-K pair counts: exact unordered-pair counts and
+    exact BIGINT dist_mm sums strictly inside each radius, valid at any
+    latitude and across the antimeridian — the sphere twin of
+    pair_counts_by_radius. ONE _sphere_candidates pass at r_max serves
+    every radius (the ordered generator emits each unordered pair twice,
+    once per direction, each at most once — the a_id < b_id filter keeps
+    exactly one); per-radius CASE bins aggregate in a single shuffle."""
+    if not radii_m:
+        raise ValueError("pair_counts_by_radius_sphere: radii_m must be non-empty")
+    r_max = max(radii_m)
+    lat_g = F.when(
+        F.abs(F.col("lat_udeg")) > 90_000_000,
+        F.raise_error(
+            F.lit("pair_counts_by_radius_sphere: |lat_udeg| > 90e6")
+        ).cast("long"),
+    ).otherwise(F.col("lat_udeg"))
+    p = places.select(
+        "place_id", lat_g.alias("lat_udeg"), F.col("lon_udeg")
+    )
+    hav = hav_wrap_sql("alat", "alon", "blat", "blon")
+    _, dist_mm = _pair_cols_sql(hav)
+    cand = (
+        _sphere_candidates(p, p, r_max, cap_colat_deg)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("hav", F.expr(hav))
+        .withColumn("dmm", F.expr(dist_mm))
+    )
+    per_radius = [
+        F.struct(
+            F.lit(int(round(r * 1000.0))).cast("long").alias("radius_mm"),
+            F.when(F.col("hav") < F.lit(hav_threshold(r)), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("hit"),
+            F.when(F.col("hav") < F.lit(hav_threshold(r)), F.col("dmm"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dmm"),
+        )
+        for r in radii_m
+    ]
+    return (
+        cand.select(F.explode(F.array(*per_radius)).alias("s"))
+        .groupBy(F.col("s.radius_mm").alias("radius_mm"))
+        .agg(
+            F.sum("s.hit").alias("pairs"),
+            F.sum("s.dmm").alias("sum_dist_mm"),
+        )
+    )
+
+
+def pair_counts_sphere_sql(places_sql: str, radii_m: list[float]) -> str:
+    """Brute-force DuckDB twin: per-radius arms over all n^2/2 unordered
+    pairs with the antimeridian-safe pinned predicate."""
+    hav = hav_wrap_sql("a.lat_udeg", "a.lon_udeg", "b.lat_udeg", "b.lon_udeg")
+    _, dist_mm = _pair_cols_sql(hav)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({int(round(r * 1000.0))} AS BIGINT) AS radius_mm,
+       CAST(COALESCE(SUM(CASE WHEN ({hav}) < {_d(hav_threshold(r))} THEN 1 ELSE 0 END), 0) AS BIGINT) AS pairs,
+       CAST(COALESCE(SUM(CASE WHEN ({hav}) < {_d(hav_threshold(r))} THEN {dist_mm} ELSE 0 END), 0) AS BIGINT) AS sum_dist_mm
+FROM places a JOIN places b ON a.place_id < b.place_id"""
+        for r in radii_m
+    )
+    return f"WITH places AS ({places_sql})\n{arms}"

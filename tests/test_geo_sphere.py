@@ -504,3 +504,38 @@ def test_spherical_geofence_semantics(spark):
     # zone 4 — the 85..89.5/lon 0..20 quad — and legitimately exits it
     # at event 1 when lon jumps to 50: transitions there are correct)
     assert got[(got.user_id == 1) & (got.zone_id == 0)].empty
+
+
+# --------------------------------------- full-sphere Ripley counts
+
+
+def test_sphere_ripley_matches_brute_force(spark):
+    from metric_search_spark.operators.geo import (
+        pair_counts_by_radius_sphere,
+        pair_counts_sphere_sql,
+    )
+
+    n, radii = 900, [100.0, 500.0, 1000.0]
+    p = synth_places_sphere(spark, n, seed=SEED)
+    got = (
+        pair_counts_by_radius_sphere(p, radii)
+        .toPandas()
+        .sort_values("radius_mm")
+        .reset_index(drop=True)
+    )
+    ora = (
+        duckdb.sql(
+            pair_counts_sphere_sql(synth_places_sphere_sql(n, seed=SEED), radii)
+        )
+        .df()
+        .sort_values("radius_mm")
+        .reset_index(drop=True)
+    )
+    for c in ("radius_mm", "pairs", "sum_dist_mm"):
+        assert (
+            got[c].astype("int64").values == ora[c].astype("int64").values
+        ).all(), c
+    # pole-cluster density guarantees a rising count profile with
+    # thousands of sub-100m pairs (co-located clamps count at dist 0)
+    assert got.pairs.is_monotonic_increasing
+    assert got.pairs.iloc[0] > 1000
