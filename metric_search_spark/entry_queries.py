@@ -11110,6 +11110,50 @@ def _o_ripley_pairs_sphere_sql() -> str:
     )
 
 
+_HAUS_U, _HAUS_E = 150, 20
+
+
+def q_sphere_hausdorff_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical track Hausdorff (operators/geo.sphere_track_hausdorff):
+    symmetric Hausdorff distance between each user's track and the next
+    user's (the (u, u+1 mod U) pair chain) over the full-sphere track
+    fixture — max-min of the antimeridian-safe pinned great-circle
+    distance, so pole- and seam-crossing trajectories compare correctly.
+    Distances here span meters to 16,000 km, so the dist_mm export uses
+    the FULL-RANGE pinned arcsine (asin_full_sql: 27-term series +
+    sqrt-complement fold, 2e-11 vs libm — the small-angle series the
+    radius joins use would be ~20% off at these angles). Plan: pair-list
+    equi-joins (never a user cross product) + two nested aggregates per
+    direction. The DuckDB twin re-mechanizes the max-min directly with
+    the same pinned expressions."""
+    from metric_search_spark.operators.geo import (
+        sphere_track_hausdorff,
+        synth_tracks_sphere,
+    )
+
+    tr = synth_tracks_sphere(spark, _HAUS_U, _HAUS_E, seed=_GEO_SEED)
+    pairs = spark.range(_HAUS_U).select(
+        F.col("id").alias("a_user"),
+        ((F.col("id") + 1) % _HAUS_U).alias("b_user"),
+    )
+    return sphere_track_hausdorff(tr, pairs)
+
+
+def _o_sphere_hausdorff_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        sphere_track_hausdorff_sql,
+        synth_tracks_sphere_sql,
+    )
+
+    pairs_sql = (
+        f"SELECT i AS a_user, (i + 1) % {_HAUS_U} AS b_user"
+        f" FROM (SELECT unnest(range({_HAUS_U})) AS i)"
+    )
+    return sphere_track_hausdorff_sql(
+        synth_tracks_sphere_sql(_HAUS_U, _HAUS_E, seed=_GEO_SEED), pairs_sql
+    )
+
+
 _GEOFENCE_U, _GEOFENCE_E = 200, 24
 
 
@@ -11621,6 +11665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "haversine_knn_sphere": q_haversine_knn_sphere,
     "spherical_zone_places": q_spherical_zone_places,
     "spherical_geofence_tracks": q_spherical_geofence_tracks,
+    "sphere_hausdorff_tracks": q_sphere_hausdorff_tracks,
     "haversine_knn_places": q_haversine_knn_places,
     "ripley_pairs_places": q_ripley_pairs_places,
     "ripley_pairs_sphere": q_ripley_pairs_sphere,
@@ -11794,6 +11839,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "haversine_knn_sphere": _o_haversine_knn_sphere_sql(),
     "spherical_zone_places": _o_spherical_zone_sql(),
     "spherical_geofence_tracks": _o_spherical_geofence_sql(),
+    "sphere_hausdorff_tracks": _o_sphere_hausdorff_sql(),
     "haversine_knn_places": _o_haversine_knn_sql(),
     "ripley_pairs_places": _o_ripley_pairs_sql(),
     "ripley_pairs_sphere": _o_ripley_pairs_sphere_sql(),

@@ -61,6 +61,9 @@ __all__ = [
     "pair_counts_by_radius",
     "pair_counts_by_radius_sphere",
     "pair_counts_sphere_sql",
+    "asin_full_sql",
+    "sphere_track_hausdorff",
+    "sphere_track_hausdorff_sql",
     "pair_counts_sql",
     "atanh_poly_sql",
     "mercator_y_stages",
@@ -2302,3 +2305,145 @@ FROM places a JOIN places b ON a.place_id < b.place_id"""
         for r in radii_m
     )
     return f"WITH places AS ({places_sql})\n{arms}"
+
+
+def asin_full_sql(x: str) -> str:
+    """Pinned FULL-RANGE arcsine for x in [0, 1]: 27-term odd Maclaurin
+    series on [0, sqrt(1/2)] (tail < 2e-11 there), folded through
+    asin(x) = pi/2 - asin(sqrt(1 - x^2)) above — one shared expression,
+    IEEE + - * / sqrt only. Complements asin_poly_sql, whose 4-term
+    series is only faithful for x <= 0.01 (the radius-join export
+    regime); use THIS one wherever the angle can be large (e.g. track
+    Hausdorff between arbitrary tracks)."""
+    import math as _math
+
+    coeffs = [
+        _math.comb(2 * k, k) / (4.0 ** k * (2 * k + 1)) for k in range(27)
+    ]
+    def series(v: str) -> str:
+        v2 = f"(({v}) * ({v}))"
+        return f"(({v}) * {_horner(v2, coeffs)})"
+
+    y = f"SQRT({_d(1.0)} - ({x}) * ({x}))"
+    return (
+        f"(CASE WHEN ({x}) <= {_d(math.sqrt(0.5))} THEN {series(x)}"
+        f" ELSE ({_d(math.pi / 2.0)} - {series(f'({y})')}) END)"
+    )
+
+
+# --------------------------------------- spherical track Hausdorff
+
+
+def sphere_track_hausdorff(
+    tracks: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Symmetric Hausdorff distance between SPHERICAL tracks for given
+    (a_user, b_user) pairs: H = max(h(A->B), h(B->A)) with h(A->B) =
+    max over a of min over b of the antimeridian-safe pinned great-
+    circle distance — the trajectory-similarity primitive of
+    trajectory.py lifted to the sphere (pole- and seam-crossing tracks
+    compare correctly). Exported as exact BIGINTs of the pinned float
+    pipeline (hav_e18 of the realizing pair, dist_mm of H).
+
+    Plan: ONE equi-join per direction keyed by the pair list (tracks
+    re-join by user id, never a cartesian over users), a (pair, a-event)
+    min aggregate, a pair max aggregate, and a final greatest() — three
+    shuffles bounded by |pairs|*E rows. For all-pairs track mining at
+    scale, feed `pairs` from a candidate generator (e.g. shared
+    s2_cells occupancy) rather than the full cross product."""
+    a_side = tracks.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_event"),
+        F.col("lat_udeg").alias("alat"),
+        F.col("lon_udeg").alias("alon"),
+    )
+    b_side = tracks.select(
+        F.col("user_id").alias("b_user"),
+        F.col("lat_udeg").alias("blat"),
+        F.col("lon_udeg").alias("blon"),
+    )
+    hav = hav_wrap_sql("alat", "alon", "blat", "blon")
+
+    def directed(p: DataFrame) -> DataFrame:
+        cross = (
+            p.join(a_side, "a_user")
+            .join(b_side, "b_user")
+            .withColumn("hav", F.expr(hav))
+        )
+        inner = cross.groupBy("a_user", "b_user", "a_event").agg(
+            F.min("hav").alias("mn")
+        )
+        return inner.groupBy("a_user", "b_user").agg(
+            F.max("mn").alias("h")
+        )
+
+    fwd = directed(pairs.select("a_user", "b_user"))
+    rev = (
+        directed(
+            pairs.select(
+                F.col("b_user").alias("a_user"),
+                F.col("a_user").alias("b_user"),
+            )
+        )
+        .select(
+            F.col("b_user").alias("a_user"),
+            F.col("a_user").alias("b_user"),
+            F.col("h").alias("h_rev"),
+        )
+    )
+    sym = fwd.join(rev, ["a_user", "b_user"]).select(
+        "a_user",
+        "b_user",
+        F.greatest(F.col("h"), F.col("h_rev")).alias("hh"),
+    )
+    hav_e18 = "CAST(FLOOR(hh * CAST('1e18' AS DOUBLE)) AS BIGINT)"
+    dist_mm = (
+        f"CAST(FLOOR({asin_full_sql('SQRT(hh)')}"
+        f" * {_d(2.0 * EARTH_R_M * 1000.0)}) AS BIGINT)"
+    )
+    return sym.select(
+        "a_user",
+        "b_user",
+        F.expr(hav_e18).alias("hav_e18"),
+        F.expr(dist_mm).alias("dist_mm"),
+    )
+
+
+def sphere_track_hausdorff_sql(tracks_sql: str, pairs_sql: str) -> str:
+    """DuckDB twin: the same pinned predicate over a direct max-min
+    re-mechanization (correlated grouped aggregates, no join staging)."""
+    hav = hav_wrap_sql("ta.lat_udeg", "ta.lon_udeg", "tb.lat_udeg", "tb.lon_udeg")
+    hav_e18 = "CAST(FLOOR(hh * CAST('1e18' AS DOUBLE)) AS BIGINT)"
+    dist_mm = (
+        f"CAST(FLOOR({asin_full_sql('SQRT(hh)')}"
+        f" * {_d(2.0 * EARTH_R_M * 1000.0)}) AS BIGINT)"
+    )
+    directed = """
+  SELECT p.a_user AS au, p.b_user AS bu, ta.event_id,
+         MIN({hav}) AS mn
+  FROM {pairs} p
+  JOIN tracks ta ON ta.user_id = p.{acol}
+  JOIN tracks tb ON tb.user_id = p.{bcol}
+  GROUP BY p.a_user, p.b_user, ta.event_id
+"""
+    fwd = directed.format(hav=hav, pairs="pairs", acol="a_user", bcol="b_user")
+    rev = directed.format(
+        hav=hav.replace("ta.", "tx.").replace("tb.", "ty."),
+        pairs="pairs",
+        acol="b_user",
+        bcol="a_user",
+    ).replace("tracks ta", "tracks tx").replace("tracks tb", "tracks ty").replace(
+        "ta.user_id", "tx.user_id"
+    ).replace("tb.user_id", "ty.user_id").replace("ta.event_id", "tx.event_id")
+    return f"""
+WITH tracks AS ({tracks_sql}),
+pairs AS ({pairs_sql}),
+fwd0 AS ({fwd}),
+fwd AS (SELECT au, bu, MAX(mn) AS h FROM fwd0 GROUP BY au, bu),
+rev0 AS ({rev}),
+rev AS (SELECT au, bu, MAX(mn) AS h_rev FROM rev0 GROUP BY au, bu)
+SELECT f.au AS a_user, f.bu AS b_user,
+       {hav_e18.replace('hh', 'GREATEST(f.h, r.h_rev)')} AS hav_e18,
+       {dist_mm.replace('hh', 'GREATEST(f.h, r.h_rev)')} AS dist_mm
+FROM fwd f JOIN rev r ON f.au = r.au AND f.bu = r.bu
+"""

@@ -539,3 +539,80 @@ def test_sphere_ripley_matches_brute_force(spark):
     # thousands of sub-100m pairs (co-located clamps count at dist 0)
     assert got.pairs.is_monotonic_increasing
     assert got.pairs.iloc[0] > 1000
+
+
+# ------------------------------------------ spherical track Hausdorff
+
+
+def test_asin_full_matches_libm(spark):
+    """Full-range pinned arcsine within 5e-11 of libm across [0, 1] —
+    including the branch fold at sqrt(1/2)."""
+    from metric_search_spark.operators.geo import asin_full_sql
+
+    xs = [i / 500.0 for i in range(0, 501)]
+    rows = (
+        spark.createDataFrame([(x,) for x in xs], "x double")
+        .select("x", F.expr(asin_full_sql("x")).alias("a"))
+        .collect()
+    )
+    assert max(abs(r.a - math.asin(r.x)) for r in rows) < 5e-11
+
+
+def test_sphere_hausdorff_matches_twin_and_geodesy(spark):
+    from metric_search_spark.operators.geo import (
+        sphere_track_hausdorff,
+        sphere_track_hausdorff_sql,
+        synth_tracks_sphere,
+        synth_tracks_sphere_sql,
+    )
+
+    u, e = 100, 16
+    tr = synth_tracks_sphere(spark, u, e, seed=SEED)
+    pairs = spark.createDataFrame(
+        [(i, (i + 1) % u) for i in range(u)], "a_user long, b_user long"
+    )
+    got = (
+        sphere_track_hausdorff(tr, pairs)
+        .toPandas()
+        .sort_values(["a_user", "b_user"])
+        .reset_index(drop=True)
+    )
+    pairs_sql = (
+        f"SELECT i AS a_user, (i + 1) % {u} AS b_user"
+        f" FROM (SELECT unnest(range({u})) AS i)"
+    )
+    ora = (
+        duckdb.sql(
+            sphere_track_hausdorff_sql(
+                synth_tracks_sphere_sql(u, e, seed=SEED), pairs_sql
+            )
+        )
+        .df()
+        .sort_values(["a_user", "b_user"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ora) == u
+    for c in ("a_user", "b_user", "hav_e18", "dist_mm"):
+        assert (
+            got[c].astype("int64").values == ora[c].astype("int64").values
+        ).all(), c
+    # geodesic fidelity at planetary angles: dist_mm from the pinned
+    # full-range asin matches libm's 2R*asin(sqrt(hav)) to < 2 mm
+    for r in got.itertuples():
+        h = min(1.0, r.hav_e18 / 1e18)
+        true_mm = 2.0 * 6_371_000.0 * math.asin(math.sqrt(h)) * 1000.0
+        assert abs(true_mm - r.dist_mm) < 2.0
+
+
+def test_sphere_hausdorff_identical_tracks_zero(spark):
+    from metric_search_spark.operators.geo import (
+        sphere_track_hausdorff,
+        synth_tracks_sphere,
+    )
+
+    tr = synth_tracks_sphere(spark, 4, 10, seed=SEED)
+    pairs = spark.createDataFrame(
+        [(i, i) for i in range(4)], "a_user long, b_user long"
+    )
+    got = sphere_track_hausdorff(tr, pairs).toPandas()
+    assert (got.dist_mm == 0).all() and (got.hav_e18 == 0).all()
