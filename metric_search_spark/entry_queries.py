@@ -11154,6 +11154,40 @@ def _o_sphere_hausdorff_sql() -> str:
     )
 
 
+_FRECHET_U, _FRECHET_E = 150, 16
+
+
+def q_sphere_frechet_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical discrete Fréchet (operators/geo.sphere_track_frechet):
+    Eiter–Mannila monotone-alignment distance between every user's
+    full-sphere track and the anchor (user 0) under the antimeridian-
+    safe pinned great-circle metric. Every pairwise value is ONE hav
+    double from the shared pinned expression (JVM codegen); the DP is
+    pure min/max SELECTION over those values, so the DuckDB recursive-
+    CTE twin — which re-advances the whole DP row by row with the
+    enter-at-k unrolling (the O_FRECHET technique) — lands on identical
+    doubles with no float re-derivation. dist_mm exports through the
+    full-range pinned arcsine (planetary angles)."""
+    from metric_search_spark.operators.geo import (
+        sphere_track_frechet,
+        synth_tracks_sphere,
+    )
+
+    tr = synth_tracks_sphere(spark, _FRECHET_U, _FRECHET_E, seed=_GEO_SEED)
+    return sphere_track_frechet(tr)
+
+
+def _o_sphere_frechet_sql() -> str:
+    from metric_search_spark.operators.geo import (
+        sphere_track_frechet_sql,
+        synth_tracks_sphere_sql,
+    )
+
+    return sphere_track_frechet_sql(
+        synth_tracks_sphere_sql(_FRECHET_U, _FRECHET_E, seed=_GEO_SEED)
+    )
+
+
 _GEOFENCE_U, _GEOFENCE_E = 200, 24
 
 
@@ -11666,6 +11700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spherical_zone_places": q_spherical_zone_places,
     "spherical_geofence_tracks": q_spherical_geofence_tracks,
     "sphere_hausdorff_tracks": q_sphere_hausdorff_tracks,
+    "sphere_frechet_tracks": q_sphere_frechet_tracks,
     "haversine_knn_places": q_haversine_knn_places,
     "ripley_pairs_places": q_ripley_pairs_places,
     "ripley_pairs_sphere": q_ripley_pairs_sphere,
@@ -11840,6 +11875,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "spherical_zone_places": _o_spherical_zone_sql(),
     "spherical_geofence_tracks": _o_spherical_geofence_sql(),
     "sphere_hausdorff_tracks": _o_sphere_hausdorff_sql(),
+    "sphere_frechet_tracks": _o_sphere_frechet_sql(),
     "haversine_knn_places": _o_haversine_knn_sql(),
     "ripley_pairs_places": _o_ripley_pairs_sql(),
     "ripley_pairs_sphere": _o_ripley_pairs_sphere_sql(),

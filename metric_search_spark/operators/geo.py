@@ -64,6 +64,8 @@ __all__ = [
     "asin_full_sql",
     "sphere_track_hausdorff",
     "sphere_track_hausdorff_sql",
+    "sphere_track_frechet",
+    "sphere_track_frechet_sql",
     "pair_counts_sql",
     "atanh_poly_sql",
     "mercator_y_stages",
@@ -2446,4 +2448,155 @@ SELECT f.au AS a_user, f.bu AS b_user,
        {hav_e18.replace('hh', 'GREATEST(f.h, r.h_rev)')} AS hav_e18,
        {dist_mm.replace('hh', 'GREATEST(f.h, r.h_rev)')} AS dist_mm
 FROM fwd f JOIN rev r ON f.au = r.au AND f.bu = r.bu
+"""
+
+
+# ---------------------------------------- spherical discrete Fréchet
+
+
+def sphere_track_frechet(tracks: DataFrame) -> DataFrame:
+    """Discrete Fréchet distance (Eiter–Mannila) between every user's
+    spherical track and the ANCHOR track (the smallest user_id), under
+    the antimeridian-safe pinned great-circle metric — the monotone-
+    alignment companion to sphere_track_hausdorff. Every pairwise
+    "distance" is a hav double computed ONCE by the shared pinned
+    expression (JVM-side, codegen); the O(n·m) DP then performs ONLY
+    min/max SELECTIONS over those values, so every DP cell is an exact
+    bit-copy of some pairwise hav and the DuckDB recursive-CTE twin
+    lands on identical doubles with no float re-derivation anywhere.
+
+    Returns (user_id, hav_e18, dist_mm); dist_mm uses the full-range
+    pinned arcsine (asin_full_sql) — Fréchet values between far tracks
+    are planetary angles.
+
+    Plan: anchor events broadcast against all track events (pinned hav
+    per (user, i, t) stays in whole-stage codegen), ONE per-user
+    collect, and the tiny-matrix DP runs selection-only in an Arrow
+    kernel. At 10^12 users the heavy axis (users) is the partitioned
+    one; E×E0 per-user work is constant."""
+    from pyspark.sql import Window
+
+    first_user = tracks.agg(F.min("user_id")).collect()[0][0]
+    anchor = (
+        tracks.where(F.col("user_id") == first_user)
+        .select(
+            F.col("event_id").alias("t"),
+            F.col("lat_udeg").alias("blat"),
+            F.col("lon_udeg").alias("blon"),
+            F.lit(1).alias("_k"),
+        )
+    )
+    probes = tracks.select(
+        "user_id",
+        F.col("event_id").alias("i"),
+        F.col("lat_udeg").alias("alat"),
+        F.col("lon_udeg").alias("alon"),
+        F.lit(1).alias("_k"),
+    )
+    hav = hav_wrap_sql("alat", "alon", "blat", "blon")
+    cells = (
+        probes.join(F.broadcast(anchor), "_k")
+        .withColumn("hav", F.expr(hav))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("i", "t", "hav"))
+            ).alias("cells")
+        )
+    )
+
+    def dp(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_u, out_fr = [], []
+            for uid, cl in zip(pdf["user_id"], pdf["cells"]):
+                iv = np.asarray([c["i"] for c in cl])
+                tv = np.asarray([c["t"] for c in cl])
+                hv = np.asarray([c["hav"] for c in cl])
+                n = int(iv.max()) + 1
+                m = int(tv.max()) + 1
+                D = np.empty((n, m))
+                D[iv, tv] = hv
+                ca = np.empty((n, m))
+                ca[0, 0] = D[0, 0]
+                for j in range(1, m):  # first row: cumulative max
+                    ca[0, j] = max(ca[0, j - 1], D[0, j])
+                for i in range(1, n):
+                    ca[i, 0] = max(ca[i - 1, 0], D[i, 0])
+                    for j in range(1, m):
+                        ca[i, j] = max(
+                            D[i, j],
+                            min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1]),
+                        )
+                out_u.append(int(uid))
+                out_fr.append(float(ca[n - 1, m - 1]))
+            yield pd.DataFrame(
+                {"user_id": pd.Series(out_u, dtype="int64"),
+                 "fr": pd.Series(out_fr, dtype="float64")}
+            )
+
+    res = cells.mapInPandas(dp, schema="user_id long, fr double")
+    hav_e18 = "CAST(FLOOR(fr * CAST('1e18' AS DOUBLE)) AS BIGINT)"
+    dist_mm = (
+        f"CAST(FLOOR({asin_full_sql('SQRT(fr)')}"
+        f" * {_d(2.0 * EARTH_R_M * 1000.0)}) AS BIGINT)"
+    )
+    return res.select(
+        "user_id",
+        F.expr(hav_e18).alias("hav_e18"),
+        F.expr(dist_mm).alias("dist_mm"),
+    )
+
+
+def sphere_track_frechet_sql(tracks_sql: str) -> str:
+    """DuckDB twin: recursive CTE advancing one track row per iteration
+    with the row-internal sequential scan unrolled to the enter-at-k
+    form (the O_FRECHET_EVENTS technique), pairwise values from the SAME
+    pinned hav expression over the (lat, lon) lists — every DP cell an
+    exact copy of a shared double."""
+    d_expr = hav_wrap_sql(
+        "s.alats[x.i + 1]", "s.alons[x.i + 1]", "an.blats[t]", "an.blons[t]"
+    )
+    d0_expr = hav_wrap_sql(
+        "s.alats[1]", "s.alons[1]", "an.blats[t]", "an.blons[t]"
+    )
+    hav_e18 = "CAST(FLOOR(fr * CAST('1e18' AS DOUBLE)) AS BIGINT)"
+    dist_mm = (
+        f"CAST(FLOOR({asin_full_sql('SQRT(fr)')}"
+        f" * {_d(2.0 * EARTH_R_M * 1000.0)}) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE
+tracks AS ({tracks_sql}),
+series AS (
+  SELECT user_id,
+         list(lat_udeg ORDER BY event_id) AS alats,
+         list(lon_udeg ORDER BY event_id) AS alons
+  FROM tracks GROUP BY user_id
+),
+anchor AS (
+  SELECT alats AS blats, alons AS blons FROM series ORDER BY user_id LIMIT 1
+),
+dp AS (
+  SELECT s.user_id, s.alats, s.alons, 1 AS i,
+         list_transform(range(1, len(an.blats) + 1), j ->
+           list_max(list_transform(range(1, j + 1), t -> ({d0_expr})))) AS d
+  FROM series s, anchor an
+  UNION ALL
+  SELECT user_id, alats, alons, i + 1,
+         list_transform(range(1, nb + 1), j ->
+           list_min(list_transform(range(1, j + 1), k ->
+             greatest(CASE WHEN k = 1 THEN d[1] ELSE least(d[k], d[k-1]) END,
+                      list_max(list_slice(ds, k, j)))))) AS d
+  FROM (
+    SELECT x.user_id, s.alats, s.alons, x.i, x.d, len(an.blats) AS nb,
+           list_transform(range(1, len(an.blats) + 1), t -> ({d_expr})) AS ds
+    FROM dp x JOIN series s USING (user_id), anchor an
+    WHERE x.i < len(s.alats)
+  )
+)
+SELECT user_id, {hav_e18} AS hav_e18, {dist_mm} AS dist_mm
+FROM (SELECT user_id, d[len(d)] AS fr FROM dp WHERE i = len(alats))
 """

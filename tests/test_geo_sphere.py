@@ -616,3 +616,54 @@ def test_sphere_hausdorff_identical_tracks_zero(spark):
     )
     got = sphere_track_hausdorff(tr, pairs).toPandas()
     assert (got.dist_mm == 0).all() and (got.hav_e18 == 0).all()
+
+
+# ---------------------------------------- spherical discrete Fréchet
+
+
+def test_sphere_frechet_matches_twin(spark):
+    from metric_search_spark.operators.geo import (
+        sphere_track_frechet,
+        sphere_track_frechet_sql,
+        synth_tracks_sphere,
+        synth_tracks_sphere_sql,
+    )
+
+    u, e = 80, 14
+    tr = synth_tracks_sphere(spark, u, e, seed=SEED)
+    got = (
+        sphere_track_frechet(tr)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ora = (
+        duckdb.sql(
+            sphere_track_frechet_sql(synth_tracks_sphere_sql(u, e, seed=SEED))
+        )
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ora) == u
+    for c in ("user_id", "hav_e18", "dist_mm"):
+        assert (
+            got[c].astype("int64").values == ora[c].astype("int64").values
+        ).all(), c
+    assert got[got.user_id == 0].dist_mm.iloc[0] == 0  # anchor vs itself
+    # Frechet >= Hausdorff of the same pair (alignment is a matching
+    # constraint on top of the same pointwise metric)
+    from metric_search_spark.operators.geo import sphere_track_hausdorff
+
+    pairs = spark.createDataFrame(
+        [(i, 0) for i in range(1, u)], "a_user long, b_user long"
+    )
+    hh = (
+        sphere_track_hausdorff(tr, pairs)
+        .toPandas()
+        .set_index("a_user")
+        .dist_mm
+    )
+    fr = got.set_index("user_id").dist_mm
+    for uu in range(1, u):
+        assert fr[uu] >= hh[uu] - 1, uu
