@@ -381,7 +381,10 @@ def _o_tile_rollup_sql() -> str:
         enc = morton_bitsum_sql("cx", "cy", lvl)
         parts.append(
             f"SELECT {lvl} AS res, {enc} AS tile, count(*) AS cnt,"
-            f" sum(CAST(label AS BIGINT)) AS val"
+            # CAST wraps the sum itself: DuckDB types sum(BIGINT) as HUGEINT,
+            # which .df() materializes as float64 — the driver's exact value
+            # hash then sees 3.0 != 3 (the r4 red on this query)
+            f" CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS val"
             f" FROM (SELECT ({quantize_sql(_EMB_X)}) >> {31 - lvl} AS cx,"
             f" ({quantize_sql(_EMB_Y)}) >> {31 - lvl} AS cy, label"
             f" FROM embeddings) GROUP BY 1, 2"
@@ -980,22 +983,30 @@ GROUP BY n.i
 # silently trust a stale or foreign file), so the driver's query→oracle
 # sequence reads exactly what the query just wrote.
 
-# SINGLE-RUNNER ASSUMPTION (ADVICE r3): paths are keyed by (name, scale key)
-# only, so two concurrent runners at the same sf could interleave a write in
-# run A between run B's write and B's oracle read. All hand-off content is
-# deterministic for a given (name, key) — identical bytes either way — so the
-# race is benign for the engine's own queries; a runner injecting DIFFERENT
-# parameters at the same key must serialize externally. A per-run token can't
-# go in the key because oracle SQL strings may be generated by a different
-# process than the one that runs the queries (the driver contract).
+# PER-RUN TOKEN (ADVICE r3 item 5 / VERDICT r4 item 4): a run that sets
+# MSK_RUN_TOKEN (any path-safe string — the local sweep tool uses its pid)
+# gets its own hand-off namespace, so two concurrent runners at the same sf
+# can no longer interleave a write in run A between run B's write and B's
+# oracle read. The token is read LAZILY at every path construction, so a
+# caller may set it after import; writers and oracle-SQL builders in the
+# same process always agree. The DEFAULT is tokenless — identical paths to
+# every prior round — because the driver contract allows oracle SQL strings
+# to be generated by a different process than the one that runs the queries,
+# and a baked-in pid would then point the oracle at a path no writer used.
+# Tokenless runs keep the documented single-runner assumption: hand-off
+# content is deterministic for a given (name, key) — identical bytes either
+# way — so even that race is benign unless a caller injects DIFFERENT
+# parameters at the same key, which must serialize externally (or set the
+# token).
 # per-UID filename: on a shared host another user's identically-named
 # /tmp file would make os.replace raise (sticky-bit) or feed the oracle
 # foreign state
-_HANDOFF_PATH_TMPL = f"/tmp/msk_{{name}}_handoff_u{os.getuid()}_{{key}}.parquet"
+_HANDOFF_PATH_TMPL = f"/tmp/msk_{{name}}_handoff_u{os.getuid()}_{{key}}{{tok}}.parquet"
 
 
 def _handoff_path(name: str, key) -> str:
-    return _HANDOFF_PATH_TMPL.format(name=name, key=key)
+    tok = os.environ.get("MSK_RUN_TOKEN", "")
+    return _HANDOFF_PATH_TMPL.format(name=name, key=key, tok=f"_r{tok}" if tok else "")
 
 
 def _handoff_enabled() -> bool:
@@ -9529,7 +9540,7 @@ SELECT CAST({lvl} AS BIGINT) AS res,
        {morton_bitsum_sql('cx', 'cy', lvl)} AS tile, label, cnt
 FROM (
   SELECT cx, cy, label, w,
-         sum(w) OVER (PARTITION BY cx, cy) AS cnt,
+         CAST(sum(w) OVER (PARTITION BY cx, cy) AS BIGINT) AS cnt,
          row_number() OVER (
            PARTITION BY cx, cy ORDER BY w DESC, label ASC) AS rn
   FROM (
@@ -11580,6 +11591,121 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------- EMD
+
+_EMD_B = 16  # histogram buckets over the first embedding coordinate
+
+
+def q_emd_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth Mover's Distance (reference emd-hat semantics,
+    n-api/metric_distance/details/EMD.cpp:678-978; core.metrics.EMD) between
+    every pair of per-label bucket histograms of the first embedding
+    coordinate. Histograms are mass-balanced BY CONSTRUCTION — each label
+    contributes exactly N rows, N = the minimum label count, taken in
+    vec_id order — so the transport problem is balanced and the optimum for
+    the |i−j| ground metric equals the L1 distance between the two CDFs
+    (Vallender 1974 / Villani Thm 2.18). The engine deliberately does NOT
+    use that closed form: it runs the from-scratch successive-shortest-path
+    network solver (the same code path every ground matrix uses), so the
+    oracle's prefix-sum formulation is a fully independent check of the
+    solver's optimum. All quantities are integers (counts, |i−j| costs), so
+    the float optimum is exact and the emd column is BIGINT in both engines.
+
+    Scale shape: bucketing + the N-per-label limit + histogram build are
+    distributed (one shuffle on label); the pair stage runs on the
+    #labels-row aggregate — at 10⁹ rows the heavy axis never leaves Spark,
+    and the EMD kernel sees only L×B integers."""
+    emb = _read(spark, sf_dir, "embeddings")
+    b = F.least(
+        F.lit(_EMD_B - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("embedding")[0].cast("double") + 0.2) * 40.0).cast(
+                "int"
+            ),
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    ranked = (
+        emb.select("vec_id", "label", b.alias("b"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    nmin = ranked.groupBy("label").count().agg(F.min("count").alias("n"))
+    lim = ranked.crossJoin(F.broadcast(nmin)).where(F.col("rn") <= F.col("n"))
+    dense = lim.groupBy("label").agg(
+        F.array(
+            *[
+                F.sum((F.col("b") == i).cast("long"))
+                for i in range(_EMD_B)
+            ]
+        ).alias("h")
+    )
+    a = dense.select(F.col("label").alias("la"), F.col("h").alias("ha"))
+    bb = dense.select(F.col("label").alias("lb"), F.col("h").alias("hb"))
+    pairs = a.join(bb, F.col("la") < F.col("lb"))
+
+    def fn(batches):
+        import numpy as np
+
+        from metric_search_spark.core.metrics import EMD
+
+        emd = EMD()
+        for pdf in batches:
+            out = []
+            for pa, pb in zip(pdf["ha"], pdf["hb"]):
+                v = emd.one(
+                    np.asarray(pa, dtype=np.float64),
+                    np.asarray(pb, dtype=np.float64),
+                )
+                # integer data ⇒ integer optimum; a non-integral result
+                # would mean the solver left the integral polytope vertex
+                assert abs(v - round(v)) < 1e-9, v
+                out.append(int(round(v)))
+            pdf["emd"] = out
+            yield pdf[["la", "lb", "emd"]]
+
+    return pairs.mapInPandas(fn, schema="la int, lb int, emd long")
+
+
+# Independent DuckDB twin: balanced 1-D EMD via the CDF prefix-sum closed
+# form (no network flow anywhere). CAST wraps both the window sum and the
+# final sum — DuckDB types them HUGEINT, which .df() would decay to float64
+# against Spark's int64 (the r4 tile_rollup/downsample_mode lesson).
+O_EMD_HISTOGRAMS = f"""
+WITH bux AS (
+  SELECT vec_id, label,
+         least({_EMD_B - 1}, greatest(0, CAST(floor(
+           (CAST(embedding[1] AS DOUBLE) + 0.2) * 40.0) AS INTEGER))) AS b,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+  FROM embeddings
+),
+nmin AS (
+  SELECT min(c) AS n
+  FROM (SELECT count(*) AS c FROM embeddings GROUP BY label)
+),
+lim AS (SELECT label, b FROM bux, nmin WHERE rn <= n),
+grid AS (
+  SELECT l.label, g.b
+  FROM (SELECT DISTINCT label FROM lim) l
+  CROSS JOIN (SELECT unnest(range({_EMD_B})) AS b) g
+),
+hist AS (
+  SELECT g.label, g.b, count(x.label) AS c
+  FROM grid g LEFT JOIN lim x ON x.label = g.label AND x.b = g.b
+  GROUP BY 1, 2
+),
+cdf AS (
+  SELECT label, b,
+         CAST(sum(c) OVER (PARTITION BY label ORDER BY b) AS BIGINT) AS p
+  FROM hist
+)
+SELECT a.label AS la, q.label AS lb,
+       CAST(sum(abs(a.p - q.p)) AS BIGINT) AS emd
+FROM cdf a JOIN cdf q ON a.b = q.b AND a.label < q.label
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -11780,6 +11906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_rerank_knn_embeddings": q_ivfpq_rerank_knn_embeddings,
     "index_level_histogram": q_index_level_histogram,
     "twed_events": q_twed_events,
+    "emd_histograms": q_emd_histograms,
     "dtw_events": q_dtw_events,
     "lcs_events": q_lcs_events,
     "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
@@ -11957,6 +12084,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "knn_after_delete_embeddings": O_KNN_AFTER_DELETE,
     "knn_after_update_embeddings": O_KNN_AFTER_UPDATE,
     "twed_events": O_TWED_EVENTS,
+    "emd_histograms": O_EMD_HISTOGRAMS,
     "dtw_events": O_DTW_EVENTS,
     "lcs_events": O_LCS_EVENTS,
     "fuzzy_pairs_documents": O_FUZZY_PAIRS_DOCUMENTS,

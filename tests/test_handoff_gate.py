@@ -137,6 +137,27 @@ def test_every_handoff_writer_is_gated_source_lint():
     assert ungated == [], f"_write_handoff calls without a gate: {ungated}"
 
 
+def test_run_token_isolates_concurrent_sweeps(monkeypatch):
+    """ADVICE r3 item 5 / VERDICT r4 item 4: a runner that sets MSK_RUN_TOKEN
+    gets its own hand-off namespace — two concurrent sweeps with distinct
+    tokens can never cross-read — while the tokenless default reproduces the
+    exact legacy path, so the driver contract (oracle SQL possibly generated
+    in a different process) is unchanged. The token is read lazily: setting
+    it after import must take effect."""
+    monkeypatch.delenv("MSK_RUN_TOKEN", raising=False)
+    legacy = eq._handoff_path("minhash", "sf0.01")
+    assert "_r" not in legacy.rsplit("/", 1)[1].replace("_handoff", "")
+    monkeypatch.setenv("MSK_RUN_TOKEN", "111")
+    p1 = eq._handoff_path("minhash", "sf0.01")
+    monkeypatch.setenv("MSK_RUN_TOKEN", "222")
+    p2 = eq._handoff_path("minhash", "sf0.01")
+    assert p1 != p2 != legacy and p1 != legacy
+    assert p1 == legacy.replace(".parquet", "_r111.parquet")
+    # writer and oracle-SQL builder in the same process agree on the path:
+    # the minhash oracle embeds the read path via the same helper
+    assert eq._handoff_path("minhash", "sf0.01") == p2
+
+
 def test_gate_skips_pq_and_ivfpq_handoffs(monkeypatch, private_handoffs):
     """The pq/ivfpq hand-off dict is None when gated, so no codes/LUT
     collect happens; the ranked output is unchanged (same seeded

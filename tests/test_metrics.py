@@ -187,6 +187,25 @@ def test_emd_cdf_identity_and_grid():
     np.testing.assert_allclose(EMD(ground=g).one(a9, b9), np.sqrt(8), atol=1e-10)
 
 
+def test_emd_integer_histograms_integral_optimum():
+    """The emd_histograms driver query's contract: balanced INTEGER
+    histograms with |i−j| ground cost have an integral optimum equal to the
+    CDF L1 closed form — the SSP solver must land exactly on it (the query
+    casts to BIGINT on this guarantee)."""
+    from metric_search_spark.core.metrics import EMD
+
+    e = EMD()
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        n = int(rng.integers(2, 17))
+        a = rng.integers(0, 20, n).astype(np.float64)
+        b = rng.permutation(a)  # same multiset ⇒ equal mass
+        want = float(np.abs(np.cumsum(a) - np.cumsum(b)).sum())
+        got = e.one(a, b)
+        assert abs(got - round(got)) < 1e-9
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
 def test_emd_extra_mass_reference_semantics():
     """Unbalanced histograms follow the reference's emd-hat contract
     (EMD.cpp:699-726 supplier swap; :762-763 default penalty = maxC;

@@ -7,6 +7,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -14,6 +15,13 @@ import duckdb
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
+
+# Per-run hand-off namespace: concurrent sweeps at the same sf must not
+# cross-read each other's oracle hand-off files (ADVICE r3 item 5). Set
+# before importing entry_queries; respected lazily by _handoff_path either
+# way. An explicit caller-provided token (e.g. a parent orchestrating
+# several tools in one logical run) wins.
+os.environ.setdefault("MSK_RUN_TOKEN", str(os.getpid()))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -28,24 +36,59 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the comparison kind the driver's value hash
+    is sensitive to: integer width differences hash alike, but int-vs-float is
+    exactly the HUGEINT→float64 decay that shipped the two r4 reds."""
+    k = dtype.kind
+    return "int" if k in "iu" else {"f": "float", "b": "bool"}.get(k, k)
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Driver-exact comparison: dtype-faithful, order-insensitive, no float
+    tolerance. An int Spark column materializing against a float oracle
+    column is a FAIL (dtype drift) even when the values are numerically
+    equal — that is precisely what the driver's value hash rejects. Float
+    columns compare bit-exact (NaN==NaN), since every float-emitting query
+    in the battery is engineered to land on identical doubles in both
+    engines; a bit mismatch here is a real divergence, reported with its
+    max abs error so representation bugs and math bugs are distinguishable."""
+    import numpy as np
+
     problems = []
     if sorted(got.columns) != sorted(want.columns):
         problems.append(f"columns {sorted(got.columns)} != {sorted(want.columns)}")
         return problems
     if len(got) != len(want):
         problems.append(f"rowcount {len(got)} != {len(want)}")
+        return problems
+    for c in sorted(got.columns):
+        gk, wk = _kind(got[c].dtype), _kind(want[c].dtype)
+        if gk != wk:
+            problems.append(
+                f"col {c}: dtype drift spark={got[c].dtype} vs oracle={want[c].dtype}"
+            )
+    if problems:
+        return problems
     g, w = normalize(got), normalize(want)
-    if len(g) == len(w):
-        for c in g.columns:
-            if pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(w[c]):
-                ok = (
-                    (g[c].astype(float) - w[c].astype(float)).abs().max() or 0.0
-                ) <= 1e-12
-            else:
-                ok = (g[c].astype(str) == w[c].astype(str)).all()
-            if not ok:
-                bad = (g[c].astype(str) != w[c].astype(str))
+    for c in g.columns:
+        if _kind(got[c].dtype) == "float":
+            a = g[c].to_numpy(dtype="float64")
+            b = w[c].to_numpy(dtype="float64")
+            eq = (a.view("int64") == b.view("int64")) | (np.isnan(a) & np.isnan(b))
+            if not eq.all():
+                bad = ~eq
+                finite = np.isfinite(a) & np.isfinite(b)
+                maxerr = float(np.abs(a[finite] - b[finite]).max()) if finite.any() else float("nan")
+                problems.append(
+                    f"col {c}: {int(bad.sum())} bit-mismatched floats "
+                    f"(max abs err {maxerr:.3e}); first: "
+                    f"{g[bad][:3].to_dict('records')} vs {w[bad][:3].to_dict('records')}"
+                )
+        else:
+            eq = g[c].to_numpy() == w[c].to_numpy()
+            if not getattr(eq, "all", lambda: bool(eq))():
+                bad = ~eq
                 problems.append(
                     f"col {c}: {int(bad.sum())} mismatched values; first: "
                     f"{g[bad][:3].to_dict('records')} vs {w[bad][:3].to_dict('records')}"
