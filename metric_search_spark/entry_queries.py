@@ -2830,7 +2830,7 @@ def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_ROLLING_EVENTS = """
 SELECT event_id, user_id,
        count(*) OVER w AS roll_n,
-       sum(CAST(floor(value * 65536.0) AS BIGINT)) OVER w AS roll_sum_scaled
+       CAST(sum(CAST(floor(value * 65536.0) AS BIGINT)) OVER w AS BIGINT) AS roll_sum_scaled
 FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY sec
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -3359,8 +3359,8 @@ def _o_pivot_sql() -> str:
     parts = []
     for t in types:
         parts.append(
-            f"coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
-            f" AS {t}_n"
+            f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+            f" AS BIGINT) AS {t}_n"
         )
         parts.append(
             f"CAST(sum(CASE WHEN event_type = '{t}'"
@@ -4628,7 +4628,16 @@ def q_clip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE (one step per clip edge, flatten-of-CASE emission per vertex)
     over the VERBATIM embedded coordinates and replays the identical
     fold — a wrong emission rule, boundary strictness, or orientation
-    flips the hash."""
+    flips the hash.
+
+    The area leaves as the QUANTIZED integer ⌊area2·10¹² + ½⌋ (BIGINT in
+    both engines): DuckDB's list_sum/list_reduce accumulation order is
+    NOT the sequential left fold the kernel pins (probed directly — its
+    float sums differ from a left fold non-reproducibly), so the r5
+    strict sweep found ≤2e-16 cross-engine deltas in the raw double.
+    The fixture margin is certified: every scaled area sits ≥3.4e-3
+    e12-units from a floor boundary (tests/test_overlay.py), 20× the
+    worst observed delta, so the quantized value is flip-proof."""
     from metric_search_spark.operators.overlay import (
         clip_area,
         synth_polygons,
@@ -4638,7 +4647,13 @@ def q_clip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         subs, "poly_id long, xs array<double>, ys array<double>"
     )
-    return clip_area(df, _OVL_CLIP)
+    return clip_area(df, _OVL_CLIP).select(
+        "poly_id",
+        "n_out",
+        F.floor(F.col("area2") * 1e12 + F.lit(0.5)).cast("long").alias(
+            "area2_e12"
+        ),
+    )
 
 
 def _sh_flatten_exprs() -> tuple[str, str]:
@@ -4709,10 +4724,10 @@ it(poly_id, e, vx, vy) AS (
 )
 SELECT CAST(poly_id AS BIGINT) AS poly_id,
        CAST(len(vx) AS BIGINT) AS n_out,
-       coalesce(list_sum(list_transform(range(0, len(vx)), i ->
+       CAST(floor(coalesce(list_sum(list_transform(range(0, len(vx)), i ->
          vx[i + 1] * vy[((i + 1) % len(vx)) + 1]
          - vx[((i + 1) % len(vx)) + 1] * vy[i + 1])),
-         CAST(0.0 AS DOUBLE)) AS area2
+         CAST(0.0 AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS area2_e12
 FROM it WHERE e = {ne}
 """
 
@@ -4735,7 +4750,9 @@ def q_overlay_join_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursive-CTE ring replay and keeps n_out > 0 — so a candidate
     pair the tile prefilter wrongly dropped (a false negative) would
     surface in the oracle and flip the hash; the prefilter's
-    completeness is certified on every run."""
+    completeness is certified on every run. Area leaves quantized as
+    ⌊area2·10¹² + ½⌋ BIGINT — see q_clip_polygons for why (DuckDB
+    list-fold order) and the certified fixture margin."""
     from metric_search_spark.operators.overlay import (
         overlay_join,
         synth_polygons,
@@ -4747,7 +4764,14 @@ def q_overlay_join_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = spark.createDataFrame(
         _OVL_ZONES, "zone_id long, zxs array<double>, zys array<double>"
     )
-    return overlay_join(subs, zones, res=3)
+    return overlay_join(subs, zones, res=3).select(
+        "poly_id",
+        "zone_id",
+        "n_out",
+        F.floor(F.col("area2") * 1e12 + F.lit(0.5)).cast("long").alias(
+            "area2_e12"
+        ),
+    )
 
 
 def _o_overlay_join_sql() -> str:
@@ -4789,10 +4813,10 @@ it(poly_id, zone_id, ne, e, vx, vy) AS (
 SELECT CAST(poly_id AS BIGINT) AS poly_id,
        CAST(zone_id AS BIGINT) AS zone_id,
        CAST(len(vx) AS BIGINT) AS n_out,
-       coalesce(list_sum(list_transform(range(0, len(vx)), i ->
+       CAST(floor(coalesce(list_sum(list_transform(range(0, len(vx)), i ->
          vx[i + 1] * vy[((i + 1) % len(vx)) + 1]
          - vx[((i + 1) % len(vx)) + 1] * vy[i + 1])),
-         CAST(0.0 AS DOUBLE)) AS area2
+         CAST(0.0 AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS area2_e12
 FROM it WHERE e = ne AND len(vx) > 0
 """
 
@@ -5121,7 +5145,8 @@ WITH g AS (
   FROM g, range({-k}, {k + 1}) dx(i), range({-k}, {k + 1}) dy(i)
   WHERE cx + dx.i BETWEEN 0 AND {n - 1} AND cy + dy.i BETWEEN 0 AND {n - 1}
 )
-SELECT {enc} AS tile, sum(cnt) AS focal_cnt, sum(val) AS focal_val
+SELECT {enc} AS tile, CAST(sum(cnt) AS BIGINT) AS focal_cnt,
+       CAST(sum(val) AS BIGINT) AS focal_val
 FROM recv GROUP BY 1
 """
 
@@ -5197,7 +5222,8 @@ def _o_zonal_sql() -> str:
     for pid, ring in _PIP_POLYS:
         parts.append(
             f"SELECT '{pid}' AS poly_id, count(*) AS cnt,"
-            f" sum(CAST(label AS BIGINT)) AS val FROM embeddings "
+            f" CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS val"
+            f" FROM embeddings "
             f"WHERE {pip_sql_condition(_EMB_X, _EMB_Y, ring)}"
         )
     return " UNION ALL ".join(parts)
@@ -6775,7 +6801,8 @@ cells AS (
   WHERE (i // w) < (h // {p}) * {p} AND (i % w) < (w // {p}) * {p}
 )
 SELECT image_id, CAST(py AS INTEGER) AS py, CAST(px_g AS INTEGER) AS px,
-       sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
+       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
 FROM cells GROUP BY 1, 2, 3
 """
 
@@ -7236,7 +7263,7 @@ WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
 b AS (
   SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wst, event_type,
          count(*) AS cnt,
-         sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_millis
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_millis
   FROM events GROUP BY 1, 2
 )
 SELECT CAST(epoch(wst) AS BIGINT) AS win_start, event_type, cnt, sum_millis
@@ -7309,7 +7336,7 @@ WITH m AS (
   SELECT user_id, sid, min(ts) AS st,
          max(ts) + INTERVAL 30 MINUTE AS en,
          count(*) AS cnt,
-         sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_millis
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_millis
   FROM s GROUP BY 1, 2
 ), wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
 -- floor, not CAST: session bounds are raw event timestamps with sub-second

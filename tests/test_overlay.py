@@ -137,3 +137,46 @@ def test_overlay_join_rejects_nonconvex_zone():
     )
     with pytest.raises(Exception, match="convex"):
         overlay_join(sdf, zdf, res=3).collect()
+
+
+def test_area2_e12_quantization_margin():
+    """The clip_polygons / overlay_join_polygons driver queries emit
+    ⌊area2·10¹² + ½⌋ as BIGINT because DuckDB's list-sum accumulation
+    order is not the kernel's pinned left fold (r5 strict sweep: ≤2e-16
+    cross-engine deltas in the raw double). This certifies the fixture
+    margin that makes the quantization flip-proof: every scaled area sits
+    ≥1e-3 e12-units from a floor boundary — >5× the worst observed
+    cross-engine delta (1.7e-4 e12-units)."""
+    from metric_search_spark.operators.overlay import _clip_ring
+
+    clip = [(0.2, 0.35), (0.5, 0.15), (0.8, 0.35), (0.7, 0.75), (0.3, 0.75)]
+    zones = [
+        ([0.2, 0.5, 0.8, 0.7, 0.3], [0.35, 0.15, 0.35, 0.75, 0.75]),
+        ([0.05, 0.35, 0.35, 0.05], [0.05, 0.05, 0.3, 0.3]),
+        ([0.6, 0.95, 0.8], [0.05, 0.1, 0.3]),
+        ([0.05, 0.45, 0.4, 0.1], [0.55, 0.6, 0.95, 0.9]),
+        ([0.55, 0.95, 0.95, 0.55], [0.55, 0.55, 0.95, 0.95]),
+        ([0.85, 0.95, 0.95, 0.85], [0.35, 0.35, 0.5, 0.5]),
+    ]
+
+    def edges_of(pts):
+        n = len(pts)
+        return [
+            (pts[i][0], pts[i][1], pts[(i + 1) % n][0], pts[(i + 1) % n][1])
+            for i in range(n)
+        ]
+
+    areas = []
+    for _pid, xs, ys in synth_polygons(48):
+        _, _, a2 = _clip_ring(list(xs), list(ys), edges_of(clip))
+        areas.append(a2)
+    for zxs, zys in zones:
+        ze = edges_of(list(zip(zxs, zys)))
+        for _pid, xs, ys in synth_polygons(48):
+            vx, _, a2 = _clip_ring(list(xs), list(ys), ze)
+            if vx:
+                areas.append(a2)
+    assert len(areas) == 48 + 65  # the two queries' row counts
+    for a in areas:
+        s = a * 1e12 + 0.5
+        assert abs(s - round(s)) >= 1e-3, a

@@ -36,12 +36,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def _kind(dtype) -> str:
-    """Collapse a pandas dtype to the comparison kind the driver's value hash
-    is sensitive to: integer width differences hash alike, but int-vs-float is
-    exactly the HUGEINT→float64 decay that shipped the two r4 reds."""
-    k = dtype.kind
-    return "int" if k in "iu" else {"f": "float", "b": "bool"}.get(k, k)
+from tools.dtype_kinds import kind as _kind  # noqa: E402  (shared collapse)
 
 
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
