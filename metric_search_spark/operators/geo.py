@@ -2413,30 +2413,33 @@ def sphere_track_hausdorff(
 
 def sphere_track_hausdorff_sql(tracks_sql: str, pairs_sql: str) -> str:
     """DuckDB twin: the same pinned predicate over a direct max-min
-    re-mechanization (correlated grouped aggregates, no join staging)."""
-    hav = hav_wrap_sql("ta.lat_udeg", "ta.lon_udeg", "tb.lat_udeg", "tb.lon_udeg")
+    re-mechanization (correlated grouped aggregates, no join staging).
+    Table aliases are FORMAT PARAMETERS of the directed-leg template
+    (ADVICE r4) — the reverse leg binds fresh aliases instead of
+    post-hoc string replacement, so an alias rename cannot silently
+    corrupt the oracle."""
     hav_e18 = "CAST(FLOOR(hh * CAST('1e18' AS DOUBLE)) AS BIGINT)"
     dist_mm = (
         f"CAST(FLOOR({asin_full_sql('SQRT(hh)')}"
         f" * {_d(2.0 * EARTH_R_M * 1000.0)}) AS BIGINT)"
     )
-    directed = """
-  SELECT p.a_user AS au, p.b_user AS bu, ta.event_id,
+
+    def directed(ta: str, tb: str, acol: str, bcol: str) -> str:
+        hav = hav_wrap_sql(
+            f"{ta}.lat_udeg", f"{ta}.lon_udeg",
+            f"{tb}.lat_udeg", f"{tb}.lon_udeg",
+        )
+        return f"""
+  SELECT p.a_user AS au, p.b_user AS bu, {ta}.event_id,
          MIN({hav}) AS mn
-  FROM {pairs} p
-  JOIN tracks ta ON ta.user_id = p.{acol}
-  JOIN tracks tb ON tb.user_id = p.{bcol}
-  GROUP BY p.a_user, p.b_user, ta.event_id
+  FROM pairs p
+  JOIN tracks {ta} ON {ta}.user_id = p.{acol}
+  JOIN tracks {tb} ON {tb}.user_id = p.{bcol}
+  GROUP BY p.a_user, p.b_user, {ta}.event_id
 """
-    fwd = directed.format(hav=hav, pairs="pairs", acol="a_user", bcol="b_user")
-    rev = directed.format(
-        hav=hav.replace("ta.", "tx.").replace("tb.", "ty."),
-        pairs="pairs",
-        acol="b_user",
-        bcol="a_user",
-    ).replace("tracks ta", "tracks tx").replace("tracks tb", "tracks ty").replace(
-        "ta.user_id", "tx.user_id"
-    ).replace("tb.user_id", "ty.user_id").replace("ta.event_id", "tx.event_id")
+
+    fwd = directed("ta", "tb", "a_user", "b_user")
+    rev = directed("tx", "ty", "b_user", "a_user")
     return f"""
 WITH tracks AS ({tracks_sql}),
 pairs AS ({pairs_sql}),

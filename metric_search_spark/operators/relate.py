@@ -35,10 +35,11 @@ pairs dedup by id, and each surviving pair re-joins its two vertex lists
 once for the exact O(Ea*Eb) refine in an Arrow-batched kernel. No
 cartesian product; skew bounded by per-cell polygon counts.
 
-Reference parity: extends the reference's exact-arithmetic metric
-contract (src/include/metric_search/details/metrics.hpp) to topological
-predicates; the candidate/refine split mirrors tree.cpp's cover-then-
-prune discipline (details/tree.cpp:635-690).
+Reference parity: extends the reference's metric contract
+(n-api/metric_distance/metric_distance.hpp, details/Standards.hpp) to
+topological predicates with exact rational arithmetic; the
+candidate/refine split mirrors the cover-then-prune discipline of the
+reference's tree traversals (details/tree.cpp:635-690).
 """
 
 from __future__ import annotations
@@ -289,7 +290,11 @@ _LAT_A = 48271
 
 
 def _lat_hash(x: int, seed: int) -> int:
-    """MINSTD-double + xorshift, the sampling.hash_col integer stream."""
+    """MINSTD-double + xorshift — the sampling.hash_col integer stream,
+    re-expressed driver-side (both call sites build fixtures on the
+    driver, so no cross-engine risk; tests/test_relate.py pins this
+    against the Column implementation so silent drift between the two
+    cannot change fixtures unnoticed — ADVICE r4)."""
     v = ((x + 131071 * seed) % _LAT_M + _LAT_M) % _LAT_M + 1
     h1 = (v * _LAT_A) % _LAT_M
     h1x = h1 ^ (h1 >> 13)
@@ -663,10 +668,18 @@ def polygon_area_join(
     """(a_gid, b_gid, area2_q) for every cross pair with POSITIVE
     intersection area: area2_q = floor(2*area(A∩B) * 2^20) over the
     exact-classification pinned-float measure (intersection_area2).
-    Touch-only pairs contribute exact zero and are absent — the pair
-    set equals polygon_relate_join's 'overlaps' rows by construction
-    (pinned as a test invariant). Same candidate cover + Arrow refine
-    plan as polygon_relate_join."""
+    Touch-only pairs contribute exact zero and are absent.
+
+    Invariant scope (ADVICE r4): "this pair set equals
+    polygon_relate_join's 'overlaps' rows" is a FIXTURE-SCOPED pin
+    (lattice polygons whose intersections are far from degenerate), not
+    a universal guarantee — the relate classification is exact rational
+    while the a2 > 0 filter here is the pinned float fold, so an
+    adversarial pair with a positive but ≲2⁻⁵⁰ intersection could
+    cancel to ≤ 0.0 in the fold and drop from this join while relate
+    still reports 'overlaps' (both engines consistently — no hash risk,
+    only a semantic caveat for exotic inputs). Same candidate cover +
+    Arrow refine plan as polygon_relate_join."""
 
     def cover(df: DataFrame, tag: str) -> DataFrame:
         xs, ys = F.col(xs_col), F.col(ys_col)

@@ -259,3 +259,28 @@ def test_multipolygon_ring_idx_guard(spark):
     )
     with pytest.raises(Exception, match="ring_idx"):
         multipolygon_relate_join(bad, ok).collect()
+
+
+def test_lat_hash_matches_sampling_hash_col():
+    """ADVICE r4: _lat_hash re-expresses sampling.hash_col's MINSTD+xorshift
+    stream driver-side for fixture building. Pin the two implementations
+    against each other (Spark Column vs pure int) so silent drift between
+    them cannot change fixtures without a test going red."""
+    from pyspark.sql import functions as F
+
+    from metric_search_spark.operators.relate import _lat_hash
+    from metric_search_spark.operators.sampling import hash_col
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    ids = list(range(0, 500)) + [10**9, 2147483646]
+    df = spark.createDataFrame([(i,) for i in ids], "x long")
+    for seed in (0, 1, 7, 131):
+        got = {
+            r.x: r.h
+            for r in df.select(
+                "x", hash_col(F.col("x"), seed).alias("h")
+            ).collect()
+        }
+        for i in ids:
+            assert got[i] == _lat_hash(i, seed), (i, seed)
