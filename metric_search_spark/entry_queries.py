@@ -8084,7 +8084,13 @@ def q_fuzzy_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes names, blocks, the join AND the similarity via its NATIVE
     jaro_winkler_similarity — an independent C++ implementation of the
     same public definition (Winkler 1990; boost only when jaro > 0.7,
-    prefix cap 4, p = 0.1 — semantics pinned in tests/test_fuzzy.py)."""
+    prefix cap 4, p = 0.1 — semantics pinned in tests/test_fuzzy.py).
+
+    Oracle scope: ASCII corpora (all driver fixtures). DuckDB's native
+    function scores UTF-8 BYTES while the engine scores CODEPOINTS —
+    identical units on ASCII, divergent on multibyte text; the divergence
+    is pinned as exactly that unit mismatch in
+    tests/test_text_unicode.py::test_fuzzy_unit_mismatch_pinned."""
     from metric_search_spark.operators.fuzzy import fuzzy_join
 
     docs = _read(spark, sf_dir, "documents")

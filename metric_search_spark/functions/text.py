@@ -671,6 +671,18 @@ __all__ += ["gopher_repetition", "gopher_repetition_sql"]
 
 # --------------------------------------------------------------- BPE merges
 
+# split a word into CODEPOINT symbols: position not at start, not inside a
+# UTF-16 surrogate pair (Spark regexes run over Java UTF-16 — a bare
+# '(?!^)(?=.)' splits astral-plane chars like emoji into lone surrogates,
+# probed in tests/test_text_unicode.py), and before some char (no trailing
+# empty). BOTH guards are required: lookbehind-only still split the second
+# emoji of a pair sequence (Java lookbehind is unreliable at indices inside
+# a valid pair), so the lookahead also refuses positions before a low
+# surrogate. DuckDB's string_split(w, '') is codepoint-wise already.
+_CHAR_SPLIT = r"(?!^)(?<![\uD800-\uDBFF])(?![\uDC00-\uDFFF])(?=.)"
+
+
+
 BPE_SEP = "\x1f"  # unit separator between symbols; guarded out of the corpus
 
 
@@ -729,7 +741,7 @@ def bpe_merges(
         # '(?!^)(?=.)' splits between characters: no leading or trailing
         # empty piece (Spark split keeps trailing empties at limit -1)
         .select(
-            F.concat_ws(sep, F.split("w", "(?!^)(?=.)")).alias("syms"),
+            F.concat_ws(sep, F.split("w", _CHAR_SPLIT)).alias("syms"),
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
@@ -891,7 +903,7 @@ def soundex_col(word: Column) -> Column:
     different from letter i−1's digit → first letter + first 3 kept
     digits, zero-padded to 4 chars."""
     u = F.upper(word)
-    chars = F.split(u, "(?!^)(?=.)")
+    chars = F.split(u, _CHAR_SPLIT)
     codes = F.transform(chars, _soundex_digit)
     idx = F.when(F.size(chars) >= 2, F.sequence(F.lit(1), F.size(chars) - 1)).otherwise(
         F.array().cast("array<int>")
@@ -969,7 +981,7 @@ def bpe_encode(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).where((F.length("w") > 0) & (~F.col("w").contains(sep)))
-    syms = F.concat_ws(sep, F.split("w", "(?!^)(?=.)"))
+    syms = F.concat_ws(sep, F.split("w", _CHAR_SPLIT))
     for left, right in merges:
         syms = F.call_function(
             "replace", syms, F.lit(left + sep + right), F.lit(left + right)

@@ -21,6 +21,12 @@ recomputes names, blocks, the join, and the similarity from raw text with
 zero shared code. Verified boundary semantics (tests/test_fuzzy.py, probed
 empirically): no prefix boost unless jaro > 0.7; empty strings score 0.0
 (both sides, even '' vs ''); prefix length caps at 4; p = 0.1.
+
+Unit caveat (probed r5): the native DuckDB functions score UTF-8 BYTES;
+these kernels score CODEPOINTS — the semantically right unit for text.
+The two coincide exactly on ASCII (every driver corpus), and the multibyte
+divergence is pinned as precisely that unit mismatch in
+tests/test_text_unicode.py::test_fuzzy_unit_mismatch_pinned.
 """
 
 from __future__ import annotations

@@ -458,3 +458,26 @@ def test_s2_cell_roundtrip_contains_point(spark):
         chord = math.sqrt(sum((a - b) ** 2 for a, b in zip(cx, px)))
         # max cell diagonal at level 8: ~ (pi/2)/2^8 * sqrt2 * distortion<2
         assert chord < 2.0 * math.sqrt(2.0) * (math.pi / 2) / (1 << lv), r
+
+
+def test_haversine_knn_invariant_under_r0_mistuning(spark):
+    """Exactness must not depend on tuning (VERDICT r4 follow-up): the
+    doubling-round kNN returns IDENTICAL rows — same (a_id, rnk, b_id),
+    bit-equal hav_e18/dist_mm — whether r0 starts far too small (deep
+    escalation through many rounds), at the default, or absurdly large
+    (everything resolves in round 0 through the same 3x5 window cover).
+    The brute-force parity test pins one setting; this pins the setting-
+    independence that makes the operator safe to deploy untuned."""
+    from metric_search_spark.operators.geo import haversine_knn_join
+
+    p = synth_places(spark, 400, seed=11).cache()
+    frames = [
+        haversine_knn_join(p, 4, r0_m=r0, max_rounds=rounds)
+        .orderBy("a_id", "rnk")
+        .collect()
+        for r0, rounds in ((25.0, 14), (250.0, 8), (80_000.0, 2))
+    ]
+    base = [tuple(r) for r in frames[0]]
+    assert len(base) == 400 * 4
+    for other in frames[1:]:
+        assert [tuple(r) for r in other] == base
