@@ -11672,7 +11672,9 @@ def q_emd_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(_EMD_B)
             ]
         ).alias("h")
-    )
+    ).localCheckpoint(eager=True)  # #labels rows; without this the pair
+    # self-join below re-runs the full ranked/limit/histogram pipeline on
+    # BOTH sides — a doubled corpus pass at 10⁹ rows (plan-audited r5)
     a = dense.select(F.col("label").alias("la"), F.col("h").alias("ha"))
     bb = dense.select(F.col("label").alias("lb"), F.col("h").alias("hb"))
     pairs = a.join(bb, F.col("la") < F.col("lb"))
