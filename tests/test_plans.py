@@ -194,3 +194,17 @@ def test_keypoint_match_has_no_nested_loop(spark):
     )
     out = keypoint_match(kps, max_dist=3)
     assert not has_nested_loop_join(out)
+
+
+def test_emd_histograms_single_corpus_pass(spark):
+    """emd_histograms' pair self-join runs over the CHECKPOINTED per-label
+    aggregate: exactly one row_number Window (one ranked corpus pass) may
+    appear in the executed plan. Without the checkpoint, both join sides
+    re-derive the full ranked/limit/histogram pipeline — the r5 plan audit
+    found the Window (and its label-hash Exchange) duplicated, a doubled
+    corpus pass at 10⁹ rows."""
+    from metric_search_spark.entry_queries import q_emd_histograms
+
+    df = q_emd_histograms(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("row_number()") <= 1, plan[:2000]
