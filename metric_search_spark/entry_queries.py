@@ -1009,6 +1009,31 @@ def _handoff_path(name: str, key) -> str:
     return _HANDOFF_PATH_TMPL.format(name=name, key=key, tok=f"_r{tok}" if tok else "")
 
 
+_SCRATCH_CREATED: set[str] = set()
+
+
+def _scratch_path(name: str, key: str) -> str:
+    """Per-run scratch directory for intra-query on-disk state (index
+    builds, mutation-phase indexes, bucketed-table files). Unlike oracle
+    hand-offs, nothing outside the running process ever reads these, so
+    the MSK_RUN_TOKEN namespace ALWAYS applies safely: two concurrent
+    runs at one sf get disjoint dirs — the r5 live double-sweep test
+    caught run A's up-front rmtree deleting run B's in-flight staged
+    index write on the old fixed path. Tokenless runs (the driver) keep
+    the legacy fixed path, which each query still clears up front, so
+    nothing leaks there; tokened runs register an atexit rmtree so a
+    sweep cleans its own namespace on exit."""
+    tok = os.environ.get("MSK_RUN_TOKEN", "")
+    p = f"/tmp/msk_{name}_u{os.getuid()}_{key}" + (f"_r{tok}" if tok else "")
+    if tok and p not in _SCRATCH_CREATED:
+        _SCRATCH_CREATED.add(p)
+        import atexit
+        import shutil as _sh
+
+        atexit.register(_sh.rmtree, p, True)
+    return p
+
+
 def _handoff_enabled() -> bool:
     """Oracle hand-offs are driver-side materializations that exist ONLY so
     the DuckDB twin can audit the run. Every writer checks this gate
@@ -1252,7 +1277,7 @@ def q_bucketed_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_type")
             ),
             fact_tbl,
-            f"/tmp/{fact_tbl}_u{os.getuid()}",
+            _scratch_path("bkt_fact", tag),
             "user_id",
             8,
         )
@@ -1260,7 +1285,7 @@ def q_bucketed_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed(
             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user")),
             dim_tbl,
-            f"/tmp/{dim_tbl}_u{os.getuid()}",
+            _scratch_path("bkt_dim", tag),
             "user_id",
             8,
         )
@@ -7746,9 +7771,10 @@ def q_index_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         xc.alias("x"),
         yc.alias("y"),
     )
-    # fixed per-sf path, cleared up front (the knn_after_delete pattern):
-    # a fresh mkdtemp per run leaked one full index dir per invocation
-    path = f"/tmp/msk_idx_u{os.getuid()}_{_sf_tag(sf_dir)}"
+    # per-run scratch path, cleared up front (a fresh mkdtemp per run
+    # leaked one full index dir per invocation; the run-token namespace
+    # plus its atexit cleanup keeps concurrent sweeps disjoint AND tidy)
+    path = _scratch_path("idx", _sf_tag(sf_dir))
     shutil.rmtree(path, ignore_errors=True)
     build_index(tbl, path, res=3, batches=4)
     nodes = load_nodes(spark, path)
@@ -8683,7 +8709,7 @@ def q_knn_after_delete_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = _emb(spark, sf_dir)
     pts = emb.select("id", "x", "y")
-    path = f"/tmp/msk_mut_index_{_sf_tag(sf_dir)}"
+    path = _scratch_path("mut_index", _sf_tag(sf_dir))
     shutil.rmtree(path, ignore_errors=True)
     build_index(pts, path, res=3, batches=4)
 
@@ -8769,7 +8795,7 @@ def q_knn_after_update_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = _emb(spark, sf_dir)
     pts = emb.select("id", "x", "y")
-    path = f"/tmp/msk_mut_upd_index_{_sf_tag(sf_dir)}"
+    path = _scratch_path("mut_upd_index", _sf_tag(sf_dir))
     shutil.rmtree(path, ignore_errors=True)
     build_index(pts, path, res=3, batches=4)
 
